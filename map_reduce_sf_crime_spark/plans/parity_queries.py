@@ -1,0 +1,89 @@
+"""Reference-parity queries: the two MR jobs and the awk oracle.
+
+Covers SURVEY §2 rows A1 (weekly pivot), A2 (daily triplets),
+A4 (category totals / the awk cross-check), P1 (projection — implicit:
+every plan selects only load-bearing columns and Catalyst prunes the
+scan), P4 (non-zero filter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.weekly import weekly_summary, weekly_summary_sql
+from .crimes_view import (
+    CATEGORY_INCIDENTS_SQL,
+    INCIDENTS_SQL,
+    category_incidents,
+    incidents,
+)
+from .registry import register
+
+
+@register(
+    "weekly_by_category",
+    weekly_summary_sql(CATEGORY_INCIDENTS_SQL + " t", "category", "d"),
+    survey_ids=("A1", "P1", "F3", "F4", "S1"),
+)
+def weekly_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: SanFranciscoCrime.java:228 ``bycategory`` report."""
+    return weekly_summary(category_incidents(spark, sf_dir), "category", F.col("d"))
+
+
+@register(
+    "weekly_by_district",
+    weekly_summary_sql(INCIDENTS_SQL + " t", "district", "d"),
+    survey_ids=("A1", "J1"),
+)
+def weekly_by_district(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SanFranciscoCrime.java:229 ``bydistrict`` report."""
+    return weekly_summary(incidents(spark, sf_dir), "district", F.col("d"))
+
+
+@register(
+    "daily_cat_dist",
+    f"""
+    select strftime(d, '%Y/%m/%d') as day, category, district,
+           count(*) as crimes
+    from {INCIDENTS_SQL} t
+    group by d, category, district
+    """,
+    survey_ids=("A2", "P4", "F2"),
+)
+def daily_cat_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily heat-map triplets (SanFranciscoCrimePrepOlap.java:155-206).
+
+    The reference builds a dense category×district int matrix per date
+    and emits non-zero cells; ``groupBy().count()`` produces exactly the
+    non-zero cells with no materialized zeros (count>0 is vacuously
+    true post-aggregation — P4 subsumed). The date is rendered
+    ``yyyy/MM/dd`` like the MR output key (MapReduceJobBase.java:65).
+    """
+    return (
+        incidents(spark, sf_dir)
+        .groupBy(
+            F.date_format("d", "yyyy/MM/dd").alias("day"),
+            "category",
+            "district",
+        )
+        .agg(F.count(F.lit(1)).alias("crimes"))
+        .filter(F.col("crimes") > 0)
+    )
+
+
+@register(
+    "category_totals",
+    f"select category, count(*) as total from {CATEGORY_INCIDENTS_SQL} t group by category",
+    survey_ids=("A4",),
+)
+def category_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The awk oracle (categoryTotals.awk:1-15): raw per-category counts.
+
+    Doubles as the property check sum(w0..w15) == total (tests).
+    """
+    return (
+        category_incidents(spark, sf_dir)
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("total"))
+    )

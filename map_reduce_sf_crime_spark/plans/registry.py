@@ -1,0 +1,45 @@
+"""Query registry: every implemented SURVEY §2 operator as a named
+query with (when SQL-expressible) a DuckDB oracle twin.
+
+Contract (driver-enforced, see __spark_entry__.py): the Spark callable
+takes ``(spark, sf_dir)`` and returns a DataFrame; the oracle is ANSI
+SQL DuckDB runs over the same parquet tables (views pre-registered).
+Column names and order-insensitive values must match — every computed
+column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → genuinely non-SQL-expressible (rows-only check)
+    survey_ids: tuple[str, ...] = ()  # SURVEY §2 rows this query covers
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, survey_ids: tuple[str, ...] = ()):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(spark=fn, oracle=oracle, survey_ids=survey_ids)
+        return fn
+
+    return deco
+
+
+# Import side-effect modules that populate REGISTRY.
+from . import parity_queries  # noqa: E402,F401
+from . import olap_queries  # noqa: E402,F401
+from . import filter_queries  # noqa: E402,F401
+from . import dedup_queries  # noqa: E402,F401
+from . import text_queries  # noqa: E402,F401
+from . import similarity_queries  # noqa: E402,F401
+from . import streaming_queries  # noqa: E402,F401
+from . import multimodal_queries  # noqa: E402,F401

@@ -1,0 +1,37 @@
+"""Parquet loaders for the driver testdata tables.
+
+The reference reads raw CSV (S1, SanFranciscoCrime.java:219); our
+engine standardizes on columnar Parquet for everything analytic —
+vectorized scan, predicate pushdown, column pruning and partition
+pruning come free (SURVEY §2.1 "not present" row). CSV remains
+supported for the raw-incident edge via sources/csv_crimes.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
