@@ -1,1 +1,203 @@
-"""Placeholder — populated in this round."""
+"""Filters, semi/anti joins, set ops, top-k, windows.
+
+Covers SURVEY §2 rows P5 (regex row filter), P6 (value-IN filter),
+the J1 dropped-rows audit (anti join), §2.6 top-k and §2.7 set ops
+(absent in the reference, first-class here), and §2.5 windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .crimes_view import INCIDENTS_SQL, incidents
+from .registry import register
+
+#: P6 — plotDistrict.r:3-6 selects 4 named districts; nation-name analog.
+R_DISTRICTS = ["NATION_1", "NATION_4", "NATION_7", "NATION_12"]
+
+
+@register(
+    "filter_in_districts",
+    f"""
+    select district, count(*) as total
+    from {INCIDENTS_SQL} t
+    where district in ({", ".join(f"'{d}'" for d in R_DISTRICTS)})
+    group by district
+    """,
+    survey_ids=("P6",),
+)
+def filter_in_districts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        incidents(spark, sf_dir)
+        .filter(F.col("district").isin(R_DISTRICTS))
+        .groupBy("district")
+        .agg(F.count(F.lit(1)).alias("total"))
+    )
+
+
+@register(
+    "filter_regex_rows",
+    """
+    select source, count(*) as n
+    from documents
+    where regexp_matches(text, '^[a-m]')
+    group by source
+    """,
+    survey_ids=("P5",),
+)
+def filter_regex_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """categoryTotals.awk:4 ``/^[0-9]/`` semantics — regex row filter
+    (applied to a letter class since the fixture text is lowercase)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").rlike("^[a-m]"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "anti_join_audit",
+    """
+    select c_mktsegment, count(*) as n
+    from customer
+    where not exists (select 1 from orders
+                      where o_custkey = c_custkey
+                        and year(o_orderdate) = 1995)
+    group by c_mktsegment
+    """,
+    survey_ids=("J1",),
+)
+def anti_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1's dropped-with-warning path (SanFranciscoCrimePrepOlap.java:
+    179-184): rows whose key misses the dimension (here: customers
+    with no 1995 orders). Expressed as a left anti join — the
+    distributed, observable version of the warning log."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .select("o_custkey")
+    )
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "semi_join_active",
+    """
+    select c_mktsegment, count(*) as n
+    from customer
+    where exists (select 1 from orders where o_custkey = c_custkey)
+    group by c_mktsegment
+    """,
+    survey_ids=("J1",),
+)
+def semi_join_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "set_ops_custkeys",
+    """
+    with y95 as (select distinct o_custkey from orders
+                 where year(o_orderdate) = 1995),
+         y96 as (select distinct o_custkey from orders
+                 where year(o_orderdate) = 1996)
+    select 'only_1995' as bucket, count(*) as n from (select * from y95 except select * from y96) a
+    union all
+    select 'both' as bucket, count(*) as n from (select * from y95 intersect select * from y96) b
+    union all
+    select 'either' as bucket, count(*) as n from (select * from y95 union select * from y96) c
+    """,
+    survey_ids=("SET",),
+)
+def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 — set operations (absent in the reference, built-in here):
+    except / intersect / union over distinct yearly customer sets."""
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    rows = [
+        ("only_1995", y95.exceptAll(y95.intersect(y96))),
+        ("both", y95.intersect(y96)),
+        ("either", y95.union(y96).distinct()),
+    ]
+    out = None
+    for name, df in rows:
+        part = df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("bucket"), "n"
+        )
+        out = part if out is None else out.union(part)
+    return out
+
+
+@register(
+    "topk_categories_per_district",
+    f"""
+    select district, category, total, rk
+    from (
+      select district, category, count(*) as total,
+             row_number() over (partition by district
+                                order by count(*) desc, category) as rk
+      from {INCIDENTS_SQL} t
+      group by district, category
+    ) ranked
+    where rk <= 3
+    """,
+    survey_ids=("TOPK",),
+)
+def topk_categories_per_district(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 top-k (absent in reference): top-3 categories per district.
+    Window row_number after a pre-aggregation — the agg shrinks the
+    data before the window shuffle, so the sort is over #district ×
+    #category rows, never raw facts; deterministic tie-break on name."""
+    agg = (
+        incidents(spark, sf_dir)
+        .groupBy("district", "category")
+        .agg(F.count(F.lit(1)).alias("total"))
+    )
+    w = Window.partitionBy("district").orderBy(F.desc("total"), F.asc("category"))
+    return agg.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+
+
+@register(
+    "window_running_total",
+    f"""
+    select district, day, daily,
+           sum(daily) over (partition by district order by day
+                            rows between unbounded preceding and current row)
+             as running
+    from (
+      select district, strftime(d, '%Y/%m/%d') as day, count(*) as daily
+      from {INCIDENTS_SQL} t
+      group by district, d
+    ) g
+    """,
+    survey_ids=("W1",),
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 windows (absent in reference): per-district running total
+    of daily counts — partitioned window over pre-aggregated rows."""
+    daily = (
+        incidents(spark, sf_dir)
+        .groupBy("district", F.date_format("d", "yyyy/MM/dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("daily"))
+    )
+    w = (
+        Window.partitionBy("district")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.withColumn("running", F.sum("daily").over(w))
