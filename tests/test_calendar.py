@@ -1,0 +1,51 @@
+"""Golden test: the week-of-month closed form must reproduce
+``java.util.Calendar`` (US locale) exactly — the reference's bucketing
+authority (SanFranciscoCrime.java:178-182).
+
+tests/data/wom_golden.csv was generated with java.util.Calendar
+(Java 17, Locale.US): date, Calendar.MONTH, Calendar.WEEK_OF_MONTH
+over 1995 (full year), Q1-2013 (the reference's dataset window),
+Feb-2016 (leap), Jan-2024, Feb/Mar-2000.
+"""
+
+from __future__ import annotations
+
+import csv
+import pathlib
+
+from pyspark.sql import functions as F
+
+from map_reduce_sf_crime_spark.functions.calendar import (
+    month0_col,
+    week_bucket_col,
+    week_of_month_col,
+)
+
+GOLDEN = pathlib.Path(__file__).parent / "data" / "wom_golden.csv"
+
+
+def test_week_of_month_matches_java_calendar(spark):
+    rows = [(d, int(m), int(w)) for d, m, w in csv.reader(GOLDEN.open())]
+    df = spark.createDataFrame(rows, "d_str string, month0_java int, wom_java int")
+    out = (
+        df.withColumn("d", F.to_date("d_str"))
+        .withColumn("month0", month0_col(F.col("d")))
+        .withColumn("wom", week_of_month_col(F.col("d")))
+        .filter(
+            (F.col("month0") != F.col("month0_java"))
+            | (F.col("wom") != F.col("wom_java"))
+        )
+    )
+    mismatches = out.collect()
+    assert mismatches == [], f"calendar drift: {mismatches[:5]}"
+
+
+def test_bucket_is_month0_times_5_plus_wom(spark):
+    df = spark.createDataFrame([("2013-03-31",)], "d_str string").withColumn(
+        "d", F.to_date("d_str")
+    )
+    row = df.select(week_bucket_col(F.col("d")).alias("b")).first()
+    # March 2013 starts on a Friday; 2013-03-31 is WEEK_OF_MONTH 6 →
+    # bucket 2*5+6 = 16: the reference's on-the-fly overflow bucket
+    # (SanFranciscoCrime.java:183-187). We keep the arithmetic identical.
+    assert row.b == 16
