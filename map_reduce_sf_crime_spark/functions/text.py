@@ -1,0 +1,90 @@
+"""Text-analysis column expressions for the training-data pipeline:
+tokenization, shingling, language-ID, quality scoring — all built-in
+Spark functions (array/lambda expressions, no Python UDFs) with DuckDB
+SQL twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Minimal per-language function-word lists for the n-gram/stopword
+#: language-ID heuristic. Deterministic, ASCII-only on purpose.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "on"),
+    "es": ("el", "la", "de", "y", "en", "los", "una", "por"),
+    "fr": ("le", "la", "de", "et", "les", "des", "une", "pour"),
+    "de": ("der", "die", "das", "und", "von", "mit", "ein", "fur"),
+    "zh": ("de", "shi", "bu", "le", "zai", "ren", "you", "wo"),
+}
+
+#: Quality-score stopwords (English function words).
+QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
+
+#: BPE-ish token regex: word pieces OR single non-space punctuation —
+#: a cheap stand-in for subword tokenization with stable counts.
+BPE_REGEX = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens, lowercased; empty strings filtered."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def tokens_sql(text: str) -> str:
+    return (
+        f"list_filter(regexp_split_to_array(lower({text}), '\\s+'), t -> t != '')"
+    )
+
+
+def shingles_col(tok: Column, n: int) -> Column:
+    """Word n-gram shingle array (distinct not applied — set-ness is
+    applied where jaccard needs it)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tok) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
+    )
+
+
+def shingles_sql(tok: str, n: int) -> str:
+    return (
+        f"list_transform(range(1, greatest(len({tok}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({tok}, i, i + {n - 1}), ' '))"
+    )
+
+
+def stopword_hits_col(tok: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tok, lambda t: t.isin(list(words))))
+
+
+def stopword_hits_sql(tok: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({tok}, t -> t in ({lst})))"
+
+
+def lang_id_col(tok: Column) -> Column:
+    """Argmax language by stopword hits; ties and zero-hit docs →
+    'und'. Deterministic: strictly-greater comparison in fixed lang
+    order mirrors the SQL twin."""
+    scores = {lang: stopword_hits_col(tok, ws) for lang, ws in LANG_STOPWORDS.items()}
+    best_score = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # reversed so that earlier languages win ties via later overwrite
+    for lang in reversed(list(LANG_STOPWORDS)):
+        expr = F.when(
+            (scores[lang] == best_score) & (best_score > 0), F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
+def lang_id_sql(tok: str) -> str:
+    scores = {
+        lang: stopword_hits_sql(tok, ws) for lang, ws in LANG_STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = "\n      ".join(
+        f"when {scores[lang]} = {best} and {best} > 0 then '{lang}'"
+        for lang in LANG_STOPWORDS
+    )
+    return f"(case {whens} else 'und' end)"

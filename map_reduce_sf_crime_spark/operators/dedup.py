@@ -1,0 +1,281 @@
+"""Deduplication operators for the training-data pipeline.
+
+Four families, each scalable by construction:
+
+- **exact** — hash-groupBy on md5(text): one shuffle on a uniform key.
+- **n-gram Jaccard (exact near-dup)** — inverted-index self-join on
+  word shingles: explode → equi-join on shingle → count intersections
+  → Jaccard. The join key is the shingle, so only documents *sharing a
+  shingle* ever meet — no all-pairs blow-up; skew on ultra-common
+  shingles is handled upstream by AQE skew-join (enabled in session).
+- **MinHash + LSH** — md5-seeded minhash signatures, banded into
+  LSH buckets; candidates = bucket collisions, then exact-Jaccard
+  verification. Probabilistic-recall, linear-ish cost: the scale path
+  when even the inverted index is too hot.
+- **SimHash** — 32-bit majority-vote fingerprint over token hashes;
+  near-dup = Hamming distance ≤ d. Banding into 4×8-bit sub-keys is
+  **exact blocking** for d ≤ 3 (pigeonhole: 4 bands, <4 differing
+  bits → some band intact), so the banded join provably equals the
+  all-pairs answer the DuckDB oracle computes.
+
+All hashes are the portable md5-based construction in
+functions/hashing.py, so DuckDB reproduces signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64_col, hash64_sql, minhash_col, minhash_sql
+from ..functions.text import shingles_col, shingles_sql, tokens_col, tokens_sql
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 4 × 8-bit bands ⇒ exact blocking for hamming ≤ 3
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Per-source corpus stats after exact (md5) dedup."""
+    return (
+        docs.select("source", F.md5("text").alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("n_unique"),
+        )
+        .withColumn("n_dupes", F.col("n_docs") - F.col("n_unique"))
+    )
+
+
+EXACT_DEDUP_SQL = """
+select source, count(*) as n_docs, count(distinct md5(text)) as n_unique,
+       count(*) - count(distinct md5(text)) as n_dupes
+from documents
+group by source
+"""
+
+
+def dedup_keep_first(docs: DataFrame, key: str = "text") -> DataFrame:
+    """Exact dedup keeping the lowest doc_id per duplicate group —
+    the "canonical representative" form (min-agg + semi-join keeps
+    everything distributed; no window over the full corpus)."""
+    keep = docs.groupBy(F.md5(key).alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+# ------------------------------------------- n-gram Jaccard (exact)
+
+def shingle_sets(docs: DataFrame, n: int) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.array_distinct(shingles_col(tokens_col(F.col("text")), n)).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+
+
+def _shingle_sets_sql(n: int) -> str:
+    sh = f"list_distinct({shingles_sql(tokens_sql('text'), n)})"
+    return f"select doc_id, {sh} as sh, len({sh}) as n_sh from documents"
+
+
+def near_dup_pairs_exact(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard near-dup pairs via shingle inverted index."""
+    t = shingle_sets(docs, n)
+    e = t.select("doc_id", "n_sh", F.explode("sh").alias("s"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.withColumn("jaccard", F.round(jac.cast("double"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def near_dup_pairs_exact_sql(n: int = 3, threshold: float = 0.5) -> str:
+    return f"""
+    with t as ({_shingle_sets_sql(n)}),
+    e as (select doc_id, n_sh, unnest(sh) as s from t),
+    pairs as (
+      select a.doc_id as doc_a, b.doc_id as doc_b,
+             a.n_sh as na, b.n_sh as nb, count(*) as inter
+      from e a join e b on a.s = b.s and a.doc_id < b.doc_id
+      group by 1, 2, 3, 4
+    )
+    select doc_a, doc_b,
+           round(inter * 1.0 / (na + nb - inter), 6) as jaccard
+    from pairs
+    where round(inter * 1.0 / (na + nb - inter), 6) >= {threshold}
+    """
+
+
+# ------------------------------------------------- MinHash + LSH
+
+def minhash_signatures(docs: DataFrame, n: int = 3, n_hashes: int = 16) -> DataFrame:
+    return shingle_sets(docs, n).select(
+        "doc_id", minhash_col(F.col("sh"), n_hashes).alias("sig")
+    )
+
+
+def minhash_signatures_sql(n: int = 3, n_hashes: int = 16) -> str:
+    return f"""
+    with t as ({_shingle_sets_sql(n)})
+    select doc_id, {minhash_sql('sh', n_hashes)} as sig from t
+    """
+
+
+def lsh_near_dup_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates (banded minhash) + exact-Jaccard verification.
+
+    Output ⊆ the exact answer; recall at jaccard j is
+    ``1 - (1 - j^r)^b`` (r = n_hashes/bands). With 8 bands × r=2,
+    j=0.8 pairs are found w.p. ≈ 0.9997 — deterministic here since
+    hashes are seeded md5.
+    """
+    r = n_hashes // bands
+    sigs = minhash_signatures(docs, n, n_hashes)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.md5(
+                    F.concat_ws(",", *[F.col("sig")[i * r + j] for j in range(r)])
+                ).alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )
+    buckets = sigs.select("doc_id", F.explode(band_cols).alias("bk")).select(
+        "doc_id", "bk.band", "bk.key"
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    t = shingle_sets(docs, n)
+    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na"))
+    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb"))
+    verified = (
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).cast(
+                    "double"
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+# ------------------------------------------------------ SimHash
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash over (all, frequency-weighted) whitespace tokens."""
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).withColumn("h", hash64_col(F.col("tok"), seed="sim"))
+    aggs = [
+        F.expr(
+            f"case when 2 * sum((h >> {i}) & 1) > count(*) then {1 << i} else 0 end"
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*aggs)
+    total = sum((F.col(f"b{i}") for i in range(SIMHASH_BITS)), F.lit(0))
+    return per_doc.select("doc_id", total.cast("long").alias("simhash"))
+
+
+def simhash_sql() -> str:
+    h = hash64_sql("tok", seed="sim")
+    terms = " + ".join(
+        f"(case when 2 * sum(({h} >> {i}) & 1) > count(*) then {1 << i} else 0 end)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+    with tok as (select doc_id, unnest({tokens_sql('text')}) as tok from documents)
+    select doc_id, cast({terms} as bigint) as simhash
+    from tok group by doc_id
+    """
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Hamming-≤d pairs via 4×8-bit band blocking (exact for d ≤ 3)."""
+    assert max_hamming < SIMHASH_BANDS, "banding only exact for d < #bands"
+    s = simhash(docs)
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << width) - 1
+    bands = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_pairs_sql(max_hamming: int = 3) -> str:
+    return f"""
+    with s as ({simhash_sql()})
+    select a.doc_id as doc_a, b.doc_id as doc_b,
+           bit_count(xor(a.simhash, b.simhash)) as hamming
+    from s a join s b on a.doc_id < b.doc_id
+    where bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
