@@ -1,0 +1,38 @@
+"""Vector math over ``array<float>`` embedding columns — built-in
+higher-order functions (zip_with / aggregate), fully JVM-side.
+
+Cross-engine determinism: both engines fold left-to-right over the
+same element order in **double** precision, so dot products are
+bit-identical and rounding to 6dp is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def dot_sql(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> {a}[i]::double * {b}[i]::double))"
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / F.sqrt(dot_col(a, a) * dot_col(b, b))
+
+
+def cosine_sql(a: str, b: str, dim: int) -> str:
+    return (
+        f"({dot_sql(a, b, dim)} / "
+        f"sqrt({dot_sql(a, a, dim)} * {dot_sql(b, b, dim)}))"
+    )

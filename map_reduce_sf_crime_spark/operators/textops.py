@@ -1,0 +1,158 @@
+"""Text-analysis operators: token stats, quality scoring, language ID,
+document fingerprinting. All pure column expressions (JVM-side) with
+DuckDB twins; no Python touches row data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64_col, hash64_sql
+from ..functions.text import (
+    BPE_REGEX,
+    QUALITY_STOPWORDS,
+    lang_id_col,
+    lang_id_sql,
+    stopword_hits_col,
+    stopword_hits_sql,
+    tokens_col,
+    tokens_sql,
+)
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Whitespace + BPE-ish token counts and char length per doc."""
+    tok = tokens_col(F.col("text"))
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_REGEX), 0)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(tok).alias("n_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_unique_tokens"),
+    )
+
+
+TOKEN_STATS_SQL = f"""
+select doc_id, length(text) as n_chars,
+       len({tokens_sql('text')}) as n_tokens,
+       len(regexp_extract_all(text, '{BPE_REGEX}')) as n_bpe_tokens,
+       len(list_distinct({tokens_sql('text')})) as n_unique_tokens
+from documents
+"""
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic quality score from length / punctuation / stopword /
+    repetition ratios — the standard cheap pre-filter for training
+    corpora. All ratios rounded to 6dp for cross-engine stability."""
+    tok = tokens_col(F.col("text"))
+    n_tok = F.size(tok)
+    n_chars = F.length("text")
+    punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
+    stop = stopword_hits_col(tok, QUALITY_STOPWORDS)
+    uniq = F.size(F.array_distinct(tok))
+    safe_tok = F.greatest(n_tok, F.lit(1))
+    stop_ratio = stop / safe_tok
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    uniq_ratio = uniq / safe_tok
+    len_ok = (n_tok >= 10) & (n_tok <= 1000)
+    score = (
+        F.when(len_ok, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.25
+        + (1 - F.least(punct_ratio * 10, F.lit(1.0))) * 0.25
+        + uniq_ratio * 0.25
+    )
+    return docs.select(
+        "doc_id",
+        F.round(stop_ratio.cast("double"), 6).alias("stopword_ratio"),
+        F.round(punct_ratio.cast("double"), 6).alias("punct_ratio"),
+        F.round(uniq_ratio.cast("double"), 6).alias("unique_ratio"),
+        F.round(score.cast("double"), 6).alias("quality"),
+    )
+
+
+def quality_scores_sql() -> str:
+    tok = tokens_sql("text")
+    stop = stopword_hits_sql("tok", QUALITY_STOPWORDS)
+    return f"""
+    with t as (
+      select doc_id, text, {tok} as tok,
+             len(regexp_extract_all(text, '[^\\w\\s]')) as punct
+      from documents
+    ), r as (
+      select doc_id,
+             {stop} * 1.0 / greatest(len(tok), 1) as stop_ratio,
+             punct * 1.0 / greatest(length(text), 1) as punct_ratio,
+             len(list_distinct(tok)) * 1.0 / greatest(len(tok), 1) as uniq_ratio,
+             (case when len(tok) between 10 and 1000 then 0.25 else 0.0 end) as len_score
+      from t
+    )
+    select doc_id,
+           round(stop_ratio, 6) as stopword_ratio,
+           round(punct_ratio, 6) as punct_ratio,
+           round(uniq_ratio, 6) as unique_ratio,
+           round(len_score
+                 + least(stop_ratio * 5, 1.0) * 0.25
+                 + (1 - least(punct_ratio * 10, 1.0)) * 0.25
+                 + uniq_ratio * 0.25, 6) as quality
+    from r
+    """
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-profile language ID with agreement flag against the
+    dataset's labeled ``lang`` column."""
+    tok = tokens_col(F.col("text"))
+    pred = lang_id_col(tok)
+    return docs.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        F.col("lang").alias("lang_label"),
+        (pred == F.col("lang")).cast("int").alias("agree"),
+    )
+
+
+LANG_ID_SQL = f"""
+with t as (select doc_id, lang, {tokens_sql('text')} as tok from documents)
+select doc_id, {lang_id_sql('tok')} as lang_pred, lang as lang_label,
+       cast({lang_id_sql('tok')} = lang as int) as agree
+from t
+"""
+
+
+def fingerprints(docs: DataFrame, k: int = 4, ngram: int = 8) -> DataFrame:
+    """Winnowing-style document fingerprint: the ``k`` smallest hashes
+    over character ``ngram``-grams (rolling-hash family — order-free,
+    locally sensitive to edits). Emitted as a sorted array plus the
+    distinct-gram count."""
+    # substr with a dynamic start index is expressed via expr()
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {ngram - 1}, 1)), "
+        f"i -> substr(text, i, {ngram}))"
+    )
+    hashes = F.array_distinct(F.transform(grams, lambda g: hash64_col(g, seed="fp")))
+    topk = F.slice(F.array_sort(hashes), 1, k)
+    return docs.select(
+        "doc_id",
+        topk.alias("fingerprint"),
+        F.size(hashes).alias("n_grams"),
+    )
+
+
+def fingerprints_sql(k: int = 4, ngram: int = 8) -> str:
+    h = hash64_sql("g", seed="fp")
+    return f"""
+    with t as (
+      select doc_id,
+             list_distinct(list_transform(
+               list_transform(range(1, greatest(length(text) - {ngram - 1}, 1) + 1),
+                              i -> substr(text, i, {ngram})),
+               g -> {h})) as hashes
+      from documents
+    )
+    select doc_id, list_slice(list_sort(hashes), 1, {k}) as fingerprint,
+           len(hashes) as n_grams
+    from t
+    """
