@@ -28,7 +28,23 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long
+    (runtime SQLConf) and truncate to microsecond timestamps — the
+    same ns→µs floor DuckDB applies, so oracles agree."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -1,0 +1,72 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+Demonstrates the engine's arbitrary-state API surface (SURVEY §2.10
+north-star): a per-user running aggregate whose state (event count,
+value sum) survives across micro-batches. Over the finite test input
+it converges to the batch group-by — which is exactly what the DuckDB
+oracle checks.
+
+This is the slow path by design (Python + Arrow per group); the
+built-in ``session_window``/``window`` operators in windows.py stay
+JVM-side and are preferred wherever they can express the semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .windows import _events_stream, _run_to_memory
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+    ]
+)
+
+
+def _update(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+    )
+
+
+def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "update")
+
+
+RUNNING_USER_TOTALS_SQL = """
+select user_id, count(*) as n_events, round(sum(value), 4) as sum_value
+from events
+group by user_id
+"""

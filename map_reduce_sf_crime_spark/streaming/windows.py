@@ -1,0 +1,174 @@
+"""Windowed streaming aggregations over the ``events`` table.
+
+The reference is strictly batch (SURVEY §2.9); its weekly/daily
+bucketing is the batch cousin of a tumbling window. Here the same
+aggregations run as genuine Structured Streaming queries:
+``readStream`` over the events parquet, watermark for late data,
+tumbling / session windows, memory sink for the local harness.
+
+Batch/stream parity: a tumbling-window count over a *complete, static*
+input equals the batch ``groupBy(window(...))`` — that equivalence is
+what lets the DuckDB oracle (``time_bucket``) verify a streaming
+query's result exactly.
+
+At scale the same code points at a Kafka source and a real sink; the
+watermark bounds state, and the shuffle is keyed on (window,
+event_type) — low cardinality, uniformly distributed.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ns-timestamp parquet: read nanos as long, floor to µs (same as
+    # the batch loader in sources/parquet.py so oracles agree).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        # file-source streaming wants a directory: stream the sf dir,
+        # glob-filtered to the events file only
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def _run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drive the streaming query to completion over the static input
+    and return the materialized result (local-harness pattern).
+
+    ``complete`` mode: with availableNow over a finite input, append
+    mode would withhold every window the final watermark hasn't passed
+    (the last hour of data) — complete emits the full aggregate state,
+    which is what stream/batch parity needs."""
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = agg.sparkSession
+    return spark.table(name)
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window count + sum(value) per event_type with a
+    10-minute watermark."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+def tumbling_counts_sql(width_minutes: int = 60) -> str:
+    return f"""
+    select strftime(time_bucket(interval '{width_minutes} minutes', ts),
+                    '%Y-%m-%d %H:%M:%S') as win_start,
+           event_type, count(*) as n, round(sum(value), 4) as sum_value
+    from events
+    group by 1, 2
+    """
+
+
+def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 minutes (each event lands in 2
+    windows) — the hopping-window variant."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n",
+    )
+
+
+def sliding_counts_sql() -> str:
+    # Each event belongs to the two 1h windows starting at the two
+    # half-hour marks in (ts - 1h, ts]: generate both and aggregate.
+    return """
+    with exploded as (
+      select unnest([
+               time_bucket(interval '30 minutes', ts),
+               time_bucket(interval '30 minutes', ts) - interval '30 minutes'
+             ]) as win_start,
+             event_type
+      from events
+    )
+    select strftime(win_start, '%Y-%m-%d %H:%M:%S') as win_start,
+           event_type, count(*) as n
+    from exploded
+    group by 1, 2
+    """
+
+
+def session_windows(spark: SparkSession, sf_dir: str, gap: str = "5 minutes") -> DataFrame:
+    """Per-user session windows (gap-based) — count of events and
+    session span, via the native ``session_window`` streaming operator."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_memory(agg, "complete")
+    # epoch-µs integer, not a formatted string: sub-second formatting
+    # rounds in Spark but truncates in DuckDB.
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("sess_start_us"),
+        "n_events",
+    )
+
+
+def session_windows_sql(gap_minutes: int = 5) -> str:
+    """Gaps-and-islands twin: a new session starts where the gap from
+    the previous event of the same user exceeds the threshold."""
+    return f"""
+    with marked as (
+      select user_id, ts,
+             case when lag(ts) over (partition by user_id order by ts)
+                       is null
+                   or ts - lag(ts) over (partition by user_id order by ts)
+                       > interval '{gap_minutes} minutes'
+                  then 1 else 0 end as is_start
+      from events
+    ),
+    numbered as (
+      select user_id, ts,
+             sum(is_start) over (partition by user_id order by ts
+                                 rows unbounded preceding) as sess_no
+      from marked
+    )
+    select user_id,
+           epoch_us(min(ts)) as sess_start_us,
+           count(*) as n_events
+    from numbered
+    group by user_id, sess_no
+    """
