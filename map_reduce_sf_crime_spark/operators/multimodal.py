@@ -1,0 +1,105 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Policy for a 100 TB training pipeline: media payloads are opaque
+``binary`` columns with typed metadata alongside; decode / resize /
+frame-sample run as Arrow-batched Pandas UDFs (``mapInPandas``) so the
+JVM↔Python transfer is columnar and the Python work is per-batch, not
+per-row. The heavy codecs (PIL/ffmpeg/soundfile) are NOT in this
+image, so the decode step is stubbed: ``decode_image`` raises
+``NotImplementedError`` unless given the deterministic fake decoder —
+but the Spark-side plumbing (schema, partitioning, batch iteration,
+UDF signatures) is real and tested (tests/test_multimodal.py).
+
+The testdata has no binary table, so payloads are derived from
+``documents.text`` (utf-8 bytes) — stand-ins with realistic plumbing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Output schema of the feature-extraction stage.
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("checksum", T.StringType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("mean_byte", T.DoubleType()),
+    ]
+)
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach the opaque binary column + typed metadata (the ingest
+    shape: payload, mime, n_bytes — all JVM-side expressions)."""
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5(payload).alias("checksum"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """Real decoder stub — the image libs are not in this container.
+
+    A production deployment plugs PIL/torchvision in here; everything
+    around it (batching, schema, partitioning) is already real.
+    """
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+def fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in decoder used by tests and the registry
+    query: frame count and mean byte value derived from the payload."""
+    n = len(payload)
+    return {
+        "n_frames": n // 100 + 1,  # pretend 100 bytes/frame
+        "mean_byte": (sum(payload) / n) if n else 0.0,
+    }
+
+
+def extract_features(
+    media: DataFrame, decoder: Callable[[bytes], dict] = fake_decode
+) -> DataFrame:
+    """mapInPandas feature extraction over Arrow record batches."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf["payload"].map(decoder)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["n_bytes"].astype("int32"),
+                    "checksum": pdf["checksum"],
+                    "n_frames": feats.map(lambda f: f["n_frames"]).astype("int32"),
+                    "mean_byte": feats.map(lambda f: round(f["mean_byte"], 6)),
+                }
+            )
+
+    return media.mapInPandas(_batches, FEATURE_SCHEMA)
+
+
+#: SQL twin of with_payload+extract_features with the fake decoder.
+#: The fixture text is pure ASCII (verified ≤ 0x79), so utf-8 bytes ==
+#: character codes: DuckDB md5(text) == Spark md5(encode(text, 'utf-8'))
+#: and mean byte == mean ascii() over characters.
+FEATURES_SQL = """
+with b as (
+  select doc_id, octet_length(encode(text)) as n_bytes, md5(text) as checksum,
+         list_transform(split(text, ''), c -> ascii(c)) as bytes_list
+  from documents
+)
+select doc_id, n_bytes::int as n_bytes, checksum,
+       (n_bytes // 100 + 1)::int as n_frames,
+       round(list_sum(bytes_list) * 1.0 / n_bytes, 6) as mean_byte
+from b
+"""

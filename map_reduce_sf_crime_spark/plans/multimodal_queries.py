@@ -1,1 +1,34 @@
-"""Placeholder — populated in this round."""
+"""Multimodal plumbing queries (binary columns + Pandas-UDF features)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal
+from ..sources.parquet import load_table
+from .registry import register
+
+
+@register(
+    "multimodal_meta",
+    """
+    select doc_id, octet_length(encode(text)) as n_bytes, md5(text) as checksum
+    from documents
+    """,
+    survey_ids=("MM1",),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over the opaque binary payload — JVM-side only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.with_payload(docs).select(
+        "doc_id", F.col("n_bytes").cast("long").alias("n_bytes"), "checksum"
+    )
+
+
+@register("multimodal_features", multimodal.FEATURES_SQL, survey_ids=("MM2",))
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction (deterministic fake decoder —
+    codecs are stubbed in this environment, plumbing is real)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.with_payload(docs))
