@@ -1,0 +1,62 @@
+"""Dedup invariants: LSH ⊆/== exact, keep-first semantics, simhash
+banding exactness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_sf_crime_spark.operators import dedup
+from map_reduce_sf_crime_spark.sources.parquet import load_table
+
+from .conftest import SF_CHECK
+
+
+def _docs(spark):
+    return load_table(spark, SF_CHECK, "documents")
+
+
+def test_lsh_equals_exact_on_planted_pairs(spark):
+    docs = _docs(spark)
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.near_dup_pairs_exact(docs, n=3, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_near_dup_pairs(
+            docs, n=3, n_hashes=16, bands=8, threshold=0.8
+        ).collect()
+    }
+    assert lsh <= exact  # LSH verification never invents pairs
+    # 8 bands × r=2 recalls j≥0.8 pairs w.p. ≈ 1; deterministic here
+    assert lsh == exact
+    assert len(exact) == 25  # generator plants 25 near-dup pairs
+
+
+def test_dedup_keep_first(spark):
+    docs = _docs(spark).limit(10)
+    copies = docs.withColumn("doc_id", F.col("doc_id") + 1000)
+    doubled = docs.union(copies)
+    kept = dedup.dedup_keep_first(doubled)
+    assert kept.count() == 10
+    # the kept representative is always the lowest doc_id (the original)
+    assert kept.filter(F.col("doc_id") >= 1000).count() == 0
+
+
+def test_simhash_banding_is_exact_blocking(spark):
+    """All-pairs hamming ≤ 3 must equal the banded-join result."""
+    docs = _docs(spark).limit(120)
+    s = dedup.simhash(docs)
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    brute = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= 3)
+    )
+    brute_pairs = {(r.doc_a, r.doc_b) for r in brute.collect()}
+    banded_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    assert banded_pairs == brute_pairs
