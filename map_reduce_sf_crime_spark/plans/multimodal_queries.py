@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import multimodal
-from ..sources.parquet import load_table
+from ..sources.parquet import fan_out, load_table
 from .registry import register
 
 
@@ -30,5 +30,5 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction (deterministic fake decoder —
     codecs are stubbed in this environment, plumbing is real)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return multimodal.extract_features(multimodal.with_payload(docs))

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import similarity
-from ..sources.parquet import load_table
+from ..sources.parquet import fan_out, load_table
 from .registry import register
 
 QUERY_IDS = [0, 1, 2, 3, 4]
@@ -18,7 +18,8 @@ NEAR_THRESHOLD = 0.4
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    # vector math is CPU-bound per row — spread scan-side work
+    return fan_out(load_table(spark, sf_dir, "embeddings"))
 
 
 @register(

@@ -5,12 +5,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import textops
-from ..sources.parquet import load_table
+from ..sources.parquet import fan_out, load_table
 from .registry import register
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # token/regex expressions are CPU-bound per row — spread scan work
+    return fan_out(load_table(spark, sf_dir, "documents"))
 
 
 @register("text_token_stats", textops.TOKEN_STATS_SQL, survey_ids=("TX1",))

@@ -33,6 +33,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition IF the source delivered fewer splits than
+    cores — a single-row-group parquet file (like the local testdata) is
+    one unsplittable scan task, serializing all per-row compute upstream
+    of the first shuffle. On a real cluster the input arrives in
+    thousands of splits and this is a no-op; locally it buys scan-side
+    parallelism for CPU-heavy derivations (shingling, hashing, UDFs) at
+    the cost of one small shuffle. Use on compute-bound paths, not plain
+    scan→filter→agg where the shuffle would outweigh the win."""
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
     reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long
