@@ -32,6 +32,10 @@ DIM = 64
 # for recall; measured recall ≈ 0.67 at ~6% of corpus scanned.
 N_PLANES = 32
 PLANE_BANDS = 8
+# IVF coarse quantizer: ~sqrt(N)-ish centroid count, 4-of-32 probe →
+# candidate set ≈ nprobe/k of the corpus per query.
+IVF_K = 32
+IVF_NPROBE = 4
 
 
 def knn_bruteforce(
@@ -211,6 +215,146 @@ def plane_signatures_sql(n_planes: int = N_PLANES, dim: int = DIM) -> str:
         for p in range(n_planes)
     )
     return f"select vec_id, cast({terms} as bigint) as sig from embeddings"
+
+
+def _centroids(emb: DataFrame, k: int):
+    """Deterministic coarse quantizer: the first ``k`` vectors by
+    ``vec_id``. A k-means refinement would drop in here unchanged —
+    the IVF plumbing (assign → inverted lists → probe subset) is what
+    this operator exercises; centroid quality only moves recall."""
+    import numpy as np
+
+    rows = emb.orderBy("vec_id").limit(k).select("vec_id", "embedding").collect()
+    cids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    cmat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return cids, cmat
+
+
+def _seq_cosines(a_mat, b_mat):
+    """Cosine of every row of ``a_mat`` against every row of ``b_mat``
+    with sequential per-dimension accumulation — the exact fold order
+    of ``aggregate(zip_with(...))`` / ``list_sum``, so values are
+    bit-identical to the SQL twin (not merely close)."""
+    import numpy as np
+
+    dim = a_mat.shape[1]
+    dots = np.zeros((a_mat.shape[0], b_mat.shape[0]))
+    qa = np.zeros(a_mat.shape[0])
+    qb = np.zeros(b_mat.shape[0])
+    for d in range(dim):
+        dots += a_mat[:, d : d + 1] * b_mat[None, :, d]
+        qa += a_mat[:, d] * a_mat[:, d]
+        qb += b_mat[:, d] * b_mat[:, d]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return dots / np.sqrt(qa[:, None] * qb[None, :])
+
+
+def ivf_assignments(emb: DataFrame, k: int = IVF_K) -> DataFrame:
+    """IVF coarse assignment: nearest centroid per vector (ties → lowest
+    centroid id). Broadcast the tiny centroid matrix, score each
+    partition's rows with the vectorized kernel — one narrow map, no
+    shuffle; the output is the partitioning key for the inverted lists.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(_centroids(emb, k))
+
+    def kernel(batches):
+        cids, cmat = bc.value
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cos = _seq_cosines(mat, cmat)
+            best = cos.max(axis=1, keepdims=True)
+            # lowest centroid id among the (float-equal) maxima — the
+            # row_number(order by cosine desc, cid) tie-break in SQL
+            pick = np.where(cos == best, cids[None, :], np.iinfo(np.int64).max).min(axis=1)
+            yield pd.DataFrame({"vec_id": ids, "centroid_id": pick})
+
+    from ..sources.parquet import fan_out
+
+    return fan_out(emb.select("vec_id", "embedding")).mapInPandas(
+        kernel, "vec_id long, centroid_id long"
+    )
+
+
+def ivf_assignments_sql(k: int = IVF_K, dim: int = DIM) -> str:
+    cos = cosine_sql("e.embedding", "c.embedding", dim)
+    return f"""
+    with c as (select vec_id as cid, embedding from embeddings
+               order by vec_id limit {k}),
+    scored as (
+      select e.vec_id, c.cid, {cos} as cosine
+      from embeddings e cross join c
+    ),
+    ranked as (
+      select vec_id, cid,
+             row_number() over (partition by vec_id
+                                order by cosine desc, cid) as rk
+      from scored
+    )
+    select vec_id, cid as centroid_id from ranked where rk = 1
+    """
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_centroids: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-style approximate top-k: probe the ``nprobe`` nearest
+    inverted lists per query, exact cosine re-rank inside them.
+
+    Scale shape: the assignment pass is a narrow map; candidates are
+    selected by an equi-join on ``centroid_id`` (at 100 TB the lists
+    would be written bucketed by ``centroid_id`` so the probe is a
+    partition-pruned scan, not a join); re-rank touches ≈ nprobe/k of
+    the corpus. Recall vs brute force is asserted in
+    tests/test_similarity.py."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    cids, cmat = _centroids(emb, n_centroids)
+    qrows = (
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qcos = _seq_cosines(qmat, cmat)
+    probes = [
+        (int(q), int(c))
+        for qi, q in enumerate(qids)
+        for c in cids[np.argsort(-qcos[qi], kind="stable")[:nprobe]]
+    ]
+    probe_df = spark.createDataFrame(probes, "query_id long, centroid_id long")
+    lists = ivf_assignments(emb, n_centroids)
+    cands = (
+        lists.join(F.broadcast(probe_df), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    scored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_col(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
 
 
 def ann_lsh_topk(

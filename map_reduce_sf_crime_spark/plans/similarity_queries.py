@@ -56,3 +56,21 @@ def lsh_plane_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate banded-LSH top-k (no oracle: probabilistic recall)."""
     return similarity.ann_lsh_topk(_emb(spark, sf_dir), QUERY_IDS, K)
+
+
+@register(
+    "ivf_assignments",
+    similarity.ivf_assignments_sql(),
+    survey_ids=("ANN4",),
+)
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer assignment — exact oracle (deterministic
+    centroids, bit-identical cosine fold, identical tie-break)."""
+    return similarity.ivf_assignments(_emb(spark, sf_dir))
+
+
+@register("ivf_topk", None, survey_ids=("ANN4",))
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe-and-rerank top-k (no oracle: approximate by design;
+    recall vs knn_bruteforce asserted in tests/test_similarity.py)."""
+    return similarity.ivf_topk(_emb(spark, sf_dir), QUERY_IDS, K)

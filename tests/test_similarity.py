@@ -39,3 +39,32 @@ def test_ann_lsh_recall(spark):
     for r in approx:
         if (r.query_id, r.vec_id) in bscore:
             assert abs(bscore[(r.query_id, r.vec_id)] - r.cosine) < 1e-9
+
+
+def test_ivf_assignment_total(spark):
+    """Every vector lands in exactly one inverted list; centroids are
+    assigned to themselves (cosine(c, c) = 1 is maximal)."""
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    n = emb.count()
+    assign = similarity.ivf_assignments(emb, k=8)
+    assert assign.count() == n
+    assert assign.select("vec_id").distinct().count() == n
+    self_rows = assign.filter(F.col("vec_id") < 8).collect()
+    assert all(r.centroid_id == r.vec_id for r in self_rows)
+
+
+def test_ivf_topk_recall(spark):
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    brute = similarity.knn_bruteforce(emb, QUERY_IDS, k=3).collect()
+    approx = similarity.ivf_topk(emb, QUERY_IDS, k=3, n_centroids=16, nprobe=8).collect()
+    bset = {(r.query_id, r.vec_id) for r in brute}
+    aset = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(bset & aset) / len(bset)
+    # probing half the lists on near-orthogonal vectors: expect a
+    # majority of true neighbors back (they concentrate in the probed
+    # lists only to the extent the coarse quantizer separates space)
+    assert recall >= 0.5, f"recall {recall}"
+    bscore = {(r.query_id, r.vec_id): r.cosine for r in brute}
+    for r in approx:
+        if (r.query_id, r.vec_id) in bscore:
+            assert abs(bscore[(r.query_id, r.vec_id)] - r.cosine) < 1e-9
