@@ -1,14 +1,29 @@
-"""Star-schema invariants (SURVEY §5 / FIXTURES §2): FK integrity and
-measure conservation."""
+"""Star-schema invariants (SURVEY §5 / FIXTURES §2): FK integrity,
+measure conservation, and physical-plan quality (pushdown/pruning)."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
 from map_reduce_sf_crime_spark.operators.star import star_tables
-from map_reduce_sf_crime_spark.plans.crimes_view import incidents
+from map_reduce_sf_crime_spark.plans.crimes_view import category_incidents, incidents
 
 from .conftest import SF_SMOKE
+
+
+def test_scan_pushdown_and_pruning(spark):
+    """The quarter filter must reach the parquet scan and the scan must
+    read only the two load-bearing columns (SURVEY §4: ColumnPruning +
+    PushDownPredicate are free IF the plan stays declarative — this
+    guards against a refactor that breaks that)."""
+    plan = category_incidents(spark, SF_SMOKE)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters: [" in plan
+    assert "o_orderdate" in plan.split("PushedFilters:")[1].splitlines()[0]
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderpriority" in read_schema and "o_orderdate" in read_schema
+    assert "o_custkey" not in read_schema  # pruned: not referenced
 
 
 def test_star_invariants(spark):
