@@ -43,11 +43,22 @@ BENCH_QUERIES = [
 ]
 
 
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
 def run_query(spark, name: str, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = REGISTRY[name].spark(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
+
+
+def median_time(spark, name: str, sf_dir: str) -> float:
+    """Median of REPS runs (BASELINE.md measurement plan) — each rep
+    rebuilds the plan from the registry; Spark's canonicalized-plan
+    cache lookup means intra-query caches behave as in a warm service."""
+    runs = sorted(run_query(spark, name, sf_dir) for _ in range(REPS))
+    return runs[len(runs) // 2]
 
 
 def main() -> None:
@@ -58,7 +69,7 @@ def main() -> None:
     run_query(spark, "category_totals", sf_dir)
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        times[name] = round(run_query(spark, name, sf_dir), 3)
+        times[name] = round(median_time(spark, name, sf_dir), 3)
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

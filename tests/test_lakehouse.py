@@ -1,0 +1,74 @@
+"""Physical-plan guarantees of the lakehouse layouts: partition
+pruning actually prunes, bucketed joins actually skip the shuffle."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from map_reduce_sf_crime_spark.plans.crimes_view import incidents
+from map_reduce_sf_crime_spark.sources.lakehouse import (
+    read_partitioned,
+    write_bucketed,
+    write_partitioned,
+)
+from map_reduce_sf_crime_spark.sources.parquet import load_table
+
+from .conftest import SF_SMOKE
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "lakehouse")
+
+
+def _formatted_plan(df):
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_partition_pruning(spark):
+    path = os.path.join(SCRATCH, "inc_by_month")
+    inc = incidents(spark, SF_SMOKE).withColumn("month", F.month("d"))
+    write_partitioned(inc, path, ["month"])
+    # hive-style layout on disk
+    assert any(p.startswith("month=") for p in os.listdir(path))
+
+    sliced = read_partitioned(spark, path).filter(F.col("month") == 2)
+    plan = _formatted_plan(sliced)
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "month" in pf  # predicate reached the partition index
+    # pruning is real: only the matching partition's rows are read
+    assert sliced.count() == inc.filter(F.col("month") == 2).count()
+    files = [r[0] for r in sliced.select(F.input_file_name()).distinct().collect()]
+    assert files and all("month=2" in f for f in files)
+
+
+def test_bucketed_join_no_shuffle(spark):
+    for t in ("b_orders", "b_customer"):
+        spark.sql(f"drop table if exists {t}")
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    customer = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
+    write_bucketed(orders, "b_orders", "o_custkey", n_buckets=8)
+    write_bucketed(customer.withColumnRenamed("c_custkey", "o_custkey"), "b_customer", "o_custkey", n_buckets=8)
+
+    joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+    # disable auto-broadcast so the test exercises the bucketed path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _formatted_plan(joined)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join must not shuffle"
+    # and it is still correct
+    expected = orders.join(
+        customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+    ).count()
+    assert joined.count() == expected
+
+
+def teardown_module(module):
+    shutil.rmtree(SCRATCH, ignore_errors=True)

@@ -50,3 +50,15 @@ def test_star_invariants(spark):
     assert [c.category_id for c in cats] == list(range(1, len(cats) + 1))
     assert [c.name for c in cats] == sorted(c.name for c in cats)
     inc.unpersist()
+
+
+def test_salted_count_matches_plain(spark):
+    """Salted two-phase aggregation is result-identical to the direct
+    groupBy (functions/skew.py) — the skew-mitigation path must never
+    change answers."""
+    from map_reduce_sf_crime_spark.functions.skew import salted_count
+
+    inc = category_incidents(spark, SF_SMOKE)
+    plain = {(r.category, r["count"]) for r in inc.groupBy("category").count().collect()}
+    salted = {(r.category, r["count"]) for r in salted_count(inc, "category").collect()}
+    assert plain == salted
