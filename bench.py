@@ -26,6 +26,8 @@ from map_reduce_sf_crime_spark.session import get_spark
 #: each north-star family. (The full registry is correctness-gated;
 #: bench tracks the representative hot paths.)
 BENCH_QUERIES = [
+    "pricing_summary",
+    "revenue_by_nation",
     "weekly_by_category",
     "weekly_by_district",
     "daily_cat_dist",

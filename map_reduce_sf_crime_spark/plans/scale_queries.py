@@ -1,0 +1,99 @@
+"""Heavy-scan analytical queries over the largest fixture tables.
+
+The reference's workload is small-dimensional; these queries are the
+engine's big-data exercise — full scans and multi-way shuffle joins
+over ``lineitem`` (the 6M-rows-per-SF TPC-H fact), shaped like TPC-H
+Q1/Q5 so the physical plans (map-side partial agg, broadcast vs
+shuffle join selection, AQE) are probed at the largest local scale.
+
+Float note: aggregate sums run in double on both engines with
+different accumulation orders; the driver's %.6g value compare
+absorbs the ~1e-12 relative difference. Averages are additionally
+rounded to 4dp on both sides to keep the hash stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .registry import register
+
+SHIP_CUTOFF = "1998-09-01"
+
+
+@register(
+    "pricing_summary",
+    f"""
+    select l_returnflag, l_linestatus,
+           sum(l_quantity) as sum_qty,
+           sum(l_extendedprice) as sum_base_price,
+           sum(l_extendedprice * (1 - l_discount)) as sum_disc_price,
+           round(avg(l_quantity), 4) as avg_qty,
+           round(avg(l_extendedprice), 4) as avg_price,
+           count(*) as count_order
+    from lineitem
+    where l_shipdate < timestamp '{SHIP_CUTOFF} 00:00:00'
+    group by l_returnflag, l_linestatus
+    """,
+    survey_ids=("SC1",),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: one full scan of the biggest table, 6 aggregates,
+    2-key group-by. The shuffle moves only #(flag×status) pre-combined
+    rows per map task — the canonical map-side-partial-agg showcase.
+    The ship-date filter pushes to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit(SHIP_CUTOFF)
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_extendedprice").alias("sum_base_price"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "revenue_by_nation",
+    """
+    select n_name as nation,
+           sum(l_extendedprice * (1 - l_discount)) as revenue,
+           count(*) as n_items
+    from lineitem
+    join orders on l_orderkey = o_orderkey
+    join customer on o_custkey = c_custkey
+    join nation on c_nationkey = n_nationkey
+    group by n_name
+    """,
+    survey_ids=("SC2",),
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the big-join exercise — lineitem⋈orders is a
+    genuine shuffle join on the fact keys (AQE may pick broadcast at
+    small SF; at 100 TB it stays sort-merge on co-partitioned keys —
+    the bucketed layout in sources/lakehouse.py makes it shuffle-free),
+    customer⋈nation is an explicit broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
