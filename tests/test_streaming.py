@@ -32,3 +32,68 @@ def test_session_count_conservation(spark):
     sess = windows.session_windows(spark, SF_SMOKE, "5 minutes")
     total = sess.agg(F.sum("n_events")).first()[0]
     assert total == load_events(spark, SF_SMOKE).count()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode watermark semantics with real micro-batches.
+
+    The operator-visible watermark is the one COMMITTED at the end of
+    the previous batch (one-batch lag — empirically verified), so the
+    sequence needs a buffer batch between the advancing event and the
+    late row: A seeds the 00:00 window, B advances event-time to
+    10:00, C commits that watermark, D's late row (00:30) arrives
+    with operator watermark 09:50 ⇒ dropped, and the finalized 00:00
+    window counts only A's rows."""
+    import time
+    import uuid
+
+    import pandas as pd
+
+    def write(name, stamps):
+        pdf = pd.DataFrame(
+            {"ts": pd.to_datetime(stamps).astype("datetime64[us]"),
+             "user_id": range(len(stamps))}
+        )
+        pdf.to_parquet(str(tmp_path / name))
+
+    batches = [
+        ("a.parquet", ["2024-01-01 00:15:00", "2024-01-01 00:45:00"]),
+        ("b.parquet", ["2024-01-01 10:00:00"]),
+        ("c.parquet", ["2024-01-01 10:05:00"]),
+        ("d.parquet", ["2024-01-01 00:30:00"]),  # late by >9 hours
+    ]
+    for name, stamps in batches:
+        write(name, stamps)
+        time.sleep(1.1)  # distinct mtimes → deterministic batch order
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        dropped = sum(
+            p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            if p["stateOperators"]
+        )
+    finally:
+        q.stop()
+    assert dropped == 1  # the engine itself reports the late-row drop
+    rows = {r["window"].start.strftime("%H:%M"): r["n"]
+            for r in spark.table(name).collect()}
+    # 00:00 finalized with exactly A's two rows; open windows withheld
+    assert rows == {"00:00": 2}
