@@ -86,6 +86,7 @@ def star_tables(inc: DataFrame) -> dict[str, DataFrame]:
         .join(F.broadcast(district), daily.district == district.name)
         .join(F.broadcast(tp.select("time_id", "d")), "d")
         .select("crimes", "district_id", "category_id", "time_id")
+        .cache()  # shared by every OLAP query over the star (J4/A5)
     )
     return {"category": category, "district": district, "timeperiod": tp, "fact": fact}
 

@@ -47,8 +47,12 @@ def test_partition_pruning(spark):
 
 
 def test_bucketed_join_no_shuffle(spark):
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for t in ("b_orders", "b_customer"):
         spark.sql(f"drop table if exists {t}")
+        # the in-memory catalog resets per session but the warehouse
+        # directory persists — clear both or saveAsTable refuses
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
     orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     customer = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
     write_bucketed(orders, "b_orders", "o_custkey", n_buckets=8)
