@@ -1,0 +1,74 @@
+"""Scale probe: replicate the documents/embeddings fixtures N× into
+.scratch and time the heavy operators — answers "does this operator's
+cost scale with input (good) or blow up superlinearly (bad)?" locally.
+
+Caveat baked into the reading: replication gives every doc N-1 exact
+twins, so NEAR-DUP OUTPUT grows ~N² by construction. Pair-emitting
+operators (near_jaccard, minhash_lsh, simhash, near_pairs) are
+expected to track their output size; linear operators (exact dedup,
+text stats, signatures, assignments) must track input size.
+
+    python tools/scale_probe.py [N=10]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from map_reduce_sf_crime_spark.plans.registry import REGISTRY
+from map_reduce_sf_crime_spark.session import get_spark
+
+BASE = "/root/testdata/sf0.1"
+PROBES = [
+    "dedup_exact",
+    "text_quality",
+    "lsh_plane_signatures",
+    "ivf_assignments",
+    "knn_bruteforce",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "dedup_near_jaccard",
+    "embedding_near_pairs",
+]
+
+
+def replicate(n: int) -> str:
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       ".scratch", f"scale_x{n}")
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for table, key, stride in [("documents", "doc_id", 5000), ("embeddings", "vec_id", 2000)]:
+        dst = os.path.join(out, f"{table}.parquet")
+        if not os.path.exists(dst):
+            cols = duckdb.sql(f"select * from '{BASE}/{table}.parquet' limit 0").columns
+            rest = ", ".join(c for c in cols if c != key)
+            con.execute(
+                f"copy (select {key} + {stride}*r as {key}, {rest} "
+                f"from '{BASE}/{table}.parquet', range({n}) t(r)) "
+                f"to '{dst}' (format parquet, row_group_size 65536)"
+            )
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = replicate(n)
+    spark = get_spark("scale_probe")
+    REGISTRY["dedup_exact"].spark(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()  # warm
+    for q in PROBES:
+        t0 = time.perf_counter()
+        REGISTRY[q].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        print(f"x{n} {q}: {time.perf_counter() - t0:.2f}s")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
