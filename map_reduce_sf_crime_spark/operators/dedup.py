@@ -24,7 +24,7 @@ functions/hashing.py, so DuckDB reproduces signatures bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64_col, hash64_sql, minhash_sql
@@ -80,11 +80,67 @@ def _shingle_sets_sql(n: int) -> str:
 
 
 def near_dup_pairs_exact(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Exact Jaccard near-dup pairs via shingle inverted index.
+    """Exact Jaccard near-dup pairs — prefix-filtered inverted index
+    (PPJoin-style, Xiao et al., WWW'08; public algorithm).
 
-    The exploded index is cached: it feeds both sides of the self-join,
-    and without a materialization point each side re-derives the
-    tokenize→shingle→explode subtree from the raw scan."""
+    Two provably lossless prunes before any pair materializes:
+
+    - **Prefix filter**: order each doc's shingles by (global
+      frequency, shingle); two sets with Jaccard ≥ t MUST share a
+      shingle within their first ``|set| - ceil(t·|set|) + 1``
+      entries, so only that prefix is indexed — the join meets docs
+      on their *rarest* shingles, collapsing the candidate blow-up of
+      stop-shingle buckets.
+    - **Length filter**: |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max ⇒
+      J ≤ min/max, so pairs with ``nb < t·na`` can't qualify; the
+      bound rides the join condition.
+
+    Candidates are then verified with an exact ``array_intersect``
+    over the full (cached) shingle sets. Output ≡ the naive full
+    inverted-index join (the DuckDB oracle computes that form); the
+    equivalence is also asserted in tests/test_dedup.py."""
+    t = shingle_sets(docs, n).cache()
+    e = t.select("doc_id", "n_sh", F.explode("sh").alias("s"))
+    freq = e.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    rank_w = Window.partitionBy("doc_id").orderBy("df", "s")
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = (
+        e.join(freq, "s")
+        .withColumn("rk", F.row_number().over(rank_w))
+        .filter(F.col("rk") <= prefix_len)
+        .select("doc_id", "n_sh", "s")
+        .cache()
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J ≥ t ⇒ t·na ≤ nb ≤ na/t (symmetric form)
+            & (F.col("b.n_sh") * threshold <= F.col("a.n_sh"))
+            & (F.col("a.n_sh") * threshold <= F.col("b.n_sh")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na"))
+    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("jaccard", F.round(jac.cast("double"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def near_dup_pairs_naive(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """The full inverted-index form (no prefix filter) — reference
+    implementation for the equivalence test; same output as
+    :func:`near_dup_pairs_exact`."""
     t = shingle_sets(docs, n)
     e = t.select("doc_id", "n_sh", F.explode("sh").alias("s")).cache()
     a, b = e.alias("a"), e.alias("b")

@@ -60,3 +60,18 @@ def test_simhash_banding_is_exact_blocking(spark):
         for r in dedup.simhash_near_pairs(docs, max_hamming=3).collect()
     }
     assert banded_pairs == brute_pairs
+
+
+def test_prefix_filter_equals_naive(spark):
+    """PPJoin prefix+length filtering is lossless: the filtered exact
+    near-dup (registry implementation) must equal the full
+    inverted-index form pair-for-pair at both thresholds."""
+    from map_reduce_sf_crime_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_CHECK, "documents")
+    for t in (0.5, 0.8):
+        fast = {(r.doc_a, r.doc_b, r.jaccard)
+                for r in dedup.near_dup_pairs_exact(docs, n=3, threshold=t).collect()}
+        naive = {(r.doc_a, r.doc_b, r.jaccard)
+                 for r in dedup.near_dup_pairs_naive(docs, n=3, threshold=t).collect()}
+        assert fast == naive, f"threshold {t}"
