@@ -60,13 +60,17 @@ def star_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: fact ⋈ category ⋈ district ⋈ timeperiod on FK=PK — all three
-    dims broadcast (Mondrian's query-time star join, sfcrime.xml:5-26)."""
+    dims broadcast (Mondrian's query-time star join, sfcrime.xml:5-26).
+    Cached: all four MDX-surface queries aggregate this same
+    denormalized frame (canonicalized-plan cache lookup shares one
+    materialization across them)."""
     t = star_tables(incidents(spark, sf_dir))
     return (
         t["fact"]
         .join(F.broadcast(t["category"].withColumnRenamed("name", "category")), "category_id")
         .join(F.broadcast(t["district"].withColumnRenamed("name", "district")), "district_id")
         .join(F.broadcast(t["timeperiod"]), "time_id")
+        .cache()
     )
 
 

@@ -60,6 +60,40 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "forecast_revenue",
+    """
+    select round(sum(l_extendedprice * l_discount), 4) as revenue
+    from lineitem
+    where l_shipdate >= timestamp '1994-01-01 00:00:00'
+      and l_shipdate <  timestamp '1995-01-01 00:00:00'
+      and l_discount between 0.05 and 0.07
+      and l_quantity < 24
+    """,
+    survey_ids=("SC3",),
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+agg with range predicates (the
+    theta/range row SURVEY §2.2 marks "not present" in the reference)
+    — every predicate pushes to the parquet scan, the agg is a single
+    global sum with map-side partials; the fastest possible shape for
+    a 100 TB scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
     "revenue_by_nation",
     """
     select n_name as nation,

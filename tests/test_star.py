@@ -62,3 +62,31 @@ def test_salted_count_matches_plain(spark):
     plain = {(r.category, r["count"]) for r in inc.groupBy("category").count().collect()}
     salted = {(r.category, r["count"]) for r in salted_count(inc, "category").collect()}
     assert plain == salted
+
+
+def _formatted(df):
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    """J4 must stay a broadcast star join — a regression to shuffle
+    joins on the tiny dims would shuffle the fact three times."""
+    from map_reduce_sf_crime_spark.plans.olap_queries import _star_join
+
+    plan = _formatted(_star_join(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_range_predicates_push_to_scan(spark):
+    """Q6-shape range predicates (ship date, discount, quantity) all
+    reach the parquet scan as PushedFilters."""
+    from map_reduce_sf_crime_spark.plans.registry import REGISTRY
+
+    plan = _formatted(REGISTRY["forecast_revenue"].spark(spark, SF_SMOKE))
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, col
