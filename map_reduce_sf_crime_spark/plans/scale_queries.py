@@ -94,6 +94,34 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_daily_profile",
+    """
+    select cast(ts as date) as day,
+           count(*) as n,
+           count(distinct user_id) as n_users,
+           round(median(value), 4) as median_value,
+           list_sort(list_distinct(list(event_type))) as types
+    from events
+    group by 1
+    """,
+    survey_ids=("SC4",),
+)
+def events_daily_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.4's "not present in reference, built-in in Spark"
+    aggregate surface, exercised for real: exact distinct count
+    (expands to a two-phase agg), exact median, and an order-stable
+    collected set (sort_array(collect_set) — the only deterministic
+    form of a collected column, and the one that hash-compares)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.median("value"), 4).alias("median_value"),
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+    )
+
+
+@register(
     "revenue_by_nation",
     """
     select n_name as nation,

@@ -1,5 +1,6 @@
-"""K2/K3 — JDBC star-schema sink (gated: no JDBC driver jar in the
-test image, so this is exercised only via its plan-construction path).
+"""K2/K3 — JDBC star-schema sink, exercised end-to-end against
+embedded Derby (the driver Spark ships for its metastore) in
+tests/test_jdbc.py; any warehouse URL works the same way.
 
 Reference: row-at-a-time hand-built INSERT strings (LoadStarDB.java:
 86-103,301-346) with truncate-before-load (LoadStarDB.java:202-217,
