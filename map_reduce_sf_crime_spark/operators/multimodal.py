@@ -88,6 +88,90 @@ def extract_features(
     return media.mapInPandas(_batches, FEATURE_SCHEMA)
 
 
+FRAME_BYTES = 100  # fake codec: fixed-size frames
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 3) -> DataFrame:
+    """Frame-sampling stage: chop the payload into fixed-size frames,
+    keep every ``every_n``-th, one output row per sampled frame — the
+    video-keyframe shape (1 input row → K output rows through
+    ``mapInPandas``, the batch-size change a scalar UDF can't do)."""
+    import hashlib
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in FRAME_SCHEMA}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i in range(0, (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES):
+                    if i % every_n:
+                        continue
+                    frame = payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(len(frame))
+                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(_batches, FRAME_SCHEMA)
+
+
+def sample_frames_sql(every_n: int = 3) -> str:
+    """Twin: fixture text is ASCII so byte frames == char substrings."""
+    return f"""
+    with f as (
+      select doc_id, unnest(range(0, (octet_length(encode(text)) + {FRAME_BYTES - 1})
+                                      // {FRAME_BYTES})) as frame_idx,
+             text
+      from documents
+    )
+    select doc_id, frame_idx::int as frame_idx,
+           octet_length(encode(substr(text, frame_idx * {FRAME_BYTES} + 1,
+                                      {FRAME_BYTES})))::int as frame_bytes,
+           md5(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) as frame_md5
+    from f
+    where frame_idx % {every_n} = 0
+    """
+
+
+def resize_binary(media: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """Resize stage stand-in: deterministic byte-stride downsample to
+    ≤ ``target_bytes`` (a real deployment decodes + resizes here; the
+    binary-in → binary-out plumbing and schema are what scale)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = []
+            for payload in pdf["payload"]:
+                step = max(1, -(-len(payload) // target_bytes))
+                resized.append(bytes(payload[::step]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "n_bytes": [len(b) for b in resized],
+                }
+            ).astype({"n_bytes": "int32"})
+
+    return media.select("doc_id", "payload").mapInPandas(_batches, RESIZE_SCHEMA)
+
+
 #: SQL twin of with_payload+extract_features with the fake decoder.
 #: The fixture text is pure ASCII (verified ≤ 0x79), so utf-8 bytes ==
 #: character codes: DuckDB md5(text) == Spark md5(encode(text, 'utf-8'))

@@ -32,3 +32,24 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     codecs are stubbed in this environment, plumbing is real)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return multimodal.extract_features(multimodal.with_payload(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    multimodal.sample_frames_sql(every_n=3),
+    survey_ids=("MM3",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage: 1 binary row → K sampled-frame rows
+    through mapInPandas; frame checksums hash-match the oracle."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(multimodal.with_payload(docs), every_n=3)
+
+
+@register("multimodal_resize", None, survey_ids=("MM3",))
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-in → binary-out resize stand-in (rows-only check: the
+    oracle hash compare has no binary-column support; determinism is
+    asserted in tests/test_multimodal.py)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return multimodal.resize_binary(multimodal.with_payload(docs))
