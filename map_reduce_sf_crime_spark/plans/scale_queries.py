@@ -17,10 +17,51 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.parquet import load_table
+from ..sources.parquet import load_events, load_table
 from .registry import register
 
 SHIP_CUTOFF = "1998-09-01"
+
+
+@register(
+    "user_gap_stats",
+    """
+    with g as (
+      select user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               over (partition by user_id order by ts) as gap
+      from events
+    )
+    select user_id, count(*) as n_events, max(gap) as max_gap_us,
+           round(avg(gap), 4) as avg_gap_us
+    from g group by user_id
+    """,
+    survey_ids=("SC5",),
+)
+def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas`` (the per-group custom-logic UDF
+    surface, SURVEY §2.10): per-user inter-event gaps computed with
+    pandas inside each group, shuffled once on user_id. Gaps are
+    integer microseconds so the pandas arithmetic is exact and
+    hash-matches the SQL window-lag oracle."""
+    import pandas as pd
+
+    def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        us = pdf["ts"].sort_values().astype("int64") // 1000
+        d = us.diff().dropna()
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "max_gap_us": [int(d.max()) if len(d) else None],
+                "avg_gap_us": [round(float(d.mean()), 4) if len(d) else None],
+            }
+        )
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts")
+    return ev.groupBy("user_id").applyInPandas(
+        gaps, "user_id long, n_events long, max_gap_us long, avg_gap_us double"
+    )
 
 
 @register(
