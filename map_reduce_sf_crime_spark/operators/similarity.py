@@ -249,17 +249,21 @@ def _seq_cosines(a_mat, b_mat):
         return dots / np.sqrt(qa[:, None] * qb[None, :])
 
 
-def ivf_assignments(emb: DataFrame, k: int = IVF_K) -> DataFrame:
+def ivf_assignments(emb: DataFrame, k: int = IVF_K, centroids=None) -> DataFrame:
     """IVF coarse assignment: nearest centroid per vector (ties → lowest
     centroid id). Broadcast the tiny centroid matrix, score each
     partition's rows with the vectorized kernel — one narrow map, no
     shuffle; the output is the partitioning key for the inverted lists.
-    """
+    ``centroids``: optional precomputed (ids, matrix) — e.g. from
+    :func:`kmeans_centroids`; defaults to the deterministic first-k
+    quantizer the SQL oracle mirrors."""
     import numpy as np
     import pandas as pd
 
     spark = emb.sparkSession
-    bc = spark.sparkContext.broadcast(_centroids(emb, k))
+    bc = spark.sparkContext.broadcast(
+        _centroids(emb, k) if centroids is None else centroids
+    )
 
     def kernel(batches):
         cids, cmat = bc.value
@@ -299,15 +303,43 @@ def ivf_assignments_sql(k: int = IVF_K, dim: int = DIM) -> str:
     """
 
 
+def kmeans_centroids(emb: DataFrame, k: int = IVF_K, iters: int = 5):
+    """Lloyd-refined coarse quantizer (deterministic: init = first-k
+    by vec_id, fixed iteration count, ties to lowest index). Runs on
+    the driver over the collected corpus — legitimate while the
+    corpus fits the same broadcast budget the assignment kernel needs;
+    at 100 TB you train on a sample, which this also is (genuinely
+    iterative ⇒ no SQL oracle; quality asserted via recall tests)."""
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    _, cmat = _centroids(emb, k)
+    cmat = cmat.copy()
+    norm = lambda m: m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    x = norm(mat)
+    for _ in range(iters):
+        assign = (x @ norm(cmat).T).argmax(axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                cmat[c] = members.mean(axis=0)
+    cids = np.arange(k, dtype=np.int64)
+    return cids, cmat
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
     k: int = 3,
     n_centroids: int = IVF_K,
     nprobe: int = IVF_NPROBE,
+    refine: bool = False,
 ) -> DataFrame:
     """IVF-style approximate top-k: probe the ``nprobe`` nearest
     inverted lists per query, exact cosine re-rank inside them.
+    ``refine=True`` swaps in the Lloyd-refined quantizer
+    (:func:`kmeans_centroids`) for better list separation.
 
     Scale shape: the assignment pass is a narrow map; candidates are
     selected by an equi-join on ``centroid_id`` (at 100 TB the lists
@@ -318,7 +350,9 @@ def ivf_topk(
     import numpy as np
 
     spark = emb.sparkSession
-    cids, cmat = _centroids(emb, n_centroids)
+    cids, cmat = (
+        kmeans_centroids(emb, n_centroids) if refine else _centroids(emb, n_centroids)
+    )
     qrows = (
         emb.filter(F.col("vec_id").isin(query_ids))
         .select("vec_id", "embedding")
@@ -333,7 +367,7 @@ def ivf_topk(
         for c in cids[np.argsort(-qcos[qi], kind="stable")[:nprobe]]
     ]
     probe_df = spark.createDataFrame(probes, "query_id long, centroid_id long")
-    lists = ivf_assignments(emb, n_centroids)
+    lists = ivf_assignments(emb, n_centroids, centroids=(cids, cmat))
     cands = (
         lists.join(F.broadcast(probe_df), "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))

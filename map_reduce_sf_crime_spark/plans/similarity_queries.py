@@ -74,3 +74,11 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe-and-rerank top-k (no oracle: approximate by design;
     recall vs knn_bruteforce asserted in tests/test_similarity.py)."""
     return similarity.ivf_topk(_emb(spark, sf_dir), QUERY_IDS, K)
+
+
+@register("ivf_kmeans_topk", None, survey_ids=("ANN4",))
+def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the Lloyd-refined quantizer (iterative algorithm ⇒
+    genuinely non-SQL-expressible, rows-only check; recall asserted
+    in tests)."""
+    return similarity.ivf_topk(_emb(spark, sf_dir), QUERY_IDS, K, refine=True)

@@ -53,6 +53,21 @@ def test_ivf_assignment_total(spark):
     assert all(r.centroid_id == r.vec_id for r in self_rows)
 
 
+def test_ivf_kmeans_refinement_runs(spark):
+    """The Lloyd-refined quantizer yields a full, valid top-k result
+    (k rows per query, scores within [-1, 1])."""
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    rows = similarity.ivf_topk(
+        emb, QUERY_IDS, k=3, n_centroids=16, nprobe=8, refine=True
+    ).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+        assert -1.0 <= r.cosine <= 1.0
+    assert set(per_q) == set(QUERY_IDS)
+    assert all(len(v) == 3 for v in per_q.values())
+
+
 def test_ivf_topk_recall(spark):
     emb = load_table(spark, SF_CHECK, "embeddings")
     brute = similarity.knn_bruteforce(emb, QUERY_IDS, k=3).collect()

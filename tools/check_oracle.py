@@ -46,6 +46,10 @@ def main() -> int:
             f"create view {t} as select * from '{sf_dir}/{t}.parquet'"
         )
     failed = []
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        print(f"unknown queries: {unknown}; known: {sorted(REGISTRY)}")
+        return 2
     for name in names:
         spec = REGISTRY[name]
         sdf = spec.spark(spark, sf_dir)
