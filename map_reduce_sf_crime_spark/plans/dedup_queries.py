@@ -21,6 +21,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_first",
+    """
+    select doc_id, source from documents
+    where doc_id in (select min(doc_id) from documents group by md5(text))
+    """,
+    survey_ids=("DD1",),
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative dedup: keep the lowest doc_id per exact
+    duplicate group (min-agg + semi-join — no global window)."""
+    return dedup.dedup_keep_first(_docs(spark, sf_dir)).select("doc_id", "source")
+
+
+@register(
     "dedup_near_jaccard",
     dedup.near_dup_pairs_exact_sql(n=3, threshold=0.5),
     survey_ids=("DD2",),

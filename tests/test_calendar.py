@@ -49,3 +49,35 @@ def test_bucket_is_month0_times_5_plus_wom(spark):
     # bucket 2*5+6 = 16: the reference's on-the-fly overflow bucket
     # (SanFranciscoCrime.java:183-187). We keep the arithmetic identical.
     assert row.b == 16
+
+
+def test_week_of_month_property_wide_range(spark):
+    """Closed-form property over ~1k dates (1970–2100, seeded sample +
+    every month edge of 3 years): Java US-locale WEEK_OF_MONTH is
+    ceil((dom + sunday_index_of_first)/7), reimplemented independently
+    in Python here."""
+    import datetime as dt
+    import random
+
+    def java_wom(d: dt.date) -> int:
+        first = d.replace(day=1)
+        dow1 = (first.weekday() + 1) % 7  # Sunday-based index of the 1st
+        return (d.day + dow1 - 1) // 7 + 1
+
+    rng = random.Random(42)
+    epoch = dt.date(1970, 1, 1)
+    dates = {epoch + dt.timedelta(days=rng.randrange(0, 47500)) for _ in range(900)}
+    for y in (1999, 2000, 2024):  # every month start/end of edge years
+        for m in range(1, 13):
+            dates.add(dt.date(y, m, 1))
+            nxt = dt.date(y + (m == 12), m % 12 + 1, 1)
+            dates.add(nxt - dt.timedelta(days=1))
+    rows = [(d.isoformat(), java_wom(d)) for d in sorted(dates)]
+    df = spark.createDataFrame(rows, "d_str string, wom_py int")
+    bad = (
+        df.withColumn("d", F.to_date("d_str"))
+        .withColumn("wom", week_of_month_col(F.col("d")))
+        .filter(F.col("wom") != F.col("wom_py"))
+        .collect()
+    )
+    assert bad == [], bad[:5]

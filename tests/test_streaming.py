@@ -97,3 +97,47 @@ def test_watermark_drops_late_rows(spark, tmp_path):
             for r in spark.table(name).collect()}
     # 00:00 finalized with exactly A's two rows; open windows withheld
     assert rows == {"00:00": 2}
+
+
+def test_foreachbatch_materialization_merges_partitions(spark, tmp_path):
+    """Continuous materialization equals the batch aggregate: events
+    streamed in 3 micro-batches (days overlap across batches, so the
+    merge path executes) produce the same day-partitioned counts as a
+    one-shot groupBy."""
+    import pandas as pd
+
+    from map_reduce_sf_crime_spark.streaming.materialize import run_materialization
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "agg")
+    src.mkdir()
+    stamps = {
+        "a.parquet": ["2024-01-01 01:00:00", "2024-01-01 02:00:00",
+                      "2024-01-02 01:00:00"],
+        "b.parquet": ["2024-01-01 03:00:00", "2024-01-03 01:00:00"],
+        "c.parquet": ["2024-01-02 05:00:00", "2024-01-03 09:00:00",
+                      "2024-01-03 10:00:00"],
+    }
+    rows = []
+    for name, ts in stamps.items():
+        pd.DataFrame(
+            {"ts": pd.to_datetime(ts).astype("datetime64[us]"),
+             "event_type": ["click"] * len(ts)}
+        ).to_parquet(str(src / name))
+        rows += ts
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_materialization(stream, spark, out)
+
+    got = {
+        (str(r.day), r.event_type, r.n)
+        for r in spark.read.parquet(out).collect()
+    }
+    import collections
+    per_day = collections.Counter(t[:10] for t in rows)
+    want = {(d, "click", n) for d, n in per_day.items()}
+    assert got == want
