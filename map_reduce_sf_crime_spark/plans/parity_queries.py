@@ -73,6 +73,54 @@ def daily_cat_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "daily_dense_series",
+    f"""
+    with bounds as (
+      select min(d) as lo, max(d) as hi from {CATEGORY_INCIDENTS_SQL} t
+    ),
+    days as (
+      select unnest(generate_series(lo, hi, interval 1 day))::date as d
+      from bounds
+    ),
+    cats as (select distinct category from {CATEGORY_INCIDENTS_SQL} t),
+    counts as (
+      select d, category, count(*) as n from {CATEGORY_INCIDENTS_SQL} t
+      group by d, category
+    )
+    select days.d as day, cats.category, coalesce(counts.n, 0) as n
+    from days cross join cats
+    left join counts on counts.d = days.d and counts.category = cats.category
+    """,
+    survey_ids=("A1",),
+)
+def daily_dense_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled dense daily series — the daily analog of the
+    reference's zero-filled 16-bucket rows (SanFranciscoCrime.java:
+    170-173 pre-seeds every bucket). ``sequence()`` generates the day
+    spine from the observed bounds, cross-joined with the category dim
+    and left-joined to the sparse counts; the spine sides are tiny →
+    both joins broadcast."""
+    inc = category_incidents(spark, sf_dir)
+    counts = inc.groupBy(
+        F.col("d").alias("cd"), F.col("category").alias("cc")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    days = (
+        inc.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    cats = inc.select("category").distinct()
+    return (
+        days.crossJoin(F.broadcast(cats))
+        .join(
+            F.broadcast(counts),
+            (F.col("day") == F.col("cd")) & (F.col("category") == F.col("cc")),
+            "left",
+        )
+        .select("day", "category", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+
+
+@register(
     "category_totals",
     f"select category, count(*) as total from {CATEGORY_INCIDENTS_SQL} t group by category",
     survey_ids=("A4",),
