@@ -49,6 +49,51 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running_user_totals(spark, sf_dir)
 
 
+@register(
+    "stream_materialized_daily",
+    """
+    select cast(ts as date) as day, event_type, count(*) as n
+    from events group by 1, 2
+    """,
+    survey_ids=("ST5",),
+)
+def stream_materialized_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch continuous materialization (streaming/materialize.py)
+    driven to completion into a day-partitioned parquet aggregate, read
+    back and verified against the batch oracle. The partition-merge
+    path itself is exercised with genuinely overlapping micro-batches
+    in tests/test_streaming.py."""
+    import os
+    import shutil
+    import uuid
+
+    from ..sources.parquet import load_events
+    from ..streaming.materialize import run_materialization
+    from .edge_queries import _scratch
+
+    out = _scratch(sf_dir, f"mat_daily_{uuid.uuid4().hex[:8]}")
+    # availableNow over the static events file (schema fixed the same
+    # way as windows._events_stream: ns→µs)
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    run_materialization(stream, spark, out)
+    result = spark.read.parquet(out).select(
+        F.col("day").cast("date").alias("day"), "event_type", "n"
+    )
+    rows = result.collect()  # materialize before the scratch dir goes away
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(out + "_ckpt", ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 # attach the oracle (module constant) after registration
 from ..streaming.stateful import RUNNING_USER_TOTALS_SQL  # noqa: E402
 from .registry import REGISTRY, QuerySpec  # noqa: E402
