@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "embedding_near_pairs",
     "stream_tumbling_counts",
     "multimodal_features",
+    "corpus_clean_stats",
 ]
 
 

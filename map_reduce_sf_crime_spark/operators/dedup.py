@@ -74,9 +74,9 @@ def shingle_sets(docs: DataFrame, n: int) -> DataFrame:
     ).withColumn("n_sh", F.size("sh"))
 
 
-def _shingle_sets_sql(n: int) -> str:
+def _shingle_sets_sql(n: int, table: str = "documents") -> str:
     sh = f"list_distinct({shingles_sql(tokens_sql('text'), n)})"
-    return f"select doc_id, {sh} as sh, len({sh}) as n_sh from documents"
+    return f"select doc_id, {sh} as sh, len({sh}) as n_sh from {table}"
 
 
 def near_dup_pairs_exact(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
@@ -162,9 +162,11 @@ def near_dup_pairs_naive(docs: DataFrame, n: int = 3, threshold: float = 0.5) ->
     )
 
 
-def near_dup_pairs_exact_sql(n: int = 3, threshold: float = 0.5) -> str:
+def near_dup_pairs_exact_sql(
+    n: int = 3, threshold: float = 0.5, table: str = "documents"
+) -> str:
     return f"""
-    with t as ({_shingle_sets_sql(n)}),
+    with t as ({_shingle_sets_sql(n, table)}),
     e as (select doc_id, n_sh, unnest(sh) as s from t),
     pairs as (
       select a.doc_id as doc_a, b.doc_id as doc_b,

@@ -1,0 +1,71 @@
+"""End-to-end training-data-prep pipeline: the engine's operators
+COMPOSED the way a 100 TB corpus cleaning job actually runs them —
+
+    language filter → quality filter → exact dedup (keep-first)
+    → near-dup removal (Jaccard ≥ 0.8, drop the higher doc_id)
+    → per-source corpus stats
+
+One declarative plan end to end: Catalyst fuses the text-expression
+filters into the scan side, the dedup is a min-agg + semi-join, the
+near-dup prune reuses the prefix-filtered inverted index, and nothing
+leaves the JVM. The DuckDB oracle composes the same published SQL
+builders over a CTE of the filtered corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_col, tokens_sql
+from ..operators import dedup, textops
+from ..operators.textops import LANG_ID_SQL, quality_scores_sql
+from ..sources.parquet import fan_out, load_table
+from .registry import register
+
+QUALITY_MIN = 0.6
+NEAR_DUP_T = 0.8
+
+_CLEAN_SQL = f"""
+with kept as (
+  with f as (
+    select d.doc_id, d.text, d.source
+    from documents d
+    join ({quality_scores_sql()}) q using (doc_id)
+    join ({LANG_ID_SQL}) l using (doc_id)
+    where q.quality >= {QUALITY_MIN} and l.lang_pred = 'en'
+  )
+  select * from f
+  where doc_id in (select min(doc_id) from f group by md5(text))
+),
+nd as ({dedup.near_dup_pairs_exact_sql(3, NEAR_DUP_T, table="kept")})
+select source, count(*) as n_docs,
+       sum(len({tokens_sql('text')})) as n_tokens
+from kept
+where doc_id not in (select doc_b from nd)
+group by source
+"""
+
+
+@register("corpus_clean_stats", _CLEAN_SQL, survey_ids=("PL1",))
+def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    quality = textops.quality_scores(docs).select("doc_id", "quality")
+    lang = textops.lang_id(docs).select("doc_id", "lang_pred")
+    filtered = (
+        docs.join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .filter((F.col("quality") >= QUALITY_MIN) & (F.col("lang_pred") == "en"))
+        .select("doc_id", "text", "source")
+    )
+    kept = dedup.dedup_keep_first(filtered).cache()
+    near_dupes = (
+        dedup.near_dup_pairs_exact(kept, n=3, threshold=NEAR_DUP_T)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    clean = kept.join(near_dupes, "doc_id", "left_anti")
+    return clean.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_col(F.col("text")))).alias("n_tokens"),
+    )

@@ -45,3 +45,4 @@ from . import streaming_queries  # noqa: E402,F401
 from . import multimodal_queries  # noqa: E402,F401
 from . import edge_queries  # noqa: E402,F401
 from . import scale_queries  # noqa: E402,F401
+from . import pipeline_queries  # noqa: E402,F401
