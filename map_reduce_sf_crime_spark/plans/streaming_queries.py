@@ -50,6 +50,17 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_counts",
+    windows.STREAM_DISTINCT_SQL,
+    survey_ids=("ST6", "DD1"),
+)
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (stateful dropDuplicates) — the streaming
+    member of the dedup family; equals batch count(distinct)."""
+    return windows.stream_distinct_user_types(spark, sf_dir)
+
+
+@register(
     "stream_materialized_daily",
     """
     select cast(ts as date) as day, event_type, count(*) as n

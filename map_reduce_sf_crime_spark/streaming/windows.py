@@ -147,6 +147,28 @@ def session_windows(spark: SparkSession, sf_dir: str, gap: str = "5 minutes") ->
     )
 
 
+def stream_distinct_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicates`` as a stateful operator
+    — each (user_id, event_type) pair is emitted once across ALL
+    micro-batches (state in the store, not a batch-local distinct).
+    The emitted stream is then counted per type, so the oracle's
+    ``count(distinct user_id)`` only matches if the streaming dedup
+    state worked. At scale the watermarked variant
+    (``dropDuplicatesWithinWatermark``) bounds the state to the
+    late-data horizon; over this finite replay the unbounded form is
+    the one whose semantics equal the batch oracle."""
+    ev = _events_stream(spark, sf_dir).select("user_id", "event_type")
+    deduped = ev.dropDuplicates(["user_id", "event_type"])
+    out = _run_to_memory(deduped, "append")
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+STREAM_DISTINCT_SQL = """
+select event_type, count(distinct user_id) as n_users
+from events group by event_type
+"""
+
+
 def session_windows_sql(gap_minutes: int = 5) -> str:
     """Gaps-and-islands twin: a new session starts where the gap from
     the previous event of the same user exceeds the threshold."""
