@@ -281,6 +281,83 @@ def lsh_near_dup_pairs(
     return verified
 
 
+# ---------------------------------------------- duplicate clusters
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc in
+    ≥1 pair gets ``cluster_id`` = min doc_id of its component (the
+    canonical representative — "which docs are the same document").
+
+    Iterative min-label propagation (the simple member of the
+    large-star/small-star family): each round every vertex takes the
+    min label over itself and its neighbors; converges in O(graph
+    diameter) rounds — dup components are near-cliques, so 2-3 rounds
+    in practice. Driver-side loop with a converged-count check and a
+    localCheckpoint per round to truncate lineage — the canonical
+    Spark shape for iterative algorithms."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("nbr_min"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least("src", "nbr_min").alias("cluster_id"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "cluster_id", F.coalesce("nbr_label", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dup_clusters_sql(pairs_sql: str) -> str:
+    """Recursive-CTE twin: min reachable doc_id per vertex."""
+    return f"""
+    with recursive p as ({pairs_sql}),
+    edges as (
+      select doc_a as src, doc_b as dst from p
+      union
+      select doc_b, doc_a from p
+    ),
+    reach (src, dst) as (
+      select src, dst from edges
+      union
+      select r.src, e.dst from reach r join edges e on r.dst = e.src
+      where r.src != e.dst
+    )
+    select src as doc_id, least(src, min(dst)) as cluster_id
+    from reach group by src
+    """
+
+
 # ------------------------------------------------------ SimHash
 
 def simhash(docs: DataFrame) -> DataFrame:

@@ -72,6 +72,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_clusters",
+    dedup.dup_clusters_sql(dedup.near_dup_pairs_exact_sql(3, 0.8)),
+    survey_ids=("DD6",),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components dup clustering (iterative label
+    propagation) over the Jaccard-≥0.8 pair graph; the DuckDB twin is
+    a recursive CTE — Spark's driver-loop fixpoint must agree with
+    SQL's transitive closure exactly."""
+    pairs = dedup.near_dup_pairs_exact(_docs(spark, sf_dir), n=3, threshold=0.8)
+    return dedup.dup_clusters(pairs)
+
+
 @register("simhash_fingerprints", dedup.simhash_sql(), survey_ids=("DD4",))
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir))

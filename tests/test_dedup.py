@@ -75,3 +75,27 @@ def test_prefix_filter_equals_naive(spark):
         naive = {(r.doc_a, r.doc_b, r.jaccard)
                  for r in dedup.near_dup_pairs_naive(docs, n=3, threshold=t).collect()}
         assert fast == naive, f"threshold {t}"
+
+
+def test_dup_clusters_match_union_find(spark):
+    """Label-propagation components == driver union-find ground truth."""
+    docs = _docs(spark)
+    pairs = dedup.near_dup_pairs_exact(docs, n=3, threshold=0.8)
+    edges = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    got = {r.doc_id: r.cluster_id for r in dedup.dup_clusters(pairs).collect()}
+    assert got == want
+    assert want, "fixture must contain at least one near-dup component"
