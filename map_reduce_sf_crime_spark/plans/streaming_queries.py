@@ -61,6 +61,17 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join",
+    windows.stream_interval_self_join_sql(10),
+    survey_ids=("ST7",),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join (watermarked both sides) —
+    equals the batch interval join over the complete replay."""
+    return windows.stream_interval_self_join(spark, sf_dir, 10)
+
+
+@register(
     "stream_materialized_daily",
     """
     select cast(ts as date) as day, event_type, count(*) as n

@@ -169,6 +169,47 @@ from events group by event_type
 """
 
 
+def stream_interval_self_join(
+    spark: SparkSession, sf_dir: str, horizon_minutes: int = 10
+) -> DataFrame:
+    """Stream-stream interval join: pairs of events by the same user
+    within a time horizon (the "what happened within 10 minutes of X"
+    primitive). Both sides carry watermarks and the join condition
+    bounds event time on both ends — exactly what lets the engine
+    expire join state instead of buffering both streams forever."""
+    left = (
+        _events_stream(spark, sf_dir)
+        .select(F.col("user_id").alias("u1"), F.col("ts").alias("t1"))
+        .withWatermark("t1", "10 minutes")
+    )
+    right = (
+        _events_stream(spark, sf_dir)
+        .select(F.col("user_id").alias("u2"), F.col("ts").alias("t2"))
+        .withWatermark("t2", "10 minutes")
+    )
+    joined = left.join(
+        right,
+        (F.col("u1") == F.col("u2"))
+        & (F.col("t2") >= F.col("t1"))
+        & (F.col("t2") <= F.col("t1") + F.expr(f"interval {horizon_minutes} minutes")),
+    )
+    out = _run_to_memory(joined.select("u1", "t1", "t2"), "append")
+    return out.groupBy(F.col("u1").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+def stream_interval_self_join_sql(horizon_minutes: int = 10) -> str:
+    return f"""
+    select a.user_id, count(*) as n_pairs
+    from events a join events b
+      on a.user_id = b.user_id
+     and b.ts >= a.ts
+     and b.ts <= a.ts + interval '{horizon_minutes} minutes'
+    group by a.user_id
+    """
+
+
 def session_windows_sql(gap_minutes: int = 5) -> str:
     """Gaps-and-islands twin: a new session starts where the gap from
     the previous event of the same user exceeds the threshold."""
