@@ -40,11 +40,21 @@ def tokens_sql(text: str) -> str:
 
 def shingles_col(tok: Column, n: int) -> Column:
     """Word n-gram shingle array (distinct not applied — set-ness is
-    applied where jaccard needs it)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tok) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
-    )
+    applied where jaccard needs it).
+
+    Guarded for short docs: ``sequence(1, 0)`` in Spark is the
+    DESCENDING sequence [1, 0] (not empty!), whose 0 index then
+    crashes ``slice`` — docs with fewer than ``n`` tokens must
+    short-circuit to an empty array (caught by
+    tests/test_text_functions.py)."""
+    count = F.size(tok) - (n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingles_sql(tok: str, n: int) -> str:

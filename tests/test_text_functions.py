@@ -1,0 +1,53 @@
+"""Cross-check of the tokenize/shingle expressions against an
+independent Python reference over adversarial ASCII inputs — these
+semantics underpin every dedup/text oracle, so drift here would break
+the whole gate silently."""
+
+from __future__ import annotations
+
+import random
+import re
+
+from pyspark.sql import functions as F
+
+from map_reduce_sf_crime_spark.functions.text import shingles_col, tokens_col
+
+WS = re.compile(r"\s+", re.ASCII)  # Java \s == ASCII whitespace
+
+
+def py_tokens(text: str) -> list[str]:
+    return [t for t in WS.split(text.lower()) if t != ""]
+
+
+def py_shingles(toks: list[str], n: int) -> list[str]:
+    return [" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))]
+
+
+def _corpus() -> list[str]:
+    rng = random.Random(7)
+    pieces = ["word", "WORD", "x", "a-b", "it's", '"q"', "1,2", "..", "", " "]
+    ws = [" ", "  ", "\t", "\n", "\r\n", "\x0b", "\f"]
+    texts = ["", " ", "\t\n", "one", "one two three four"]
+    for _ in range(200):
+        k = rng.randrange(0, 8)
+        texts.append(
+            "".join(
+                rng.choice(pieces) + rng.choice(ws) for _ in range(k)
+            )
+        )
+    return texts
+
+
+def test_tokens_and_shingles_match_python(spark):
+    texts = _corpus()
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, text string")
+    rows = df.select(
+        "i",
+        tokens_col(F.col("text")).alias("tok"),
+        shingles_col(tokens_col(F.col("text")), 3).alias("sh"),
+    ).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        want_tok = py_tokens(texts[r.i])
+        assert list(r.tok) == want_tok, (r.i, texts[r.i], list(r.tok), want_tok)
+        assert list(r.sh) == py_shingles(want_tok, 3), (r.i, texts[r.i])
