@@ -6,7 +6,10 @@ tests/test_similarity.py instead.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import similarity
 from ..sources.parquet import fan_out, load_table
@@ -74,6 +77,65 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe-and-rerank top-k (no oracle: approximate by design;
     recall vs knn_bruteforce asserted in tests/test_similarity.py)."""
     return similarity.ivf_topk(_emb(spark, sf_dir), QUERY_IDS, K)
+
+
+@register(
+    "embedding_norms",
+    """
+    select vec_id,
+           round(sqrt(list_sum(list_transform(range(1, 65),
+                 i -> embedding[i]::double * embedding[i]::double))), 6) as l2
+    from embeddings
+    """,
+    survey_ids=("UDF1",),
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar ``@pandas_udf`` surface (Arrow-vectorized, SURVEY §2.10):
+    L2 norm per embedding. The UDF accumulates one dimension at a time
+    in float64 — the SQL fold order — so sqrt+round match bit-for-bit;
+    rounding happens JVM-side with F.round like every other query."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def l2(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            m = np.asarray(v, dtype=np.float64)
+            acc = 0.0
+            for d in range(m.shape[0]):
+                acc += m[d] * m[d]
+            out.append(float(np.sqrt(acc)))
+        return pd.Series(out)
+
+    emb = _emb(spark, sf_dir)
+    return emb.select("vec_id", F.round(l2("embedding"), 6).alias("l2"))
+
+
+@register(
+    "label_centroid_d1",
+    """
+    select label, round(avg(embedding[1]::double), 6) as mean_d1
+    from embeddings group by label
+    """,
+    survey_ids=("UDF2",),
+)
+def label_centroid_d1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg ``@pandas_udf`` (custom UDAF surface): mean of the
+    first embedding dimension per label, computed in pandas per group.
+    pandas Series.mean over float64 equals SQL avg (sum/count in
+    double) for these magnitudes at 6dp."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def mean_d1(first_dims: pd.Series) -> float:
+        return float(first_dims.mean())
+
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", F.col("embedding").getItem(0).cast("double").alias("d1"))
+        .groupBy("label")
+        .agg(F.round(mean_d1("d1"), 6).alias("mean_d1"))
+    )
 
 
 @register("ivf_kmeans_topk", None, survey_ids=("ANN4",))
