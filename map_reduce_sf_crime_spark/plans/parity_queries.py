@@ -72,6 +72,39 @@ def daily_cat_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOW = ["Sun", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat"]
+
+
+@register(
+    "dow_by_category",
+    f"""
+    select category,
+      {", ".join(f"coalesce(sum(case when dayofweek(d) = {i} then 1 else 0 end), 0) as {name.lower()}" for i, name in enumerate(_DOW))}
+    from {CATEGORY_INCIDENTS_SQL} t
+    group by category
+    """,
+    survey_ids=("A1",),
+)
+def dow_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's day-of-week mapper surface
+    (SanFranciscoCrime.java:110-126 ``CategoryMapByDayOfWeek`` /
+    ``DistrictMapByDayOfWeek`` — shipped but never wired into main;
+    SURVEY §7.3.3). Same pivot shape as the weekly report with the
+    7-day domain passed explicitly."""
+    return (
+        category_incidents(spark, sf_dir)
+        .select("category", F.dayofweek("d").alias("dw"))
+        .groupBy("category")
+        .pivot("dw", list(range(1, 8)))
+        .count()
+        .na.fill(0)
+        .select(
+            "category",
+            *[F.col(str(i + 1)).alias(n.lower()) for i, n in enumerate(_DOW)],
+        )
+    )
+
+
 @register(
     "daily_dense_series",
     f"""
