@@ -162,6 +162,23 @@ def events_daily_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sketch_event_stats", None, survey_ids=("SC6",))
+def sketch_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (SURVEY §2.4 "approx distinct … built-in"):
+    HyperLogLog++ distinct users and an approximate median per event
+    type. Sketches are mergeable ⇒ map-side partial aggregation works
+    and the shuffle carries fixed-size state — the ONLY viable
+    distinct-count shape at 100 TB. No SQL oracle (engine-specific
+    sketches differ by design); the error bound vs exact is asserted
+    in tests/test_star.py."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10_000).alias("approx_median_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @register(
     "revenue_by_nation",
     """

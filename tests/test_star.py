@@ -90,3 +90,24 @@ def test_range_predicates_push_to_scan(spark):
     pushed = plan.split("PushedFilters:")[1].splitlines()[0]
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed, col
+
+
+def test_sketch_aggregates_error_bounds(spark):
+    """HLL++ distinct and approx-median must land within tight bounds
+    of the exact answers (rsd=2% → assert 5%; quantile accuracy 1e-4
+    of rank → assert 2% on value)."""
+    from map_reduce_sf_crime_spark.plans.registry import REGISTRY
+    from map_reduce_sf_crime_spark.sources.parquet import load_events
+
+    sketch = {r.event_type: r for r in
+              REGISTRY["sketch_event_stats"].spark(spark, SF_SMOKE).collect()}
+    ev = load_events(spark, SF_SMOKE)
+    exact = {r.event_type: r for r in ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("users"),
+        F.median("value").alias("med"),
+    ).collect()}
+    assert set(sketch) == set(exact)
+    for et, ex in exact.items():
+        approx = sketch[et]
+        assert abs(approx.approx_users - ex.users) <= max(0.05 * ex.users, 2), et
+        assert abs(approx.approx_median_value - ex.med) <= 0.02 * max(abs(ex.med), 1), et
