@@ -51,3 +51,23 @@ def test_tokens_and_shingles_match_python(spark):
         want_tok = py_tokens(texts[r.i])
         assert list(r.tok) == want_tok, (r.i, texts[r.i], list(r.tok), want_tok)
         assert list(r.sh) == py_shingles(want_tok, 3), (r.i, texts[r.i])
+
+
+def test_hash64_cross_engine_unicode_parity(spark):
+    """The portable md5 hash (foundation of every dedup/LSH oracle)
+    must agree between Spark and DuckDB on non-ASCII too — the
+    fixtures are ASCII-only, so this is the only place unicode parity
+    is exercised."""
+    import duckdb
+
+    from map_reduce_sf_crime_spark.functions.hashing import hash64_col, hash64_sql
+
+    texts = ["", "a", "héllo wörld", "日本語テキスト", "emoji 🎉 test",
+             'quo"te', "tab\tnl\n", "ß", "İstanbul", "a,b|c;d"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, s string")
+    srows = {r.i: r.h for r in
+             df.select("i", hash64_col(F.col("s"), seed="x").alias("h")).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        d = con.execute(f"select {hash64_sql('?', seed='x')}", [t]).fetchone()[0]
+        assert d == srows[i], (t, srows[i], d)
