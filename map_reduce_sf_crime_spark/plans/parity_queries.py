@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.calendar import N_WEEK_BUCKETS, week_bucket_col, week_bucket_sql
 from ..operators.weekly import weekly_summary, weekly_summary_sql
 from .crimes_view import (
     CATEGORY_INCIDENTS_SQL,
@@ -69,6 +70,34 @@ def daily_cat_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("crimes"))
         .filter(F.col("crimes") > 0)
+    )
+
+
+@register(
+    "weekly_overflow_audit",
+    f"""
+    select category, count(*) as overflow_rows
+    from (select category, {week_bucket_sql('d')} as bucket
+          from {CATEGORY_INCIDENTS_SQL} t)
+    where bucket >= {N_WEEK_BUCKETS}
+    group by category
+    """,
+    survey_ids=("A1",),
+)
+def weekly_overflow_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §7.3.2's documented deviation made observable: the
+    reference widens rows on-the-fly for bucket > 15
+    (SanFranciscoCrime.java:183-187, column order then depends on
+    HashMap iteration); this engine fixes the pivot domain 0..15 and
+    AUDITS what that drops — per key, the count of incidents landing
+    in overflow buckets (empty on any quarter-aligned dataset; a
+    6th-week month shows up here instead of silently vanishing)."""
+    return (
+        category_incidents(spark, sf_dir)
+        .select("category", week_bucket_col(F.col("d")).alias("bucket"))
+        .filter(F.col("bucket") >= N_WEEK_BUCKETS)
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("overflow_rows"))
     )
 
 
