@@ -1,6 +1,7 @@
 """Deduplication operators for the training-data pipeline.
 
-Four families, each scalable by construction:
+Four detection families plus cluster resolution, each scalable by
+construction:
 
 - **exact** — hash-groupBy on md5(text): one shuffle on a uniform key.
 - **n-gram Jaccard (exact near-dup)** — inverted-index self-join on

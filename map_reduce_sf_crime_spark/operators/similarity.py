@@ -1,6 +1,6 @@
 """Similarity search over embedding columns.
 
-Three tiers, mirroring how a 100 TB pipeline actually deploys ANN:
+Four tiers, mirroring how a 100 TB pipeline actually deploys ANN:
 
 - **Brute-force top-k** (the correctness baseline): broadcast the
   (small) query set against the corpus, cosine per row via built-in
@@ -15,6 +15,9 @@ Three tiers, mirroring how a 100 TB pipeline actually deploys ANN:
   sign-bit signatures; banded buckets give candidate sets, exact
   cosine re-rank inside the bucket. Approximate (recall measured in
   tests against brute force), linear-ish — the scale path.
+- **IVF**: coarse-quantizer inverted lists (deterministic first-k or
+  Lloyd-refined centroids), probe-and-rerank — the bucketed-layout
+  scale path (lists partition-pruned by ``centroid_id`` on disk).
 """
 
 from __future__ import annotations
@@ -124,33 +127,41 @@ def cosine_near_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     corpus = spark.sparkContext.broadcast((ids, mat, _sq_norms(mat)))
     quant = Decimal(1).scaleb(-6)
 
+    BLOCK = 4096  # corpus-side block: bounds per-worker intermediates
+    # to ~2 × |batch|×BLOCK float64 regardless of corpus size
+
     def kernel(batches):
         b_ids, b_mat, b_q = corpus.value
         for pdf in batches:
             a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             a_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            dots = np.zeros((len(a_ids), len(b_ids)))
-            for d in range(dim):
-                dots += a_mat[:, d : d + 1] * b_mat[None, :, d]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = dots / np.sqrt(_sq_norms(a_mat)[:, None] * b_q[None, :])
-            # candidate superset with slack, then exact decimal rounding
-            cand = (a_ids[:, None] < b_ids[None, :]) & (cos >= threshold - 1e-6)
-            ai, bi = np.nonzero(cand)
-            rounded = np.array(
-                [
-                    float(Decimal(c).quantize(quant, rounding=ROUND_HALF_UP))
-                    for c in cos[ai, bi]
-                ]
-            )
-            keep = rounded >= threshold
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai[keep]],
-                    "vec_b": b_ids[bi[keep]],
-                    "cosine": rounded[keep],
-                }
-            )
+            a_q = _sq_norms(a_mat)
+            for lo in range(0, len(b_ids), BLOCK):
+                hi = min(lo + BLOCK, len(b_ids))
+                dots = np.zeros((len(a_ids), hi - lo))
+                for d in range(dim):
+                    dots += a_mat[:, d : d + 1] * b_mat[None, lo:hi, d]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / np.sqrt(a_q[:, None] * b_q[None, lo:hi])
+                # candidate superset with slack, then exact decimal rounding
+                cand = (a_ids[:, None] < b_ids[None, lo:hi]) & (
+                    cos >= threshold - 1e-6
+                )
+                ai, bi = np.nonzero(cand)
+                rounded = np.array(
+                    [
+                        float(Decimal(c).quantize(quant, rounding=ROUND_HALF_UP))
+                        for c in cos[ai, bi]
+                    ]
+                )
+                keep = rounded >= threshold
+                yield pd.DataFrame(
+                    {
+                        "vec_a": a_ids[ai[keep]],
+                        "vec_b": b_ids[lo:hi][bi[keep]],
+                        "cosine": rounded[keep],
+                    }
+                )
 
     from ..sources.parquet import fan_out
 

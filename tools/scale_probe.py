@@ -67,6 +67,9 @@ def main() -> None:
         t0 = time.perf_counter()
         REGISTRY[q].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         print(f"x{n} {q}: {time.perf_counter() - t0:.2f}s")
+        # isolate per-operator cost: accumulated caches from earlier
+        # probes otherwise skew (and memory-pressure) later ones
+        spark.catalog.clearCache()
     spark.stop()
 
 
