@@ -234,7 +234,12 @@ def lsh_near_dup_pairs(
     r = n_hashes // bands
     # both the banded self-join and the verification join re-read these
     # small per-doc tables — cache so shingling/hashing runs once
-    sigs = minhash_signatures(docs, n, n_hashes).cache()
+    t = shingle_sets(docs, n).cache()
+    sigs = (
+        minhash_signatures(docs, n, n_hashes)
+        .join(t.select("doc_id", "n_sh"), "doc_id")
+        .cache()
+    )
     band_cols = F.array(
         *[
             F.struct(
@@ -246,8 +251,8 @@ def lsh_near_dup_pairs(
             for i in range(bands)
         ]
     )
-    buckets = sigs.select("doc_id", F.explode(band_cols).alias("bk")).select(
-        "doc_id", "bk.band", "bk.key"
+    buckets = sigs.select("doc_id", "n_sh", F.explode(band_cols).alias("bk")).select(
+        "doc_id", "n_sh", "bk.band", "bk.key"
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (
@@ -255,12 +260,16 @@ def lsh_near_dup_pairs(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # lossless length filter (same bound as PPJoin): J ≥ t
+            # needs t·na ≤ nb ≤ na/t — prunes cross-length bucket
+            # collisions before the distinct
+            & (F.col("b.n_sh") * threshold <= F.col("a.n_sh"))
+            & (F.col("a.n_sh") * threshold <= F.col("b.n_sh")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    t = shingle_sets(docs, n).cache()
     ta = t.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na"))
     tb = t.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb"))
     verified = (
