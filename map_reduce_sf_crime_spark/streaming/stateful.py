@@ -62,7 +62,17 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(out, "update")
+    emitted = _run_to_memory(out, "update")
+    # update-mode memory sink keeps every batch's emission; the final
+    # state per user is the one with the highest running count —
+    # single-batch replay makes this a no-op, multi-file inputs stay
+    # correct
+    from pyspark.sql import functions as F
+
+    return emitted.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value", "n_events").alias("sum_value"),
+    )
 
 
 RUNNING_USER_TOTALS_SQL = """
