@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.asof import asof_join, asof_join_sql
 from ..sources.parquet import load_events, load_table
 from .registry import register
 
@@ -160,6 +161,26 @@ def events_daily_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.median("value"), 4).alias("median_value"),
         F.sort_array(F.collect_set("event_type")).alias("types"),
     )
+
+
+@register(
+    "asof_last_view_before_purchase",
+    asof_join_sql(
+        "select user_id, ts from events where event_type = 'purchase'",
+        "select user_id, ts from events where event_type = 'view'",
+        "user_id",
+        "ts",
+    ),
+    survey_ids=("AJ1",),
+)
+def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the user's most recent view at
+    or before it (union + carry-forward window — one shuffle, no
+    theta join; operators/asof.py). Oracle = DuckDB native ASOF."""
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    return asof_join(purchases, views, "user_id", "ts")
 
 
 @register("sketch_event_stats", None, survey_ids=("SC6",))
