@@ -27,14 +27,33 @@ QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
 BPE_REGEX = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 
 
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower_col(text: Column) -> Column:
+    """ASCII-only case folding. Full Unicode lowercasing is
+    engine-dependent (JDK maps 'İ' → "i̇" two codepoints; DuckDB's
+    utf8proc maps it differently — found by the adversarial oracle
+    probe), so every hashed/tokenized path folds ASCII only: byte-
+    identical in any engine, and non-ASCII case is left alone as a
+    documented determinism choice."""
+    return F.translate(text, _UPPER, _LOWER)
+
+
+def ascii_lower_sql(text: str) -> str:
+    return f"translate({text}, '{_UPPER}', '{_LOWER}')"
+
+
 def tokens_col(text: Column) -> Column:
-    """Whitespace tokens, lowercased; empty strings filtered."""
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    """Whitespace tokens, ASCII-case-folded; empty strings filtered."""
+    return F.filter(F.split(ascii_lower_col(text), r"\s+"), lambda t: t != "")
 
 
 def tokens_sql(text: str) -> str:
     return (
-        f"list_filter(regexp_split_to_array(lower({text}), '\\s+'), t -> t != '')"
+        f"list_filter(regexp_split_to_array({ascii_lower_sql(text)}, '\\s+'),"
+        f" t -> t != '')"
     )
 
 

@@ -13,10 +13,12 @@ from pyspark.sql import functions as F
 from map_reduce_sf_crime_spark.functions.text import shingles_col, tokens_col
 
 WS = re.compile(r"\s+", re.ASCII)  # Java \s == ASCII whitespace
+_TRANS = str.maketrans("ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
 
 
 def py_tokens(text: str) -> list[str]:
-    return [t for t in WS.split(text.lower()) if t != ""]
+    # ASCII-only fold — mirrors functions/text.py::ascii_lower_col
+    return [t for t in WS.split(text.translate(_TRANS)) if t != ""]
 
 
 def py_shingles(toks: list[str], n: int) -> list[str]:
@@ -71,3 +73,47 @@ def test_hash64_cross_engine_unicode_parity(spark):
     for i, t in enumerate(texts):
         d = con.execute(f"select {hash64_sql('?', seed='x')}", [t]).fetchone()[0]
         assert d == srows[i], (t, srows[i], d)
+
+
+def test_adversarial_docs_cross_engine_parity(spark, tmp_path):
+    """Full text/dedup oracle parity on an adversarial corpus the ASCII
+    fixtures never exercise: unicode case ('İ', 'ß'), CJK, emoji,
+    empty/1-token docs, exact twins, a 6000-token doc, non-ASCII
+    whitespace. Caught the JDK-vs-utf8proc lower() divergence that
+    motivated ASCII-only case folding."""
+    import duckdb
+    import pandas as pd
+
+    from map_reduce_sf_crime_spark.operators import dedup, textops
+
+    docs = [
+        (0, "", "s", "en"), (1, "one", "s", "en"), (2, "two words", "s", "en"),
+        (3, "héllo wörld ünïcode tëxt hére", "s", "de"),
+        (4, "日本語 の テキスト です ね", "s", "zh"),
+        (5, "İstanbul Straße ß MASSE", "s", "de"),
+        (6, "a b " * 3000, "s", "en"),
+        (7, "same doc text here", "s", "en"), (8, "same doc text here", "s", "en"),
+        (9, " nbsp separated tokens", "s", "en"),
+        (10, "emoji 🎉 in 🎉 text 🎉 here", "s", "en"),
+    ]
+    path = str(tmp_path / "documents.parquet")
+    pd.DataFrame(docs, columns=["doc_id", "text", "source", "lang"]).to_parquet(path)
+    sdf = spark.read.parquet(path)
+    con = duckdb.connect()
+    con.execute(f"create view documents as select * from '{path}'")
+
+    checks = [
+        ("token_stats", textops.token_stats(sdf), textops.TOKEN_STATS_SQL),
+        ("lang_id", textops.lang_id(sdf).select("doc_id", "lang_pred"),
+         f"select doc_id, lang_pred from ({textops.LANG_ID_SQL})"),
+        ("quality", textops.quality_scores(sdf), textops.quality_scores_sql()),
+        ("near_dup", dedup.near_dup_pairs_exact(sdf, 3, 0.5),
+         dedup.near_dup_pairs_exact_sql(3, 0.5)),
+        ("simhash", dedup.simhash(sdf), dedup.simhash_sql()),
+        ("minhash", dedup.minhash_signatures(sdf), dedup.minhash_signatures_sql()),
+        ("fingerprints", textops.fingerprints(sdf), textops.fingerprints_sql()),
+    ]
+    for name, spark_df, sql in checks:
+        srows = sorted(tuple(str(x) for x in r) for r in spark_df.collect())
+        orows = sorted(tuple(str(x) for x in r) for r in con.execute(sql).fetchall())
+        assert srows == orows, name
