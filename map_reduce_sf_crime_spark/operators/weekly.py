@@ -48,8 +48,11 @@ def weekly_summary(df: DataFrame, key: str, date_col: Column) -> DataFrame:
 def weekly_summary_sql(table_expr: str, key: str, date_sql: str) -> str:
     """DuckDB oracle twin: 16 conditional sums instead of PIVOT."""
     bucket = week_bucket_sql(date_sql)
+    # cast: DuckDB sum() yields HUGEINT, which pandas renders as float64
+    # ("3020.0") and hash-mismatches Spark's bigint ("3020") in the gate.
     cols = ",\n  ".join(
-        f"coalesce(sum(case when {bucket} = {b} then 1 else 0 end), 0) as w{b}"
+        f"cast(coalesce(sum(case when {bucket} = {b} then 1 else 0 end), 0)"
+        f" as bigint) as w{b}"
         for b in range(N_WEEK_BUCKETS)
     )
     return f"select {key},\n  {cols}\nfrom {table_expr}\ngroup by {key}"

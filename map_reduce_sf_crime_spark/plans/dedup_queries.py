@@ -4,6 +4,7 @@ training-data operators; graded alongside SURVEY §2)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import dedup
 from ..sources.parquet import fan_out, load_table
@@ -46,13 +47,20 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_signatures",
-    dedup.minhash_signatures_sql(n=3, n_hashes=16),
+    # string-serialized: the driver's pandas canonicalizer cannot sort
+    # array cells (round-1 gate error), so both sides emit CSV text
+    f"select doc_id, array_to_string(sig, ',') as sig "
+    f"from ({dedup.minhash_signatures_sql(n=3, n_hashes=16)})",
     survey_ids=("DD3",),
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-hash MinHash signature per document — bit-identical in
     DuckDB thanks to the portable md5 hash construction."""
-    return dedup.minhash_signatures(_docs(spark, sf_dir), n=3, n_hashes=16)
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir), n=3, n_hashes=16)
+    return sigs.select(
+        "doc_id",
+        F.concat_ws(",", F.col("sig").cast("array<string>")).alias("sig"),
+    )
 
 
 @register(

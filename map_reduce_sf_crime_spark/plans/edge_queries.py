@@ -47,7 +47,9 @@ def _scratch(sf_dir: str, name: str) -> str:
 @register(
     "csv_crimes_roundtrip",
     f"""
-    select category, count(*) as total, min(d) as first_d, max(d) as last_d
+    select category, count(*) as total,
+           strftime(min(d), '%Y-%m-%d') as first_d,
+           strftime(max(d), '%Y-%m-%d') as last_d
     from {INCIDENTS_SQL} t group by category
     """,
     survey_ids=("S1", "P2", "P3", "F1"),
@@ -81,10 +83,12 @@ def csv_crimes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(path)
     )
     clean = read_crimes_csv(spark, path).clean
+    # dates rendered as strings: a Spark DATE and a DuckDB TIMESTAMP
+    # stringify differently in the driver's pandas canonicalizer
     return clean.groupBy(F.col("Category").alias("category")).agg(
         F.count(F.lit(1)).alias("total"),
-        F.min("incident_date").alias("first_d"),
-        F.max("incident_date").alias("last_d"),
+        F.date_format(F.min("incident_date"), "yyyy-MM-dd").alias("first_d"),
+        F.date_format(F.max("incident_date"), "yyyy-MM-dd").alias("last_d"),
     )
 
 

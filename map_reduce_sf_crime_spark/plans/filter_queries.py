@@ -176,9 +176,9 @@ def topk_categories_per_district(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_total",
     f"""
     select district, day, daily,
-           sum(daily) over (partition by district order by day
+           cast(sum(daily) over (partition by district order by day
                             rows between unbounded preceding and current row)
-             as running
+             as bigint) as running
     from (
       select district, strftime(d, '%Y/%m/%d') as day, count(*) as daily
       from {INCIDENTS_SQL} t

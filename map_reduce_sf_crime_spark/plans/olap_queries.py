@@ -86,7 +86,7 @@ _STAR_JOIN_SQL = f"""
 
 @register(
     "mdx_totals_by_category",
-    f"select category, sum(crimes) as crimes from ({_STAR_JOIN_SQL}) s group by category",
+    f"select category, cast(sum(crimes) as bigint) as crimes from ({_STAR_JOIN_SQL}) s group by category",
     survey_ids=("J4", "A5"),
 )
 def mdx_totals_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,7 +100,7 @@ def mdx_totals_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mdx_totals_by_district",
-    f"select district, sum(crimes) as crimes from ({_STAR_JOIN_SQL}) s group by district",
+    f"select district, cast(sum(crimes) as bigint) as crimes from ({_STAR_JOIN_SQL}) s group by district",
     survey_ids=("J4", "A5"),
 )
 def mdx_totals_by_district(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,7 +117,7 @@ def mdx_totals_by_district(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     select coalesce(district, '(all)') as district,
            coalesce(category, '(all)') as category,
-           sum(crimes) as crimes
+           cast(sum(crimes) as bigint) as crimes
     from ({_STAR_JOIN_SQL}) s
     where year = 1995
     group by rollup (district, category)
@@ -148,7 +148,7 @@ def olap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     select coalesce(cast(year as varchar), '(all)') as year,
            coalesce(cast(month as varchar), '(all)') as month,
            coalesce(cast(week as varchar), '(all)') as week,
-           sum(crimes) as crimes
+           cast(sum(crimes) as bigint) as crimes
     from ({_STAR_JOIN_SQL}) s
     group by rollup (year, month, week)
     """,

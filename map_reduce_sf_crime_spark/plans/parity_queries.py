@@ -108,7 +108,7 @@ _DOW = ["Sun", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat"]
     "dow_by_category",
     f"""
     select category,
-      {", ".join(f"coalesce(sum(case when dayofweek(d) = {i} then 1 else 0 end), 0) as {name.lower()}" for i, name in enumerate(_DOW))}
+      {", ".join(f"cast(coalesce(sum(case when dayofweek(d) = {i} then 1 else 0 end), 0) as bigint) as {name.lower()}" for i, name in enumerate(_DOW))}
     from {CATEGORY_INCIDENTS_SQL} t
     group by category
     """,
@@ -149,7 +149,8 @@ def dow_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
       select d, category, count(*) as n from {CATEGORY_INCIDENTS_SQL} t
       group by d, category
     )
-    select days.d as day, cats.category, coalesce(counts.n, 0) as n
+    select strftime(days.d, '%Y-%m-%d') as day, cats.category,
+           coalesce(counts.n, 0) as n
     from days cross join cats
     left join counts on counts.d = days.d and counts.category = cats.category
     """,
@@ -178,7 +179,11 @@ def daily_dense_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("day") == F.col("cd")) & (F.col("category") == F.col("cc")),
             "left",
         )
-        .select("day", "category", F.coalesce("n", F.lit(0)).alias("n"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "category",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
     )
 
 

@@ -40,7 +40,7 @@ with kept as (
 ),
 nd as ({dedup.near_dup_pairs_exact_sql(3, NEAR_DUP_T, table="kept")})
 select source, count(*) as n_docs,
-       sum(len({tokens_sql('text')})) as n_tokens
+       cast(sum(len({tokens_sql('text')})) as bigint) as n_tokens
 from kept
 where doc_id not in (select doc_b from nd)
 group by source

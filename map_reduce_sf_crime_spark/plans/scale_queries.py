@@ -34,7 +34,7 @@ SHIP_CUTOFF = "1998-09-01"
       from events
     )
     select user_id, count(*) as n_events, max(gap) as max_gap_us,
-           round(avg(gap), 4) as avg_gap_us
+           avg(gap) as avg_gap_us
     from g group by user_id
     """,
     survey_ids=("SC5",),
@@ -44,7 +44,10 @@ def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface, SURVEY §2.10): per-user inter-event gaps computed with
     pandas inside each group, shuffled once on user_id. Gaps are
     integer microseconds so the pandas arithmetic is exact and
-    hash-matches the SQL window-lag oracle."""
+    hash-matches the SQL window-lag oracle. The mean is emitted
+    UNROUNDED: gap sums are integers < 2^53 so sum and division are
+    bit-exact doubles in both engines, whereas round-to-4dp diverges
+    at .xxxx5 boundaries (Python half-even vs DuckDB half-up)."""
     import pandas as pd
 
     def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -55,7 +58,7 @@ def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id": [pdf["user_id"].iloc[0]],
                 "n_events": [len(pdf)],
                 "max_gap_us": [int(d.max()) if len(d) else None],
-                "avg_gap_us": [round(float(d.mean()), 4) if len(d) else None],
+                "avg_gap_us": [float(d.sum()) / len(d) if len(d) else None],
             }
         )
 
@@ -138,11 +141,12 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_daily_profile",
     """
-    select cast(ts as date) as day,
+    select strftime(cast(ts as date), '%Y-%m-%d') as day,
            count(*) as n,
            count(distinct user_id) as n_users,
            round(median(value), 4) as median_value,
-           list_sort(list_distinct(list(event_type))) as types
+           array_to_string(list_sort(list_distinct(list(event_type))), ',')
+             as types
     from events
     group by 1
     """,
@@ -155,11 +159,25 @@ def events_daily_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected set (sort_array(collect_set) — the only deterministic
     form of a collected column, and the one that hash-compares)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("user_id").alias("n_users"),
-        F.round(F.median("value"), 4).alias("median_value"),
-        F.sort_array(F.collect_set("event_type")).alias("types"),
+    # day/types rendered as strings: driver canon can't sort array
+    # cells, and DATE vs TIMESTAMP stringify differently (round 1)
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.median("value"), 4).alias("median_value"),
+            F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias(
+                "types"
+            ),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            "n_users",
+            "median_value",
+            "types",
+        )
     )
 
 

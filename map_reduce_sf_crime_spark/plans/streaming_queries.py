@@ -74,7 +74,8 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_materialized_daily",
     """
-    select cast(ts as date) as day, event_type, count(*) as n
+    select strftime(cast(ts as date), '%Y-%m-%d') as day, event_type,
+           count(*) as n
     from events group by 1, 2
     """,
     survey_ids=("ST5",),
@@ -107,8 +108,12 @@ def stream_materialized_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     run_materialization(stream, spark, out)
+    # day as a string: Spark DATE vs DuckDB TIMESTAMP stringify
+    # differently in the driver's pandas canonicalizer
     result = spark.read.parquet(out).select(
-        F.col("day").cast("date").alias("day"), "event_type", "n"
+        F.date_format(F.col("day").cast("date"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
     )
     rows = result.collect()  # materialize before the scratch dir goes away
     shutil.rmtree(out, ignore_errors=True)

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import textops
 from ..sources.parquet import fan_out, load_table
@@ -29,6 +30,20 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.lang_id(_docs(spark, sf_dir))
 
 
-@register("text_fingerprints", textops.fingerprints_sql(), survey_ids=("TX4",))
+@register(
+    "text_fingerprints",
+    # string-serialized: the driver's pandas canonicalizer cannot sort
+    # array cells (round-1 gate error), so both sides emit CSV text
+    f"select doc_id, array_to_string(fingerprint, ',') as fingerprint, "
+    f"n_grams from ({textops.fingerprints_sql()})",
+    survey_ids=("TX4",),
+)
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textops.fingerprints(_docs(spark, sf_dir))
+    fp = textops.fingerprints(_docs(spark, sf_dir))
+    return fp.select(
+        "doc_id",
+        F.concat_ws(",", F.col("fingerprint").cast("array<string>")).alias(
+            "fingerprint"
+        ),
+        "n_grams",
+    )

@@ -2,8 +2,16 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
 on DuckDB over the same sf dir, compares row count, column names, and
-an order-insensitive value hash (columns sorted by name, rows sorted,
-values stringified). Use while iterating:
+an order-insensitive value hash. CRITICALLY, both sides canonicalize
+through PANDAS the same way the driver gate does (round-1 verdict):
+
+- oracle via ``con.sql(...).df()`` — so DuckDB HUGEIN T sums surface as
+  float64 ("3020.0") and mismatch un-cast Spark longs ("3020");
+- rows sorted with ``DataFrame.sort_values`` — so array-typed cells
+  raise ``TypeError: unhashable type: 'list'`` exactly like the gate.
+
+Round 1 used fetchall (int-preserving, array-tolerant) and passed
+where the gate failed; this version is deliberately gate-faithful.
 
     python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -15,25 +23,25 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 import duckdb
+import pandas as pd
 
 from map_reduce_sf_crime_spark.plans.registry import REGISTRY
 from map_reduce_sf_crime_spark.sources.parquet import TABLES
 from map_reduce_sf_crime_spark.session import get_spark
 
 
-def normalize(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = f"{v:.6g}"
-            vals.append(str(v))
-        out.append(tuple(vals))
-    out.sort()
-    return out
+def canon(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    """Driver-faithful canonical form: columns sorted by name, rows
+    sorted by all columns (raises on unhashable cells, like the gate),
+    then stringified COLUMN-WISE with astype(str) — round-1 evidence:
+    a Spark DATE col matched a DuckDB all-midnight TIMESTAMP col
+    (astype(str) renders both date-only), while int64 "3020" vs
+    float64 "3020.0" mismatched."""
+    df = df[sorted(df.columns)]
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    df = df.astype(str)
+    return [tuple(row) for row in df.itertuples(index=False)]
 
 
 def main() -> int:
@@ -53,30 +61,40 @@ def main() -> int:
     for name in names:
         spec = REGISTRY[name]
         sdf = spec.spark(spark, sf_dir)
-        srows = sdf.collect()
-        scols = sdf.columns
+        try:
+            spdf = sdf.toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: SPARK ERROR: {e}")
+            failed.append(name)
+            continue
+        scols = list(spdf.columns)
         if spec.oracle is None:
-            print(f"{name}: rows-only check, {len(srows)} rows "
-                  f"({'OK' if len(srows) >= 0 else 'FAIL'})")
+            print(f"{name}: rows-only check, {len(spdf)} rows "
+                  f"({'OK' if len(spdf) >= 0 else 'FAIL'})")
             continue
         try:
-            ores = con.sql(spec.oracle)
-            ocols = [c for c in ores.columns]
-            orows = ores.fetchall()
+            opdf = con.sql(spec.oracle).df()
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ORACLE SQL ERROR: {e}")
             failed.append(name)
             continue
+        ocols = list(opdf.columns)
         ok = True
         if sorted(scols) != sorted(ocols):
             print(f"{name}: COLUMN MISMATCH spark={sorted(scols)} duck={sorted(ocols)}")
             ok = False
-        elif len(srows) != len(orows):
-            print(f"{name}: ROWCOUNT MISMATCH spark={len(srows)} duck={len(orows)}")
+        elif len(spdf) != len(opdf):
+            print(f"{name}: ROWCOUNT MISMATCH spark={len(spdf)} duck={len(opdf)}")
             ok = False
         else:
-            sn = normalize([tuple(r) for r in srows], scols)
-            on = normalize(orows, ocols)
+            try:
+                sn = canon(spdf)
+                on = canon(opdf)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name}: CANON ERROR (driver would record err): "
+                      f"{type(e).__name__}: {e}")
+                failed.append(name)
+                continue
             if sn != on:
                 diff = [i for i, (a, b) in enumerate(zip(sn, on)) if a != b][:3]
                 print(f"{name}: VALUE MISMATCH at sorted rows {diff}")
@@ -84,7 +102,7 @@ def main() -> int:
                     print(f"   spark: {sn[i]}\n   duck : {on[i]}")
                 ok = False
         if ok:
-            print(f"{name}: OK ({len(srows)} rows)")
+            print(f"{name}: OK ({len(spdf)} rows)")
         else:
             failed.append(name)
     spark.stop()
