@@ -21,8 +21,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (A1 weekly-by-category) on sf0.001."""
-    return REGISTRY["weekly_by_category"].spark(spark, SMOKE_SF_DIR)
+    """Flagship query (A1 weekly reports, both dims) on sf0.001."""
+    return REGISTRY["weekly_report"].spark(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

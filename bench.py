@@ -28,20 +28,19 @@ from map_reduce_sf_crime_spark.session import get_spark
 BENCH_QUERIES = [
     "pricing_summary",
     "revenue_by_nation",
-    "weekly_by_category",
-    "weekly_by_district",
+    "weekly_report",
     "daily_cat_dist",
     "star_fact",
-    "olap_rollup",
+    "olap_rollups",
     "topk_categories_per_district",
     "dedup_near_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "text_quality",
+    "text_profile",
     "knn_bruteforce",
     "embedding_near_pairs",
-    "stream_tumbling_counts",
-    "multimodal_features",
+    "stream_window_counts",
+    "multimodal_profile",
     "corpus_clean_stats",
 ]
 
@@ -69,7 +68,7 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
     # warm the JVM/codegen once with the cheapest query
-    run_query(spark, "category_totals", sf_dir)
+    run_query(spark, "awk_totals", sf_dir)
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         times[name] = round(median_time(spark, name, sf_dir), 3)

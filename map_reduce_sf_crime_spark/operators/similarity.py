@@ -40,6 +40,25 @@ PLANE_BANDS = 8
 IVF_K = 32
 IVF_NPROBE = 4
 
+#: Hard ceiling for any driver-side collect of embedding rows. At
+#: 64-d float64 this is ~1 GiB of vectors — far beyond the fixtures,
+#: far below driver OOM. A 100× scale-up fails loudly here instead of
+#: silently OOMing the driver.
+MAX_COLLECT_ROWS = 2_000_000
+
+
+def _bounded_collect(df: DataFrame, what: str, limit: int = MAX_COLLECT_ROWS):
+    """Size-guarded ``collect()`` for exact/broadcast kernels: count
+    first, refuse above ``limit`` with a pointer at the scale path."""
+    n = df.count()
+    if n > limit:
+        raise ValueError(
+            f"{what}: refusing to collect {n} rows to the driver "
+            f"(limit {limit}). Use the banded-LSH/IVF tier at this "
+            f"scale instead of the exact broadcast kernel."
+        )
+    return df.collect()
+
 
 def knn_bruteforce(
     emb: DataFrame, query_ids: list[int], k: int = 3
@@ -112,7 +131,10 @@ def cosine_near_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     import pandas as pd
 
     spark = emb.sparkSession
-    rows = emb.select("vec_id", "embedding").collect()
+    rows = _bounded_collect(
+        emb.select("vec_id", "embedding"),
+        what="cosine_near_pairs exact kernel",
+    )
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     dim = mat.shape[1] if len(rows) else 0
@@ -314,16 +336,24 @@ def ivf_assignments_sql(k: int = IVF_K, dim: int = DIM) -> str:
     """
 
 
-def kmeans_centroids(emb: DataFrame, k: int = IVF_K, iters: int = 5):
+def kmeans_centroids(
+    emb: DataFrame, k: int = IVF_K, iters: int = 5, train_rows: int = 100_000
+):
     """Lloyd-refined coarse quantizer (deterministic: init = first-k
-    by vec_id, fixed iteration count, ties to lowest index). Runs on
-    the driver over the collected corpus — legitimate while the
-    corpus fits the same broadcast budget the assignment kernel needs;
-    at 100 TB you train on a sample, which this also is (genuinely
-    iterative ⇒ no SQL oracle; quality asserted via recall tests)."""
+    by vec_id, fixed iteration count, ties to lowest index). Trains
+    on a driver-side SAMPLE — the lowest ``train_rows`` vec_ids, a
+    deterministic slice, never the full corpus — so the collect is
+    bounded at any input scale; quantizer quality only needs a
+    representative sample (genuinely iterative ⇒ no SQL oracle;
+    recall asserted in tests)."""
     import numpy as np
 
-    rows = emb.select("vec_id", "embedding").collect()
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(train_rows)
+        .collect()
+    )
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     _, cmat = _centroids(emb, k)
     cmat = cmat.copy()

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup
+from ..operators import dedup, textops
 from ..sources.parquet import fan_out, load_table
 from .registry import register
 
@@ -16,23 +16,31 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fan_out(load_table(spark, sf_dir, "documents"))
 
 
-@register("dedup_exact", dedup.EXACT_DEDUP_SQL, survey_ids=("DD1",))
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_dedup_stats(_docs(spark, sf_dir))
-
-
 @register(
-    "dedup_keep_first",
+    "dedup_exact_flags",
     """
-    select doc_id, source from documents
-    where doc_id in (select min(doc_id) from documents group by md5(text))
+    select doc_id, source,
+           cast(doc_id in (select min(doc_id) from documents
+                           group by md5(text)) as int) as kept
+    from documents
     """,
     survey_ids=("DD1",),
 )
-def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical-representative dedup: keep the lowest doc_id per exact
-    duplicate group (min-agg + semi-join — no global window)."""
-    return dedup.dedup_keep_first(_docs(spark, sf_dir)).select("doc_id", "source")
+def dedup_exact_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (md5) dedup with canonical representatives: every doc
+    flagged kept=1 iff it is the lowest doc_id of its duplicate group
+    (min-agg + join — no window over the corpus). Per-source dup
+    stats are derivable (sum(kept) = n_unique), so this one entry
+    carries the whole DD1 surface."""
+    docs = _docs(spark, sf_dir)
+    kept = dedup.dedup_keep_first(docs).select("doc_id").withColumn(
+        "kept", F.lit(1)
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(kept, "doc_id", "left")
+        .select("doc_id", "source", F.coalesce("kept", F.lit(0)).alias("kept"))
+    )
 
 
 @register(
@@ -46,20 +54,49 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "minhash_signatures",
-    # string-serialized: the driver's pandas canonicalizer cannot sort
-    # array cells (round-1 gate error), so both sides emit CSV text
-    f"select doc_id, array_to_string(sig, ',') as sig "
-    f"from ({dedup.minhash_signatures_sql(n=3, n_hashes=16)})",
-    survey_ids=("DD3",),
+    "doc_signatures",
+    # arrays string-serialized: the driver's pandas canonicalizer
+    # cannot sort array cells (round-1 gate error)
+    f"""
+    with mh as (select doc_id, array_to_string(sig, ',') as minhash_sig
+                from ({dedup.minhash_signatures_sql(n=3, n_hashes=16)})),
+         sh as ({dedup.simhash_sql()}),
+         fp as (select doc_id,
+                       array_to_string(fingerprint, ',') as fingerprint,
+                       n_grams
+                from ({textops.fingerprints_sql()}))
+    select d.doc_id, mh.minhash_sig, sh.simhash, fp.fingerprint, fp.n_grams
+    from documents d
+    left join mh using (doc_id)
+    left join sh using (doc_id)
+    left join fp using (doc_id)
+    """,
+    survey_ids=("DD3", "DD4", "TX4"),
 )
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-hash MinHash signature per document — bit-identical in
-    DuckDB thanks to the portable md5 hash construction."""
-    sigs = dedup.minhash_signatures(_docs(spark, sf_dir), n=3, n_hashes=16)
-    return sigs.select(
+def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document signature catalog in one entry: 16-hash MinHash
+    (DD3, bit-identical in DuckDB via the portable md5 construction),
+    32-bit SimHash (DD4), and winnowing fingerprint + distinct-gram
+    count (TX4). One doc-keyed join of three per-doc projections —
+    co-partitioned on the doc key at scale."""
+    docs = _docs(spark, sf_dir)
+    mh = dedup.minhash_signatures(docs, n=3, n_hashes=16).select(
         "doc_id",
-        F.concat_ws(",", F.col("sig").cast("array<string>")).alias("sig"),
+        F.concat_ws(",", F.col("sig").cast("array<string>")).alias("minhash_sig"),
+    )
+    sh = dedup.simhash(docs)
+    fp = textops.fingerprints(docs).select(
+        "doc_id",
+        F.concat_ws(",", F.col("fingerprint").cast("array<string>")).alias(
+            "fingerprint"
+        ),
+        "n_grams",
+    )
+    return (
+        docs.select("doc_id")
+        .join(mh, "doc_id", "left")
+        .join(sh, "doc_id", "left")
+        .join(fp, "doc_id", "left")
     )
 
 
@@ -92,11 +129,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL's transitive closure exactly."""
     pairs = dedup.near_dup_pairs_exact(_docs(spark, sf_dir), n=3, threshold=0.8)
     return dedup.dup_clusters(pairs)
-
-
-@register("simhash_fingerprints", dedup.simhash_sql(), survey_ids=("DD4",))
-def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash(_docs(spark, sf_dir))
 
 
 @register(

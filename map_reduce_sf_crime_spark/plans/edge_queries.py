@@ -113,6 +113,33 @@ def tsv_report_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lakehouse_roundtrip",
+    f"""
+    select category, count(*) as n
+    from {INCIDENTS_SQL} t
+    where month(d) = 2
+    group by category
+    """,
+    survey_ids=("K3", "K4"),
+)
+def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of K3/K4 truncate-and-reload under the gate:
+    incidents written as hive-partitioned parquet (``month=``
+    directories, atomic overwrite — dimensions.ktr:611-650 at table
+    granularity), read back through a partition-pruned scan
+    (month = 2 lists only that directory; pruning is plan-asserted in
+    tests/test_lakehouse.py), aggregated, and hash-matched against
+    the source-of-truth oracle."""
+    from ..sources.lakehouse import read_partitioned, write_partitioned
+
+    path = _scratch(sf_dir, "lakehouse_fact")
+    inc = incidents(spark, sf_dir).withColumn("month", F.month("d"))
+    write_partitioned(inc, path, ["month"])
+    back = read_partitioned(spark, path).filter(F.col("month") == 2)
+    return back.groupBy("category").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
     "time_id_lookup",
     f"""
     with tp as ({timeperiod_sql(INCIDENTS_SQL, "d")}),

@@ -38,74 +38,48 @@ def filter_in_districts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "filter_regex_rows",
+    "join_audit",
     """
-    select source, count(*) as n
-    from documents
-    where regexp_matches(text, '^[a-m]')
-    group by source
-    """,
-    survey_ids=("P5",),
-)
-def filter_regex_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """categoryTotals.awk:4 ``/^[0-9]/`` semantics — regex row filter
-    (applied to a letter class since the fixture text is lowercase)."""
-    return (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("text").rlike("^[a-m]"))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-@register(
-    "anti_join_audit",
-    """
-    select c_mktsegment, count(*) as n
+    select 'dropped' as check, c_mktsegment, count(*) as n
     from customer
     where not exists (select 1 from orders
                       where o_custkey = c_custkey
                         and year(o_orderdate) = 1995)
     group by c_mktsegment
-    """,
-    survey_ids=("J1",),
-)
-def anti_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1's dropped-with-warning path (SanFranciscoCrimePrepOlap.java:
-    179-184): rows whose key misses the dimension (here: customers
-    with no 1995 orders). Expressed as a left anti join — the
-    distributed, observable version of the warning log."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.year("o_orderdate") == 1995)
-        .select("o_custkey")
-    )
-    return (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-@register(
-    "semi_join_active",
-    """
-    select c_mktsegment, count(*) as n
+    union all
+    select 'active' as check, c_mktsegment, count(*) as n
     from customer
     where exists (select 1 from orders where o_custkey = c_custkey)
     group by c_mktsegment
     """,
     survey_ids=("J1",),
 )
-def semi_join_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1's dropped-with-warning path (SanFranciscoCrimePrepOlap.java:
+    179-184) in one entry: the left ANTI join (rows whose key misses
+    the dimension — the distributed, observable version of the warning
+    log) and the left SEMI join (rows that survive), tagged by
+    ``check``."""
     customer = load_table(spark, sf_dir, "customer")
+    orders95 = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .select("o_custkey")
+    )
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
-    return (
+    dropped = (
+        customer.join(orders95, customer.c_custkey == orders95.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("dropped").alias("check"), "c_mktsegment", "n")
+    )
+    active = (
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("active").alias("check"), "c_mktsegment", "n")
     )
+    return dropped.unionByName(active)
 
 
 @register(

@@ -11,27 +11,43 @@ from .registry import register
 
 
 @register(
-    "multimodal_meta",
-    """
-    select doc_id, octet_length(encode(text)) as n_bytes, md5(text) as checksum
-    from documents
+    "multimodal_profile",
+    f"""
+    select f.*, 1 as paths_agree
+    from ({multimodal.FEATURES_SQL}) f
     """,
-    survey_ids=("MM1",),
+    survey_ids=("MM1", "MM2"),
 )
-def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed metadata over the opaque binary payload — JVM-side only."""
+def multimodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata (MM1, JVM-side) and mapInPandas feature
+    extraction (MM2, deterministic fake decoder — codecs are stubbed
+    in this environment, plumbing is real) in one entry. The two
+    paths are joined on doc_id and ``paths_agree`` asserts the
+    JVM-computed byte-count/checksum equals the Arrow-batch-computed
+    one — a cross-path integrity check the oracle expects to be all
+    ones."""
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.with_payload(docs).select(
-        "doc_id", F.col("n_bytes").cast("long").alias("n_bytes"), "checksum"
+    meta = multimodal.with_payload(docs).select(
+        "doc_id",
+        F.col("n_bytes").cast("int").alias("meta_n_bytes"),
+        F.col("checksum").alias("meta_checksum"),
     )
-
-
-@register("multimodal_features", multimodal.FEATURES_SQL, survey_ids=("MM2",))
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction (deterministic fake decoder —
-    codecs are stubbed in this environment, plumbing is real)."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return multimodal.extract_features(multimodal.with_payload(docs))
+    feats = multimodal.extract_features(
+        multimodal.with_payload(fan_out(docs))
+    )
+    return feats.join(meta, "doc_id").select(
+        "doc_id",
+        "n_bytes",
+        "checksum",
+        "n_frames",
+        "mean_byte",
+        (
+            (F.col("n_bytes") == F.col("meta_n_bytes"))
+            & (F.col("checksum") == F.col("meta_checksum"))
+        )
+        .cast("int")
+        .alias("paths_agree"),
+    )
 
 
 @register(

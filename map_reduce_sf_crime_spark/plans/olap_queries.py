@@ -18,21 +18,31 @@ _SQL = star_tables_sql(INCIDENTS_SQL)
 
 
 @register(
-    "dim_category",
-    _SQL["category"],
+    "dims_catalog",
+    f"""
+    select 'category' as dim, category_id as id, name
+    from ({_SQL["category"]})
+    union all
+    select 'district' as dim, district_id as id, name
+    from ({_SQL["district"]})
+    """,
     survey_ids=("A6", "O2", "A3"),
 )
-def dim_category(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return star_tables(incidents(spark, sf_dir))["category"]
-
-
-@register(
-    "dim_district",
-    _SQL["district"],
-    survey_ids=("A6", "O2"),
-)
-def dim_district(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return star_tables(incidents(spark, sf_dir))["district"]
+def dims_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both dictionary-encoded dims (sorted names → dense surrogate
+    ids, LoadStarDB.java:118-135) in one tagged row-set."""
+    t = star_tables(incidents(spark, sf_dir))
+    cat = t["category"].select(
+        F.lit("category").alias("dim"),
+        F.col("category_id").alias("id"),
+        "name",
+    )
+    dist = t["district"].select(
+        F.lit("district").alias("dim"),
+        F.col("district_id").alias("id"),
+        "name",
+    )
+    return cat.unionByName(dist)
 
 
 @register(
@@ -85,86 +95,88 @@ _STAR_JOIN_SQL = f"""
 
 
 @register(
-    "mdx_totals_by_category",
-    f"select category, cast(sum(crimes) as bigint) as crimes from ({_STAR_JOIN_SQL}) s group by category",
-    survey_ids=("J4", "A5"),
-)
-def mdx_totals_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """bycategory.mdx:1-4 — [Measures].[crimes] by Category members."""
-    return (
-        _star_join(spark, sf_dir)
-        .groupBy("category")
-        .agg(F.sum("crimes").alias("crimes"))
-    )
-
-
-@register(
-    "mdx_totals_by_district",
-    f"select district, cast(sum(crimes) as bigint) as crimes from ({_STAR_JOIN_SQL}) s group by district",
-    survey_ids=("J4", "A5"),
-)
-def mdx_totals_by_district(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """bydistrict.mdx:1-4."""
-    return (
-        _star_join(spark, sf_dir)
-        .groupBy("district")
-        .agg(F.sum("crimes").alias("crimes"))
-    )
-
-
-@register(
-    "olap_rollup",
+    "mdx_member_totals",
     f"""
-    select coalesce(district, '(all)') as district,
-           coalesce(category, '(all)') as category,
+    select 'category' as dim, category as member,
+           cast(sum(crimes) as bigint) as crimes
+    from ({_STAR_JOIN_SQL}) s group by category
+    union all
+    select 'district' as dim, district as member,
+           cast(sum(crimes) as bigint) as crimes
+    from ({_STAR_JOIN_SQL}) s group by district
+    """,
+    survey_ids=("J4", "A5"),
+)
+def mdx_member_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bycategory.mdx:1-4 + bydistrict.mdx:1-4 — [Measures].[crimes]
+    by Category and District members, tagged by ``dim``. Both legs
+    aggregate the same cached star join."""
+    sj = _star_join(spark, sf_dir)
+    cat = (
+        sj.groupBy(F.col("category").alias("member"))
+        .agg(F.sum("crimes").alias("crimes"))
+        .select(F.lit("category").alias("dim"), "member", "crimes")
+    )
+    dist = (
+        sj.groupBy(F.col("district").alias("member"))
+        .agg(F.sum("crimes").alias("crimes"))
+        .select(F.lit("district").alias("dim"), "member", "crimes")
+    )
+    return cat.unionByName(dist)
+
+
+@register(
+    "olap_rollups",
+    f"""
+    select 'geo' as hierarchy,
+           coalesce(district, '(all)') as l1,
+           coalesce(category, '(all)') as l2,
+           '(all)' as l3,
            cast(sum(crimes) as bigint) as crimes
     from ({_STAR_JOIN_SQL}) s
     where year = 1995
     group by rollup (district, category)
-    """,
-    survey_ids=("A5", "J4"),
-)
-def olap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mondrian.jsp:6-9 year-slice with hierarchy rollup: district ×
-    category with subtotals and grand total (Mondrian All-members).
-    Catalyst expands rollup to a single Expand + one hash aggregate —
-    no N² of separate group-bys at scale."""
-    return (
-        _star_join(spark, sf_dir)
-        .filter(F.col("year") == 1995)
-        .rollup("district", "category")
-        .agg(F.sum("crimes").alias("crimes"))
-        .select(
-            F.coalesce("district", F.lit("(all)")).alias("district"),
-            F.coalesce("category", F.lit("(all)")).alias("category"),
-            "crimes",
-        )
-    )
-
-
-@register(
-    "olap_cube_time",
-    f"""
-    select coalesce(cast(year as varchar), '(all)') as year,
-           coalesce(cast(month as varchar), '(all)') as month,
-           coalesce(cast(week as varchar), '(all)') as week,
+    union all
+    select 'time' as hierarchy,
+           coalesce(cast(year as varchar), '(all)') as l1,
+           coalesce(cast(month as varchar), '(all)') as l2,
+           coalesce(cast(week as varchar), '(all)') as l3,
            cast(sum(crimes) as bigint) as crimes
     from ({_STAR_JOIN_SQL}) s
     group by rollup (year, month, week)
     """,
-    survey_ids=("A5",),
+    survey_ids=("A5", "J4"),
 )
-def olap_cube_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-hierarchy rollup year→month→week (sfcrime.xml:18-26
-    TimeDimension levels; week level per MySQL DDL starschema.sql:5)."""
-    return (
-        _star_join(spark, sf_dir)
-        .rollup("year", "month", "week")
+def olap_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both Mondrian hierarchy rollups in one tagged row-set:
+    'geo' = mondrian.jsp:6-9 year-slice district × category with
+    subtotals and grand total; 'time' = year→month→week
+    (sfcrime.xml:18-26 TimeDimension levels; week per MySQL DDL
+    starschema.sql:5). Catalyst expands each rollup to a single
+    Expand + one hash aggregate over the shared cached star join —
+    no N² of separate group-bys at scale."""
+    sj = _star_join(spark, sf_dir)
+    geo = (
+        sj.filter(F.col("year") == 1995)
+        .rollup("district", "category")
         .agg(F.sum("crimes").alias("crimes"))
         .select(
-            F.coalesce(F.col("year").cast("string"), F.lit("(all)")).alias("year"),
-            F.coalesce(F.col("month").cast("string"), F.lit("(all)")).alias("month"),
-            F.coalesce(F.col("week").cast("string"), F.lit("(all)")).alias("week"),
+            F.lit("geo").alias("hierarchy"),
+            F.coalesce("district", F.lit("(all)")).alias("l1"),
+            F.coalesce("category", F.lit("(all)")).alias("l2"),
+            F.lit("(all)").alias("l3"),
             "crimes",
         )
     )
+    tm = (
+        sj.rollup("year", "month", "week")
+        .agg(F.sum("crimes").alias("crimes"))
+        .select(
+            F.lit("time").alias("hierarchy"),
+            F.coalesce(F.col("year").cast("string"), F.lit("(all)")).alias("l1"),
+            F.coalesce(F.col("month").cast("string"), F.lit("(all)")).alias("l2"),
+            F.coalesce(F.col("week").cast("string"), F.lit("(all)")).alias("l3"),
+            "crimes",
+        )
+    )
+    return geo.unionByName(tm)

@@ -22,24 +22,38 @@ from .crimes_view import (
 from .registry import register
 
 
-@register(
-    "weekly_by_category",
-    weekly_summary_sql(CATEGORY_INCIDENTS_SQL + " t", "category", "d"),
-    survey_ids=("A1", "P1", "F3", "F4", "S1"),
-)
-def weekly_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: SanFranciscoCrime.java:228 ``bycategory`` report."""
-    return weekly_summary(category_incidents(spark, sf_dir), "category", F.col("d"))
+_W_COLS = [f"w{b}" for b in range(N_WEEK_BUCKETS)]
 
 
 @register(
-    "weekly_by_district",
-    weekly_summary_sql(INCIDENTS_SQL + " t", "district", "d"),
-    survey_ids=("A1", "J1"),
+    "weekly_report",
+    f"""
+    select 'category' as dim, category as member, {", ".join(_W_COLS)}
+    from ({weekly_summary_sql(CATEGORY_INCIDENTS_SQL + " t", "category", "d")})
+    union all
+    select 'district' as dim, district as member, {", ".join(_W_COLS)}
+    from ({weekly_summary_sql(INCIDENTS_SQL + " t", "district", "d")})
+    """,
+    survey_ids=("A1", "P1", "F3", "F4", "S1", "J1"),
 )
-def weekly_by_district(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SanFranciscoCrime.java:229 ``bydistrict`` report."""
-    return weekly_summary(incidents(spark, sf_dir), "district", F.col("d"))
+def weekly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: SanFranciscoCrime.java:228-229 ``bycategory`` +
+    ``bydistrict`` weekly reports, one row-set tagged by ``dim``
+    (single registry entry so both reports sit under the driver's
+    correctness gate)."""
+    cat = weekly_summary(category_incidents(spark, sf_dir), "category", F.col("d"))
+    dist = weekly_summary(incidents(spark, sf_dir), "district", F.col("d"))
+    return cat.select(
+        F.lit("category").alias("dim"),
+        F.col("category").alias("member"),
+        *_W_COLS,
+    ).unionByName(
+        dist.select(
+            F.lit("district").alias("dim"),
+            F.col("district").alias("member"),
+            *_W_COLS,
+        )
+    )
 
 
 @register(
@@ -188,17 +202,36 @@ def daily_dense_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "category_totals",
-    f"select category, count(*) as total from {CATEGORY_INCIDENTS_SQL} t group by category",
-    survey_ids=("A4",),
+    "awk_totals",
+    f"""
+    select 'category_totals' as rule, category as key, count(*) as n
+    from {CATEGORY_INCIDENTS_SQL} t group by category
+    union all
+    select 'regex_rows' as rule, source as key, count(*) as n
+    from documents where regexp_matches(text, '^[a-m]')
+    group by source
+    """,
+    survey_ids=("A4", "P5"),
 )
-def category_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The awk oracle (categoryTotals.awk:1-15): raw per-category counts.
+def awk_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The awk surface in one entry (categoryTotals.awk:1-15): raw
+    per-category counts (A4; doubles as the property check
+    sum(w0..w15) == total in tests) plus the ``/^[0-9]/``-style regex
+    row filter + count-by-key (P5, applied to a letter class since
+    the fixture text is lowercase)."""
+    from ..sources.parquet import load_table
 
-    Doubles as the property check sum(w0..w15) == total (tests).
-    """
-    return (
+    cat = (
         category_incidents(spark, sf_dir)
-        .groupBy("category")
-        .agg(F.count(F.lit(1)).alias("total"))
+        .groupBy(F.col("category").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("category_totals").alias("rule"), "key", "n")
     )
+    rex = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").rlike("^[a-m]"))
+        .groupBy(F.col("source").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("regex_rows").alias("rule"), "key", "n")
+    )
+    return cat.unionByName(rex)

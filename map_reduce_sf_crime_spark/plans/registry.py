@@ -34,15 +34,19 @@ def register(name: str, oracle: str | None, survey_ids: tuple[str, ...] = ()):
     return deco
 
 
-# Import side-effect modules that populate REGISTRY.
+# Import side-effect modules that populate REGISTRY. The driver's
+# correctness gate records at most 50 entries in insertion order, so
+# the registry is consolidated to exactly 50 queries (every SURVEY §2
+# id still covered via survey_ids tags) and ordered oracled-first:
+# the single rows-only entry (multimodal_resize) registers last.
 from . import parity_queries  # noqa: E402,F401
 from . import olap_queries  # noqa: E402,F401
 from . import filter_queries  # noqa: E402,F401
+from . import edge_queries  # noqa: E402,F401
+from . import scale_queries  # noqa: E402,F401
 from . import dedup_queries  # noqa: E402,F401
 from . import text_queries  # noqa: E402,F401
 from . import similarity_queries  # noqa: E402,F401
+from . import pipeline_queries  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 from . import multimodal_queries  # noqa: E402,F401
-from . import edge_queries  # noqa: E402,F401
-from . import scale_queries  # noqa: E402,F401
-from . import pipeline_queries  # noqa: E402,F401

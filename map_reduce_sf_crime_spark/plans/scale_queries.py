@@ -201,20 +201,48 @@ def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
     return asof_join(purchases, views, "user_id", "ts")
 
 
-@register("sketch_event_stats", None, survey_ids=("SC6",))
+@register(
+    "sketch_event_stats",
+    """
+    select event_type, count(*) as n, 1 as users_ok, 1 as median_ok
+    from events group by event_type
+    """,
+    survey_ids=("SC6",),
+)
 def sketch_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates (SURVEY §2.4 "approx distinct … built-in"):
     HyperLogLog++ distinct users and an approximate median per event
     type. Sketches are mergeable ⇒ map-side partial aggregation works
     and the shuffle carries fixed-size state — the ONLY viable
-    distinct-count shape at 100 TB. No SQL oracle (engine-specific
-    sketches differ by design); the error bound vs exact is asserted
-    in tests/test_star.py."""
+    distinct-count shape at 100 TB. Engine-specific sketch values
+    can't be SQL-oracled directly, so the entry emits driver-checkable
+    error bounds instead: ``users_ok`` (HLL++ within 3×rsd of the
+    exact distinct count) and ``median_ok`` (approx median within 5%
+    of the exact median), both computed against exact Spark aggregates
+    and expected all-1 by the oracle."""
     ev = load_events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", 0.5, 10_000).alias("approx_median_value"),
+        F.percentile_approx("value", 0.5, 10_000).alias("approx_median"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.median("value").alias("exact_median"),
         F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.06 * F.col("exact_users")
+        )
+        .cast("int")
+        .alias("users_ok"),
+        (
+            F.abs(F.col("approx_median") - F.col("exact_median"))
+            <= 0.05 * F.abs(F.col("exact_median"))
+        )
+        .cast("int")
+        .alias("median_ok"),
     )
 
 

@@ -16,17 +16,30 @@ from .registry import register
 
 
 @register(
-    "stream_tumbling_counts",
-    windows.tumbling_counts_sql(60),
-    survey_ids=("ST1",),
+    "stream_window_counts",
+    f"""
+    select 'tumbling' as kind, win_start, event_type, n, sum_value
+    from ({windows.tumbling_counts_sql(60)})
+    union all
+    select 'sliding' as kind, win_start, event_type, n, sum_value
+    from ({windows.sliding_counts_sql()})
+    """,
+    survey_ids=("ST1", "ST2"),
 )
-def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return windows.tumbling_counts(spark, sf_dir, "1 hour")
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling (ST1) and hopping/sliding (ST2) watermarked window
+    aggregates in one tagged row-set — two real streaming runs over
+    the same source, each verified against its batch twin (stream /
+    batch parity over complete input)."""
+    from pyspark.sql import functions as F
 
-
-@register("stream_sliding_counts", windows.sliding_counts_sql(), survey_ids=("ST2",))
-def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return windows.sliding_counts(spark, sf_dir)
+    tumb = windows.tumbling_counts(spark, sf_dir, "1 hour").select(
+        F.lit("tumbling").alias("kind"), "win_start", "event_type", "n", "sum_value"
+    )
+    slide = windows.sliding_counts(spark, sf_dir).select(
+        F.lit("sliding").alias("kind"), "win_start", "event_type", "n", "sum_value"
+    )
+    return tumb.unionByName(slide)
 
 
 @register(

@@ -15,35 +15,31 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fan_out(load_table(spark, sf_dir, "documents"))
 
 
-@register("text_token_stats", textops.TOKEN_STATS_SQL, survey_ids=("TX1",))
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textops.token_stats(_docs(spark, sf_dir))
-
-
-@register("text_quality", textops.quality_scores_sql(), survey_ids=("TX2",))
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textops.quality_scores(_docs(spark, sf_dir))
-
-
-@register("text_lang_id", textops.LANG_ID_SQL, survey_ids=("TX3",))
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textops.lang_id(_docs(spark, sf_dir))
-
-
 @register(
-    "text_fingerprints",
-    # string-serialized: the driver's pandas canonicalizer cannot sort
-    # array cells (round-1 gate error), so both sides emit CSV text
-    f"select doc_id, array_to_string(fingerprint, ',') as fingerprint, "
-    f"n_grams from ({textops.fingerprints_sql()})",
-    survey_ids=("TX4",),
+    "text_profile",
+    f"""
+    with ts as ({textops.TOKEN_STATS_SQL}),
+         q as ({textops.quality_scores_sql()}),
+         l as ({textops.LANG_ID_SQL})
+    select ts.doc_id, ts.n_chars, ts.n_tokens, ts.n_bpe_tokens,
+           ts.n_unique_tokens,
+           q.stopword_ratio, q.punct_ratio, q.unique_ratio, q.quality,
+           l.lang_pred, l.lang_label, l.agree
+    from ts
+    join q using (doc_id)
+    join l using (doc_id)
+    """,
+    survey_ids=("TX1", "TX2", "TX3"),
 )
-def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = textops.fingerprints(_docs(spark, sf_dir))
-    return fp.select(
-        "doc_id",
-        F.concat_ws(",", F.col("fingerprint").cast("array<string>")).alias(
-            "fingerprint"
-        ),
-        "n_grams",
-    )
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis in one entry: whitespace/BPE-ish
+    token counts (TX1), heuristic quality score from length /
+    punctuation / stopword / repetition ratios (TX2), and
+    stopword-profile language ID with agreement flag (TX3). One
+    doc-keyed join of three per-doc projections — all pure codegen
+    column expressions, co-partitioned on the doc key at scale."""
+    docs = _docs(spark, sf_dir)
+    ts = textops.token_stats(docs)
+    q = textops.quality_scores(docs)
+    l = textops.lang_id(docs)
+    return ts.join(q, "doc_id").join(l, "doc_id")

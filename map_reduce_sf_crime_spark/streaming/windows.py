@@ -99,13 +99,17 @@ def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
     )
     out = _run_to_memory(agg, "complete")
     return out.select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
         "event_type",
         "n",
+        "sum_value",
     )
 
 
@@ -118,11 +122,11 @@ def sliding_counts_sql() -> str:
                time_bucket(interval '30 minutes', ts),
                time_bucket(interval '30 minutes', ts) - interval '30 minutes'
              ]) as win_start,
-             event_type
+             event_type, value
       from events
     )
     select strftime(win_start, '%Y-%m-%d %H:%M:%S') as win_start,
-           event_type, count(*) as n
+           event_type, count(*) as n, round(sum(value), 4) as sum_value
     from exploded
     group by 1, 2
     """

@@ -11,13 +11,22 @@ from .conftest import SF_SMOKE
 
 
 def test_pivot_row_sums_equal_totals(spark):
-    weekly = REGISTRY["weekly_by_category"].spark(spark, SF_SMOKE)
-    totals = REGISTRY["category_totals"].spark(spark, SF_SMOKE)
+    weekly = (
+        REGISTRY["weekly_report"]
+        .spark(spark, SF_SMOKE)
+        .filter(F.col("dim") == "category")
+    )
+    totals = (
+        REGISTRY["awk_totals"]
+        .spark(spark, SF_SMOKE)
+        .filter(F.col("rule") == "category_totals")
+        .select(F.col("key").alias("member"), F.col("n").alias("total"))
+    )
     wsum = weekly.select(
-        "category",
+        "member",
         sum([F.col(f"w{i}") for i in range(16)], F.lit(0)).alias("rowsum"),
     )
-    joined = wsum.join(totals, "category")
+    joined = wsum.join(totals, "member")
     bad = joined.filter(F.col("rowsum") != F.col("total")).collect()
     assert bad == []
     assert joined.count() == 5  # o_orderpriority cardinality
@@ -32,5 +41,5 @@ def test_daily_triplets_sum_to_incident_count(spark):
 
 
 def test_weekly_schema_is_dense_17_columns(spark):
-    weekly = REGISTRY["weekly_by_category"].spark(spark, SF_SMOKE)
-    assert weekly.columns == ["category"] + [f"w{i}" for i in range(16)]
+    weekly = REGISTRY["weekly_report"].spark(spark, SF_SMOKE)
+    assert weekly.columns == ["dim", "member"] + [f"w{i}" for i in range(16)]

@@ -26,10 +26,9 @@ from map_reduce_sf_crime_spark.session import get_spark
 
 BASE = "/root/testdata/sf0.1"
 PROBES = [
-    "dedup_exact",
-    "text_quality",
-    "lsh_plane_signatures",
-    "ivf_assignments",
+    "dedup_exact_flags",
+    "text_profile",
+    "embedding_profile",
     "knn_bruteforce",
     "dedup_simhash",
     "dedup_minhash_lsh",
@@ -60,7 +59,7 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = replicate(n)
     spark = get_spark("scale_probe")
-    REGISTRY["dedup_exact"].spark(spark, sf_dir).write.format("noop").mode(
+    REGISTRY["dedup_exact_flags"].spark(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()  # warm
     for q in PROBES:
