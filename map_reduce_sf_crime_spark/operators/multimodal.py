@@ -81,7 +81,10 @@ def extract_features(
                     "n_bytes": pdf["n_bytes"].astype("int32"),
                     "checksum": pdf["checksum"],
                     "n_frames": feats.map(lambda f: f["n_frames"]).astype("int32"),
-                    "mean_byte": feats.map(lambda f: round(f["mean_byte"], 6)),
+                    # UNROUNDED: integer byte-sum / count divides bit-exactly
+                    # in both engines; round-to-6dp diverges at .xxxxxx5
+                    # boundaries (Python half-even vs DuckDB half-up)
+                    "mean_byte": feats.map(lambda f: f["mean_byte"]),
                 }
             )
 
@@ -184,6 +187,6 @@ with b as (
 )
 select doc_id, n_bytes::int as n_bytes, checksum,
        (n_bytes // 100 + 1)::int as n_frames,
-       round(list_sum(bytes_list) * 1.0 / n_bytes, 6) as mean_byte
+       list_sum(bytes_list) * 1.0 / n_bytes as mean_byte
 from b
 """
