@@ -28,18 +28,11 @@ from .registry import register
 )
 def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling (ST1) and hopping/sliding (ST2) watermarked window
-    aggregates in one tagged row-set — two real streaming runs over
-    the same source, each verified against its batch twin (stream /
-    batch parity over complete input)."""
-    from pyspark.sql import functions as F
-
-    tumb = windows.tumbling_counts(spark, sf_dir, "1 hour").select(
-        F.lit("tumbling").alias("kind"), "win_start", "event_type", "n", "sum_value"
-    )
-    slide = windows.sliding_counts(spark, sf_dir).select(
-        F.lit("sliding").alias("kind"), "win_start", "event_type", "n", "sum_value"
-    )
-    return tumb.unionByName(slide)
+    aggregates in one tagged row-set — two real streaming queries run
+    CONCURRENTLY in the session (started before either is awaited),
+    each verified against its batch twin (stream/batch parity over
+    complete input)."""
+    return windows.window_counts_concurrent(spark, sf_dir)
 
 
 @register(

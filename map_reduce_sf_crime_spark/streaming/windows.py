@@ -40,14 +40,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
-    """Drive the streaming query to completion over the static input
-    and return the materialized result (local-harness pattern).
-
-    ``complete`` mode: with availableNow over a finite input, append
-    mode would withhold every window the final watermark hasn't passed
-    (the last hour of data) — complete emits the full aggregate state,
-    which is what stream/batch parity needs."""
+def _start_to_memory(agg: DataFrame, mode: str = "complete"):
+    """Start (don't await) a memory-sink availableNow query; returns
+    (StreamingQuery, table name). Lets independent streaming queries
+    run CONCURRENTLY in one session — each pays its micro-batch
+    startup in parallel instead of serially."""
     name = f"mem_{uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.outputMode(mode)
@@ -56,16 +53,25 @@ def _run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
+    return q, name
+
+
+def _run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drive the streaming query to completion over the static input
+    and return the materialized result (local-harness pattern).
+
+    ``complete`` mode: with availableNow over a finite input, append
+    mode would withhold every window the final watermark hasn't passed
+    (the last hour of data) — complete emits the full aggregate state,
+    which is what stream/batch parity needs."""
+    q, name = _start_to_memory(agg, mode)
     q.awaitTermination()
     spark = agg.sparkSession
     return spark.table(name)
 
 
-def tumbling_counts(spark: SparkSession, sf_dir: str, width: str = "1 hour") -> DataFrame:
-    """Tumbling-window count + sum(value) per event_type with a
-    10-minute watermark."""
-    ev = _events_stream(spark, sf_dir)
-    agg = (
+def _tumbling_agg(ev: DataFrame, width: str = "1 hour") -> DataFrame:
+    return (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", width), "event_type")
         .agg(
@@ -73,13 +79,22 @@ def tumbling_counts(spark: SparkSession, sf_dir: str, width: str = "1 hour") -> 
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
-    out = _run_to_memory(agg, "complete")
+
+
+def _window_select(out: DataFrame) -> DataFrame:
     return out.select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
         "event_type",
         "n",
         "sum_value",
     )
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window count + sum(value) per event_type with a
+    10-minute watermark."""
+    ev = _events_stream(spark, sf_dir)
+    return _window_select(_run_to_memory(_tumbling_agg(ev, width), "complete"))
 
 
 def tumbling_counts_sql(width_minutes: int = 60) -> str:
@@ -92,11 +107,8 @@ def tumbling_counts_sql(width_minutes: int = 60) -> str:
     """
 
 
-def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour window sliding every 30 minutes (each event lands in 2
-    windows) — the hopping-window variant."""
-    ev = _events_stream(spark, sf_dir)
-    agg = (
+def _sliding_agg(ev: DataFrame) -> DataFrame:
+    return (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
         .agg(
@@ -104,13 +116,37 @@ def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
-    out = _run_to_memory(agg, "complete")
-    return out.select(
-        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
-        "event_type",
-        "n",
-        "sum_value",
+
+
+def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 minutes (each event lands in 2
+    windows) — the hopping-window variant."""
+    ev = _events_stream(spark, sf_dir)
+    return _window_select(_run_to_memory(_sliding_agg(ev), "complete"))
+
+
+def window_counts_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling + sliding window aggregates as two CONCURRENT
+    streaming queries over the same source (one session runs many
+    streaming queries; each has its own checkpoint state). Both are
+    started before either is awaited, so the per-query micro-batch
+    startup cost is paid in parallel — the shape a real multi-query
+    streaming deployment has."""
+    tq, tname = _start_to_memory(
+        _tumbling_agg(_events_stream(spark, sf_dir), "1 hour"), "complete"
     )
+    sq, sname = _start_to_memory(
+        _sliding_agg(_events_stream(spark, sf_dir)), "complete"
+    )
+    tq.awaitTermination()
+    sq.awaitTermination()
+    tumb = _window_select(spark.table(tname)).select(
+        F.lit("tumbling").alias("kind"), "win_start", "event_type", "n", "sum_value"
+    )
+    slide = _window_select(spark.table(sname)).select(
+        F.lit("sliding").alias("kind"), "win_start", "event_type", "n", "sum_value"
+    )
+    return tumb.unionByName(slide)
 
 
 def sliding_counts_sql() -> str:
