@@ -105,6 +105,7 @@ def stream_materialized_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # way as windows._events_stream: ns→µs)
     from pyspark.sql import functions as F
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = (

@@ -54,6 +54,7 @@ class CrimesScan:
 
 
 def read_crimes_csv(spark: SparkSession, path: str) -> CrimesScan:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = spark.read.csv(
         path,
         schema=CRIMES_SCHEMA,

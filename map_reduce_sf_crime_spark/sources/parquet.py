@@ -28,6 +28,11 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Defensive: every oracle comparison assumes UTC-naive timestamp
+    # semantics (DuckDB). The harness session pins UTC, but queries may
+    # run under a caller-built session — pin it at the data boundary so
+    # date/timestamp renders can't shift with the host timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

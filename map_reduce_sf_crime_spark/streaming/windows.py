@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ns-timestamp parquet: read nanos as long, floor to µs (same as
     # the batch loader in sources/parquet.py so oracles agree).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     return (
