@@ -40,80 +40,77 @@ def filter_in_districts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_audit",
     """
-    select 'dropped' as check, c_mktsegment, count(*) as n
+    with y95 as (select distinct o_custkey from orders
+                 where year(o_orderdate) = 1995),
+         y96 as (select distinct o_custkey from orders
+                 where year(o_orderdate) = 1996)
+    select 'dropped' as check, c_mktsegment as key, count(*) as n
     from customer
     where not exists (select 1 from orders
                       where o_custkey = c_custkey
                         and year(o_orderdate) = 1995)
     group by c_mktsegment
     union all
-    select 'active' as check, c_mktsegment, count(*) as n
+    select 'active' as check, c_mktsegment as key, count(*) as n
     from customer
     where exists (select 1 from orders where o_custkey = c_custkey)
     group by c_mktsegment
+    union all
+    select 'set_only_1995' as check, 'custkeys' as key, count(*) as n
+    from (select * from y95 except select * from y96) a
+    union all
+    select 'set_both' as check, 'custkeys' as key, count(*) as n
+    from (select * from y95 intersect select * from y96) b
+    union all
+    select 'set_either' as check, 'custkeys' as key, count(*) as n
+    from (select * from y95 union select * from y96) c
     """,
-    survey_ids=("J1",),
+    survey_ids=("J1", "SET"),
 )
 def join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1's dropped-with-warning path (SanFranciscoCrimePrepOlap.java:
-    179-184) in one entry: the left ANTI join (rows whose key misses
-    the dimension — the distributed, observable version of the warning
-    log) and the left SEMI join (rows that survive), tagged by
-    ``check``."""
+    """Key-membership audits in one tagged entry. J1's
+    dropped-with-warning path (SanFranciscoCrimePrepOlap.java:179-184):
+    the left ANTI join (rows whose key misses the dimension — the
+    distributed, observable version of the warning log) and the left
+    SEMI join (rows that survive). Plus §2.7 set operations (absent
+    in the reference, built-in here): except / intersect / union over
+    distinct yearly customer-key sets."""
     customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
     orders95 = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.year("o_orderdate") == 1995)
-        .select("o_custkey")
+        orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
     )
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
     dropped = (
         customer.join(orders95, customer.c_custkey == orders95.o_custkey, "left_anti")
-        .groupBy("c_mktsegment")
+        .groupBy(F.col("c_mktsegment").alias("key"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.lit("dropped").alias("check"), "c_mktsegment", "n")
+        .select(F.lit("dropped").alias("check"), "key", "n")
     )
     active = (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.lit("active").alias("check"), "c_mktsegment", "n")
-    )
-    return dropped.unionByName(active)
-
-
-@register(
-    "set_ops_custkeys",
-    """
-    with y95 as (select distinct o_custkey from orders
-                 where year(o_orderdate) = 1995),
-         y96 as (select distinct o_custkey from orders
-                 where year(o_orderdate) = 1996)
-    select 'only_1995' as bucket, count(*) as n from (select * from y95 except select * from y96) a
-    union all
-    select 'both' as bucket, count(*) as n from (select * from y95 intersect select * from y96) b
-    union all
-    select 'either' as bucket, count(*) as n from (select * from y95 union select * from y96) c
-    """,
-    survey_ids=("SET",),
-)
-def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.7 — set operations (absent in the reference, built-in here):
-    except / intersect / union over distinct yearly customer sets."""
-    orders = load_table(spark, sf_dir, "orders")
-    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
-    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
-    rows = [
-        ("only_1995", y95.exceptAll(y95.intersect(y96))),
-        ("both", y95.intersect(y96)),
-        ("either", y95.union(y96).distinct()),
-    ]
-    out = None
-    for name, df in rows:
-        part = df.agg(F.count(F.lit(1)).alias("n")).select(
-            F.lit(name).alias("bucket"), "n"
+        customer.join(
+            orders.select("o_custkey"),
+            customer.c_custkey == F.col("o_custkey"),
+            "left_semi",
         )
-        out = part if out is None else out.union(part)
+        .groupBy(F.col("c_mktsegment").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("active").alias("check"), "key", "n")
+    )
+    y95 = orders95.distinct()
+    y96 = (
+        orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    )
+    sets = [
+        ("set_only_1995", y95.exceptAll(y95.intersect(y96))),
+        ("set_both", y95.intersect(y96)),
+        ("set_either", y95.union(y96).distinct()),
+    ]
+    out = dropped.unionByName(active)
+    for name, df in sets:
+        leg = df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("check"), F.lit("custkeys").alias("key"), "n"
+        )
+        out = out.unionByName(leg)
     return out
 
 

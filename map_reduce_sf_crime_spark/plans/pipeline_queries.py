@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_col, tokens_sql
-from ..operators import dedup, textops
+from ..operators import dedup, packing, textops
 from ..operators.textops import LANG_ID_SQL, quality_scores_sql
 from ..sources.parquet import fan_out, load_table
 from .registry import register
@@ -45,6 +45,25 @@ from kept
 where doc_id not in (select doc_b from nd)
 group by source
 """
+
+
+PACK_BUDGET = 2048
+
+
+@register(
+    "corpus_pack",
+    packing.pack_documents_sql(PACK_BUDGET),
+    survey_ids=("PK1",),
+)
+def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (PK1): deterministic per-source
+    running-total bin assignment at a 2048-token budget — the prep
+    step that turns a cleaned corpus into fixed-length training
+    sequences. See operators/packing.py for the packing discipline
+    and its 100 TB shape."""
+    return packing.pack_documents(
+        fan_out(load_table(spark, sf_dir, "documents")), PACK_BUDGET
+    )
 
 
 @register("corpus_clean_stats", _CLEAN_SQL, survey_ids=("PL1",))

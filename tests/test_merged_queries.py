@@ -69,3 +69,41 @@ def test_concurrent_window_counts_equal_sequential(spark):
     tumb_leg = merged.filter(F.col("kind") == "tumbling").drop("kind")
     assert tumb_leg.exceptAll(tumb_seq).count() == 0
     assert tumb_seq.exceptAll(tumb_leg).count() == 0
+
+
+def test_corpus_pack_bins_contiguous_and_full(spark):
+    from map_reduce_sf_crime_spark.plans.pipeline_queries import PACK_BUDGET
+
+    packed = REGISTRY["corpus_pack"].spark(spark, SF_SMOKE).cache()
+    per_bin = (
+        packed.groupBy("source", "bin_id")
+        .agg(F.sum("n_tok").alias("bin_tokens"))
+    )
+    # bins are contiguous 0..max within each source
+    spans = per_bin.groupBy("source").agg(
+        F.min("bin_id").alias("lo"),
+        F.max("bin_id").alias("hi"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    bad = spans.filter(
+        (F.col("lo") != 0) | (F.col("n_bins") != F.col("hi") + 1)
+    ).collect()
+    assert bad == []
+    # every non-final bin's cumulative end crosses its budget boundary:
+    # sum over bins 0..b >= (b+1)*budget
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bin_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_bin.withColumn("cum_tokens", F.sum("bin_tokens").over(w))
+    final_bin = per_bin.groupBy("source").agg(F.max("bin_id").alias("fb"))
+    underfull = (
+        cum.join(final_bin, "source")
+        .filter(F.col("bin_id") < F.col("fb"))
+        .filter(F.col("cum_tokens") < (F.col("bin_id") + 1) * PACK_BUDGET)
+        .collect()
+    )
+    assert underfull == []
