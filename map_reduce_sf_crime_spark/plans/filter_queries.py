@@ -14,29 +14,6 @@ from ..sources.parquet import load_table
 from .crimes_view import INCIDENTS_SQL, incidents
 from .registry import register
 
-#: P6 — plotDistrict.r:3-6 selects 4 named districts; nation-name analog.
-R_DISTRICTS = ["NATION_1", "NATION_4", "NATION_7", "NATION_12"]
-
-
-@register(
-    "filter_in_districts",
-    f"""
-    select district, count(*) as total
-    from {INCIDENTS_SQL} t
-    where district in ({", ".join(f"'{d}'" for d in R_DISTRICTS)})
-    group by district
-    """,
-    survey_ids=("P6",),
-)
-def filter_in_districts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        incidents(spark, sf_dir)
-        .filter(F.col("district").isin(R_DISTRICTS))
-        .groupBy("district")
-        .agg(F.count(F.lit(1)).alias("total"))
-    )
-
-
 @register(
     "join_audit",
     """

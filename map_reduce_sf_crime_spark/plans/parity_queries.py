@@ -201,6 +201,10 @@ def daily_dense_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: P6 — plotDistrict.r:3-6 selects 4 named districts; nation-name analog.
+R_DISTRICTS = ["NATION_1", "NATION_4", "NATION_7", "NATION_12"]
+
+
 @register(
     "awk_totals",
     f"""
@@ -210,15 +214,21 @@ def daily_dense_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     select 'regex_rows' as rule, source as key, count(*) as n
     from documents where regexp_matches(text, '^[a-m]')
     group by source
+    union all
+    select 'in_districts' as rule, district as key, count(*) as n
+    from {INCIDENTS_SQL} t
+    where district in ({", ".join(f"'{d}'" for d in R_DISTRICTS)})
+    group by district
     """,
-    survey_ids=("A4", "P5"),
+    survey_ids=("A4", "P5", "P6"),
 )
 def awk_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The awk surface in one entry (categoryTotals.awk:1-15): raw
-    per-category counts (A4; doubles as the property check
-    sum(w0..w15) == total in tests) plus the ``/^[0-9]/``-style regex
-    row filter + count-by-key (P5, applied to a letter class since
-    the fixture text is lowercase)."""
+    """The row-filter + count-by-key surface in one tagged entry: raw
+    per-category counts (A4, categoryTotals.awk:1-15; doubles as the
+    property check sum(w0..w15) == total in tests), the
+    ``/^[0-9]/``-style regex row filter (P5, applied to a letter
+    class since the fixture text is lowercase), and the value-IN
+    district filter (P6, plotDistrict.r:3-6)."""
     from ..sources.parquet import load_table
 
     cat = (
@@ -234,4 +244,11 @@ def awk_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lit("regex_rows").alias("rule"), "key", "n")
     )
-    return cat.unionByName(rex)
+    dist = (
+        incidents(spark, sf_dir)
+        .filter(F.col("district").isin(R_DISTRICTS))
+        .groupBy(F.col("district").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("in_districts").alias("rule"), "key", "n")
+    )
+    return cat.unionByName(rex).unionByName(dist)

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_col, tokens_sql
-from ..operators import dedup, packing, textops
+from ..operators import dedup, packing, sampling, textops
 from ..operators.textops import LANG_ID_SQL, quality_scores_sql
 from ..sources.parquet import fan_out, load_table
 from .registry import register
@@ -48,6 +48,21 @@ group by source
 
 
 PACK_BUDGET = 2048
+
+
+@register(
+    "corpus_sample",
+    sampling.stratified_sample_sql(),
+    survey_ids=("SM1",),
+)
+def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (SM1): per-language corpus
+    mixture rates applied via the portable seeded hash — reproducible
+    across engines and cluster sizes, zero shuffle. See
+    operators/sampling.py."""
+    return sampling.stratified_sample_flags(
+        load_table(spark, sf_dir, "documents")
+    )
 
 
 @register(

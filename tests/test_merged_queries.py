@@ -107,3 +107,24 @@ def test_corpus_pack_bins_contiguous_and_full(spark):
         .collect()
     )
     assert underfull == []
+
+
+def test_corpus_sample_rates_and_determinism(spark):
+    from map_reduce_sf_crime_spark.operators.sampling import (
+        DEFAULT_RATE,
+        MIXTURE_RATES,
+    )
+
+    a = REGISTRY["corpus_sample"].spark(spark, SF_SMOKE)
+    b = REGISTRY["corpus_sample"].spark(spark, SF_SMOKE)
+    # bit-determinism: same decisions on re-execution
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # empirical per-stratum rate tracks the configured per-mille rate
+    stats = a.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("kept").alias("k")
+    ).collect()
+    for r in stats:
+        rate = MIXTURE_RATES.get(r.lang, DEFAULT_RATE) / 1000
+        # binomial 4-sigma tolerance at the stratum size
+        tol = 4 * (rate * (1 - rate) / r.n) ** 0.5 + 1 / r.n
+        assert abs(r.k / r.n - rate) <= tol, (r.lang, r.k, r.n, rate)
