@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import similarity
+from ..operators import quantize, similarity
 from ..sources.parquet import fan_out, load_table
 from .registry import register
 
@@ -60,23 +60,28 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with n as (
       select vec_id,
              round(sqrt(list_sum(list_transform(range(1, 65),
-                   i -> embedding[i]::double * embedding[i]::double))), 6) as l2
+                   i -> embedding[i]::double * embedding[i]::double))), 6) as l2,
+             {quantize.int8_quantize_sql('embedding', 64)} as int8_codes,
+             {quantize.int8_scale_sql('embedding')} as int8_scale
       from embeddings
     ),
     p as ({similarity.plane_signatures_sql()}),
     a as ({similarity.ivf_assignments_sql()})
-    select n.vec_id, n.l2, p.sig as plane_sig, a.centroid_id
+    select n.vec_id, n.l2, n.int8_codes, n.int8_scale,
+           p.sig as plane_sig, a.centroid_id
     from n
     join p using (vec_id)
     join a using (vec_id)
     """,
-    survey_ids=("UDF1", "ANN3", "ANN4"),
+    survey_ids=("UDF1", "ANN3", "ANN4", "QZ1"),
 )
 def embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-embedding catalog in one entry: L2 norm via a scalar
     ``@pandas_udf`` (Arrow-vectorized, SURVEY §2.10 — accumulates one
     dimension at a time in float64, the SQL fold order, so
-    sqrt+round match bit-for-bit), deterministic random-hyperplane
+    sqrt+round match bit-for-bit), symmetric int8 quantization codes
+    + dequant scale (QZ1, operators/quantize.py — floor-based, no
+    round-half mode to diverge), deterministic random-hyperplane
     signature (ANN3 — seeded md5 plane weights reproduced
     bit-for-bit in SQL), and IVF coarse-quantizer assignment (ANN4 —
     broadcast centroid matrix, narrow map, identical tie-break). One
@@ -95,7 +100,12 @@ def embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(out)
 
     emb = _emb(spark, sf_dir)
-    norms = emb.select("vec_id", F.round(l2("embedding"), 6).alias("l2"))
+    norms = emb.select(
+        "vec_id",
+        F.round(l2("embedding"), 6).alias("l2"),
+        quantize.int8_quantize_col(F.col("embedding")).alias("int8_codes"),
+        quantize.int8_scale_col(F.col("embedding")).alias("int8_scale"),
+    )
     planes = similarity.plane_signatures(emb).select(
         "vec_id", F.col("sig").alias("plane_sig")
     )

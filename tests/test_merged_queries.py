@@ -128,3 +128,22 @@ def test_corpus_sample_rates_and_determinism(spark):
         # binomial 4-sigma tolerance at the stratum size
         tol = 4 * (rate * (1 - rate) / r.n) ** 0.5 + 1 / r.n
         assert abs(r.k / r.n - rate) <= tol, (r.lang, r.k, r.n, rate)
+
+
+def test_int8_quantization_roundtrip_error(spark):
+    from map_reduce_sf_crime_spark.sources.parquet import load_table
+
+    prof = REGISTRY["embedding_profile"].spark(spark, SF_SMOKE)
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    joined = prof.select("vec_id", "int8_codes", "int8_scale").join(emb, "vec_id")
+    rows = joined.collect()
+    assert rows
+    for r in rows:
+        codes = [int(c) for c in r.int8_codes.split(",")]
+        assert len(codes) == len(r.embedding)
+        assert all(-127 <= c <= 127 for c in codes)
+        # floor quantization: dequant error bounded by one scale step,
+        # plus slack for the published scale being rounded to 6dp
+        # (|c| <= 127 amplifies the <=5e-7 rounding by up to 6.4e-5)
+        for c, x in zip(codes, r.embedding):
+            assert abs(float(x) - c * r.int8_scale) <= r.int8_scale + 1e-4
