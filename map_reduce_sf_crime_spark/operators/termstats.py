@@ -1,0 +1,50 @@
+"""Corpus-global term statistics — document frequency and collection
+term frequency per token, the discovery pass behind boilerplate
+removal, stopword induction, and IDF weighting in corpus prep.
+
+Shape at scale: explode → groupBy(token) is the canonical wordcount —
+map-side partial aggregation means the shuffle carries one partial
+row per (task, token), and hot tokens (the exact ones this query
+exists to find) are absorbed by the combiner, not shuffled row-by-row.
+The top-k is an ``orderBy(...).limit(k)`` — Spark plans TakeOrdered
+(per-partition heap + driver merge of k-row heads), never a global
+sort. Deterministic tie-break on the token itself.
+
+No reference counterpart (SURVEY §2.11 TF1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_col, tokens_sql
+
+
+def token_doc_freq(docs: DataFrame, top_k: int = 50) -> DataFrame:
+    """Top-``top_k`` tokens by document frequency:
+    (token, df, tf) — df = #docs containing it, tf = total count."""
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    stats = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("tf"),
+    )
+    return stats.orderBy(F.desc("df"), F.desc("tf"), F.asc("token")).limit(
+        top_k
+    )
+
+
+def token_doc_freq_sql(top_k: int = 50) -> str:
+    return f"""
+    with tok as (
+      select doc_id, unnest({tokens_sql('text')}) as token
+      from documents
+    )
+    select token, count(distinct doc_id) as df, count(*) as tf
+    from tok
+    group by token
+    order by df desc, tf desc, token asc
+    limit {top_k}
+    """

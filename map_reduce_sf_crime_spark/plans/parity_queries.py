@@ -87,34 +87,6 @@ def daily_cat_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "weekly_overflow_audit",
-    f"""
-    select category, count(*) as overflow_rows
-    from (select category, {week_bucket_sql('d')} as bucket
-          from {CATEGORY_INCIDENTS_SQL} t)
-    where bucket >= {N_WEEK_BUCKETS}
-    group by category
-    """,
-    survey_ids=("A1",),
-)
-def weekly_overflow_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §7.3.2's documented deviation made observable: the
-    reference widens rows on-the-fly for bucket > 15
-    (SanFranciscoCrime.java:183-187, column order then depends on
-    HashMap iteration); this engine fixes the pivot domain 0..15 and
-    AUDITS what that drops — per key, the count of incidents landing
-    in overflow buckets (empty on any quarter-aligned dataset; a
-    6th-week month shows up here instead of silently vanishing)."""
-    return (
-        category_incidents(spark, sf_dir)
-        .select("category", week_bucket_col(F.col("d")).alias("bucket"))
-        .filter(F.col("bucket") >= N_WEEK_BUCKETS)
-        .groupBy("category")
-        .agg(F.count(F.lit(1)).alias("overflow_rows"))
-    )
-
-
 _DOW = ["Sun", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat"]
 
 
@@ -219,8 +191,14 @@ R_DISTRICTS = ["NATION_1", "NATION_4", "NATION_7", "NATION_12"]
     from {INCIDENTS_SQL} t
     where district in ({", ".join(f"'{d}'" for d in R_DISTRICTS)})
     group by district
+    union all
+    select 'weekly_overflow' as rule, category as key, count(*) as n
+    from (select category, {week_bucket_sql('d')} as bucket
+          from {CATEGORY_INCIDENTS_SQL} t)
+    where bucket >= {N_WEEK_BUCKETS}
+    group by category
     """,
-    survey_ids=("A4", "P5", "P6"),
+    survey_ids=("A4", "P5", "P6", "A1"),
 )
 def awk_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The row-filter + count-by-key surface in one tagged entry: raw
@@ -251,4 +229,17 @@ def awk_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lit("in_districts").alias("rule"), "key", "n")
     )
-    return cat.unionByName(rex).unionByName(dist)
+    # SURVEY §7.3.2's documented deviation made observable: the
+    # reference widens pivot rows on-the-fly for bucket > 15
+    # (SanFranciscoCrime.java:183-187); this engine fixes the domain
+    # 0..15 and AUDITS what that drops (empty on any quarter-aligned
+    # dataset; a 6th-week month shows up here, not silently vanishes).
+    ovf = (
+        category_incidents(spark, sf_dir)
+        .select("category", week_bucket_col(F.col("d")).alias("bucket"))
+        .filter(F.col("bucket") >= N_WEEK_BUCKETS)
+        .groupBy(F.col("category").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("weekly_overflow").alias("rule"), "key", "n")
+    )
+    return cat.unionByName(rex).unionByName(dist).unionByName(ovf)

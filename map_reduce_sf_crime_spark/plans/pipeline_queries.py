@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_col, tokens_sql
-from ..operators import dedup, packing, sampling, textops
+from ..operators import dedup, packing, sampling, termstats, textops
 from ..operators.textops import LANG_ID_SQL, quality_scores_sql
 from ..sources.parquet import fan_out, load_table
 from .registry import register
@@ -48,6 +48,21 @@ group by source
 
 
 PACK_BUDGET = 2048
+
+
+@register(
+    "token_doc_freq",
+    termstats.token_doc_freq_sql(50),
+    survey_ids=("TF1",),
+)
+def token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global term stats (TF1): top-50 tokens by document
+    frequency with collection term frequency — the discovery pass
+    behind boilerplate removal / stopword induction / IDF weighting.
+    See operators/termstats.py for the wordcount-at-scale shape."""
+    return termstats.token_doc_freq(
+        fan_out(load_table(spark, sf_dir, "documents")), 50
+    )
 
 
 @register(
