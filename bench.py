@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "stream_window_counts",
     "multimodal_profile",
     "corpus_clean_stats",
+    "corpus_pack",
+    "token_doc_freq",
 ]
 
 

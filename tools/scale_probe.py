@@ -30,6 +30,9 @@ PROBES = [
     "text_profile",
     "embedding_profile",
     "knn_bruteforce",
+    "corpus_pack",
+    "token_doc_freq",
+    "corpus_sample",
     "dedup_simhash",
     "dedup_minhash_lsh",
     "dedup_near_jaccard",
