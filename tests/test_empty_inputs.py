@@ -48,3 +48,42 @@ def test_text_and_multimodal_on_empty(spark):
     media = multimodal.with_payload(docs)
     assert multimodal.extract_features(media).count() == 0
     assert multimodal.sample_frames(media).count() == 0
+
+
+def test_corpus_prep_ops_on_empty_and_degenerate(spark):
+    from pyspark.sql import Row
+
+    from map_reduce_sf_crime_spark.operators import (
+        packing,
+        quantize,
+        sampling,
+        termstats,
+    )
+
+    docs = _empty_docs(spark)
+    assert packing.pack_documents(docs, 2048).count() == 0
+    assert sampling.stratified_sample_flags(docs).count() == 0
+    assert termstats.token_doc_freq(docs).count() == 0
+
+    # degenerate rows: empty text packs into bin 0 with 0 tokens;
+    # unknown language falls back to the default mixture rate
+    weird = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="s", text="", lang="xx"),
+            Row(doc_id=2, source="s", text="one two", lang="xx"),
+        ]
+    )
+    packed = {r.doc_id: r for r in packing.pack_documents(weird, 10).collect()}
+    assert packed[1].n_tok == 0 and packed[1].bin_id == 0
+    assert packed[2].bin_id == 0
+    flags = sampling.stratified_sample_flags(weird).collect()
+    assert all(r.kept in (0, 1) for r in flags)
+
+    # all-zero vector quantizes to all-zero codes without div-by-zero
+    zv = spark.createDataFrame([Row(vec_id=1, embedding=[0.0] * 4)])
+    row = zv.select(
+        quantize.int8_quantize_col(F.col("embedding")).alias("q"),
+        quantize.int8_scale_col(F.col("embedding")).alias("s"),
+    ).first()
+    assert row.q == "0,0,0,0"
+    assert row.s == 0.0
