@@ -156,3 +156,54 @@ def fingerprints_sql(k: int = 4, ngram: int = 8) -> str:
            len(hashes) as n_grams
     from t
     """
+
+
+# ------------------------------------------------- PII scrubbing (TX5)
+
+#: ASCII-subset patterns valid in BOTH Java regex (Spark) and RE2
+#: (DuckDB) — no lookarounds, no \b differences, no unicode classes.
+PII_PATTERNS = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+",
+    "phone": r"[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+PII_TOKEN = "<pii>"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Redaction pass for a training corpus: count PII matches per
+    class and emit the md5 of the redacted text (proving the rewrite
+    without shipping the text). All codegen built-ins; the patterns
+    are deliberately in the Java∩RE2 regex subset so the DuckDB twin
+    is bit-identical. Order matters: ssn before phone (their shapes
+    overlap) — both engines apply the same sequence."""
+    redacted = F.col("text")
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).alias(
+                f"n_{name}"
+            )
+        )
+    for name in ("ssn", "phone", "email"):  # overlap-safe order
+        redacted = F.regexp_replace(redacted, PII_PATTERNS[name], PII_TOKEN)
+    return docs.select(
+        "doc_id", *counts, F.md5(redacted).alias("redacted_md5")
+    )
+
+
+def pii_scrub_sql() -> str:
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) as n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    redacted = "text"
+    for name in ("ssn", "phone", "email"):
+        redacted = (
+            f"regexp_replace({redacted}, '{PII_PATTERNS[name]}', "
+            f"'{PII_TOKEN}', 'g')"
+        )
+    return f"""
+    select doc_id, {counts}, md5({redacted}) as redacted_md5
+    from documents
+    """

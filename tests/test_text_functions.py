@@ -117,3 +117,38 @@ def test_adversarial_docs_cross_engine_parity(spark, tmp_path):
         srows = sorted(tuple(str(x) for x in r) for r in spark_df.collect())
         orows = sorted(tuple(str(x) for x in r) for r in con.execute(sql).fetchall())
         assert srows == orows, name
+
+
+def test_pii_scrub_redacts_planted_pii(spark):
+    from pyspark.sql import Row
+
+    from map_reduce_sf_crime_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="contact bob at bob.smith+x@mail.example.com ok"),
+            Row(doc_id=2, text="call 415-555-1234 or ssn 123-45-6789 now"),
+            Row(doc_id=3, text="clean text with no identifiers at all"),
+        ]
+    )
+    out = {r.doc_id: r for r in textops.pii_scrub(docs).collect()}
+    assert out[1].n_email == 1 and out[1].n_phone == 0 and out[1].n_ssn == 0
+    assert out[2].n_phone == 1 and out[2].n_ssn == 1 and out[2].n_email == 0
+    assert out[3].n_email == out[3].n_phone == out[3].n_ssn == 0
+
+    # the checksum proves the rewrite: planted docs get a DIFFERENT
+    # md5 than their raw text, clean docs an IDENTICAL one
+    import hashlib
+
+    raw = {1: "contact bob at bob.smith+x@mail.example.com ok",
+           2: "call 415-555-1234 or ssn 123-45-6789 now",
+           3: "clean text with no identifiers at all"}
+    for i in (1, 2):
+        assert out[i].redacted_md5 != hashlib.md5(raw[i].encode()).hexdigest()
+    assert out[3].redacted_md5 == hashlib.md5(raw[3].encode()).hexdigest()
+
+    # redacted text matches the explicit expectation
+    red = docs.select(
+        "doc_id", textops.F.md5(textops.F.lit("call <pii> or ssn <pii> now")).alias("m")
+    ).first()
+    assert out[2].redacted_md5 == red.m
