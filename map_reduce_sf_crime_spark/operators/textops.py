@@ -207,3 +207,67 @@ def pii_scrub_sql() -> str:
     select doc_id, {counts}, md5({redacted}) as redacted_md5
     from documents
     """
+
+
+# ------------------------------------------------- repetition (TX6)
+
+def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Intra-document repetition: the fraction of all word ``n``-grams
+    taken by the single most frequent one — the "repetitious text"
+    quality signal (high ratio = boilerplate loops, keyword stuffing,
+    degenerate generations). Exact-integer ratio (max/total divides
+    bit-identically in both engines; no rounding). Docs with fewer
+    than one n-gram get ratio 0.0 over 0 grams."""
+    tok = tokens_col(F.col("text"))
+    grams = F.when(
+        F.size(tok) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
+        ),
+    ).otherwise(F.array())
+    ex = docs.select("doc_id", F.explode_outer(grams).alias("g"))
+    per_gram = (
+        ex.filter(F.col("g").isNotNull())
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.max("c").alias("max_c"), F.sum("c").alias("n_grams2")
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_grams2").cast("long"), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(
+            F.col("max_c") / F.col("n_grams2"), F.lit(0.0)
+        ).alias("top_bigram_ratio"),
+    )
+
+
+def repetition_stats_sql(n: int = 2) -> str:
+    toks = tokens_sql("text")
+    return f"""
+    with t as (
+      select doc_id, {toks} as tok from documents
+    ),
+    ex as (
+      select doc_id,
+             unnest(case when len(tok) >= {n}
+               then list_transform(range(1, len(tok) - {n - 2}),
+                    i -> array_to_string(tok[i:i+{n - 1}], ' '))
+               else [] end) as g
+      from t
+    ),
+    per_gram as (
+      select doc_id, g, count(*) as c from ex group by doc_id, g
+    ),
+    per_doc as (
+      select doc_id, max(c) as max_c, sum(c) as n_grams2
+      from per_gram group by doc_id
+    )
+    select t.doc_id,
+           cast(coalesce(per_doc.n_grams2, 0) as bigint) as n_bigrams,
+           coalesce(per_doc.max_c * 1.0 / per_doc.n_grams2, 0.0)
+             as top_bigram_ratio
+    from t left join per_doc using (doc_id)
+    """

@@ -21,18 +21,21 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ts as ({textops.TOKEN_STATS_SQL}),
          q as ({textops.quality_scores_sql()}),
          l as ({textops.LANG_ID_SQL}),
-         p as ({textops.pii_scrub_sql()})
+         p as ({textops.pii_scrub_sql()}),
+         r as ({textops.repetition_stats_sql()})
     select ts.doc_id, ts.n_chars, ts.n_tokens, ts.n_bpe_tokens,
            ts.n_unique_tokens,
            q.stopword_ratio, q.punct_ratio, q.unique_ratio, q.quality,
            l.lang_pred, l.lang_label, l.agree,
-           p.n_email, p.n_phone, p.n_ssn, p.redacted_md5
+           p.n_email, p.n_phone, p.n_ssn, p.redacted_md5,
+           r.n_bigrams, r.top_bigram_ratio
     from ts
     join q using (doc_id)
     join l using (doc_id)
     join p using (doc_id)
+    join r using (doc_id)
     """,
-    survey_ids=("TX1", "TX2", "TX3", "TX5"),
+    survey_ids=("TX1", "TX2", "TX3", "TX5", "TX6"),
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis in one entry: whitespace/BPE-ish
@@ -41,12 +44,20 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword-profile language ID with agreement flag (TX3), and the
     PII redaction pass — per-class match counts plus the md5 of the
     redacted text (TX5, actual-redaction behavior unit-tested with
-    planted PII in tests/test_text_functions.py). One doc-keyed join
-    of per-doc projections — all pure codegen column expressions,
-    co-partitioned on the doc key at scale."""
+    planted PII in tests/test_text_functions.py), and intra-document
+    repetition (TX6, the Gopher/C4 "repetitious text" signal: share
+    of all word bigrams taken by the most frequent one). One
+    doc-keyed join of per-doc projections, co-partitioned on the doc
+    key at scale."""
     docs = _docs(spark, sf_dir)
     ts = textops.token_stats(docs)
     q = textops.quality_scores(docs)
     l = textops.lang_id(docs)
     p = textops.pii_scrub(docs)
-    return ts.join(q, "doc_id").join(l, "doc_id").join(p, "doc_id")
+    r = textops.repetition_stats(docs)
+    return (
+        ts.join(q, "doc_id")
+        .join(l, "doc_id")
+        .join(p, "doc_id")
+        .join(r, "doc_id")
+    )

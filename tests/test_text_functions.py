@@ -152,3 +152,23 @@ def test_pii_scrub_redacts_planted_pii(spark):
         "doc_id", textops.F.md5(textops.F.lit("call <pii> or ssn <pii> now")).alias("m")
     ).first()
     assert out[2].redacted_md5 == red.m
+
+
+def test_repetition_stats_detects_loops(spark):
+    from pyspark.sql import Row
+
+    from map_reduce_sf_crime_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam spam spam spam spam"),
+            Row(doc_id=2, text="all words here are fully distinct tokens"),
+            Row(doc_id=3, text="one"),
+        ]
+    )
+    out = {r.doc_id: r for r in textops.repetition_stats(docs).collect()}
+    assert out[1].top_bigram_ratio == 1.0  # only bigram is "spam spam"
+    assert out[1].n_bigrams == 4
+    # distinct text: every bigram unique -> ratio = 1/n_bigrams
+    assert abs(out[2].top_bigram_ratio - 1 / out[2].n_bigrams) < 1e-12
+    assert out[3].n_bigrams == 0 and out[3].top_bigram_ratio == 0.0
