@@ -94,40 +94,55 @@ _STAR_JOIN_SQL = f"""
 """
 
 
-@register(
-    "mdx_member_totals",
-    f"""
-    select 'category' as dim, category as member,
+def _mdx_member_totals(sj: DataFrame) -> DataFrame:
+    """bycategory.mdx:1-4 + bydistrict.mdx:1-4 — [Measures].[crimes]
+    by Category and District members, tagged by ``hierarchy``. Both
+    legs aggregate the same cached star join; emitted in the rollup
+    row shape (member in ``l1``) so the MDX surface rides the same
+    registry entry as the hierarchy rollups."""
+    cat = (
+        sj.groupBy(F.col("category").alias("l1"))
+        .agg(F.sum("crimes").alias("crimes"))
+        .select(
+            F.lit("mdx_category").alias("hierarchy"),
+            "l1",
+            F.lit("(all)").alias("l2"),
+            F.lit("(all)").alias("l3"),
+            "crimes",
+        )
+    )
+    dist = (
+        sj.groupBy(F.col("district").alias("l1"))
+        .agg(F.sum("crimes").alias("crimes"))
+        .select(
+            F.lit("mdx_district").alias("hierarchy"),
+            "l1",
+            F.lit("(all)").alias("l2"),
+            F.lit("(all)").alias("l3"),
+            "crimes",
+        )
+    )
+    return cat.unionByName(dist)
+
+
+_MDX_TOTALS_SQL = f"""
+    select 'mdx_category' as hierarchy, category as l1,
+           '(all)' as l2, '(all)' as l3,
            cast(sum(crimes) as bigint) as crimes
     from ({_STAR_JOIN_SQL}) s group by category
     union all
-    select 'district' as dim, district as member,
+    select 'mdx_district' as hierarchy, district as l1,
+           '(all)' as l2, '(all)' as l3,
            cast(sum(crimes) as bigint) as crimes
     from ({_STAR_JOIN_SQL}) s group by district
-    """,
-    survey_ids=("J4", "A5"),
-)
-def mdx_member_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """bycategory.mdx:1-4 + bydistrict.mdx:1-4 — [Measures].[crimes]
-    by Category and District members, tagged by ``dim``. Both legs
-    aggregate the same cached star join."""
-    sj = _star_join(spark, sf_dir)
-    cat = (
-        sj.groupBy(F.col("category").alias("member"))
-        .agg(F.sum("crimes").alias("crimes"))
-        .select(F.lit("category").alias("dim"), "member", "crimes")
-    )
-    dist = (
-        sj.groupBy(F.col("district").alias("member"))
-        .agg(F.sum("crimes").alias("crimes"))
-        .select(F.lit("district").alias("dim"), "member", "crimes")
-    )
-    return cat.unionByName(dist)
+"""
 
 
 @register(
     "olap_rollups",
     f"""
+    {_MDX_TOTALS_SQL}
+    union all
     select 'geo' as hierarchy,
            coalesce(district, '(all)') as l1,
            coalesce(category, '(all)') as l2,
@@ -148,7 +163,9 @@ def mdx_member_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids=("A5", "J4"),
 )
 def olap_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both Mondrian hierarchy rollups in one tagged row-set:
+    """The whole MDX/Mondrian aggregate surface in one tagged row-set:
+    'mdx_category'/'mdx_district' = bycategory.mdx:1-4 +
+    bydistrict.mdx:1-4 member totals ([Measures].[crimes] per member);
     'geo' = mondrian.jsp:6-9 year-slice district × category with
     subtotals and grand total; 'time' = year→month→week
     (sfcrime.xml:18-26 TimeDimension levels; week per MySQL DDL
@@ -179,4 +196,4 @@ def olap_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
             "crimes",
         )
     )
-    return geo.unionByName(tm)
+    return _mdx_member_totals(sj).unionByName(geo).unionByName(tm)

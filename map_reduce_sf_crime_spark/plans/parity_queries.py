@@ -91,24 +91,60 @@ _DOW = ["Sun", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat"]
 
 
 @register(
-    "dow_by_category",
+    "calendar_series",
     f"""
-    select category,
-      {", ".join(f"cast(coalesce(sum(case when dayofweek(d) = {i} then 1 else 0 end), 0) as bigint) as {name.lower()}" for i, name in enumerate(_DOW))}
-    from {CATEGORY_INCIDENTS_SQL} t
-    group by category
+    with cats as (select distinct category from {CATEGORY_INCIDENTS_SQL} t),
+    dows as (
+      select * from (values
+        {", ".join(f"({i}, '{name.lower()}')" for i, name in enumerate(_DOW))}
+      ) d(i, name)
+    ),
+    dow_counts as (
+      select category, dayofweek(d) as i, count(*) as n
+      from {CATEGORY_INCIDENTS_SQL} t group by 1, 2
+    ),
+    bounds as (
+      select min(d) as lo, max(d) as hi from {CATEGORY_INCIDENTS_SQL} t
+    ),
+    days as (
+      select unnest(generate_series(lo, hi, interval 1 day))::date as d
+      from bounds
+    ),
+    day_counts as (
+      select d, category, count(*) as n from {CATEGORY_INCIDENTS_SQL} t
+      group by d, category
+    )
+    select 'dow' as series, dows.name as slot, cats.category,
+           cast(coalesce(dow_counts.n, 0) as bigint) as n
+    from cats cross join dows
+    left join dow_counts
+      on dow_counts.category = cats.category and dow_counts.i = dows.i
+    union all
+    select 'daily' as series, strftime(days.d, '%Y-%m-%d') as slot,
+           cats.category, cast(coalesce(day_counts.n, 0) as bigint) as n
+    from days cross join cats
+    left join day_counts
+      on day_counts.d = days.d and day_counts.category = cats.category
     """,
     survey_ids=("A1",),
 )
-def dow_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's day-of-week mapper surface
-    (SanFranciscoCrime.java:110-126 ``CategoryMapByDayOfWeek`` /
-    ``DistrictMapByDayOfWeek`` — shipped but never wired into main;
-    SURVEY §7.3.3). Same pivot shape as the weekly report with the
-    7-day domain passed explicitly."""
-    return (
-        category_incidents(spark, sf_dir)
-        .select("category", F.dayofweek("d").alias("dw"))
+def calendar_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense calendar aggregates in one tagged row-set (both legs are
+    the reference's zero-filled-domain idiom, SanFranciscoCrime.java:
+    170-173 pre-seeds every bucket):
+
+    - series='dow': the day-of-week mapper surface
+      (SanFranciscoCrime.java:110-126 ``CategoryMapByDayOfWeek`` —
+      shipped but never wired into main; SURVEY §7.3.3). Pivot over
+      the explicit 7-day domain, zero-filled, then melted back to
+      long form with ``unpivot`` so it unions with the daily leg.
+    - series='daily': gap-filled dense daily series — ``sequence()``
+      generates the day spine from the observed bounds, cross-joined
+      with the category dim and left-joined to the sparse counts;
+      the spine sides are tiny → both joins broadcast."""
+    inc = category_incidents(spark, sf_dir)
+    dow = (
+        inc.select("category", F.dayofweek("d").alias("dw"))
         .groupBy("category")
         .pivot("dw", list(range(1, 8)))
         .count()
@@ -117,39 +153,9 @@ def dow_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
             "category",
             *[F.col(str(i + 1)).alias(n.lower()) for i, n in enumerate(_DOW)],
         )
+        .unpivot("category", [n.lower() for n in _DOW], "slot", "n")
+        .select(F.lit("dow").alias("series"), "slot", "category", "n")
     )
-
-
-@register(
-    "daily_dense_series",
-    f"""
-    with bounds as (
-      select min(d) as lo, max(d) as hi from {CATEGORY_INCIDENTS_SQL} t
-    ),
-    days as (
-      select unnest(generate_series(lo, hi, interval 1 day))::date as d
-      from bounds
-    ),
-    cats as (select distinct category from {CATEGORY_INCIDENTS_SQL} t),
-    counts as (
-      select d, category, count(*) as n from {CATEGORY_INCIDENTS_SQL} t
-      group by d, category
-    )
-    select strftime(days.d, '%Y-%m-%d') as day, cats.category,
-           coalesce(counts.n, 0) as n
-    from days cross join cats
-    left join counts on counts.d = days.d and counts.category = cats.category
-    """,
-    survey_ids=("A1",),
-)
-def daily_dense_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-filled dense daily series — the daily analog of the
-    reference's zero-filled 16-bucket rows (SanFranciscoCrime.java:
-    170-173 pre-seeds every bucket). ``sequence()`` generates the day
-    spine from the observed bounds, cross-joined with the category dim
-    and left-joined to the sparse counts; the spine sides are tiny →
-    both joins broadcast."""
-    inc = category_incidents(spark, sf_dir)
     counts = inc.groupBy(
         F.col("d").alias("cd"), F.col("category").alias("cc")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -158,7 +164,7 @@ def daily_dense_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.sequence("lo", "hi")).alias("day"))
     )
     cats = inc.select("category").distinct()
-    return (
+    daily = (
         days.crossJoin(F.broadcast(cats))
         .join(
             F.broadcast(counts),
@@ -166,11 +172,13 @@ def daily_dense_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .select(
-            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.lit("daily").alias("series"),
+            F.date_format("day", "yyyy-MM-dd").alias("slot"),
             "category",
             F.coalesce("n", F.lit(0)).alias("n"),
         )
     )
+    return dow.unionByName(daily)
 
 
 #: P6 — plotDistrict.r:3-6 selects 4 named districts; nation-name analog.
