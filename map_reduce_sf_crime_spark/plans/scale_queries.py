@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join, asof_join_sql
+from ..operators.rangejoin import range_join, range_join_sql
 from ..sources.parquet import load_events, load_table
 from .registry import register
 
@@ -199,6 +200,59 @@ def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
     purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
     views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
     return asof_join(purchases, views, "user_id", "ts")
+
+
+_RJ_WINDOW_US = 600_000_000  # views within 10 minutes before the purchase
+_RJ_P_SQL = (
+    "select event_id as purchase_id, ts as p_ts from events "
+    "where event_type = 'purchase'"
+)
+_RJ_V_SQL = (
+    "select ts as v_ts, value as v_value from events "
+    "where event_type = 'view'"
+)
+
+
+@register(
+    "range_join_events",
+    f"""
+    with pairs as ({range_join_sql(_RJ_P_SQL, _RJ_V_SQL, "p_ts", "v_ts",
+                                   -_RJ_WINDOW_US, 0)}),
+    agg as (
+      select purchase_id, cast(count(*) as bigint) as n_views,
+             max(v_value) as mx
+      from pairs group by purchase_id
+    )
+    select p.purchase_id, coalesce(agg.n_views, 0) as n_views,
+           coalesce(agg.mx, 0) as max_view_value
+    from ({_RJ_P_SQL}) p left join agg using (purchase_id)
+    """,
+    survey_ids=("RJ1",),
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (operators/rangejoin.py): every view by ANY
+    user in the 10 minutes before each purchase — the global temporal
+    correlation shape with no equi-key, where a naive theta join
+    degenerates to BroadcastNestedLoopJoin. The binned plan is a plain
+    hash join on the bin id + exact refine; the aggregating outer
+    shape (purchases with zero nearby views kept at n=0) is the inner
+    join grouped per purchase and re-joined to the purchase side."""
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("ts").alias("v_ts"), F.col("value").alias("v_value")
+    )
+    pairs = range_join(purchases, views, "p_ts", "v_ts", -_RJ_WINDOW_US, 0)
+    agg = pairs.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_views"), F.max("v_value").alias("mx")
+    )
+    return purchases.join(agg, "purchase_id", "left").select(
+        "purchase_id",
+        F.coalesce("n_views", F.lit(0)).alias("n_views"),
+        F.coalesce("mx", F.lit(0.0)).alias("max_view_value"),
+    )
 
 
 @register(
