@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import contamination as contam
 from ..operators import textops
 from ..sources.parquet import fan_out, load_table
 from .registry import register
@@ -13,6 +14,32 @@ from .registry import register
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token/regex expressions are CPU-bound per row — spread scan work
     return fan_out(load_table(spark, sf_dir, "documents"))
+
+
+#: Deterministic stand-in benchmark: every 23rd doc_id is the "eval
+#: set", the rest are the training corpus being decontaminated.
+_EVAL_MOD = 23
+_EVAL_SQL = f"select doc_id, text from documents where doc_id % {_EVAL_MOD} = 0"
+_TRAIN_SQL = f"select doc_id, text from documents where doc_id % {_EVAL_MOD} != 0"
+
+
+@register(
+    "contamination_check",
+    contam.contamination_sql(_TRAIN_SQL, _EVAL_SQL),
+    survey_ids=("CT1",),
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/contamination.py): per
+    training document, the fraction of its distinct word 5-grams that
+    appear anywhere in the (broadcast) eval set's n-gram set, plus
+    the drop/audit flag. Eval membership is a deterministic doc_id
+    rule so the oracle partitions identically."""
+    docs = _docs(spark, sf_dir)
+    is_eval = (F.col("doc_id") % _EVAL_MOD) == 0
+    return contam.contamination(
+        docs.filter(~is_eval).select("doc_id", "text"),
+        docs.filter(is_eval).select("doc_id", "text"),
+    )
 
 
 @register(
