@@ -489,3 +489,87 @@ def ann_lsh_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "vec_id", "cosine", "rk")
     )
+
+
+#: SemDeDup flag threshold — aligned with the exact near-dup tier so
+#: every flagged pair is also an embedding_near_pairs pair.
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def semantic_dedup(
+    emb: DataFrame, threshold: float = SEMDEDUP_THRESHOLD, k: int = IVF_K
+) -> DataFrame:
+    """Semantic dedup, SemDeDup-style (Abbas et al. 2023, public):
+    cluster with the coarse quantizer, then compare vectors ONLY
+    within their cluster and drop every vector that has an earlier
+    (lower vec_id) cluster-mate with cosine ≥ ``threshold``.
+
+    Returns ``(vec_id, sd_max_prior_sim, sd_keep)`` for every input
+    vector: the max cosine to any earlier cluster-mate (0.0 when the
+    vector is alone or first in its cluster) and the keep flag.
+
+    Scale shape: this is the trick that makes embedding dedup
+    feasible at corpus scale — the quadratic kernel runs per
+    CLUSTER, not per corpus. The self-join buckets on centroid_id
+    (bounded lists when k scales with N), cosines are exact
+    JVM-side fold expressions, and AQE's skew-join split is the
+    backstop for a hot cluster. Soundness: every dropped vector has
+    a genuine ≥-threshold neighbor (cosine is exact, no
+    approximation in the verify step); only RECALL is approximate —
+    cross-cluster near-dups are invisible by construction, the
+    documented SemDeDup trade."""
+    a = ivf_assignments(emb, k)
+    sides = emb.select("vec_id", "embedding").join(a, "vec_id")
+    lo = sides.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        "centroid_id",
+    )
+    hi = sides.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        "centroid_id",
+    )
+    prior = (
+        lo.join(hi, "centroid_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy(F.col("b_id").alias("vec_id"))
+        .agg(
+            F.round(
+                F.max(cosine_col(F.col("a_emb"), F.col("b_emb"))), 6
+            ).alias("sd_max_prior_sim")
+        )
+    )
+    return (
+        emb.select("vec_id")
+        .join(prior, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("sd_max_prior_sim", F.lit(0.0)).alias("sd_max_prior_sim"),
+            (
+                F.coalesce("sd_max_prior_sim", F.lit(0.0)) < F.lit(threshold)
+            ).alias("sd_keep"),
+        )
+    )
+
+
+def semantic_dedup_sql(
+    threshold: float = SEMDEDUP_THRESHOLD, k: int = IVF_K, dim: int = DIM
+) -> str:
+    cos = cosine_sql("x.embedding", "y.embedding", dim)
+    return f"""
+    with assign as ({ivf_assignments_sql(k, dim)}),
+    prior as (
+      select bj.vec_id as vec_id, round(max({cos}), 6) as sd_max_prior_sim
+      from assign aj
+      join assign bj on aj.centroid_id = bj.centroid_id
+                    and aj.vec_id < bj.vec_id
+      join embeddings x on x.vec_id = aj.vec_id
+      join embeddings y on y.vec_id = bj.vec_id
+      group by bj.vec_id
+    )
+    select e.vec_id,
+           coalesce(prior.sd_max_prior_sim, 0.0) as sd_max_prior_sim,
+           coalesce(prior.sd_max_prior_sim, 0.0) < {threshold} as sd_keep
+    from embeddings e left join prior on e.vec_id = prior.vec_id
+    """

@@ -66,14 +66,17 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       from embeddings
     ),
     p as ({similarity.plane_signatures_sql()}),
-    a as ({similarity.ivf_assignments_sql()})
+    a as ({similarity.ivf_assignments_sql()}),
+    sd as ({similarity.semantic_dedup_sql()})
     select n.vec_id, n.l2, n.int8_codes, n.int8_scale,
-           p.sig as plane_sig, a.centroid_id
+           p.sig as plane_sig, a.centroid_id,
+           sd.sd_max_prior_sim, sd.sd_keep
     from n
     join p using (vec_id)
     join a using (vec_id)
+    join sd using (vec_id)
     """,
-    survey_ids=("UDF1", "ANN3", "ANN4", "QZ1"),
+    survey_ids=("UDF1", "ANN3", "ANN4", "QZ1", "SD1"),
 )
 def embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-embedding catalog in one entry: L2 norm via a scalar
@@ -83,9 +86,13 @@ def embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     + dequant scale (QZ1, operators/quantize.py — floor-based, no
     round-half mode to diverge), deterministic random-hyperplane
     signature (ANN3 — seeded md5 plane weights reproduced
-    bit-for-bit in SQL), and IVF coarse-quantizer assignment (ANN4 —
-    broadcast centroid matrix, narrow map, identical tie-break). One
-    vec-keyed join of three per-vector projections."""
+    bit-for-bit in SQL), IVF coarse-quantizer assignment (ANN4 —
+    broadcast centroid matrix, narrow map, identical tie-break), and
+    the SemDeDup decision derived from that assignment (SD1,
+    operators/similarity.semantic_dedup — max cosine to an earlier
+    cluster-mate + keep flag; the within-cluster self-join buckets
+    on centroid_id, the trick that bounds embedding dedup at corpus
+    scale). One vec-keyed join of per-vector projections."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -110,7 +117,10 @@ def embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("sig").alias("plane_sig")
     )
     ivf = similarity.ivf_assignments(emb)
-    return norms.join(planes, "vec_id").join(ivf, "vec_id")
+    sd = similarity.semantic_dedup(emb)
+    return (
+        norms.join(planes, "vec_id").join(ivf, "vec_id").join(sd, "vec_id")
+    )
 
 
 @register(

@@ -83,3 +83,35 @@ def test_ivf_topk_recall(spark):
     for r in approx:
         if (r.query_id, r.vec_id) in bscore:
             assert abs(bscore[(r.query_id, r.vec_id)] - r.cosine) < 1e-9
+
+
+def test_semantic_dedup_sound_and_complete_within_clusters(spark):
+    """Every dropped vector has a genuine >=threshold global near-pair
+    (soundness: the within-cluster cosine is exact, so flagged pairs
+    are a SUBSET of the exact all-pairs tier), and within a cluster
+    the flags are exactly the earlier-mate-within-threshold rule."""
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    thr = similarity.SEMDEDUP_THRESHOLD
+    sd = {r.vec_id: r for r in similarity.semantic_dedup(emb, thr).collect()}
+    assert len(sd) == emb.count()
+
+    exact = similarity.cosine_near_pairs(emb, thr).collect()
+    exact_partners = {}
+    for r in exact:
+        exact_partners.setdefault(r.vec_b, set()).add(r.vec_a)
+
+    assign = {
+        r.vec_id: r.centroid_id
+        for r in similarity.ivf_assignments(emb).collect()
+    }
+    dropped = [v for v, r in sd.items() if not r.sd_keep]
+    assert dropped, "fixture should contain at least one semantic dup"
+    for v in dropped:
+        # an earlier global near-partner exists in the same cluster
+        partners = exact_partners.get(v, set())
+        assert any(assign[p] == assign[v] for p in partners), v
+    # completeness within clusters: any vec with an earlier near
+    # partner in its own cluster must be dropped
+    for v, partners in exact_partners.items():
+        if any(assign[p] == assign[v] for p in partners):
+            assert not sd[v].sd_keep, v
