@@ -14,6 +14,8 @@ from ..functions.text import (
     QUALITY_STOPWORDS,
     lang_id_col,
     lang_id_sql,
+    shingles_col,
+    shingles_sql,
     stopword_hits_col,
     stopword_hits_sql,
     tokens_col,
@@ -270,4 +272,85 @@ def repetition_stats_sql(n: int = 2) -> str:
            coalesce(per_doc.max_c * 1.0 / per_doc.n_grams2, 0.0)
              as top_bigram_ratio
     from t left join per_doc using (doc_id)
+    """
+
+
+#: Word n-gram order for the cross-document duplicated-span signal
+#: (public exact-substring dedup work uses ~50 BPE tokens; 5 words
+#: here because the synthetic docs are ~50 words long).
+SPAN_N = 5
+
+
+def dup_span_stats(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """Cross-document duplicated-span signal — the word-n-gram
+    approximation of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    public): per document, the fraction of its n-gram POSITIONS
+    (instances, not distinct grams) whose n-gram also occurs in at
+    least one OTHER document. High fractions mark boilerplate and
+    partially-copied docs that document-level exact/near dedup
+    misses.
+
+    Scale shape: two aggregations with map-side combine — (doc, gram)
+    instance counts, then gram → containing-doc counts — and a join
+    back on the gram key. No pair materialization anywhere: cost is
+    linear in corpus token count, the same plan at 100 TB. Hot grams
+    (stopword runs) concentrate on few keys; the first-level partial
+    aggregate absorbs them before the shuffle, AQE handles the rest.
+    """
+    grams = docs.select(
+        "doc_id",
+        F.explode(shingles_col(tokens_col(F.col("text")), n)).alias("ng"),
+    )
+    per = grams.groupBy("doc_id", "ng").agg(F.count(F.lit(1)).alias("cnt"))
+    gdocs = per.groupBy("ng").agg(F.count(F.lit(1)).alias("n_docs"))
+    agg = (
+        per.join(gdocs, "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_span_grams"),
+            F.sum(F.when(F.col("n_docs") > 1, F.col("cnt")).otherwise(0)).alias(
+                "dup_positions"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_span_grams", F.lit(0)).alias("n_span_grams"),
+            F.when(F.coalesce("n_span_grams", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.col("dup_positions") / F.col("n_span_grams"))
+            .alias("dup_span_frac"),
+        )
+    )
+
+
+def dup_span_sql(n: int = SPAN_N) -> str:
+    ng = shingles_sql(tokens_sql("text"), n)
+    return f"""
+    with grams as (
+      select doc_id, unnest({ng}) as ng from documents
+    ),
+    per as (
+      select doc_id, ng, count(*) as cnt from grams group by doc_id, ng
+    ),
+    gdocs as (
+      select ng, count(*) as n_docs from per group by ng
+    ),
+    agg as (
+      select per.doc_id,
+             cast(sum(per.cnt) as bigint) as n_span_grams,
+             cast(sum(case when gdocs.n_docs > 1 then per.cnt else 0 end)
+                  as bigint) as dup_positions
+      from per join gdocs using (ng)
+      group by per.doc_id
+    )
+    select d.doc_id,
+           coalesce(agg.n_span_grams, 0) as n_span_grams,
+           case when coalesce(agg.n_span_grams, 0) = 0 then 0.0
+                else agg.dup_positions / cast(agg.n_span_grams as double)
+           end as dup_span_frac
+    from documents d left join agg using (doc_id)
     """

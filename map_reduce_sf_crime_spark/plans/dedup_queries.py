@@ -64,21 +64,27 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
          fp as (select doc_id,
                        array_to_string(fingerprint, ',') as fingerprint,
                        n_grams
-                from ({textops.fingerprints_sql()}))
-    select d.doc_id, mh.minhash_sig, sh.simhash, fp.fingerprint, fp.n_grams
+                from ({textops.fingerprints_sql()})),
+         ds as ({textops.dup_span_sql()})
+    select d.doc_id, mh.minhash_sig, sh.simhash, fp.fingerprint, fp.n_grams,
+           ds.n_span_grams, ds.dup_span_frac
     from documents d
     left join mh using (doc_id)
     left join sh using (doc_id)
     left join fp using (doc_id)
+    left join ds using (doc_id)
     """,
-    survey_ids=("DD3", "DD4", "TX4"),
+    survey_ids=("DD3", "DD4", "TX4", "DS1"),
 )
 def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document signature catalog in one entry: 16-hash MinHash
     (DD3, bit-identical in DuckDB via the portable md5 construction),
-    32-bit SimHash (DD4), and winnowing fingerprint + distinct-gram
-    count (TX4). One doc-keyed join of three per-doc projections —
-    co-partitioned on the doc key at scale."""
+    32-bit SimHash (DD4), winnowing fingerprint + distinct-gram
+    count (TX4), and the cross-document duplicated-span fraction
+    (DS1, operators/textops.dup_span_stats — the n-gram form of
+    exact-substring dedup, catching boilerplate and partial copies
+    that doc-level dedup misses). One doc-keyed join of per-doc
+    projections — co-partitioned on the doc key at scale."""
     docs = _docs(spark, sf_dir)
     mh = dedup.minhash_signatures(docs, n=3, n_hashes=16).select(
         "doc_id",
@@ -92,11 +98,13 @@ def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_grams",
     )
+    ds = textops.dup_span_stats(docs)
     return (
         docs.select("doc_id")
         .join(mh, "doc_id", "left")
         .join(sh, "doc_id", "left")
         .join(fp, "doc_id", "left")
+        .join(ds, "doc_id", "left")
     )
 
 

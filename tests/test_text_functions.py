@@ -172,3 +172,39 @@ def test_repetition_stats_detects_loops(spark):
     # distinct text: every bigram unique -> ratio = 1/n_bigrams
     assert abs(out[2].top_bigram_ratio - 1 / out[2].n_bigrams) < 1e-12
     assert out[3].n_bigrams == 0 and out[3].top_bigram_ratio == 0.0
+
+
+def test_dup_span_stats_planted(spark):
+    from map_reduce_sf_crime_spark.operators.textops import dup_span_stats
+
+    shared = "one two three four five"  # exactly one 5-gram
+    docs = spark.createDataFrame(
+        [
+            (1, shared),                        # fully duplicated vs doc 2
+            (2, shared + " six seven"),         # 3 grams, 1 shared
+            (3, "alpha beta gamma delta epsilon"),  # unique
+            (4, "tiny"),                        # no 5-grams at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dup_span_stats(docs, n=5).collect()}
+    assert out[1].n_span_grams == 1 and out[1].dup_span_frac == 1.0
+    # doc 2: grams = [one..five, two..six, three..seven]; only the
+    # first occurs elsewhere
+    assert out[2].n_span_grams == 3
+    assert abs(out[2].dup_span_frac - 1 / 3) < 1e-12
+    assert out[3].dup_span_frac == 0.0
+    assert out[4].n_span_grams == 0 and out[4].dup_span_frac == 0.0
+
+
+def test_dup_span_within_doc_repeat_not_cross_doc(spark):
+    """A gram repeated only WITHIN one doc is not cross-doc duplicated."""
+    from map_reduce_sf_crime_spark.operators.textops import dup_span_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e a b c d e"), (2, "x y z w v")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dup_span_stats(docs, n=5).collect()}
+    assert out[1].dup_span_frac == 0.0
+    assert out[2].dup_span_frac == 0.0
