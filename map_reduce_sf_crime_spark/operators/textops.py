@@ -5,7 +5,7 @@ DuckDB twins; no Python touches row data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64_col, hash64_sql
@@ -45,14 +45,14 @@ from documents
 """
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
-    """Heuristic quality score from length / punctuation / stopword /
-    repetition ratios — the standard cheap pre-filter for training
-    corpora. All ratios rounded to 6dp for cross-engine stability."""
-    tok = tokens_col(F.col("text"))
+def _quality_ratio_exprs(text):
+    """(stop_ratio, punct_ratio, uniq_ratio, score) raw expressions
+    over a text column — shared by quality_scores, text_profile, and
+    the pipeline's inline quality filter."""
+    tok = tokens_col(text)
     n_tok = F.size(tok)
-    n_chars = F.length("text")
-    punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
+    n_chars = F.length(text)
+    punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
     stop = stopword_hits_col(tok, QUALITY_STOPWORDS)
     uniq = F.size(F.array_distinct(tok))
     safe_tok = F.greatest(n_tok, F.lit(1))
@@ -65,6 +65,23 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         + F.least(stop_ratio * 5, F.lit(1.0)) * 0.25
         + (1 - F.least(punct_ratio * 10, F.lit(1.0))) * 0.25
         + uniq_ratio * 0.25
+    )
+    return stop_ratio, punct_ratio, uniq_ratio, score
+
+
+def quality_col(text) -> Column:
+    """The heuristic quality score (rounded 6dp) as a row-local
+    column expression, for inline filtering without a join."""
+    _, _, _, score = _quality_ratio_exprs(text)
+    return F.round(score.cast("double"), 6)
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic quality score from length / punctuation / stopword /
+    repetition ratios — the standard cheap pre-filter for training
+    corpora. All ratios rounded to 6dp for cross-engine stability."""
+    stop_ratio, punct_ratio, uniq_ratio, score = _quality_ratio_exprs(
+        F.col("text")
     )
     return docs.select(
         "doc_id",
@@ -213,6 +230,37 @@ def pii_scrub_sql() -> str:
 
 # ------------------------------------------------- repetition (TX6)
 
+def _repetition_exprs(tok, n: int = 2) -> tuple:
+    """Row-local repetition signal: sort the n-gram array, then a
+    single ``aggregate`` pass finds the longest equal-run — the count
+    of the most frequent n-gram — with no explode, no groupBy, no
+    join. O(k log k) per row inside the JVM; at 100 TB this keeps
+    TX6 inside the same embarrassingly-parallel scan as every other
+    per-document profile column (the previous explode+two-aggregation
+    form paid two shuffles for a value derivable row-locally)."""
+    grams = shingles_col(tok, n)
+    sg = F.array_sort(grams)
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+    )
+
+    def merge(acc, x):
+        run2 = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.greatest(acc["best"], run2).alias("best"),
+        )
+
+    max_c = F.aggregate(sg, init, merge, lambda acc: acc["best"])
+    total = F.size(grams).cast("long")
+    ratio = F.when(total == 0, F.lit(0.0)).otherwise(max_c / total)
+    return total.alias("n_bigrams"), ratio.alias("top_bigram_ratio")
+
+
 def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
     """Intra-document repetition: the fraction of all word ``n``-grams
     taken by the single most frequent one — the "repetitious text"
@@ -220,30 +268,8 @@ def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
     degenerate generations). Exact-integer ratio (max/total divides
     bit-identically in both engines; no rounding). Docs with fewer
     than one n-gram get ratio 0.0 over 0 grams."""
-    tok = tokens_col(F.col("text"))
-    grams = F.when(
-        F.size(tok) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tok) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
-        ),
-    ).otherwise(F.array())
-    ex = docs.select("doc_id", F.explode_outer(grams).alias("g"))
-    per_gram = (
-        ex.filter(F.col("g").isNotNull())
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    per_doc = per_gram.groupBy("doc_id").agg(
-        F.max("c").alias("max_c"), F.sum("c").alias("n_grams2")
-    )
-    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("n_grams2").cast("long"), F.lit(0)).alias("n_bigrams"),
-        F.coalesce(
-            F.col("max_c") / F.col("n_grams2"), F.lit(0.0)
-        ).alias("top_bigram_ratio"),
-    )
+    n_bigrams, ratio = _repetition_exprs(tokens_col(F.col("text")), n)
+    return docs.select("doc_id", n_bigrams, ratio)
 
 
 def repetition_stats_sql(n: int = 2) -> str:
@@ -273,6 +299,125 @@ def repetition_stats_sql(n: int = 2) -> str:
              as top_bigram_ratio
     from t left join per_doc using (doc_id)
     """
+
+
+# ------------------------------------------- combined profile (TX1-3,5,6)
+
+def text_profile(docs: DataFrame) -> DataFrame:
+    """Every per-document text analysis — token stats (TX1), quality
+    ratios/score (TX2), language ID (TX3), PII counts + redacted md5
+    (TX5), repetition (TX6) — as ONE projection over one scan.
+
+    All eighteen output columns are row-local expressions, so the
+    whole profile is zero-shuffle: the optimal 100 TB shape
+    (scan-parallel, no exchange). The per-analysis operators above
+    remain the unit-testable parts; this is the composition a
+    production profile job runs.
+
+    Staged projections, deliberately: higher-order functions
+    (``filter``/``transform``/``aggregate`` lambdas) are
+    CodegenFallback — evaluated interpreted at EVERY occurrence, with
+    no codegen subexpression elimination. The token array feeds ~12
+    expressions; materializing it (and the n-gram array, and the five
+    language scores) as intermediate alias columns makes each
+    evaluate once per row. CollapseProject keeps the stages separate
+    because the aliases are non-cheap and multiply referenced."""
+    from ..functions.text import LANG_STOPWORDS, shingles_col
+
+    tok = F.col("tok")
+    stage1 = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        "text",
+        tokens_col(F.col("text")).alias("tok"),
+    )
+    lang_scores = [
+        stopword_hits_col(tok, ws).alias(f"_s_{lang}")
+        for lang, ws in LANG_STOPWORDS.items()
+    ]
+    stage2 = stage1.select(
+        "doc_id",
+        "lang_label",
+        "text",
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_unique_tokens"),
+        stopword_hits_col(tok, QUALITY_STOPWORDS).alias("_stop_hits"),
+        shingles_col(tok, 2).alias("_grams"),
+        *lang_scores,
+    )
+    # final projection: only cheap attrs + single-use expressions
+    n_tok = F.col("n_tokens")
+    safe_tok = F.greatest(n_tok, F.lit(1))
+    n_chars = F.length("text")
+    punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
+    stop_ratio = F.col("_stop_hits") / safe_tok
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    uniq_ratio = F.col("n_unique_tokens") / safe_tok
+    len_ok = (n_tok >= 10) & (n_tok <= 1000)
+    score = (
+        F.when(len_ok, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.25
+        + (1 - F.least(punct_ratio * 10, F.lit(1.0))) * 0.25
+        + uniq_ratio * 0.25
+    )
+    # argmax language over the materialized integer score columns —
+    # cheap attr comparisons, so double reference (pred + agree) is free
+    scores = {lang: F.col(f"_s_{lang}") for lang in LANG_STOPWORDS}
+    best_score = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_STOPWORDS)):
+        pred = F.when(
+            (scores[lang] == best_score) & (best_score > 0), F.lit(lang)
+        ).otherwise(pred)
+    pii_counts = [
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).alias(
+            f"n_{name}"
+        )
+        for name, pat in PII_PATTERNS.items()
+    ]
+    redacted = F.col("text")
+    for name in ("ssn", "phone", "email"):  # overlap-safe order
+        redacted = F.regexp_replace(redacted, PII_PATTERNS[name], PII_TOKEN)
+    grams = F.col("_grams")
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+    )
+
+    def merge(acc, x):
+        run2 = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.greatest(acc["best"], run2).alias("best"),
+        )
+
+    max_c = F.aggregate(F.array_sort(grams), init, merge, lambda a: a["best"])
+    total = F.size(grams).cast("long")
+    return stage2.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        "n_tokens",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_REGEX), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        "n_unique_tokens",
+        F.round(stop_ratio.cast("double"), 6).alias("stopword_ratio"),
+        F.round(punct_ratio.cast("double"), 6).alias("punct_ratio"),
+        F.round(uniq_ratio.cast("double"), 6).alias("unique_ratio"),
+        F.round(score.cast("double"), 6).alias("quality"),
+        pred.alias("lang_pred"),
+        "lang_label",
+        (pred == F.col("lang_label")).cast("int").alias("agree"),
+        *pii_counts,
+        F.md5(redacted).alias("redacted_md5"),
+        F.size(grams).cast("long").alias("n_bigrams"),
+        F.when(total == 0, F.lit(0.0))
+        .otherwise(max_c / total)
+        .alias("top_bigram_ratio"),
+    )
 
 
 #: Word n-gram order for the cross-document duplicated-span signal

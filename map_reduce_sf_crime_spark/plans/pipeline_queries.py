@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens_col, tokens_sql
+from ..functions.text import lang_id_col, tokens_col, tokens_sql
 from ..operators import dedup, packing, sampling, termstats, textops
 from ..operators.textops import LANG_ID_SQL, quality_scores_sql
 from ..sources.parquet import fan_out, load_table
@@ -99,14 +99,13 @@ def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("corpus_clean_stats", _CLEAN_SQL, survey_ids=("PL1",))
 def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    quality = textops.quality_scores(docs).select("doc_id", "quality")
-    lang = textops.lang_id(docs).select("doc_id", "lang_pred")
-    filtered = (
-        docs.join(quality, "doc_id")
-        .join(lang, "doc_id")
-        .filter((F.col("quality") >= QUALITY_MIN) & (F.col("lang_pred") == "en"))
-        .select("doc_id", "text", "source")
-    )
+    # quality + lang are row-local expressions — computed as columns
+    # of the scan projection and filtered in place (no doc_id joins;
+    # the filters sit on the scan side of every downstream shuffle)
+    filtered = docs.filter(
+        (textops.quality_col(F.col("text")) >= QUALITY_MIN)
+        & (lang_id_col(tokens_col(F.col("text"))) == "en")
+    ).select("doc_id", "text", "source")
     kept = dedup.dedup_keep_first(filtered).cache()
     near_dupes = (
         dedup.near_dup_pairs_exact(kept, n=3, threshold=NEAR_DUP_T)

@@ -74,17 +74,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted PII in tests/test_text_functions.py), and intra-document
     repetition (TX6, the Gopher/C4 "repetitious text" signal: share
     of all word bigrams taken by the most frequent one). One
-    doc-keyed join of per-doc projections, co-partitioned on the doc
-    key at scale."""
-    docs = _docs(spark, sf_dir)
-    ts = textops.token_stats(docs)
-    q = textops.quality_scores(docs)
-    l = textops.lang_id(docs)
-    p = textops.pii_scrub(docs)
-    r = textops.repetition_stats(docs)
-    return (
-        ts.join(q, "doc_id")
-        .join(l, "doc_id")
-        .join(p, "doc_id")
-        .join(r, "doc_id")
-    )
+    zero-shuffle projection over one scan (operators/textops.py::
+    text_profile); the DuckDB oracle keeps the per-analysis joined
+    form — identical values, independently derived."""
+    return textops.text_profile(_docs(spark, sf_dir))
