@@ -53,10 +53,17 @@ def run_materialization(
     stream: DataFrame, spark: SparkSession, out_dir: str
 ) -> None:
     """Drive the stream to completion into the materialized aggregate."""
-    q = (
-        stream.writeStream.foreachBatch(merge_daily_counts(spark, out_dir))
-        .option("checkpointLocation", out_dir + "_ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
+    from .windows import STREAM_STATE_PARTITIONS
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge_daily_counts(spark, out_dir))
+            .option("checkpointLocation", out_dir + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
