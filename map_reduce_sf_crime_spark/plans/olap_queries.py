@@ -94,37 +94,6 @@ _STAR_JOIN_SQL = f"""
 """
 
 
-def _mdx_member_totals(sj: DataFrame) -> DataFrame:
-    """bycategory.mdx:1-4 + bydistrict.mdx:1-4 — [Measures].[crimes]
-    by Category and District members, tagged by ``hierarchy``. Both
-    legs aggregate the same cached star join; emitted in the rollup
-    row shape (member in ``l1``) so the MDX surface rides the same
-    registry entry as the hierarchy rollups."""
-    cat = (
-        sj.groupBy(F.col("category").alias("l1"))
-        .agg(F.sum("crimes").alias("crimes"))
-        .select(
-            F.lit("mdx_category").alias("hierarchy"),
-            "l1",
-            F.lit("(all)").alias("l2"),
-            F.lit("(all)").alias("l3"),
-            "crimes",
-        )
-    )
-    dist = (
-        sj.groupBy(F.col("district").alias("l1"))
-        .agg(F.sum("crimes").alias("crimes"))
-        .select(
-            F.lit("mdx_district").alias("hierarchy"),
-            "l1",
-            F.lit("(all)").alias("l2"),
-            F.lit("(all)").alias("l3"),
-            "crimes",
-        )
-    )
-    return cat.unionByName(dist)
-
-
 _MDX_TOTALS_SQL = f"""
     select 'mdx_category' as hierarchy, category as l1,
            '(all)' as l2, '(all)' as l3,
@@ -173,6 +142,49 @@ def olap_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expand + one hash aggregate over the shared cached star join —
     no N² of separate group-bys at scale."""
     sj = _star_join(spark, sf_dir)
+    # mdx_category + mdx_district member totals + the full time
+    # rollup are ONE grouping-sets aggregate: a single Expand + one
+    # hash aggregate over the cached star join, instead of three
+    # separate shuffled aggregation passes. grouping() indicators
+    # route each output row to its hierarchy tag. (geo stays its own
+    # pass: its year-slice filter doesn't compose into the sets.)
+    gs = sj.groupingSets(
+        [
+            ["category"],
+            ["district"],
+            ["year", "month", "week"],
+            ["year", "month"],
+            ["year"],
+            [],
+        ],
+        "category",
+        "district",
+        "year",
+        "month",
+        "week",
+    ).agg(
+        F.sum("crimes").alias("crimes"),
+        F.grouping("category").alias("gc"),
+        F.grouping("district").alias("gd"),
+    )
+    is_cat, is_dist = F.col("gc") == 0, F.col("gd") == 0
+    tagged = gs.select(
+        F.when(is_cat, F.lit("mdx_category"))
+        .when(is_dist, F.lit("mdx_district"))
+        .otherwise(F.lit("time"))
+        .alias("hierarchy"),
+        F.when(is_cat, F.col("category"))
+        .when(is_dist, F.col("district"))
+        .otherwise(F.coalesce(F.col("year").cast("string"), F.lit("(all)")))
+        .alias("l1"),
+        F.when(is_cat | is_dist, F.lit("(all)"))
+        .otherwise(F.coalesce(F.col("month").cast("string"), F.lit("(all)")))
+        .alias("l2"),
+        F.when(is_cat | is_dist, F.lit("(all)"))
+        .otherwise(F.coalesce(F.col("week").cast("string"), F.lit("(all)")))
+        .alias("l3"),
+        "crimes",
+    )
     geo = (
         sj.filter(F.col("year") == 1995)
         .rollup("district", "category")
@@ -185,15 +197,4 @@ def olap_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
             "crimes",
         )
     )
-    tm = (
-        sj.rollup("year", "month", "week")
-        .agg(F.sum("crimes").alias("crimes"))
-        .select(
-            F.lit("time").alias("hierarchy"),
-            F.coalesce(F.col("year").cast("string"), F.lit("(all)")).alias("l1"),
-            F.coalesce(F.col("month").cast("string"), F.lit("(all)")).alias("l2"),
-            F.coalesce(F.col("week").cast("string"), F.lit("(all)")).alias("l3"),
-            "crimes",
-        )
-    )
-    return _mdx_member_totals(sj).unionByName(geo).unionByName(tm)
+    return tagged.unionByName(geo)
