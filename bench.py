@@ -47,7 +47,10 @@ BENCH_QUERIES = [
 ]
 
 
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+# 5 reps: the host shows heavy run-to-run variance (co-tenant noise;
+# single reps of the same query spread 1.5-7x), and a median of 5 is
+# materially more robust than of 3 at ~30 s extra suite cost.
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:

@@ -291,6 +291,153 @@ def lsh_near_dup_pairs(
     return verified
 
 
+# ----------------------------------- incremental (batch vs catalog)
+
+def incremental_lsh_flags(
+    docs: DataFrame,
+    incoming,
+    n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Daily-ingest near-dedup: flag each INCOMING document that
+    near-duplicates (Jaccard ≥ ``threshold``) any document already in
+    the CATALOG — the form corpus dedup actually takes in production,
+    where a new crawl batch lands against an existing 100 TB corpus.
+
+    ``incoming`` is a boolean Column over ``docs`` (the batch
+    membership rule). Shape at scale: incoming×catalog band-bucket
+    join only — incoming docs are never compared to each other, and
+    the catalog side is exactly the precomputed signature catalog
+    (doc_signatures); store it bucketed by band key and the daily
+    run shuffles ONLY the new batch. Candidates are verified with
+    exact Jaccard over the shingle sets, so output ⊆ the exact
+    incoming×catalog answer; at 8 bands × r=2 every j ≥ 0.8 pair is
+    recalled deterministically here (seeded md5 — equality with the
+    exact form is asserted in tests/test_dedup.py).
+
+    Returns one row per incoming doc: ``(doc_id, n_cat_matches,
+    best_jaccard, is_dup)``.
+    """
+    r = n_hashes // bands
+    base = (
+        docs.select(
+            "doc_id",
+            incoming.alias("is_incoming"),
+            F.array_distinct(
+                shingles_col(tokens_col(F.col("text")), n)
+            ).alias("sh"),
+        )
+        .withColumn("n_sh", F.size("sh"))
+        .cache()
+    )
+    ex = base.select("doc_id", F.explode("sh").alias("s"))
+    mins = ex.groupBy("doc_id").agg(
+        *[
+            F.min(hash64_col(F.col("s"), seed=str(k))).alias(f"_m{k}")
+            for k in range(n_hashes)
+        ]
+    )
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.md5(
+                    F.concat_ws(",", *[F.col(f"_m{i * r + j}") for j in range(r)])
+                ).alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )
+    buckets = (
+        base.select("doc_id", "is_incoming", "n_sh")
+        .join(mins, "doc_id")
+        .select(
+            "doc_id", "is_incoming", "n_sh", F.explode(band_cols).alias("bk")
+        )
+        .select("doc_id", "is_incoming", "n_sh", "bk.band", "bk.key")
+    )
+    inc_b = buckets.filter(F.col("is_incoming")).alias("i")
+    cat_b = buckets.filter(~F.col("is_incoming")).alias("c")
+    cands = (
+        inc_b.join(
+            cat_b,
+            (F.col("i.band") == F.col("c.band"))
+            & (F.col("i.key") == F.col("c.key"))
+            # lossless length filter: J ≥ t needs t·ni ≤ nc ≤ ni/t
+            & (F.col("c.n_sh") * threshold <= F.col("i.n_sh"))
+            & (F.col("i.n_sh") * threshold <= F.col("c.n_sh")),
+        )
+        .select(F.col("i.doc_id").alias("doc_id"), F.col("c.doc_id").alias("cat_id"))
+        .distinct()
+    )
+    ti = base.select(F.col("doc_id"), F.col("sh").alias("sh_i"), F.col("n_sh").alias("ni"))
+    tc = base.select(
+        F.col("doc_id").alias("cat_id"), F.col("sh").alias("sh_c"), F.col("n_sh").alias("nc")
+    )
+    jac = F.col("inter") / (F.col("ni") + F.col("nc") - F.col("inter"))
+    matches = (
+        cands.join(ti, "doc_id")
+        .join(tc, "cat_id")
+        .withColumn("inter", F.size(F.array_intersect("sh_i", "sh_c")))
+        .withColumn("jaccard", F.round(jac.cast("double"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cat_matches"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+    )
+    return (
+        base.filter(F.col("is_incoming"))
+        .select("doc_id")
+        .join(matches, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_cat_matches"), F.lit(0)).cast("long").alias(
+                "n_cat_matches"
+            ),
+            F.coalesce(F.col("best_jaccard"), F.lit(0.0)).alias("best_jaccard"),
+            (F.coalesce(F.col("n_cat_matches"), F.lit(0)) > 0)
+            .cast("int")
+            .alias("is_dup"),
+        )
+    )
+
+
+def incremental_exact_sql(
+    incoming_pred: str, n: int = 3, threshold: float = 0.8
+) -> str:
+    """Exact incoming×catalog twin (inverted-index join, no LSH) —
+    the oracle the banded form must equal on recalled data."""
+    return f"""
+    with t as ({_shingle_sets_sql(n)}),
+    inc as (select * from t where {incoming_pred}),
+    cat as (select * from t where not ({incoming_pred})),
+    ei as (select doc_id, n_sh, unnest(sh) as s from inc),
+    ec as (select doc_id, n_sh, unnest(sh) as s from cat),
+    pairs as (
+      select i.doc_id as doc_id, c.doc_id as cat_id,
+             i.n_sh as ni, c.n_sh as nc, count(*) as inter
+      from ei i join ec c on i.s = c.s
+      group by 1, 2, 3, 4
+    ),
+    m as (
+      select doc_id, count(*) as n_cat_matches,
+             max(round(inter * 1.0 / (ni + nc - inter), 6)) as best_jaccard
+      from pairs
+      where round(inter * 1.0 / (ni + nc - inter), 6) >= {threshold}
+      group by doc_id
+    )
+    select inc.doc_id,
+           cast(coalesce(m.n_cat_matches, 0) as bigint) as n_cat_matches,
+           coalesce(m.best_jaccard, 0.0) as best_jaccard,
+           cast(coalesce(m.n_cat_matches, 0) > 0 as int) as is_dup
+    from inc left join m using (doc_id)
+    """
+
+
 # ---------------------------------------------- duplicate clusters
 
 def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:

@@ -125,6 +125,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Incremental-batch membership rule: every 5th doc is "today's
+#: crawl", the rest are the existing catalog. Deterministic doc_id
+#: rule so the oracle partitions identically.
+_INC_PRED = "doc_id % 5 = 4"
+
+
+@register(
+    "dedup_incremental",
+    dedup.incremental_exact_sql(_INC_PRED, n=3, threshold=0.8),
+    survey_ids=("IC1",),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (new-batch-vs-catalog) near-dedup, j ≥ 0.8: each
+    incoming doc flagged with its catalog match count and best
+    Jaccard — banded-minhash candidates verified exactly, never
+    comparing incoming docs to each other (operators/dedup.py::
+    incremental_lsh_flags). Oracle = the exact incoming×catalog
+    inverted-index join."""
+    return dedup.incremental_lsh_flags(
+        _docs(spark, sf_dir),
+        (F.col("doc_id") % 5) == 4,
+        n=3,
+        threshold=0.8,
+    )
+
+
 @register(
     "dedup_clusters",
     dedup.dup_clusters_sql(dedup.near_dup_pairs_exact_sql(3, 0.8)),

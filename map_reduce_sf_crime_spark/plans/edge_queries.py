@@ -140,37 +140,6 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "time_id_lookup",
-    f"""
-    with tp as ({timeperiod_sql(INCIDENTS_SQL, "d")}),
-    probe as (
-      select distinct year(d) as year, {('month(d) - 1')} as month,
-             dayofmonth(d) as day
-      from {INCIDENTS_SQL} t
-    )
-    select probe.year, probe.month, probe.day, tp.time_id
-    from probe left join tp using (year, month, day)
-    """,
-    survey_ids=("J3",),
-)
-def time_id_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kettle DBLookup (dimensions.ktr:822-873): probe the timeperiod
-    dim on (year, month, day) equi-keys, return ``time_id``; misses
-    surface as NULL (left join), not dropped rows. The dim is tiny by
-    construction (one row per distinct date) → broadcast."""
-    inc = incidents(spark, sf_dir)
-    tp = timeperiod(inc, "d").select("time_id", "year", "month", "day")
-    probe = inc.select(
-        F.year("d").alias("year"),
-        (F.month("d") - 1).alias("month"),
-        F.dayofmonth("d").alias("day"),
-    ).distinct()
-    return probe.join(F.broadcast(tp), ["year", "month", "day"], "left").select(
-        "year", "month", "day", "time_id"
-    )
-
-
-@register(
     "scalar_functions",
     f"""
     select strftime(d, '%Y/%m/%d') as day,

@@ -47,14 +47,41 @@ def dims_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dim_timeperiod",
-    f"select time_id, year, month, week, day from ({_SQL['timeperiod']}) tp",
-    survey_ids=("J2", "A3", "F3"),
+    f"""
+    with tp as ({_SQL['timeperiod']}),
+    probe as (
+      select distinct year(d) as year, month(d) - 1 as month,
+             dayofmonth(d) as day
+      from {INCIDENTS_SQL} t
+    ),
+    looked as (
+      select probe.year, probe.month, probe.day, tp2.time_id as lookup_time_id
+      from probe left join tp tp2 using (year, month, day)
+    )
+    select tp.time_id, tp.year, tp.month, tp.week, tp.day,
+           looked.lookup_time_id
+    from tp left join looked using (year, month, day)
+    """,
+    survey_ids=("J2", "J3", "A3", "F3"),
 )
 def dim_timeperiod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LoadStarDB.java:149-160 insert-on-miss dedup → distinct+rank."""
-    return (
-        star_tables(incidents(spark, sf_dir))["timeperiod"]
-        .select("time_id", "year", "month", "week", "day")
+    """LoadStarDB.java:149-160 insert-on-miss dedup → distinct+rank,
+    PLUS the Kettle DBLookup probe (J3, dimensions.ktr:822-873) folded
+    in: a probe set of distinct (year, month, day) keys left-joins the
+    dim on the equi-keys and returns ``lookup_time_id`` (misses would
+    surface as NULL, not dropped rows). The dim is tiny by
+    construction → both joins broadcast."""
+    tp = star_tables(incidents(spark, sf_dir))["timeperiod"].select(
+        "time_id", "year", "month", "week", "day"
+    )
+    probe = tp.select("year", "month", "day").distinct()
+    looked = probe.join(
+        F.broadcast(tp.select("time_id", "year", "month", "day")),
+        ["year", "month", "day"],
+        "left",
+    ).select("year", "month", "day", F.col("time_id").alias("lookup_time_id"))
+    return tp.join(F.broadcast(looked), ["year", "month", "day"], "left").select(
+        "time_id", "year", "month", "week", "day", "lookup_time_id"
     )
 
 

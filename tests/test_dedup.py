@@ -99,3 +99,35 @@ def test_dup_clusters_match_union_find(spark):
     got = {r.doc_id: r.cluster_id for r in dedup.dup_clusters(pairs).collect()}
     assert got == want
     assert want, "fixture must contain at least one near-dup component"
+
+
+def test_incremental_flags_match_pair_restriction(spark):
+    """Incremental (batch-vs-catalog) flags must equal the full
+    near-dup pair set restricted to incoming×catalog pairs."""
+    docs = _docs(spark)
+    incoming = (F.col("doc_id") % 5) == 4
+    flags = {
+        r.doc_id: (r.n_cat_matches, r.best_jaccard, r.is_dup)
+        for r in dedup.incremental_lsh_flags(
+            docs, incoming, n=3, threshold=0.8
+        ).collect()
+    }
+    # derive the expected answer from the (already equivalence-tested)
+    # exact pair set: keep pairs with exactly one incoming endpoint
+    pairs = dedup.near_dup_pairs_exact(docs, n=3, threshold=0.8).collect()
+    expected: dict[int, list[float]] = {}
+    for r in pairs:
+        a_inc, b_inc = r.doc_a % 5 == 4, r.doc_b % 5 == 4
+        if a_inc != b_inc:
+            expected.setdefault(r.doc_a if a_inc else r.doc_b, []).append(
+                r.jaccard
+            )
+    n_incoming = docs.filter(incoming).count()
+    assert len(flags) == n_incoming  # one row per incoming doc
+    for doc_id, (n, best, dup) in flags.items():
+        js = expected.get(doc_id, [])
+        assert n == len(js)
+        assert best == (max(js) if js else 0.0)
+        assert dup == (1 if js else 0)
+    # the fixture plants near-dup pairs; some must straddle the split
+    assert sum(f[2] for f in flags.values()) > 0
