@@ -147,19 +147,28 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(distinct user_id) as n_users,
            round(median(value), 4) as median_value,
            array_to_string(list_sort(list_distinct(list(event_type))), ',')
-             as types
+             as types,
+           cast(sum(cast(json_extract_string(props, '$.k') as bigint))
+                as bigint) as sum_props_k,
+           cast(count(*) filter (json_extract_string(props, '$.k') is null)
+                as bigint) as n_props_missing
     from events
     group by 1
     """,
-    survey_ids=("SC4",),
+    survey_ids=("SC4", "JS1"),
 )
 def events_daily_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.4's "not present in reference, built-in in Spark"
     aggregate surface, exercised for real: exact distinct count
-    (expands to a two-phase agg), exact median, and an order-stable
+    (expands to a two-phase agg), exact median, an order-stable
     collected set (sort_array(collect_set) — the only deterministic
-    form of a collected column, and the one that hash-compares)."""
+    form of a collected column, and the one that hash-compares), and
+    the semi-structured surface (JS1): ``get_json_object`` extraction
+    from the JSON ``props`` column aggregated per day — extraction is
+    a row-local codegen expression on the scan side of the shuffle,
+    with missing keys surfacing as NULLs counted separately."""
     ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
     # day/types rendered as strings: driver canon can't sort array
     # cells, and DATE vs TIMESTAMP stringify differently (round 1)
     return (
@@ -171,6 +180,10 @@ def events_daily_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias(
                 "types"
             ),
+            F.coalesce(F.sum(k), F.lit(0)).cast("long").alias("sum_props_k"),
+            F.count(F.when(k.isNull(), 1)).cast("long").alias(
+                "n_props_missing"
+            ),
         )
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
@@ -178,6 +191,8 @@ def events_daily_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
             "median_value",
             "types",
+            "sum_props_k",
+            "n_props_missing",
         )
     )
 
