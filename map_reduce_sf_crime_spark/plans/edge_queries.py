@@ -112,31 +112,74 @@ def tsv_report_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_report(spark, path, schema).withColumnRenamed("key", "category")
 
 
+#: CDC demo constants: the merge batch doubles one category's counts
+#: and deletes another, within month 2 only.
+_MERGE_UPD_CAT = "1-URGENT"
+_MERGE_DEL_CAT = "5-LOW"
+
+
 @register(
     "lakehouse_roundtrip",
     f"""
-    select category, count(*) as n
+    select category,
+           cast(sum(case when category = '{_MERGE_UPD_CAT}' then 2 else 1 end)
+                as bigint) as n
     from {INCIDENTS_SQL} t
-    where month(d) = 2
+    where month(d) = 2 and category <> '{_MERGE_DEL_CAT}'
     group by category
     """,
-    survey_ids=("K3", "K4"),
+    survey_ids=("K3", "K4", "CDC1"),
 )
 def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB form of K3/K4 truncate-and-reload under the gate:
-    incidents written as hive-partitioned parquet (``month=``
-    directories, atomic overwrite — dimensions.ktr:611-650 at table
-    granularity), read back through a partition-pruned scan
-    (month = 2 lists only that directory; pruning is plan-asserted in
-    tests/test_lakehouse.py), aggregated, and hash-matched against
-    the source-of-truth oracle."""
-    from ..sources.lakehouse import read_partitioned, write_partitioned
+    """The 100 TB form of K3/K4 truncate-and-reload PLUS a CDC merge,
+    under the gate: the daily fact is written as hive-partitioned
+    parquet (``month=`` directories, atomic overwrite —
+    dimensions.ktr:611-650 at table granularity), then a change batch
+    (update: {_MERGE_UPD_CAT} counts doubled; delete: {_MERGE_DEL_CAT}
+    rows dropped — month 2 only) is MERGEd copy-on-write: only the
+    month=2 partition is read and rewritten
+    (sources/lakehouse.py::merge_upsert; partition-granular rewrite is
+    plan- and mtime-asserted in tests/test_lakehouse.py). The merged
+    table is read back through a partition-pruned scan and
+    hash-matched against the oracle's post-merge expectation."""
+    from ..sources.lakehouse import (
+        merge_upsert,
+        read_partitioned,
+        write_partitioned,
+    )
 
     path = _scratch(sf_dir, "lakehouse_fact")
-    inc = incidents(spark, sf_dir).withColumn("month", F.month("d"))
-    write_partitioned(inc, path, ["month"])
+    daily = (
+        incidents(spark, sf_dir)
+        .groupBy(
+            F.month("d").alias("month"), "d", "category", "district"
+        )
+        .agg(F.count(F.lit(1)).alias("crimes"))
+    )
+    write_partitioned(daily, path, ["month"])
+    m2 = read_partitioned(spark, path).filter(F.col("month") == 2)
+    changes = (
+        m2.filter(F.col("category") == _MERGE_UPD_CAT)
+        .withColumn("crimes", F.col("crimes") * 2)
+        .withColumn("_delete", F.lit(False))
+        .unionByName(
+            m2.filter(F.col("category") == _MERGE_DEL_CAT).withColumn(
+                "_delete", F.lit(True)
+            )
+        )
+    )
+    merge_upsert(
+        spark,
+        path,
+        changes,
+        key_cols=["d", "category", "district"],
+        partition_cols=["month"],
+        delete_col="_delete",
+    )
     back = read_partitioned(spark, path).filter(F.col("month") == 2)
-    return back.groupBy("category").agg(F.count(F.lit(1)).alias("n"))
+    return back.groupBy("category").agg(
+        F.sum("crimes").cast("long").alias("n")
+    )
 
 
 @register(

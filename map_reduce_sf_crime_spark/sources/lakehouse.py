@@ -25,6 +25,7 @@ reference's truncate-then-insert (K4), without its read-gap.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -36,6 +37,62 @@ def write_partitioned(
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str],
+    delete_col: str | None = None,
+) -> None:
+    """MERGE INTO for a plain-parquet lakehouse table — the idiomatic
+    open-Spark form without a row-level table format: copy-on-write at
+    partition granularity.
+
+    - ``changes`` carries upserts (and, when ``delete_col`` names a
+      boolean column, deletes) keyed by ``key_cols``.
+    - Only partitions PRESENT in the change batch are read (the tiny
+      distinct partition-key list prunes the scan) and rewritten
+      (``partitionOverwriteMode=dynamic`` replaces exactly those
+      directories, atomically per partition). A change batch touching
+      one day of a 100 TB fact reads and writes one day.
+    - Matched keys take the change row (update), unmatched change
+      rows append (insert), delete-flagged keys drop.
+
+    The merged frame is localCheckpoint-ed before the write: the plan
+    reads the same path it overwrites, and truncating the lineage is
+    what makes the self-overwrite safe (and re-runnable) — the
+    checkpoint holds only the touched partitions' rows.
+    """
+    current = spark.read.parquet(path)
+    part_keys = changes.select(*partition_cols).distinct().collect()
+    pred = None
+    for row in part_keys:
+        clause = None
+        for pc in partition_cols:
+            c = F.col(pc) == row[pc]
+            clause = c if clause is None else (clause & c)
+        pred = clause if pred is None else (pred | clause)
+    touched = current.filter(pred) if pred is not None else current.limit(0)
+    if delete_col is not None:
+        upserts = changes.filter(~F.col(delete_col)).drop(delete_col)
+        change_keys = changes.select(*key_cols).distinct()
+    else:
+        upserts = changes
+        change_keys = changes.select(*key_cols).distinct()
+    merged = (
+        touched.join(change_keys, key_cols, "left_anti")
+        .unionByName(upserts)
+        .localCheckpoint()
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
 
 
 def write_bucketed(

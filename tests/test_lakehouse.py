@@ -76,3 +76,72 @@ def test_bucketed_join_no_shuffle(spark):
 
 def teardown_module(module):
     shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+def test_merge_upsert_rewrites_only_touched_partitions(spark):
+    """CDC merge must be partition-granular copy-on-write: a change
+    batch confined to month=2 leaves every other partition's files
+    byte-identical (same names, same mtimes) and applies
+    update/insert/delete semantics exactly."""
+    from map_reduce_sf_crime_spark.sources.lakehouse import merge_upsert
+
+    path = os.path.join(SCRATCH, "merge_fact")
+    shutil.rmtree(path, ignore_errors=True)
+    daily = (
+        incidents(spark, SF_SMOKE)
+        .groupBy(F.month("d").alias("month"), "d", "category", "district")
+        .agg(F.count(F.lit(1)).alias("crimes"))
+    )
+    write_partitioned(daily, path, ["month"])
+
+    def snapshot(part):
+        d = os.path.join(path, f"month={part}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before = {m: snapshot(m) for m in (1, 3)}
+    m2 = read_partitioned(spark, path).filter(F.col("month") == 2)
+    one_key = m2.orderBy("d", "category", "district").limit(1).collect()[0]
+    changes = spark.createDataFrame(
+        [
+            # update: bump the chosen key's count to 999
+            (2, one_key.d, one_key.category, one_key.district, 999, False),
+            # insert: a brand-new key in the same partition
+            (2, one_key.d, "NEW-CAT", one_key.district, 7, False),
+            # delete: every row of one other category
+        ],
+        "month int, d date, category string, district string, crimes long, _delete boolean",
+    ).unionByName(
+        m2.filter(F.col("category") != one_key.category)
+        .limit(3)
+        .withColumn("_delete", F.lit(True))
+    )
+    deleted_keys = {
+        (r.d, r.category, r.district)
+        for r in changes.filter("_delete").collect()
+    }
+    merge_upsert(
+        spark,
+        path,
+        changes,
+        key_cols=["d", "category", "district"],
+        partition_cols=["month"],
+        delete_col="_delete",
+    )
+    # untouched partitions: byte-identical files
+    assert {m: snapshot(m) for m in (1, 3)} == before
+    after = read_partitioned(spark, path).filter(F.col("month") == 2)
+    rows = {
+        (r.d, r.category, r.district): r.crimes for r in after.collect()
+    }
+    assert rows[(one_key.d, one_key.category, one_key.district)] == 999
+    assert rows[(one_key.d, "NEW-CAT", one_key.district)] == 7
+    assert not deleted_keys & set(rows)
+    # other partitions' row counts unchanged
+    full = read_partitioned(spark, path)
+    assert full.filter(F.col("month") == 1).count() == daily.filter(
+        F.col("month") == 1
+    ).count()
