@@ -95,13 +95,18 @@ def csv_crimes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tsv_report_roundtrip",
     weekly_summary_sql(CATEGORY_INCIDENTS_SQL + " t", "category", "d"),
-    survey_ids=("S2", "S3", "S4", "K1", "K4", "O3"),
+    survey_ids=("S2", "S3", "S4", "K1", "K4", "O3", "FMT1"),
 )
 def tsv_report_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly report → ``key TAB csv(w0..w15)`` part files (key-sorted,
     overwrite = the reference's truncate-reload, LoadStarDB.java:202-217)
     → typed re-read (DataFile.java:43-57 / Kettle CsvInput
-    dimensions.ktr:94-201). Must hash-equal the weekly oracle."""
+    dimensions.ktr:94-201), then chained through the secondary
+    interchange formats (FMT1, sources/formats.py): JSON-lines write →
+    explicit-schema read → ORC write → read. The final frame must
+    still hash-equal the weekly oracle, so any type or value drift in
+    ANY leg (text, JSON, ORC) fails the gate."""
+    from ..sources.formats import read_json, read_orc, write_json, write_orc
     from .crimes_view import category_incidents
 
     path = _scratch(sf_dir, "weekly_tsv")
@@ -109,7 +114,15 @@ def tsv_report_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     wcols = [f"w{b}" for b in range(16)]
     write_report(weekly, "category", wcols, path)
     schema = T.StructType([T.StructField(c, T.LongType()) for c in wcols])
-    return read_report(spark, path, schema).withColumnRenamed("key", "category")
+    tsv = read_report(spark, path, schema).withColumnRenamed("key", "category")
+    jpath, opath = _scratch(sf_dir, "weekly_json"), _scratch(sf_dir, "weekly_orc")
+    write_json(tsv, jpath)
+    jschema = T.StructType(
+        [T.StructField("category", T.StringType())]
+        + [T.StructField(c, T.LongType()) for c in wcols]
+    )
+    write_orc(read_json(spark, jpath, jschema), opath)
+    return read_orc(spark, opath)
 
 
 #: CDC demo constants: the merge batch doubles one category's counts

@@ -34,6 +34,7 @@ PROBES = [
     "token_doc_freq",
     "corpus_sample",
     "dedup_simhash",
+    "dedup_incremental",
     "dedup_minhash_lsh",
     "dedup_near_jaccard",
     "embedding_near_pairs",
