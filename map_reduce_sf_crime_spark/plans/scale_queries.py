@@ -25,9 +25,13 @@ from .registry import register
 SHIP_CUTOFF = "1998-09-01"
 
 
+#: Gap that starts a new session (batch sessionization, SES1).
+SESSION_GAP_US = 1_800_000_000  # 30 minutes
+
+
 @register(
     "user_gap_stats",
-    """
+    f"""
     with g as (
       select user_id,
              epoch_us(ts) - lag(epoch_us(ts))
@@ -35,10 +39,12 @@ SHIP_CUTOFF = "1998-09-01"
       from events
     )
     select user_id, count(*) as n_events, max(gap) as max_gap_us,
-           avg(gap) as avg_gap_us
+           avg(gap) as avg_gap_us,
+           cast(count(*) filter (gap is null or gap > {SESSION_GAP_US})
+                as bigint) as n_sessions
     from g group by user_id
     """,
-    survey_ids=("SC5",),
+    survey_ids=("SC5", "SES1"),
 )
 def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map ``applyInPandas`` (the per-group custom-logic UDF
@@ -48,7 +54,12 @@ def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches the SQL window-lag oracle. The mean is emitted
     UNROUNDED: gap sums are integers < 2^53 so sum and division are
     bit-exact doubles in both engines, whereas round-to-4dp diverges
-    at .xxxx5 boundaries (Python half-even vs DuckDB half-up)."""
+    at .xxxx5 boundaries (Python half-even vs DuckDB half-up).
+
+    Also carries batch sessionization (SES1): ``n_sessions`` counts
+    gap-rule session starts (first event, or gap > 30 min) — the
+    batch twin of the streaming ``session_window`` operator, same
+    single user_id shuffle."""
     import pandas as pd
 
     def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -60,12 +71,15 @@ def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_events": [len(pdf)],
                 "max_gap_us": [int(d.max()) if len(d) else None],
                 "avg_gap_us": [float(d.sum()) / len(d) if len(d) else None],
+                "n_sessions": [1 + int((d > SESSION_GAP_US).sum())],
             }
         )
 
     ev = load_events(spark, sf_dir).select("user_id", "ts")
     return ev.groupBy("user_id").applyInPandas(
-        gaps, "user_id long, n_events long, max_gap_us long, avg_gap_us double"
+        gaps,
+        "user_id long, n_events long, max_gap_us long, avg_gap_us double, "
+        "n_sessions long",
     )
 
 
