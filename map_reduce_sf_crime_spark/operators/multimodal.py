@@ -175,6 +175,30 @@ def resize_binary(media: DataFrame, target_bytes: int = 256) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(_batches, RESIZE_SCHEMA)
 
 
+def resize_sql(target_bytes: int = 256) -> str:
+    """Twin of resize_binary over ASCII text: the byte-stride
+    downsample ``payload[::step]`` is a character-stride substring,
+    hashed so the gate compares md5 strings instead of raw binary."""
+    t = target_bytes
+    return f"""
+    with s as (
+      select doc_id, text, octet_length(encode(text)) as n,
+             greatest(1, (octet_length(encode(text)) + {t - 1}) // {t}) as step
+      from documents
+    ),
+    r as (
+      select doc_id,
+             array_to_string(
+               list_transform(range(0, ((n + step - 1) // step)::int),
+                              i -> substr(text, (i * step + 1)::int, 1)), '') as resized
+      from s
+    )
+    select doc_id, md5(resized) as payload_md5,
+           octet_length(encode(resized))::int as n_bytes
+    from r
+    """
+
+
 #: SQL twin of with_payload+extract_features with the fake decoder.
 #: The fixture text is pure ASCII (verified ≤ 0x79), so utf-8 bytes ==
 #: character codes: DuckDB md5(text) == Spark md5(encode(text, 'utf-8'))

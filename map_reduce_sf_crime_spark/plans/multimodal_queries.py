@@ -62,10 +62,15 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(multimodal.with_payload(docs), every_n=3)
 
 
-@register("multimodal_resize", None, survey_ids=("MM3",))
+@register("multimodal_resize", multimodal.resize_sql(), survey_ids=("MM3",))
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-in → binary-out resize stand-in (rows-only check: the
-    oracle hash compare has no binary-column support; determinism is
-    asserted in tests/test_multimodal.py)."""
+    """Binary-in → binary-out resize stand-in. The operator emits the
+    resized binary payload; the gate entry hashes it (md5) so the
+    driver's string canonicalizer can compare it against the DuckDB
+    character-stride twin — raw-binary determinism is additionally
+    asserted in tests/test_multimodal.py."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return multimodal.resize_binary(multimodal.with_payload(docs))
+    resized = multimodal.resize_binary(multimodal.with_payload(docs))
+    return resized.select(
+        "doc_id", F.md5("payload").alias("payload_md5"), "n_bytes"
+    )

@@ -37,8 +37,8 @@ def register(name: str, oracle: str | None, survey_ids: tuple[str, ...] = ()):
 # Import side-effect modules that populate REGISTRY. The driver's
 # correctness gate records at most 50 entries in insertion order, so
 # the registry is consolidated to exactly 50 queries (every SURVEY §2
-# id still covered via survey_ids tags) and ordered oracled-first:
-# the single rows-only entry (multimodal_resize) registers last.
+# id still covered via survey_ids tags) — all 50 entries carry a
+# DuckDB oracle twin.
 from . import parity_queries  # noqa: E402,F401
 from . import olap_queries  # noqa: E402,F401
 from . import filter_queries  # noqa: E402,F401
