@@ -101,19 +101,11 @@ def stream_materialized_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .edge_queries import _scratch
 
     out = _scratch(sf_dir, f"mat_daily_{uuid.uuid4().hex[:8]}")
-    # availableNow over the static events file (schema fixed the same
-    # way as windows._events_stream: ns→µs)
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    from ..sources.parquet import events_stream
+
+    stream = events_stream(spark, sf_dir)
     run_materialization(stream, spark, out)
     # day as a string: Spark DATE vs DuckDB TIMESTAMP stringify
     # differently in the driver's pandas canonicalizer

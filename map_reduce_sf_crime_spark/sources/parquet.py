@@ -54,18 +54,52 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long
-    (runtime SQLConf) and truncate to microsecond timestamps — the
-    same ns→µs floor DuckDB applies, so oracles agree."""
-    from pyspark.sql import functions as F
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a session-TZ (UTC-pinned) µs
+    timestamp regardless of the physical layout the testdata
+    generation used. Observed layouts across driver rounds:
 
+    - TIMESTAMP(NANOS): Spark's reader rejects it
+      ([PARQUET_TYPE_ILLEGAL]) unless read as long via the
+      ``nanosAsLong`` legacy conf → arrives as LongType nanos;
+      floor ns→µs exactly like DuckDB does.
+    - TIMESTAMP_NTZ(µs): arrives as TimestampNTZType; cast to the
+      session timestamp so downstream ``unix_micros``/watermark
+      logic and oracle string renders are identical either way.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampType
+
+    dtype = df.schema["ts"].dataType
+    if isinstance(dtype, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if not isinstance(dtype, TimestampType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch read of events.parquet with ts normalized (see
+    :func:`normalize_event_ts`)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    return normalize_event_ts(raw)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the static events parquet (file-source
+    streaming wants a directory: stream the sf dir glob-filtered to
+    the events file), ts normalized the same way as the batch loader
+    so batch-replay oracles agree."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
+    return normalize_event_ts(raw)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

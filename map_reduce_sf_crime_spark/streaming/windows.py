@@ -26,19 +26,9 @@ from pyspark.sql import functions as F
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ns-timestamp parquet: read nanos as long, floor to µs (same as
-    # the batch loader in sources/parquet.py so oracles agree).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    return (
-        spark.readStream.schema(schema)
-        # file-source streaming wants a directory: stream the sf dir,
-        # glob-filtered to the events file only
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    from ..sources.parquet import events_stream
+
+    return events_stream(spark, sf_dir)
 
 
 #: State-store partition count for streaming queries. The session's
