@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "multimodal_profile",
     "corpus_clean_stats",
     "corpus_pack",
+    "corpus_sample",
     "token_doc_freq",
 ]
 
@@ -76,6 +77,13 @@ def main() -> None:
     run_query(spark, "awk_totals", sf_dir)
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        # drop the previous query's cached intermediates: cross-query
+        # cache accumulation (queries cache per-plan intermediates and
+        # plans differ per query, so nothing is ever reused across
+        # queries) only adds GC/memory pressure that pollutes later
+        # measurements. Reps of ONE query still share their cache —
+        # the warm-service reading BASELINE.md documents.
+        spark.catalog.clearCache()
         times[name] = round(median_time(spark, name, sf_dir), 3)
     total = round(sum(times.values()), 3)
     print(

@@ -30,9 +30,26 @@ RECALL_BOUND = 0.6
 ANN_METHODS = ("lsh", "ivf", "ivf_refined")
 
 
+_DIM_CHECKED: set[str] = set()
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # The hyperplane/IVF constructions bake DIM into driver-precomputed
+    # literals and oracle SQL — if a testdata regeneration changes the
+    # vector width (the way it changed events.ts), fail loudly here
+    # instead of hash-mismatching 6 queries downstream. Once per dir
+    # per process.
+    if sf_dir not in _DIM_CHECKED:
+        dim = len(emb.select("embedding").first()[0])
+        if dim != similarity.DIM:
+            raise ValueError(
+                f"embeddings dim {dim} != configured DIM {similarity.DIM};"
+                " update operators/similarity.py:DIM"
+            )
+        _DIM_CHECKED.add(sf_dir)
     # vector math is CPU-bound per row — spread scan-side work
-    return fan_out(load_table(spark, sf_dir, "embeddings"))
+    return fan_out(emb)
 
 
 @register(
