@@ -61,8 +61,10 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids=("ST6", "DD1"),
 )
 def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact dedup (stateful dropDuplicates) — the streaming
-    member of the dedup family; equals batch count(distinct)."""
+    """Streaming exact dedup (ST6), both state disciplines in one
+    tagged row-set: unbounded ``dropDuplicates`` and the bounded-state
+    ``dropDuplicatesWithinWatermark`` (the 100 TB form), run
+    concurrently; each leg must equal batch count(distinct)."""
     return windows.stream_distinct_user_types(spark, sf_dir)
 
 

@@ -200,24 +200,54 @@ def session_windows(spark: SparkSession, sf_dir: str, gap: str = "5 minutes") ->
 
 
 def stream_distinct_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact dedup: ``dropDuplicates`` as a stateful operator
-    — each (user_id, event_type) pair is emitted once across ALL
-    micro-batches (state in the store, not a batch-local distinct).
-    The emitted stream is then counted per type, so the oracle's
-    ``count(distinct user_id)`` only matches if the streaming dedup
-    state worked. At scale the watermarked variant
-    (``dropDuplicatesWithinWatermark``) bounds the state to the
-    late-data horizon; over this finite replay the unbounded form is
-    the one whose semantics equal the batch oracle."""
+    """Streaming exact dedup, both state disciplines, run CONCURRENTLY
+    and tagged by ``kind``:
+
+    - ``unbounded``: ``dropDuplicates`` — each (user_id, event_type)
+      pair emitted once across ALL micro-batches; state grows with the
+      key universe. The semantics that equal the batch oracle on any
+      replay.
+    - ``watermarked``: ``dropDuplicatesWithinWatermark`` — the 100 TB
+      form: state is evicted once the event-time watermark passes a
+      key's horizon, so store size is bounded by the late-data window,
+      not the corpus. Guarantees exact dedup only for duplicates
+      arriving within the watermark of each other — which holds for
+      this replay (and the oracle proves it by matching both legs to
+      the same ``count(distinct)``).
+
+    The emitted streams are counted per type, so the oracle only
+    matches if the dedup state actually worked."""
     ev = _events_stream(spark, sf_dir).select("user_id", "event_type")
-    deduped = ev.dropDuplicates(["user_id", "event_type"])
-    out = _run_to_memory(deduped, "append")
-    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    q1, t1 = _start_to_memory(
+        ev.dropDuplicates(["user_id", "event_type"]), "append"
+    )
+    wev = (
+        _events_stream(spark, sf_dir)
+        .select("ts", "user_id", "event_type")
+        .withWatermark("ts", "10 minutes")
+    )
+    q2, t2 = _start_to_memory(
+        wev.dropDuplicatesWithinWatermark(["user_id", "event_type"]),
+        "append",
+    )
+    q1.awaitTermination()
+    q2.awaitTermination()
+
+    def _counts(table: str, kind: str) -> DataFrame:
+        return (
+            spark.table(table)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .select(F.lit(kind).alias("kind"), "event_type", "n_users")
+        )
+
+    return _counts(t1, "unbounded").unionAll(_counts(t2, "watermarked"))
 
 
 STREAM_DISTINCT_SQL = """
-select event_type, count(distinct user_id) as n_users
-from events group by event_type
+select kind, event_type, count(distinct user_id) as n_users
+from events cross join (values ('unbounded'), ('watermarked')) k(kind)
+group by kind, event_type
 """
 
 

@@ -71,6 +71,20 @@ def test_concurrent_window_counts_equal_sequential(spark):
     assert tumb_seq.exceptAll(tumb_leg).count() == 0
 
 
+def test_stream_dedup_state_disciplines_agree(spark):
+    """The bounded-state watermarked dedup must produce the same
+    per-type distinct counts as the unbounded form on this replay
+    (all duplicates arrive within the watermark of each other)."""
+    rows = REGISTRY["stream_dedup_counts"].spark(spark, SF_SMOKE).collect()
+    kinds = {r.kind for r in rows}
+    assert kinds == {"unbounded", "watermarked"}
+    a = sorted((r.event_type, r.n_users) for r in rows if r.kind == "unbounded")
+    b = sorted(
+        (r.event_type, r.n_users) for r in rows if r.kind == "watermarked"
+    )
+    assert a == b and len(a) > 0
+
+
 def test_corpus_pack_bins_contiguous_and_full(spark):
     from map_reduce_sf_crime_spark.plans.pipeline_queries import PACK_BUDGET
 

@@ -73,6 +73,23 @@ def main() -> None:
         # isolate per-operator cost: accumulated caches from earlier
         # probes otherwise skew (and memory-pressure) later ones
         spark.catalog.clearCache()
+
+    # SemDeDup with k scaled to the corpus (constant ~100-vector
+    # lists) — the production discipline: within-list pairs total
+    # n*L/2, i.e. LINEAR in n. The registry entry pins the gate's
+    # small fixed k, whose (n/k)^2 list growth this probe line exists
+    # to contrast against.
+    from map_reduce_sf_crime_spark.operators.similarity import (
+        IVF_K,
+        semantic_dedup,
+    )
+    from map_reduce_sf_crime_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = max(IVF_K, emb.count() // 100)
+    t0 = time.perf_counter()
+    semantic_dedup(emb, k=k).write.format("noop").mode("overwrite").save()
+    print(f"x{n} semantic_dedup[k={k}]: {time.perf_counter() - t0:.2f}s")
     spark.stop()
 
 
