@@ -491,6 +491,191 @@ def ann_lsh_topk(
     )
 
 
+#: Product-quantization geometry: DIM is split into PQ_M sub-blocks,
+#: each encoded to one of PQ_KSUB codes → DIM floats compress to PQ_M
+#: nibbles (16 bytes/vector at 64-dim float32 = 16× compression).
+PQ_M = 16
+PQ_KSUB = 16
+PQ_TRAIN_ROWS = 100_000
+#: ADC shortlist size as a multiple of k before exact re-rank.
+PQ_SHORTLIST = 10
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 5,
+    train_rows: int = PQ_TRAIN_ROWS,
+):
+    """Per-block PQ codebooks (FAISS-style IVFADC building block,
+    Jégou et al. 2011, public): Lloyd-refine ``ksub`` centroids per
+    sub-block on the unit-normalized vectors. Deterministic (init =
+    first-ksub by vec_id, fixed iterations, argmin ties → lowest
+    code) and trained on a driver-side BOUNDED sample — the lowest
+    ``train_rows`` vec_ids — never the full corpus.
+
+    Returns ndarray of shape (m, ksub, dim//m)."""
+    import numpy as np
+
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(train_rows)
+        .collect()
+    )
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    x = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books = []
+    for b in range(m):
+        blk = x[:, b * sub : (b + 1) * sub]
+        c = blk[:ksub].copy()
+        for _ in range(iters):
+            d = ((blk[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for j in range(ksub):
+                members = blk[assign == j]
+                if len(members):
+                    c[j] = members.mean(0)
+        books.append(c)
+    return np.stack(books)
+
+
+def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
+    """Encode every vector to its PQ codes: (vec_id, pq_codes) where
+    ``pq_codes[b]`` is the argmin-L2 code of unit-normalized sub-block
+    ``b``. Broadcast codebooks, vectorized Arrow batches — a narrow
+    map with zero shuffle; at 100 TB the code column is what the ANN
+    serving layer stores (16× smaller than the vectors)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    def kernel(batches):
+        books = bc.value
+        m, _, sub = books.shape
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            x = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            codes = np.zeros((len(ids), m), dtype=np.int32)
+            for b in range(m):
+                blk = x[:, b * sub : (b + 1) * sub]
+                d = ((blk[:, None, :] - books[b][None, :, :]) ** 2).sum(-1)
+                codes[:, b] = d.argmin(1)
+            yield pd.DataFrame(
+                {"vec_id": ids, "pq_codes": list(codes)}
+            )
+
+    from ..sources.parquet import fan_out
+
+    return fan_out(emb.select("vec_id", "embedding")).mapInPandas(
+        kernel, "vec_id long, pq_codes array<int>"
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """PQ-ADC approximate top-k: score the ENCODED corpus against each
+    query's per-block distance table (asymmetric distance — query
+    stays exact, corpus is 16-byte codes), keep the
+    ``shortlist``·k-smallest per query, then exact-cosine re-rank the
+    shortlist. Unit-norm encoding makes L2-ADC order track cosine
+    order.
+
+    Scale shape: the ADC pass reads only the code column (16 bytes a
+    vector instead of 256) with a broadcast (m × ksub) table per
+    query — a narrow map over the compressed corpus; the exact pass
+    touches shortlist·k rows per query. Recall vs brute force is
+    gate-checked through ann_recall_check and asserted tighter in
+    tests/test_similarity.py."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    books = pq_codebooks(emb, m, ksub)
+    sub = books.shape[2]
+    qrows = (
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qx = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    # per-query distance tables: dtabs[q][b][c] = ||q_b - centroid_bc||²
+    dtabs = np.stack(
+        [
+            np.stack(
+                [
+                    ((qx[i, b * sub : (b + 1) * sub][None, :] - books[b]) ** 2).sum(-1)
+                    for b in range(books.shape[0])
+                ]
+            )
+            for i in range(len(qids))
+        ]
+    )
+    bc = spark.sparkContext.broadcast((qids, dtabs))
+
+    def adc(batches):
+        q_ids, tabs = bc.value
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            codes = np.array(list(pdf["pq_codes"]), dtype=np.int64)
+            n, mm = codes.shape
+            for qi, q in enumerate(q_ids):
+                # gather per-block distances by code, sum across blocks
+                ad = tabs[qi][np.arange(mm)[None, :], codes].sum(axis=1)
+                keep = ids != q
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(keep.sum(), q, dtype=np.int64),
+                        "vec_id": ids[keep],
+                        "adist": ad[keep],
+                    }
+                )
+
+    scored = pq_encode(emb, books).mapInPandas(
+        adc, "query_id long, vec_id long, adist double"
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    cands = (
+        scored.withColumn("ark", F.row_number().over(wa))
+        .filter(F.col("ark") <= shortlist * k)
+        .select("query_id", "vec_id")
+    )
+    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    reranked = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_col(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        reranked.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
 #: SemDeDup flag threshold — aligned with the exact near-dup tier so
 #: every flagged pair is also an embedding_near_pairs pair.
 SEMDEDUP_THRESHOLD = 0.4

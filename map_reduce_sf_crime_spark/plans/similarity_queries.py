@@ -27,7 +27,7 @@ NEAR_THRESHOLD = 0.4
 #: in tests/test_similarity.py assert the tighter measured values).
 RECALL_BOUND = 0.6
 
-ANN_METHODS = ("lsh", "ivf", "ivf_refined")
+ANN_METHODS = ("lsh", "ivf", "ivf_refined", "pq")
 
 
 _DIM_CHECKED: set[str] = set()
@@ -157,7 +157,8 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall in expectation over queries, not per individual query —
     a single query whose neighbors straddle a partition boundary can
     legitimately recall 1/k (measured per-query floors on the
-    fixtures: lsh 2/3, ivf 1/3)."""
+    fixtures: lsh 2/3, ivf 1/3). The ``pq`` leg is PQ-ADC with exact
+    re-rank of the ADC shortlist (operators/similarity.pq_topk)."""
     emb = _emb(spark, sf_dir)
     exact = (
         similarity.knn_bruteforce(emb, QUERY_IDS, K)
@@ -168,6 +169,7 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh": similarity.ann_lsh_topk(emb, QUERY_IDS, K),
         "ivf": similarity.ivf_topk(emb, QUERY_IDS, K),
         "ivf_refined": similarity.ivf_topk(emb, QUERY_IDS, K, refine=True),
+        "pq": similarity.pq_topk(emb, QUERY_IDS, K),
     }
     total = len(QUERY_IDS) * K
     out = None

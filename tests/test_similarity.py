@@ -115,3 +115,33 @@ def test_semantic_dedup_sound_and_complete_within_clusters(spark):
     for v, partners in exact_partners.items():
         if any(assign[p] == assign[v] for p in partners):
             assert not sd[v].sd_keep, v
+
+
+def test_pq_topk_recall_and_codes(spark):
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    brute = similarity.knn_bruteforce(emb, QUERY_IDS, k=3).collect()
+    approx = similarity.pq_topk(emb, QUERY_IDS, k=3).collect()
+    bset = {(r.query_id, r.vec_id) for r in brute}
+    aset = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(bset & aset) / len(bset)
+    # ADC shortlist + exact re-rank on the 10-query set; the gate
+    # bound is 0.6, measured headroom is asserted tighter here
+    assert recall >= 0.7, f"recall {recall}"
+    # re-ranked scores are exact: any pair also in brute agrees
+    bscore = {(r.query_id, r.vec_id): r.cosine for r in brute}
+    for r in approx:
+        if (r.query_id, r.vec_id) in bscore:
+            assert r.cosine == bscore[(r.query_id, r.vec_id)]
+    # codes: one row per vector, every code within the codebook range
+    books = similarity.pq_codebooks(emb)
+    codes = similarity.pq_encode(emb, books)
+    n = emb.count()
+    assert codes.count() == n
+    rng = codes.select(
+        F.min(F.array_min("pq_codes")).alias("lo"),
+        F.max(F.array_max("pq_codes")).alias("hi"),
+        F.min(F.size("pq_codes")).alias("m_lo"),
+        F.max(F.size("pq_codes")).alias("m_hi"),
+    ).first()
+    assert rng.lo >= 0 and rng.hi < similarity.PQ_KSUB
+    assert rng.m_lo == rng.m_hi == similarity.PQ_M
