@@ -48,6 +48,54 @@ def stratified_sample_flags(
     )
 
 
+def temperature_mix_weights(docs: DataFrame) -> DataFrame:
+    """Temperature-balanced corpus mixture weights (UniMax-style,
+    public) at temperature α=0.5: per-language weight ∝ √(corpus
+    share), damping head languages and boosting the tail — the
+    data-derived counterpart of MIXTURE_RATES' hand-set per-mille
+    table. Returns (lang, mix_weight_ppm), weights summing to ≤1e6.
+
+    α is fixed at 0.5 deliberately: √ is IEEE-correctly-rounded on
+    every engine while ``pow``/``ln`` are not (they diverge in the
+    last ulp between the JVM and DuckDB), and the cross-language
+    total folds a lang-sorted list sequentially — the same
+    fold-order discipline as the cosine kernel — so the oracle
+    hash-matches bit-for-bit.
+
+    Scale shape: one count-aggregate over the corpus (map-side
+    combined, #languages rows out), a driver-free fold over that tiny
+    aggregate, and a broadcast join back."""
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    tot = counts.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("lang", "n_lang"))),
+            F.lit(0.0),
+            lambda acc, s: acc + F.sqrt(s["n_lang"].cast("double")),
+        ).alias("tot")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.floor(
+            F.lit(1000000.0)
+            * F.sqrt(F.col("n_lang").cast("double"))
+            / F.col("tot")
+        )
+        .cast("long")
+        .alias("mix_weight_ppm"),
+    )
+
+
+MIX_WEIGHT_SQL = """
+with c as (select lang, count(*) as n_lang from documents group by lang),
+t as (select list_sum(list_transform(list(n_lang order by lang),
+            x -> sqrt(x::double))) as tot from c)
+select lang,
+       cast(floor(1000000.0 * sqrt(n_lang::double) / t.tot) as bigint)
+         as mix_weight_ppm
+from c cross join t
+"""
+
+
 SHUFFLE_SEED = "shuffle"
 #: power-of-two range-bucket count for the two-phase global ordering.
 #: Locally 64 keeps every bucket >> one row; on a cluster this is

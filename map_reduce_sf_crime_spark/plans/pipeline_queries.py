@@ -67,20 +67,27 @@ def token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_sample",
-    sampling.global_shuffle_pos_sql(sampling.stratified_sample_sql()),
-    survey_ids=("SM1", "SH1"),
+    sampling.global_shuffle_pos_sql(
+        f"""
+        select s.doc_id, s.lang, s.kept, w.mix_weight_ppm
+        from ({sampling.stratified_sample_sql()}) s
+        join ({sampling.MIX_WEIGHT_SQL}) w using (lang)
+        """
+    ),
+    survey_ids=("SM1", "SH1", "MX1"),
 )
 def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified sampling (SM1) + deterministic global
-    shuffle order (SH1): per-language mixture rates via the portable
-    seeded hash, plus each doc's 0-based position in a pseudorandom
-    training order — two-phase range-bucketed ranking, never a
+    """Deterministic stratified sampling (SM1), temperature-balanced
+    mixture weights (MX1, UniMax α=0.5 — √share damping, broadcast
+    back by language), and the deterministic global shuffle order
+    (SH1): each doc's 0-based position in a pseudorandom training
+    order via two-phase range-bucketed ranking, never a
     single-partition window. See operators/sampling.py."""
-    return sampling.with_global_shuffle_pos(
-        sampling.stratified_sample_flags(
-            load_table(spark, sf_dir, "documents")
-        )
+    docs = load_table(spark, sf_dir, "documents")
+    flags = sampling.stratified_sample_flags(docs).join(
+        F.broadcast(sampling.temperature_mix_weights(docs)), "lang"
     )
+    return sampling.with_global_shuffle_pos(flags)
 
 
 #: sized to the fixture corpus (docs average ~54 tokens, max ~100) so

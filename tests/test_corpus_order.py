@@ -118,3 +118,27 @@ def test_df_ppm_matches_definition(spark):
     for r in rows:
         assert r.df_ppm == (r.df * 1_000_000) // n
         assert 0 < r.df_ppm <= 1_000_000
+
+
+def test_temperature_mix_weights(spark):
+    docs = _docs(spark)
+    w = sampling.temperature_mix_weights(docs).collect()
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    assert {r.lang for r in w} == langs
+    total = sum(r.mix_weight_ppm for r in w)
+    # floor() loses < 1 ppm per language
+    assert 1_000_000 - len(langs) <= total <= 1_000_000
+    # √-damping preserves count order but compresses the ratio
+    counts = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    pairs = sorted(w, key=lambda r: counts[r.lang])
+    for a, b in zip(pairs, pairs[1:]):
+        assert a.mix_weight_ppm <= b.mix_weight_ppm
+    hi, lo = pairs[-1], pairs[0]
+    if counts[lo.lang] < counts[hi.lang]:
+        assert (
+            hi.mix_weight_ppm / lo.mix_weight_ppm
+            < counts[hi.lang] / counts[lo.lang]
+        )
