@@ -14,7 +14,7 @@ from .conftest import SF_SMOKE
 
 def test_ann_recall_bounds_all_pass(spark):
     rows = REGISTRY["ann_recall_check"].spark(spark, SF_SMOKE).collect()
-    assert {r.method for r in rows} == {"lsh", "ivf", "ivf_refined"}
+    assert {r.method for r in rows} == {"lsh", "ivf", "ivf_refined", "pq"}
     assert all(r.ok == 1 for r in rows), rows
 
 
