@@ -599,8 +599,10 @@ def pq_topk(
 
     Scale shape: the ADC pass reads only the code column (16 bytes a
     vector instead of 256) with a broadcast (m × ksub) table per
-    query — a narrow map over the compressed corpus; the exact pass
-    touches shortlist·k rows per query. Recall vs brute force is
+    query — a narrow map over the compressed corpus that emits only
+    its task-local top-S per query, so the per-query ranking window
+    sees #tasks·S rows, never the corpus; the exact pass touches
+    shortlist·k rows per query. Recall vs brute force is
     gate-checked through ann_recall_check and asserted tighter in
     tests/test_similarity.py."""
     import numpy as np
@@ -629,10 +631,11 @@ def pq_topk(
             for i in range(len(qids))
         ]
     )
-    bc = spark.sparkContext.broadcast((qids, dtabs))
+    n_short = shortlist * k
+    bc = spark.sparkContext.broadcast((qids, dtabs, n_short))
 
     def adc(batches):
-        q_ids, tabs = bc.value
+        q_ids, tabs, top_s = bc.value
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             codes = np.array(list(pdf["pq_codes"]), dtype=np.int64)
@@ -641,11 +644,18 @@ def pq_topk(
                 # gather per-block distances by code, sum across blocks
                 ad = tabs[qi][np.arange(mm)[None, :], codes].sum(axis=1)
                 keep = ids != q
+                b_ids, b_ad = ids[keep], ad[keep]
+                # local prune: the global top-S is a subset of the
+                # union of per-batch top-S, so each task emits at most
+                # S rows per query — the downstream per-query window
+                # ranks #partitions·S rows, never the corpus.
+                # (adist, vec_id) lexicographic keeps ties exact.
+                sel = np.lexsort((b_ids, b_ad))[:top_s]
                 yield pd.DataFrame(
                     {
-                        "query_id": np.full(keep.sum(), q, dtype=np.int64),
-                        "vec_id": ids[keep],
-                        "adist": ad[keep],
+                        "query_id": np.full(len(sel), q, dtype=np.int64),
+                        "vec_id": b_ids[sel],
+                        "adist": b_ad[sel],
                     }
                 )
 

@@ -90,6 +90,18 @@ def main() -> None:
     t0 = time.perf_counter()
     semantic_dedup(emb, k=k).write.format("noop").mode("overwrite").save()
     print(f"x{n} semantic_dedup[k={k}]: {time.perf_counter() - t0:.2f}s")
+    spark.catalog.clearCache()
+
+    # PQ-ADC search: codebook training is bounded, encode + ADC scan
+    # are narrow maps, shortlist re-rank is shortlist-sized — the
+    # whole path should track input size.
+    from map_reduce_sf_crime_spark.operators.similarity import pq_topk
+
+    t0 = time.perf_counter()
+    pq_topk(emb, [0, 1, 2, 3, 4], 3).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    print(f"x{n} pq_topk: {time.perf_counter() - t0:.2f}s")
     spark.stop()
 
 
