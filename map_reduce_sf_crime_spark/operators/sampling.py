@@ -97,17 +97,23 @@ from c cross join t
 
 
 SHUFFLE_SEED = "shuffle"
-#: power-of-two range-bucket count for the two-phase global ordering.
-#: Locally 64 keeps every bucket >> one row; on a cluster this is
-#: sized to executors (each bucket is one sort task).
-SHUFFLE_BUCKETS = 64
+
+
+def _default_buckets(df: DataFrame) -> int:
+    """Next power of two ≥ 4× the cluster parallelism (floor 64):
+    each bucket is one sort task, so the count follows the cluster,
+    and because buckets are CONTIGUOUS hash ranges the emitted
+    positions are identical for ANY power-of-two choice — sizing is
+    a pure performance knob, not a semantics knob."""
+    p = df.sparkSession.sparkContext.defaultParallelism * 4
+    return max(64, 1 << (p - 1).bit_length())
 
 
 def with_global_shuffle_pos(
     df: DataFrame,
     key: str = "doc_id",
     seed: str = SHUFFLE_SEED,
-    buckets: int = SHUFFLE_BUCKETS,
+    buckets: int | None = None,
 ) -> DataFrame:
     """Append ``shuffle_pos``: the row's 0-based position in a
     deterministic pseudorandom global order (seeded-hash order,
@@ -130,6 +136,8 @@ def with_global_shuffle_pos(
 
     Equivalent to zipWithIndex-after-sort without leaving the
     DataFrame API."""
+    if buckets is None:
+        buckets = _default_buckets(df)
     if buckets & (buckets - 1):
         raise ValueError("buckets must be a power of two")
     shift = HEX_DIGITS * 4 - buckets.bit_length() + 1
