@@ -87,6 +87,124 @@ def chunk_documents(
     )
 
 
+CDC_WINDOW = 4
+CDC_DIVISOR = 16
+CDC_SEED = "cdc"
+
+
+def _cdc_boundaries(tok, window: int, divisor: int, seed: str):
+    """Column of interior boundary positions (1-based token index
+    AFTER which a cut happens): position ``i`` is a boundary iff the
+    seeded hash of the last ``window`` tokens ending at ``i`` is
+    ≡ 0 mod ``divisor``. Pure codegen HOFs over the token array."""
+    from ..functions.hashing import hash64_col
+
+    n = F.size(tok)
+    cand = F.when(n > window, F.sequence(F.lit(window), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.filter(
+        cand,
+        lambda i: hash64_col(
+            F.concat_ws(" ", F.slice(tok, i - window + 1, F.lit(window))),
+            seed=seed,
+        )
+        % divisor
+        == 0,
+    )
+
+
+def chunk_documents_cdc(
+    docs: DataFrame,
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+    seed: str = CDC_SEED,
+) -> DataFrame:
+    """Content-defined chunking (CH2): cut where a rolling window's
+    seeded hash hits a divisor residue, so expected chunk length is
+    ``divisor`` tokens and — unlike fixed windows — boundaries are a
+    function of LOCAL content: an edit early in a document only moves
+    the cuts inside its own neighborhood, every later chunk survives
+    byte-identical (the property that makes chunk-level dedup robust
+    to prepended boilerplate; rsync/LBFS lineage, public). Row-local
+    explode, zero shuffle, same downstream contract as
+    :func:`chunk_documents`.
+
+    Returns (doc_id, chunk_id, source, start, n_tok); ``start`` is
+    the 0-based token offset of the chunk. Empty docs emit one
+    zero-token chunk."""
+    tok = tokens_col(F.col("text"))
+    sized = docs.select(
+        "doc_id", "source", tok.alias("tok"), F.size(tok).alias("doc_tok")
+    )
+    bpos = _cdc_boundaries(F.col("tok"), window, divisor, seed)
+    seg = sized.select(
+        "doc_id",
+        "source",
+        "doc_tok",
+        F.arrays_zip(
+            F.concat(F.array(F.lit(0)), bpos).alias("start"),
+            F.concat(bpos, F.array(F.col("doc_tok"))).alias("end"),
+        ).alias("segs"),
+    )
+    return (
+        seg.select(
+            "doc_id",
+            "source",
+            F.posexplode("segs").alias("chunk_id", "s"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "source",
+            F.col("s.start").cast("int").alias("start"),
+            (F.col("s.end") - F.col("s.start")).cast("int").alias("n_tok"),
+        )
+    )
+
+
+def cdc_chunk_counts(
+    docs: DataFrame,
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+    seed: str = CDC_SEED,
+) -> DataFrame:
+    """(doc_id, n_cdc_chunks): the gate-checked projection of
+    :func:`chunk_documents_cdc` — boundary count + 1 without the
+    explode."""
+    tok = tokens_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        (F.size(_cdc_boundaries(tok, window, divisor, seed)) + 1)
+        .cast("long")
+        .alias("n_cdc_chunks"),
+    )
+
+
+def cdc_chunk_count_sql(
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+    seed: str = CDC_SEED,
+) -> str:
+    """DuckDB twin of ``size(boundaries)+1`` per doc (the gate-checked
+    projection of :func:`chunk_documents_cdc`)."""
+    from ..functions.hashing import hash64_sql
+
+    h = hash64_sql(
+        f"array_to_string(list_slice(tok, i - {window} + 1, i), ' ')",
+        seed=seed,
+    )
+    return f"""
+    select doc_id,
+           len(list_filter(
+                 case when len(tok) > {window}
+                      then generate_series({window}, len(tok) - 1)
+                      else [] end,
+                 i -> ({h}) % {divisor} = 0)) + 1 as n_cdc_chunks
+    from (select doc_id, {tokens_sql('text')} as tok from documents)
+    """
+
+
 def pack_chunks(chunks: DataFrame, budget: int) -> DataFrame:
     """Packing assignment at chunk granularity: same running-total
     discipline as :func:`pack_documents`, ordered by

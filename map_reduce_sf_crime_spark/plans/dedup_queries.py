@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, textops
+from ..operators import dedup, packing, textops
 from ..sources.parquet import fan_out, load_table
 from .registry import register
 
@@ -65,16 +65,18 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                        array_to_string(fingerprint, ',') as fingerprint,
                        n_grams
                 from ({textops.fingerprints_sql()})),
-         ds as ({textops.dup_span_sql()})
+         ds as ({textops.dup_span_sql()}),
+         cc as ({packing.cdc_chunk_count_sql()})
     select d.doc_id, mh.minhash_sig, sh.simhash, fp.fingerprint, fp.n_grams,
-           ds.n_span_grams, ds.dup_span_frac
+           ds.n_span_grams, ds.dup_span_frac, cc.n_cdc_chunks
     from documents d
     left join mh using (doc_id)
     left join sh using (doc_id)
     left join fp using (doc_id)
     left join ds using (doc_id)
+    left join cc using (doc_id)
     """,
-    survey_ids=("DD3", "DD4", "TX4", "DS1"),
+    survey_ids=("DD3", "DD4", "TX4", "DS1", "CH2"),
 )
 def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document signature catalog in one entry: 16-hash MinHash
@@ -83,8 +85,11 @@ def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     count (TX4), and the cross-document duplicated-span fraction
     (DS1, operators/textops.dup_span_stats — the n-gram form of
     exact-substring dedup, catching boilerplate and partial copies
-    that doc-level dedup misses). One doc-keyed join of per-doc
-    projections — co-partitioned on the doc key at scale."""
+    that doc-level dedup misses), and the content-defined chunk count
+    (CH2, operators/packing.chunk_documents_cdc — rolling-hash
+    boundaries whose edit-stability is unit-tested). One doc-keyed
+    join of per-doc projections — co-partitioned on the doc key at
+    scale."""
     docs = _docs(spark, sf_dir)
     mh = dedup.minhash_signatures(docs, n=3, n_hashes=16).select(
         "doc_id",
@@ -99,12 +104,14 @@ def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_grams",
     )
     ds = textops.dup_span_stats(docs)
+    cc = packing.cdc_chunk_counts(docs)
     return (
         docs.select("doc_id")
         .join(mh, "doc_id", "left")
         .join(sh, "doc_id", "left")
         .join(fp, "doc_id", "left")
         .join(ds, "doc_id", "left")
+        .join(cc, "doc_id", "left")
     )
 
 

@@ -142,3 +142,44 @@ def test_temperature_mix_weights(spark):
             hi.mix_weight_ppm / lo.mix_weight_ppm
             < counts[hi.lang] / counts[lo.lang]
         )
+
+
+def test_cdc_chunks_edit_stable(spark):
+    """Content-defined chunking: prepending a token to a document
+    must leave every chunk after the first boundary byte-identical
+    (fixed windows shift everything). Also checks exact coverage and
+    agreement between the exploded form and the counting projection."""
+    toks = [f"t{(i * 7) % 53}" for i in range(300)]
+    base = " ".join(toks)
+    mod = "zzz " + base
+    df = spark.createDataFrame(
+        [(1, base, "s"), (2, mod, "s")],
+        "doc_id long, text string, source string",
+    )
+    rows = packing.chunk_documents_cdc(df).collect()
+
+    def pieces(doc_toks, doc_id):
+        rs = sorted(
+            (r for r in rows if r.doc_id == doc_id), key=lambda r: r.chunk_id
+        )
+        # contiguous, exact coverage
+        pos = 0
+        out = []
+        for r in rs:
+            assert r.start == pos
+            out.append(tuple(doc_toks[r.start : r.start + r.n_tok]))
+            pos += r.n_tok
+        assert pos == len(doc_toks)
+        return out
+
+    base_p = pieces(toks, 1)
+    mod_p = pieces(["zzz"] + toks, 2)
+    assert len(base_p) > 5  # content actually produced boundaries
+    # every base chunk after the first boundary survives the edit
+    assert set(base_p[1:]) <= set(mod_p)
+    # counting projection == exploded form
+    counts = {
+        r.doc_id: r.n_cdc_chunks
+        for r in packing.cdc_chunk_counts(df).collect()
+    }
+    assert counts == {1: len(base_p), 2: len(mod_p)}
