@@ -29,6 +29,38 @@ SHIP_CUTOFF = "1998-09-01"
 SESSION_GAP_US = 1_800_000_000  # 30 minutes
 
 
+#: Ordered funnel steps (FN1): first-occurrence sequence matching —
+#: each step's timestamp must be strictly after the previous step's.
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def _funnel_ctes() -> tuple[str, str]:
+    """(CTE block, stage CASE expression) for the funnel oracle."""
+    ctes, prev = [], None
+    for i, step in enumerate(FUNNEL_STEPS, start=1):
+        if prev is None:
+            ctes.append(
+                f"f{i} as (select user_id, min(ts) as t{i} from events "
+                f"where event_type = '{step}' group by user_id)"
+            )
+        else:
+            ctes.append(
+                f"f{i} as (select e.user_id, min(e.ts) as t{i} "
+                f"from events e join f{prev} using (user_id) "
+                f"where e.event_type = '{step}' and e.ts > f{prev}.t{prev} "
+                f"group by e.user_id)"
+            )
+        prev = i
+    case = " ".join(
+        f"when f{i}.t{i} is not null then {i}"
+        for i in range(len(FUNNEL_STEPS), 0, -1)
+    )
+    return ",\n    ".join(ctes), f"cast(case {case} else 0 end as bigint)"
+
+
+_FUNNEL_CTES, _FUNNEL_STAGE = _funnel_ctes()
+
+
 @register(
     "user_gap_stats",
     f"""
@@ -37,14 +69,22 @@ SESSION_GAP_US = 1_800_000_000  # 30 minutes
              epoch_us(ts) - lag(epoch_us(ts))
                over (partition by user_id order by ts) as gap
       from events
-    )
-    select user_id, count(*) as n_events, max(gap) as max_gap_us,
-           avg(gap) as avg_gap_us,
-           cast(count(*) filter (gap is null or gap > {SESSION_GAP_US})
-                as bigint) as n_sessions
-    from g group by user_id
+    ),
+    base as (
+      select user_id, count(*) as n_events, max(gap) as max_gap_us,
+             avg(gap) as avg_gap_us,
+             cast(count(*) filter (gap is null or gap > {SESSION_GAP_US})
+                  as bigint) as n_sessions
+      from g group by user_id
+    ),
+    {_FUNNEL_CTES}
+    select b.user_id, b.n_events, b.max_gap_us, b.avg_gap_us,
+           b.n_sessions, {_FUNNEL_STAGE} as funnel_stage
+    from base b
+    {' '.join(f'left join f{i} using (user_id)'
+              for i in range(1, len(FUNNEL_STEPS) + 1))}
     """,
-    survey_ids=("SC5", "SES1"),
+    survey_ids=("SC5", "SES1", "FN1"),
 )
 def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map ``applyInPandas`` (the per-group custom-logic UDF
@@ -58,13 +98,29 @@ def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Also carries batch sessionization (SES1): ``n_sessions`` counts
     gap-rule session starts (first event, or gap > 30 min) — the
-    batch twin of the streaming ``session_window`` operator, same
-    single user_id shuffle."""
+    batch twin of the streaming ``session_window`` operator — and the
+    ordered funnel stage (FN1): how far through
+    signup → view → click → purchase the user progressed, each step's
+    FIRST occurrence strictly after the previous step's
+    (sequence-pattern matching, the match_recognize shape). All three
+    analyses ride the same single user_id shuffle: inside the group
+    the events are already together, so the funnel scan is a local
+    pass, not four self-joins."""
     import pandas as pd
 
     def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
-        us = pdf["ts"].sort_values().astype("int64") // 1000
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        us = pdf["ts"].astype("int64") // 1000
         d = us.diff().dropna()
+        stage, t = 0, None
+        for step in FUNNEL_STEPS:
+            sel = pdf[pdf["event_type"] == step]
+            if t is not None:
+                sel = sel[sel["ts"] > t]
+            if sel.empty:
+                break
+            t = sel["ts"].iloc[0]  # sorted ⇒ first row is the min
+            stage += 1
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],
@@ -72,14 +128,15 @@ def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "max_gap_us": [int(d.max()) if len(d) else None],
                 "avg_gap_us": [float(d.sum()) / len(d) if len(d) else None],
                 "n_sessions": [1 + int((d > SESSION_GAP_US).sum())],
+                "funnel_stage": [stage],
             }
         )
 
-    ev = load_events(spark, sf_dir).select("user_id", "ts")
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_type")
     return ev.groupBy("user_id").applyInPandas(
         gaps,
         "user_id long, n_events long, max_gap_us long, avg_gap_us double, "
-        "n_sessions long",
+        "n_sessions long, funnel_stage long",
     )
 
 
