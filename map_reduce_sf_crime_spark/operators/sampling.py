@@ -63,9 +63,13 @@ def temperature_mix_weights(docs: DataFrame) -> DataFrame:
     hash-matches bit-for-bit.
 
     Scale shape: one count-aggregate over the corpus (map-side
-    combined, #languages rows out), a driver-free fold over that tiny
+    combined, #languages rows out — cached, since both the total fold
+    and the weight projection read it; without the cache the corpus
+    would be scanned twice), a driver-free fold over that tiny
     aggregate, and a broadcast join back."""
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_lang")
+    ).cache()
     tot = counts.agg(
         F.aggregate(
             F.sort_array(F.collect_list(F.struct("lang", "n_lang"))),
@@ -141,7 +145,14 @@ def with_global_shuffle_pos(
     if buckets & (buckets - 1):
         raise ValueError("buckets must be a power of two")
     shift = HEX_DIGITS * 4 - buckets.bit_length() + 1
-    h = hash64_col(F.col(key).cast("string"), seed=seed)
+    # NULL-proof the hash input: md5(NULL) is NULL, which would give a
+    # NULL bucket whose rows silently vanish through the offsets join
+    # while the oracle's window keeps them. NULL keys coalesce to ''
+    # (oracle twin does the same); rows sharing that sentinel get an
+    # arbitrary-but-present relative order, same as in SQL.
+    h = hash64_col(
+        F.coalesce(F.col(key).cast("string"), F.lit("")), seed=seed
+    )
     hashed = df.withColumn("_h", h).withColumn(
         "_bucket", F.shiftright(F.col("_h"), shift)
     )
@@ -173,7 +184,7 @@ def global_shuffle_pos_sql(
 ) -> str:
     """DuckDB twin: the single-window form (fine for an oracle; the
     Spark side exists precisely because this shape doesn't scale)."""
-    h = hash64_sql(f"{key}::varchar", seed=seed)
+    h = hash64_sql(f"coalesce({key}::varchar, '')", seed=seed)
     return f"""
     select *, row_number() over (order by {h}, {key}) - 1 as shuffle_pos
     from ({inner_sql})

@@ -414,7 +414,12 @@ def ivf_topk(
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )
-    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    qv = (
+        # only the query vectors can ever match the candidate join —
+        # broadcast len(query_ids) rows, not the corpus
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
     scored = (
         cands.join(F.broadcast(qv), "query_id")
         .join(emb.select("vec_id", "embedding"), "vec_id")
@@ -472,7 +477,12 @@ def ann_lsh_topk(
         .select("query_id", "vec_id")
         .distinct()
     )
-    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    qv = (
+        # only the query vectors can ever match the candidate join —
+        # broadcast len(query_ids) rows, not the corpus
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
     cv = emb.select("vec_id", "embedding")
     scored = (
         cands.join(F.broadcast(qv), "query_id")
@@ -668,7 +678,12 @@ def pq_topk(
         .filter(F.col("ark") <= shortlist * k)
         .select("query_id", "vec_id")
     )
-    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    qv = (
+        # only the query vectors can ever match the candidate join —
+        # broadcast len(query_ids) rows, not the corpus
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
     reranked = (
         cands.join(F.broadcast(qv), "query_id")
         .join(emb.select("vec_id", "embedding"), "vec_id")

@@ -41,7 +41,13 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of hash-mismatching 6 queries downstream. Once per dir
     # per process.
     if sf_dir not in _DIM_CHECKED:
-        dim = len(emb.select("embedding").first()[0])
+        row = emb.select("embedding").first()
+        if row is None or row[0] is None:
+            raise ValueError(
+                f"embeddings table at {sf_dir} is empty or has a NULL "
+                "first embedding — cannot validate vector width"
+            )
+        dim = len(row[0])
         if dim != similarity.DIM:
             raise ValueError(
                 f"embeddings dim {dim} != configured DIM {similarity.DIM};"

@@ -35,11 +35,13 @@ def get_spark(app_name: str = "map_reduce_sf_crime_spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # push bare count/min/max aggregates to parquet footer stats —
-        # a metadata read instead of a data scan (runtime bloom-filter
-        # join reduction and dynamic partition pruning are already on
-        # by default in this Spark line)
-        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # NB: runtime bloom-filter join reduction and dynamic partition
+        # pruning are on by default in this Spark line (verified via
+        # conf probe); parquet aggregate pushdown is NOT enabled
+        # because it is DSv2-only and parquet reads here use the v1
+        # FileScan path (empirically: no PushedAggregation in plans) —
+        # flipping useV1SourceList would change bucketed-join behavior
+        # the lakehouse layer depends on.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
