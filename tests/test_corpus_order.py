@@ -183,3 +183,14 @@ def test_cdc_chunks_edit_stable(spark):
         for r in packing.cdc_chunk_counts(df).collect()
     }
     assert counts == {1: len(base_p), 2: len(mod_p)}
+
+
+def test_global_shuffle_pos_keeps_null_keys(spark):
+    """md5(NULL) is NULL — without the coalesce a NULL-key row would
+    get a NULL bucket and silently vanish through the offsets join."""
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, "c")], "doc_id long, lang string"
+    )
+    out = sampling.with_global_shuffle_pos(df).collect()
+    assert len(out) == 3
+    assert sorted(r.shuffle_pos for r in out) == [0, 1, 2]
