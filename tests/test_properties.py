@@ -1,0 +1,113 @@
+"""Property-based contracts (hypothesis): the portable seeded hash
+and the chunking rules hold for ARBITRARY inputs, checked against
+independent pure-Python references through DuckDB.
+
+Closing the loop: the driver gate pins Spark == DuckDB on the fixture
+corpus; these properties pin DuckDB == an independent reference on
+generated inputs — so a silent divergence in either construction
+can't hide behind the fixtures.
+
+DuckDB-only on purpose (no Spark session): hundreds of hypothesis
+examples run in milliseconds here, where one Spark job each would
+take minutes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from map_reduce_sf_crime_spark.functions.hashing import HEX_DIGITS, hash64_sql
+from map_reduce_sf_crime_spark.operators.packing import (
+    CDC_DIVISOR,
+    CDC_SEED,
+    CDC_WINDOW,
+    cdc_chunk_count_sql,
+)
+
+CON = duckdb.connect()
+
+
+def ref_hash64(s: str, seed: str | None = None) -> int:
+    """Independent reference for the portable 60-bit hash contract
+    (functions/hashing.py): first 15 hex digits of md5 over UTF-8."""
+    x = (f"{seed}:{s}" if seed is not None else s).encode("utf-8")
+    return int(hashlib.md5(x).hexdigest()[:HEX_DIGITS], 16)
+
+
+@given(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60
+    ),
+    st.sampled_from([None, "cdc", "shuffle", "sample", "0", "15"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_hash64_matches_python_reference(s, seed):
+    got = CON.execute(
+        f"select {hash64_sql('?', seed=seed)}", [s]
+    ).fetchone()[0]
+    assert got == ref_hash64(s, seed)
+    assert 0 <= got < 1 << (HEX_DIGITS * 4)
+
+
+@given(st.integers(0, 100_000), st.integers(1, 4096))
+@settings(max_examples=200, deadline=None)
+def test_fixed_chunk_count_and_sizes(doc_tok, c):
+    """The chunk_pack_sql window formula: chunk count is
+    max(ceil(n/C), 1) and the per-chunk least() sizes partition the
+    document exactly (one zero-token chunk for empty docs)."""
+    rows = CON.execute(
+        """
+        select cast(least(?, ? - i * ?) as bigint)
+        from (select unnest(generate_series(0,
+              cast(greatest(ceil(? * 1.0 / ?), 1) as bigint) - 1)) as i)
+        """,
+        [c, doc_tok, c, doc_tok, c],
+    ).fetchall()
+    sizes = [r[0] for r in rows]
+    assert len(sizes) == max(math.ceil(doc_tok / c), 1)
+    assert sum(sizes) == doc_tok
+    assert all(0 <= s <= c for s in sizes)
+    assert all(s == c for s in sizes[:-1])  # only the tail is short
+
+
+_words = st.lists(
+    st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789",
+        min_size=1,
+        max_size=6,
+    ),
+    max_size=50,
+)
+
+
+@given(_words)
+@settings(max_examples=80, deadline=None)
+def test_cdc_chunk_count_matches_reference(toks):
+    """The content-defined boundary rule (packing._cdc_boundaries /
+    cdc_chunk_count_sql): boundary after 1-based position i iff the
+    seeded hash of the window ending at i is ≡ 0 mod divisor, interior
+    positions only."""
+    text = " ".join(toks)
+    CON.execute(
+        "create or replace table documents as "
+        "select 1::bigint as doc_id, ?::varchar as text",
+        [text],
+    )
+    got = CON.sql(cdc_chunk_count_sql()).fetchone()[1]
+    ref_toks = [t for t in re.split(r"\s+", text) if t]
+    assert ref_toks == toks  # tokenizer sanity on this alphabet
+    boundaries = sum(
+        1
+        for i in range(CDC_WINDOW, len(ref_toks))
+        if ref_hash64(" ".join(ref_toks[i - CDC_WINDOW : i]), CDC_SEED)
+        % CDC_DIVISOR
+        == 0
+    )
+    assert got == boundaries + 1
+    CON.execute("drop table documents")
