@@ -300,15 +300,26 @@ def ivf_assignments(emb: DataFrame, k: int = IVF_K, centroids=None) -> DataFrame
 
     def kernel(batches):
         cids, cmat = bc.value
+        # Bound the rows × k score matrix at ~32 MB regardless of the
+        # centroid count (the corpus-scaled SemDeDup quantizer can
+        # reach SEMDEDUP_MAX_K): slice each Arrow batch so
+        # block_rows * k ≤ 4M doubles.
+        block_rows = max(1, 4_194_304 // max(1, len(cids)))
         for pdf in batches:
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            cos = _seq_cosines(mat, cmat)
-            best = cos.max(axis=1, keepdims=True)
-            # lowest centroid id among the (float-equal) maxima — the
-            # row_number(order by cosine desc, cid) tie-break in SQL
-            pick = np.where(cos == best, cids[None, :], np.iinfo(np.int64).max).min(axis=1)
-            yield pd.DataFrame({"vec_id": ids, "centroid_id": pick})
+            if not len(pdf):
+                continue
+            for lo in range(0, len(pdf), block_rows):
+                blk = pdf.iloc[lo : lo + block_rows]
+                ids = blk["vec_id"].to_numpy(dtype=np.int64)
+                mat = np.array(list(blk["embedding"]), dtype=np.float64)
+                cos = _seq_cosines(mat, cmat)
+                best = cos.max(axis=1, keepdims=True)
+                # lowest centroid id among the (float-equal) maxima — the
+                # row_number(order by cosine desc, cid) tie-break in SQL
+                pick = np.where(
+                    cos == best, cids[None, :], np.iinfo(np.int64).max
+                ).min(axis=1)
+                yield pd.DataFrame({"vec_id": ids, "centroid_id": pick})
 
     from ..sources.parquet import fan_out
 
@@ -704,10 +715,27 @@ def pq_topk(
 #: SemDeDup flag threshold — aligned with the exact near-dup tier so
 #: every flagged pair is also an embedding_near_pairs pair.
 SEMDEDUP_THRESHOLD = 0.4
+#: Target within-cluster list size: k scales as n / this, keeping the
+#: per-cluster quadratic kernel CONSTANT-cost and the total LINEAR.
+SEMDEDUP_ROWS_PER_CLUSTER = 100
+#: Broadcast ceiling for the derived quantizer: 65 536 × 64-d float64
+#: ≈ 33 MB, comfortably broadcastable. Beyond ~6.5 M vectors the
+#: lists grow past the target again — at that scale the quantizer
+#: itself gets sharded (hierarchical coarse quantizer), which is a
+#: layout change, not a semantics change.
+SEMDEDUP_MAX_K = 65_536
+
+
+def semdedup_k(n: int) -> int:
+    """Corpus-scaled SemDeDup cluster count: ``clamp(n // 100, 32,
+    65536)``. Integer arithmetic only (no transcendentals) so the
+    DuckDB twin derives the identical value — see
+    :func:`semantic_dedup_sql`."""
+    return min(max(IVF_K, n // SEMDEDUP_ROWS_PER_CLUSTER), SEMDEDUP_MAX_K)
 
 
 def semantic_dedup(
-    emb: DataFrame, threshold: float = SEMDEDUP_THRESHOLD, k: int = IVF_K
+    emb: DataFrame, threshold: float = SEMDEDUP_THRESHOLD, k: int | None = None
 ) -> DataFrame:
     """Semantic dedup, SemDeDup-style (Abbas et al. 2023, public):
     cluster with the coarse quantizer, then compare vectors ONLY
@@ -720,14 +748,20 @@ def semantic_dedup(
 
     Scale shape: this is the trick that makes embedding dedup
     feasible at corpus scale — the quadratic kernel runs per
-    CLUSTER, not per corpus. The self-join buckets on centroid_id
-    (bounded lists when k scales with N), cosines are exact
-    JVM-side fold expressions, and AQE's skew-join split is the
-    backstop for a hot cluster. Soundness: every dropped vector has
-    a genuine ≥-threshold neighbor (cosine is exact, no
-    approximation in the verify step); only RECALL is approximate —
-    cross-cluster near-dups are invisible by construction, the
-    documented SemDeDup trade."""
+    CLUSTER, not per corpus. ``k`` defaults to the corpus-scaled
+    :func:`semdedup_k` (``n // 100`` clusters ⇒ ~100-vector lists ⇒
+    within-cluster pair work LINEAR in n, measured linear in the 10×
+    probe); pass an explicit ``k`` only for controlled experiments —
+    a pinned small k makes the lists grow (n/k)² and was the one
+    scale-killer flagged in round 2. The self-join buckets on
+    centroid_id, cosines are exact JVM-side fold expressions, and
+    AQE's skew-join split is the backstop for a hot cluster.
+    Soundness: every dropped vector has a genuine ≥-threshold
+    neighbor (cosine is exact, no approximation in the verify step);
+    only RECALL is approximate — cross-cluster near-dups are
+    invisible by construction, the documented SemDeDup trade."""
+    if k is None:
+        k = semdedup_k(emb.count())
     a = ivf_assignments(emb, k)
     sides = emb.select("vec_id", "embedding").join(a, "vec_id")
     lo = sides.select(
@@ -763,12 +797,48 @@ def semantic_dedup(
     )
 
 
+def _scaled_assign_sql(dim: int = DIM) -> str:
+    """Coarse assignment with the corpus-scaled centroid count — the
+    SQL stays STATIC (the driver stores it once); ``k`` is computed by
+    the engine from ``count(*)`` with the same integer clamp as
+    :func:`semdedup_k` (`//` is DuckDB integer division — no float
+    rounding to diverge across engines)."""
+    cos = cosine_sql("e.embedding", "c.embedding", dim)
+    return f"""
+      with kk as (
+        select cast(least(greatest({IVF_K},
+                     count(*) // {SEMDEDUP_ROWS_PER_CLUSTER}),
+                   {SEMDEDUP_MAX_K}) as bigint) as k
+        from embeddings
+      ),
+      c as (
+        select vec_id as cid, embedding
+        from (select vec_id, embedding,
+                     row_number() over (order by vec_id) as rn
+              from embeddings), kk
+        where rn <= kk.k
+      ),
+      scored as (
+        select e.vec_id, c.cid, {cos} as cosine
+        from embeddings e cross join c
+      ),
+      ranked as (
+        select vec_id, cid,
+               row_number() over (partition by vec_id
+                                  order by cosine desc, cid) as rk
+        from scored
+      )
+      select vec_id, cid as centroid_id from ranked where rk = 1
+    """
+
+
 def semantic_dedup_sql(
-    threshold: float = SEMDEDUP_THRESHOLD, k: int = IVF_K, dim: int = DIM
+    threshold: float = SEMDEDUP_THRESHOLD, k: int | None = None, dim: int = DIM
 ) -> str:
     cos = cosine_sql("x.embedding", "y.embedding", dim)
+    assign = _scaled_assign_sql(dim) if k is None else ivf_assignments_sql(k, dim)
     return f"""
-    with assign as ({ivf_assignments_sql(k, dim)}),
+    with assign as ({assign}),
     prior as (
       select bj.vec_id as vec_id, round(max({cos}), 6) as sd_max_prior_sim
       from assign aj

@@ -111,11 +111,14 @@ def embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature (ANN3 — seeded md5 plane weights reproduced
     bit-for-bit in SQL), IVF coarse-quantizer assignment (ANN4 —
     broadcast centroid matrix, narrow map, identical tie-break), and
-    the SemDeDup decision derived from that assignment (SD1,
-    operators/similarity.semantic_dedup — max cosine to an earlier
-    cluster-mate + keep flag; the within-cluster self-join buckets
-    on centroid_id, the trick that bounds embedding dedup at corpus
-    scale). One vec-keyed join of per-vector projections."""
+    the SemDeDup decision (SD1, operators/similarity.semantic_dedup —
+    max cosine to an earlier cluster-mate + keep flag). The SD1 leg
+    clusters with the CORPUS-SCALED quantizer (``semdedup_k``:
+    k = clamp(n//100, 32, 65536), derived identically by the oracle
+    from a count(*) subquery so the SQL stays static) — ~100-vector
+    lists keep the within-cluster quadratic kernel linear-in-n; the
+    pinned-k form round 2 flagged as the one scale-killer is gone.
+    One vec-keyed join of per-vector projections."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -151,7 +154,7 @@ def embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "select * from (values "
     + ", ".join(f"('{m}', {len(QUERY_IDS)}, 1)" for m in ANN_METHODS)
     + ") t(method, n_queries, ok)",
-    survey_ids=("ANN3", "ANN4"),
+    survey_ids=("ANN3", "ANN4", "ANN5"),
 )
 def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable bound for the approximate ANN tier: per-method

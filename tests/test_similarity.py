@@ -145,3 +145,18 @@ def test_pq_topk_recall_and_codes(spark):
     ).first()
     assert rng.lo >= 0 and rng.hi < similarity.PQ_KSUB
     assert rng.m_lo == rng.m_hi == similarity.PQ_M
+
+
+def test_semdedup_k_clamp_matches_sql():
+    """The Python-side semdedup_k and the oracle's integer-clamp SQL
+    (least/greatest/// in _scaled_assign_sql) must derive the SAME k
+    for every corpus size — integer-only math, so exact equality."""
+    import duckdb
+
+    for n in [0, 1, 500, 3_199, 3_200, 20_000, 6_553_600, 10_000_000]:
+        sql_k = duckdb.sql(
+            f"select cast(least(greatest({similarity.IVF_K}, "
+            f"{n} // {similarity.SEMDEDUP_ROWS_PER_CLUSTER}), "
+            f"{similarity.SEMDEDUP_MAX_K}) as bigint)"
+        ).fetchone()[0]
+        assert sql_k == similarity.semdedup_k(n), n

@@ -74,22 +74,28 @@ def main() -> None:
         # probes otherwise skew (and memory-pressure) later ones
         spark.catalog.clearCache()
 
-    # SemDeDup with k scaled to the corpus (constant ~100-vector
-    # lists) — the production discipline: within-list pairs total
-    # n*L/2, i.e. LINEAR in n. The registry entry pins the gate's
-    # small fixed k, whose (n/k)^2 list growth this probe line exists
-    # to contrast against.
+    # SemDeDup scaling contrast. The registry entry (embedding_profile,
+    # probed above) now DEFAULTS to the corpus-scaled quantizer
+    # (semdedup_k: ~100-vector lists ⇒ within-list pair work LINEAR in
+    # n). These two lines isolate the SD1 leg: the scaled default vs
+    # the round-2 pinned k=IVF_K whose (n/k)^2 list growth was the one
+    # flagged scale-killer — kept here as the measured counterexample.
     from map_reduce_sf_crime_spark.operators.similarity import (
         IVF_K,
         semantic_dedup,
+        semdedup_k,
     )
     from map_reduce_sf_crime_spark.sources.parquet import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    k = max(IVF_K, emb.count() // 100)
+    k = semdedup_k(emb.count())
     t0 = time.perf_counter()
     semantic_dedup(emb, k=k).write.format("noop").mode("overwrite").save()
-    print(f"x{n} semantic_dedup[k={k}]: {time.perf_counter() - t0:.2f}s")
+    print(f"x{n} semantic_dedup[scaled k={k}]: {time.perf_counter() - t0:.2f}s")
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    semantic_dedup(emb, k=IVF_K).write.format("noop").mode("overwrite").save()
+    print(f"x{n} semantic_dedup[pinned k={IVF_K}]: {time.perf_counter() - t0:.2f}s")
     spark.catalog.clearCache()
 
     # PQ-ADC search: codebook training is bounded, encode + ADC scan
