@@ -293,6 +293,105 @@ def lsh_near_dup_pairs(
 
 # ----------------------------------- incremental (batch vs catalog)
 
+def _sig_base(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, sh, n_sh): distinct word-shingle set per document —
+    the shared input of banded signatures and exact verification."""
+    return docs.select(
+        "doc_id",
+        F.array_distinct(shingles_col(tokens_col(F.col("text")), n)).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+
+
+def _banded_buckets(
+    base: DataFrame, n_hashes: int, bands: int, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Banded-minhash bucket rows ``(doc_id, *carry, n_sh, band, key)``
+    from a ``(doc_id, sh, n_sh, *carry)`` frame. One row per (doc,
+    band); ``key`` is md5 over that band's minhash slice — the
+    identical construction on both the live path and the persisted
+    catalog, so bucket keys are bit-equal across runs."""
+    r = n_hashes // bands
+    ex = base.select("doc_id", F.explode("sh").alias("s"))
+    mins = ex.groupBy("doc_id").agg(
+        *[
+            F.min(hash64_col(F.col("s"), seed=str(k))).alias(f"_m{k}")
+            for k in range(n_hashes)
+        ]
+    )
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.md5(
+                    F.concat_ws(",", *[F.col(f"_m{i * r + j}") for j in range(r)])
+                ).alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )
+    head = ["doc_id", *carry, "n_sh"]
+    return (
+        base.select(*head)
+        .join(mins, "doc_id")
+        .select(*head, F.explode(band_cols).alias("bk"))
+        .select(*head, "bk.band", "bk.key")
+    )
+
+
+def _candidate_pairs(inc_b: DataFrame, cat_b: DataFrame, threshold: float) -> DataFrame:
+    """Incoming×catalog bucket collisions with the lossless length
+    filter (J ≥ t needs t·ni ≤ nc ≤ ni/t), deduped to (doc, cat) pairs.
+    Expects ``inc_b`` aliased "i" and ``cat_b`` aliased "c"."""
+    return (
+        inc_b.join(
+            cat_b,
+            (F.col("i.band") == F.col("c.band"))
+            & (F.col("i.key") == F.col("c.key"))
+            & (F.col("c.n_sh") * threshold <= F.col("i.n_sh"))
+            & (F.col("i.n_sh") * threshold <= F.col("c.n_sh")),
+        )
+        .select(F.col("i.doc_id").alias("doc_id"), F.col("c.doc_id").alias("cat_id"))
+        .distinct()
+    )
+
+
+def _verify_and_flag(
+    cands: DataFrame,
+    ti: DataFrame,
+    tc: DataFrame,
+    incoming_ids: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs + per-incoming-doc
+    flag aggregation — the shared tail of both incremental forms."""
+    jac = F.col("inter") / (F.col("ni") + F.col("nc") - F.col("inter"))
+    matches = (
+        cands.join(ti, "doc_id")
+        .join(tc, "cat_id")
+        .withColumn("inter", F.size(F.array_intersect("sh_i", "sh_c")))
+        .withColumn("jaccard", F.round(jac.cast("double"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cat_matches"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+    )
+    return (
+        incoming_ids.join(matches, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_cat_matches"), F.lit(0)).cast("long").alias(
+                "n_cat_matches"
+            ),
+            F.coalesce(F.col("best_jaccard"), F.lit(0.0)).alias("best_jaccard"),
+            (F.coalesce(F.col("n_cat_matches"), F.lit(0)) > 0)
+            .cast("int")
+            .alias("is_dup"),
+        )
+    )
+
+
 def incremental_lsh_flags(
     docs: DataFrame,
     incoming,
@@ -320,11 +419,11 @@ def incremental_lsh_flags(
     Returns one row per incoming doc: ``(doc_id, n_cat_matches,
     best_jaccard, is_dup)``.
     """
-    r = n_hashes // bands
     base = (
-        docs.select(
+        docs.select("doc_id", incoming.alias("is_incoming"), "text")
+        .select(
             "doc_id",
-            incoming.alias("is_incoming"),
+            "is_incoming",
             F.array_distinct(
                 shingles_col(tokens_col(F.col("text")), n)
             ).alias("sh"),
@@ -332,78 +431,87 @@ def incremental_lsh_flags(
         .withColumn("n_sh", F.size("sh"))
         .cache()
     )
-    ex = base.select("doc_id", F.explode("sh").alias("s"))
-    mins = ex.groupBy("doc_id").agg(
-        *[
-            F.min(hash64_col(F.col("s"), seed=str(k))).alias(f"_m{k}")
-            for k in range(n_hashes)
-        ]
-    )
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.md5(
-                    F.concat_ws(",", *[F.col(f"_m{i * r + j}") for j in range(r)])
-                ).alias("key"),
-            )
-            for i in range(bands)
-        ]
-    )
-    buckets = (
-        base.select("doc_id", "is_incoming", "n_sh")
-        .join(mins, "doc_id")
-        .select(
-            "doc_id", "is_incoming", "n_sh", F.explode(band_cols).alias("bk")
-        )
-        .select("doc_id", "is_incoming", "n_sh", "bk.band", "bk.key")
-    )
+    buckets = _banded_buckets(base, n_hashes, bands, carry=("is_incoming",))
     inc_b = buckets.filter(F.col("is_incoming")).alias("i")
     cat_b = buckets.filter(~F.col("is_incoming")).alias("c")
-    cands = (
-        inc_b.join(
-            cat_b,
-            (F.col("i.band") == F.col("c.band"))
-            & (F.col("i.key") == F.col("c.key"))
-            # lossless length filter: J ≥ t needs t·ni ≤ nc ≤ ni/t
-            & (F.col("c.n_sh") * threshold <= F.col("i.n_sh"))
-            & (F.col("i.n_sh") * threshold <= F.col("c.n_sh")),
-        )
-        .select(F.col("i.doc_id").alias("doc_id"), F.col("c.doc_id").alias("cat_id"))
-        .distinct()
-    )
+    cands = _candidate_pairs(inc_b, cat_b, threshold)
     ti = base.select(F.col("doc_id"), F.col("sh").alias("sh_i"), F.col("n_sh").alias("ni"))
     tc = base.select(
         F.col("doc_id").alias("cat_id"), F.col("sh").alias("sh_c"), F.col("n_sh").alias("nc")
     )
-    jac = F.col("inter") / (F.col("ni") + F.col("nc") - F.col("inter"))
-    matches = (
-        cands.join(ti, "doc_id")
-        .join(tc, "cat_id")
-        .withColumn("inter", F.size(F.array_intersect("sh_i", "sh_c")))
-        .withColumn("jaccard", F.round(jac.cast("double"), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_cat_matches"),
-            F.max("jaccard").alias("best_jaccard"),
+    incoming_ids = base.filter(F.col("is_incoming")).select("doc_id")
+    return _verify_and_flag(cands, ti, tc, incoming_ids, threshold)
+
+
+def write_signature_catalog(
+    docs: DataFrame,
+    buckets_table: str,
+    shingles_table: str,
+    n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 8,
+    n_buckets: int = 16,
+) -> None:
+    """Persist the CATALOG side of incremental near-dedup once — the
+    production layout :func:`incremental_lsh_flags`'s docstring
+    promises (its recompute form re-shingles the whole catalog every
+    run, which at a 100 TB corpus is the dominant cost):
+
+    - ``buckets_table`` ``(doc_id, n_sh, band, key)``: one row per
+      banded signature key, hash-bucketed on ``key`` so the daily
+      candidate join probes it WITHOUT a catalog-side shuffle.
+    - ``shingles_table`` ``(doc_id, sh, n_sh)``: exact-verify inputs,
+      bucketed on ``doc_id`` so the verification join co-locates by
+      bucket instead of reshuffling catalog shingle sets.
+
+    Signatures are content hashes, so rows never mutate: the table is
+    append-only — after a batch is flagged, its rows are appended with
+    ``mode="append"`` and become catalog for the next batch.
+    """
+    from ..sources.lakehouse import write_bucketed
+
+    base = _sig_base(docs, n).cache()
+    try:
+        write_bucketed(
+            _banded_buckets(base, n_hashes, bands), buckets_table, "key", n_buckets
         )
-    )
-    return (
-        base.filter(F.col("is_incoming"))
-        .select("doc_id")
-        .join(matches, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_cat_matches"), F.lit(0)).cast("long").alias(
-                "n_cat_matches"
-            ),
-            F.coalesce(F.col("best_jaccard"), F.lit(0.0)).alias("best_jaccard"),
-            (F.coalesce(F.col("n_cat_matches"), F.lit(0)) > 0)
-            .cast("int")
-            .alias("is_dup"),
+        write_bucketed(
+            base.select("doc_id", "sh", "n_sh"), shingles_table, "doc_id", n_buckets
         )
+    finally:
+        base.unpersist()
+
+
+def incremental_lsh_flags_cataloged(
+    spark,
+    batch: DataFrame,
+    buckets_table: str,
+    shingles_table: str,
+    n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Catalog-backed :func:`incremental_lsh_flags`: identical output
+    (pinned in tests/test_dedup.py), but the catalog signatures are
+    READ from the persisted tables (:func:`write_signature_catalog`)
+    instead of recomputed from raw text — the daily run shingles,
+    hashes, and shuffles ONLY the new batch. ``n``/``n_hashes``/
+    ``bands`` must match the values the catalog was written with
+    (they determine the stored band keys)."""
+    base_i = _sig_base(batch, n).cache()
+    inc_b = _banded_buckets(base_i, n_hashes, bands).alias("i")
+    cat_b = spark.table(buckets_table).alias("c")
+    cands = _candidate_pairs(inc_b, cat_b, threshold)
+    ti = base_i.select(
+        F.col("doc_id"), F.col("sh").alias("sh_i"), F.col("n_sh").alias("ni")
     )
+    tc = spark.table(shingles_table).select(
+        F.col("doc_id").alias("cat_id"),
+        F.col("sh").alias("sh_c"),
+        F.col("n_sh").alias("nc"),
+    )
+    return _verify_and_flag(cands, ti, tc, base_i.select("doc_id"), threshold)
 
 
 def incremental_exact_sql(

@@ -131,3 +131,36 @@ def test_incremental_flags_match_pair_restriction(spark):
         assert dup == (1 if js else 0)
     # the fixture plants near-dup pairs; some must straddle the split
     assert sum(f[2] for f in flags.values()) > 0
+
+
+def test_incremental_catalog_backed_matches_recompute(spark):
+    """The persisted-catalog form (write once, read bucketed, shuffle
+    only the batch) must produce EXACTLY the recompute form's output —
+    same band keys, same candidates, same verified flags."""
+    import os
+    import shutil
+
+    docs = _docs(spark)
+    pred = (F.col("doc_id") % 5) == 4
+    expected = {
+        tuple(r)
+        for r in dedup.incremental_lsh_flags(docs, pred, n=3, threshold=0.8).collect()
+    }
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("cat_sig_buckets", "cat_sig_shingles"):
+        spark.sql(f"drop table if exists {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    dedup.write_signature_catalog(
+        docs.filter(~pred), "cat_sig_buckets", "cat_sig_shingles"
+    )
+    got_df = dedup.incremental_lsh_flags_cataloged(
+        spark, docs.filter(pred), "cat_sig_buckets", "cat_sig_shingles", threshold=0.8
+    )
+    got = {tuple(r) for r in got_df.collect()}
+    assert got == expected
+    # the catalog bucket probe must ride the bucketed layout: no
+    # exchange on the catalog-side scan of cat_sig_buckets
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "cat_sig_buckets" in l]
+    assert scan_lines, plan
+    assert "SelectedBucketsCount" in "\n".join(scan_lines), scan_lines
