@@ -70,9 +70,21 @@ def temperature_mix_weights(docs: DataFrame) -> DataFrame:
     counts = docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_lang")
     ).cache()
+    # Fold order must match the oracle's `order by coalesce(lang, '')`
+    # exactly: a NULL lang would sort FIRST in Spark's sort_array but
+    # LAST in DuckDB's list(... order by lang), permuting the float
+    # summation and potentially flipping floor() one ulp — so both
+    # engines fold over the ''-coalesced sort key.
     tot = counts.agg(
         F.aggregate(
-            F.sort_array(F.collect_list(F.struct("lang", "n_lang"))),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+                        "n_lang",
+                    )
+                )
+            ),
             F.lit(0.0),
             lambda acc, s: acc + F.sqrt(s["n_lang"].cast("double")),
         ).alias("tot")
@@ -91,7 +103,7 @@ def temperature_mix_weights(docs: DataFrame) -> DataFrame:
 
 MIX_WEIGHT_SQL = """
 with c as (select lang, count(*) as n_lang from documents group by lang),
-t as (select list_sum(list_transform(list(n_lang order by lang),
+t as (select list_sum(list_transform(list(n_lang order by coalesce(lang, '')),
             x -> sqrt(x::double))) as tot from c)
 select lang,
        cast(floor(1000000.0 * sqrt(n_lang::double) / t.tot) as bigint)
@@ -156,8 +168,16 @@ def with_global_shuffle_pos(
     hashed = df.withColumn("_h", h).withColumn(
         "_bucket", F.shiftright(F.col("_h"), shift)
     )
+    # Tie-break on the SAME NULL-coalesced string as the hash input:
+    # Spark sorts NULLs first, DuckDB last, so ordering by the raw key
+    # would give >1 NULL-key rows (all hashing the '' sentinel, hence
+    # tied on _h) an engine-divergent relative order. With the
+    # sentinel, both engines compare equal strings and fall through to
+    # the identical (arbitrary-but-stable) row_number assignment.
     local = F.row_number().over(
-        Window.partitionBy("_bucket").orderBy("_h", key)
+        Window.partitionBy("_bucket").orderBy(
+            "_h", F.coalesce(F.col(key).cast("string"), F.lit(""))
+        )
     )
     counts = hashed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
     offsets = counts.withColumn(
@@ -186,7 +206,8 @@ def global_shuffle_pos_sql(
     Spark side exists precisely because this shape doesn't scale)."""
     h = hash64_sql(f"coalesce({key}::varchar, '')", seed=seed)
     return f"""
-    select *, row_number() over (order by {h}, {key}) - 1 as shuffle_pos
+    select *, row_number() over (order by {h}, coalesce({key}::varchar, ''))
+              - 1 as shuffle_pos
     from ({inner_sql})
     """
 

@@ -155,6 +155,8 @@ def cosine_near_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     def kernel(batches):
         b_ids, b_mat, b_q = corpus.value
         for pdf in batches:
+            if not len(pdf):
+                continue  # np.array(list(...)) on an empty batch → shape (0,)
             a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             a_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             a_q = _sq_norms(a_mat)
@@ -582,6 +584,8 @@ def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
         books = bc.value
         m, _, sub = books.shape
         for pdf in batches:
+            if not len(pdf):
+                continue  # np.array(list(...)) on an empty batch → shape (0,)
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             x = mat / np.maximum(
@@ -658,6 +662,8 @@ def pq_topk(
     def adc(batches):
         q_ids, tabs, top_s = bc.value
         for pdf in batches:
+            if not len(pdf):
+                continue  # codes.shape would be (0,) and unpack would raise
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             codes = np.array(list(pdf["pq_codes"]), dtype=np.int64)
             n, mm = codes.shape

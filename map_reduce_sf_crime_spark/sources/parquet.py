@@ -72,6 +72,26 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
 
     dtype = df.schema["ts"].dataType
     if isinstance(dtype, LongType):
+        # Magnitude sanity before assuming nanoseconds: a 2000s-2100s
+        # epoch is ~1e18-4e18 in ns but ~1e15-4e15 in µs. If a future
+        # testdata layout stores raw µs int64, flooring div 1000 would
+        # be silently 1000× off — fail loudly instead. One sampled row
+        # (first non-null) is enough: layouts don't mix units. A
+        # streaming frame can't be sampled — events_stream reads the
+        # same file the batch loader validates, so the batch-side
+        # check covers it.
+        sample = (
+            None
+            if df.isStreaming
+            else df.select("ts").filter(F.col("ts").isNotNull()).first()
+        )
+        if sample is not None and abs(sample[0]) < 10**17:
+            raise ValueError(
+                f"events.ts is LongType but sampled value {sample[0]} is "
+                "outside the nanosecond epoch range (|ts| < 1e17 — "
+                "microseconds?); update sources/parquet.normalize_event_ts "
+                "for this layout instead of dividing by 1000"
+            )
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if not isinstance(dtype, TimestampType):
         return df.withColumn("ts", F.col("ts").cast("timestamp"))

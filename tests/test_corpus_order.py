@@ -194,3 +194,60 @@ def test_global_shuffle_pos_keeps_null_keys(spark):
     out = sampling.with_global_shuffle_pos(df).collect()
     assert len(out) == 3
     assert sorted(r.shuffle_pos for r in out) == [0, 1, 2]
+
+
+def test_global_shuffle_pos_multi_null_matches_oracle(spark):
+    """>1 NULL-key rows all hash the '' sentinel, so they tie on _h;
+    the tie-break must be the SAME coalesced string in both engines
+    (Spark sorts raw NULLs first, DuckDB last) for their relative
+    order to agree. Compares the full permutation against the DuckDB
+    twin on data with three NULL keys."""
+    import duckdb
+
+    rows = [(1, "a"), (None, "b"), (2, "c"), (None, "d"), (None, "e"), (7, "f")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {
+        (r.lang, r.shuffle_pos)
+        for r in sampling.with_global_shuffle_pos(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "create table d as select * from (values "
+        + ", ".join(
+            f"({ 'NULL' if k is None else k }, '{v}')" for k, v in rows
+        )
+        + ") t(doc_id, lang)"
+    )
+    want = {
+        (r[0], r[1])
+        for r in con.sql(
+            "select lang, shuffle_pos from ("
+            + sampling.global_shuffle_pos_sql("select * from d")
+            + ")"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_temperature_mix_weights_null_lang_matches_oracle(spark):
+    """A NULL lang stratum must fold in the same position on both
+    engines (coalesced to '' before the sort) or the float total — and
+    with it every floor()'d weight — can drift one ulp."""
+    import duckdb
+    import pandas as pd
+
+    rows = [(i, "x", ["en", "de", None][i % 3], "s", 1) for i in range(90)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    got = {
+        (r.lang, r.mix_weight_ppm)
+        for r in sampling.temperature_mix_weights(df).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"]),
+    )
+    want = {(r[0], r[1]) for r in con.sql(sampling.MIX_WEIGHT_SQL).fetchall()}
+    assert got == want
