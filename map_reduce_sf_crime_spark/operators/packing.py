@@ -11,11 +11,15 @@ are never split. This is the streaming-friendly packing discipline
 (one pass, no bin lookback), not best-fit bin packing (NP-hard and
 order-unstable — wrong for reproducible corpus builds).
 
-Scale shape: one window partitioned on ``source`` — the shuffle key
-is the corpus shard key, so packing parallelizes across shards. At
-100 TB a single giant source would be sub-sharded first (e.g.
-``source × crawl-date``); the window itself never sees more than one
-shard's rows. No reference counterpart (SURVEY §2.11 PK1).
+Scale shape: the running total is computed TWO-PHASE by default —
+each source is sub-sharded into contiguous ``doc_id`` ranges, the
+window runs per (source, shard), and per-shard token totals are
+offset-joined back (the same discipline as the SH1 global shuffle
+ranking). A pathologically single-source corpus therefore never
+funnels through one window task; results are provably identical to
+the one-giant-window form (decomposition of a running sum), pinned
+in tests/test_packing_skew.py. No reference counterpart (SURVEY
+§2.11 PK1).
 """
 
 from __future__ import annotations
@@ -25,22 +29,76 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens_col, tokens_sql
 
+#: Rows per packing window task: a source larger than this is
+#: sub-sharded into contiguous doc_id ranges so no single task sorts
+#: more than ~this many rows. The offsets side stays tiny (n /
+#: PACK_SHARD_ROWS rows — ~1M offsets per 10¹² docs, a broadcastable
+#: few tens of MB even at extreme scale). Power of two: the shard id
+#: is the doc_id's high bits, so shards are doc_id-ordered ranges and
+#: offsets accumulate in shard order.
+PACK_SHARD_ROWS = 1 << 20
 
-def pack_documents(docs: DataFrame, budget: int) -> DataFrame:
-    """Per-doc packing assignment: (doc_id, source, n_tok, bin_id)."""
+
+def _sharded_running_total(
+    sized: DataFrame, order_cols: list[str], shard_rows: int
+) -> DataFrame:
+    """Per-source running token total ordered by ``order_cols``
+    (``doc_id`` first), computed two-phase: window within contiguous
+    doc_id-range shards, then add each shard's starting offset (the
+    per-source sum of earlier shards' totals). Identical values to a
+    single per-source window — a running sum decomposes across any
+    ordered partition of its rows — with task size bounded by the
+    shard width instead of the hottest source. Adds ``_run``.
+
+    NULL doc_ids (if any) land in a dedicated smallest shard, first
+    within their source — the same NULLS FIRST position Spark's plain
+    per-source window would give them."""
+    shift = max(0, shard_rows.bit_length() - 1)
+    sharded = sized.withColumn(
+        "_shard",
+        F.coalesce(
+            F.shiftright(F.col("doc_id"), shift), F.lit(-(1 << 62))
+        ),
+    )
     w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
+        Window.partitionBy("source", "_shard")
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    local = sharded.withColumn("_run", F.sum("n_tok").over(w))
+    totals = sharded.groupBy("source", "_shard").agg(
+        F.sum("n_tok").alias("_tot")
+    )
+    wo = (
+        Window.partitionBy("source")
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(wo), F.lit(0))
+    ).select("source", "_shard", "_off")
+    return (
+        local.join(F.broadcast(offsets), ["source", "_shard"])
+        .withColumn("_run", F.col("_run") + F.col("_off"))
+        .drop("_shard", "_off")
+    )
+
+
+def pack_documents(
+    docs: DataFrame, budget: int, shard_rows: int = PACK_SHARD_ROWS
+) -> DataFrame:
+    """Per-doc packing assignment: (doc_id, source, n_tok, bin_id)."""
     sized = docs.select(
         "doc_id",
         "source",
         F.size(tokens_col(F.col("text"))).alias("n_tok"),
     )
-    return sized.withColumn(
-        "bin_id",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / budget),
+    run = _sharded_running_total(sized, ["doc_id"], shard_rows)
+    return run.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.floor((F.col("_run") - F.col("n_tok")) / budget).alias("bin_id"),
     )
 
 
@@ -205,19 +263,19 @@ def cdc_chunk_count_sql(
     """
 
 
-def pack_chunks(chunks: DataFrame, budget: int) -> DataFrame:
-    """Packing assignment at chunk granularity: same running-total
-    discipline as :func:`pack_documents`, ordered by
+def pack_chunks(
+    chunks: DataFrame, budget: int, shard_rows: int = PACK_SHARD_ROWS
+) -> DataFrame:
+    """Packing assignment at chunk granularity: same two-phase
+    running-total discipline as :func:`pack_documents`, ordered by
     (doc_id, chunk_id) within each source so a document's chunks stay
-    contiguous in the packed sequence stream."""
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id", "chunk_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return chunks.withColumn(
-        "bin_id",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / budget),
+    contiguous in the packed sequence stream. Shards cut on doc_id
+    ranges only, so a document's chunks never straddle a shard."""
+    cols = chunks.columns
+    run = _sharded_running_total(chunks, ["doc_id", "chunk_id"], shard_rows)
+    return run.select(
+        *cols,
+        F.floor((F.col("_run") - F.col("n_tok")) / budget).alias("bin_id"),
     )
 
 
