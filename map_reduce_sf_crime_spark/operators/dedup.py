@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64_col, hash64_sql, minhash_sql
 from ..functions.text import shingles_col, shingles_sql, tokens_col, tokens_sql
+from ..functions.caching import plan_cache
 
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # 4 × 8-bit bands ⇒ exact blocking for hamming ≤ 3
@@ -100,7 +101,7 @@ def near_dup_pairs_exact(docs: DataFrame, n: int = 3, threshold: float = 0.5) ->
     over the full (cached) shingle sets. Output ≡ the naive full
     inverted-index join (the DuckDB oracle computes that form); the
     equivalence is also asserted in tests/test_dedup.py."""
-    t = shingle_sets(docs, n).cache()
+    t = shingle_sets(docs, n).transform(plan_cache)
     e = t.select("doc_id", "n_sh", F.explode("sh").alias("s"))
     freq = e.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     rank_w = Window.partitionBy("doc_id").orderBy("df", "s")
@@ -110,7 +111,7 @@ def near_dup_pairs_exact(docs: DataFrame, n: int = 3, threshold: float = 0.5) ->
         .withColumn("rk", F.row_number().over(rank_w))
         .filter(F.col("rk") <= prefix_len)
         .select("doc_id", "n_sh", "s")
-        .cache()
+        .transform(plan_cache)
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cands = (
@@ -143,7 +144,7 @@ def near_dup_pairs_naive(docs: DataFrame, n: int = 3, threshold: float = 0.5) ->
     implementation for the equivalence test; same output as
     :func:`near_dup_pairs_exact`."""
     t = shingle_sets(docs, n)
-    e = t.select("doc_id", "n_sh", F.explode("sh").alias("s")).cache()
+    e = t.select("doc_id", "n_sh", F.explode("sh").alias("s")).transform(plan_cache)
     a, b = e.alias("a"), e.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -234,11 +235,11 @@ def lsh_near_dup_pairs(
     r = n_hashes // bands
     # both the banded self-join and the verification join re-read these
     # small per-doc tables — cache so shingling/hashing runs once
-    t = shingle_sets(docs, n).cache()
+    t = shingle_sets(docs, n).transform(plan_cache)
     sigs = (
         minhash_signatures(docs, n, n_hashes)
         .join(t.select("doc_id", "n_sh"), "doc_id")
-        .cache()
+        .transform(plan_cache)
     )
     band_cols = F.array(
         *[
@@ -429,7 +430,7 @@ def incremental_lsh_flags(
             ).alias("sh"),
         )
         .withColumn("n_sh", F.size("sh"))
-        .cache()
+        .transform(plan_cache)
     )
     buckets = _banded_buckets(base, n_hashes, bands, carry=("is_incoming",))
     inc_b = buckets.filter(F.col("is_incoming")).alias("i")
@@ -499,7 +500,7 @@ def incremental_lsh_flags_cataloged(
     hashes, and shuffles ONLY the new batch. ``n``/``n_hashes``/
     ``bands`` must match the values the catalog was written with
     (they determine the stored band keys)."""
-    base_i = _sig_base(batch, n).cache()
+    base_i = _sig_base(batch, n).transform(plan_cache)
     inc_b = _banded_buckets(base_i, n_hashes, bands).alias("i")
     cat_b = spark.table(buckets_table).alias("c")
     cands = _candidate_pairs(inc_b, cat_b, threshold)
@@ -565,7 +566,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     )
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
+    ).transform(plan_cache)
     labels = (
         sym.groupBy("src")
         .agg(F.min("dst").alias("nbr_min"))
@@ -657,7 +658,7 @@ def simhash_sql() -> str:
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Hamming-≤d pairs via 4×8-bit band blocking (exact for d ≤ 3)."""
     assert max_hamming < SIMHASH_BANDS, "banding only exact for d < #bands"
-    s = simhash(docs).cache()  # feeds both sides of the banded self-join
+    s = simhash(docs).transform(plan_cache)  # feeds both sides of the banded self-join
     width = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << width) - 1
     bands = s.select(

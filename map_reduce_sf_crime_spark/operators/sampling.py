@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import HEX_DIGITS, hash64_col, hash64_sql
+from ..functions.caching import plan_cache
 
 #: per-mille keep rates by language stratum; default applies to any
 #: stratum not listed (forward-compatible with new corpus languages)
@@ -69,7 +70,7 @@ def temperature_mix_weights(docs: DataFrame) -> DataFrame:
     aggregate, and a broadcast join back."""
     counts = docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_lang")
-    ).cache()
+    ).transform(plan_cache)
     # Fold order must match the oracle's `order by coalesce(lang, '')`
     # exactly: a NULL lang would sort FIRST in Spark's sort_array but
     # LAST in DuckDB's list(... order by lang), permuting the float

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.calendar import month0_col, month0_sql, week_of_month_col, week_of_month_sql
+from ..functions.caching import plan_cache
 from .dims import dictionary_encode, dictionary_encode_sql
 
 
@@ -76,7 +77,7 @@ def star_tables(inc: DataFrame) -> dict[str, DataFrame]:
     daily = (
         inc.groupBy("d", "category", "district")
         .agg(F.count(F.lit(1)).alias("crimes"))
-        .cache()
+        .transform(plan_cache)
     )
     category = dictionary_encode(daily, "category", "category_id")
     district = dictionary_encode(daily, "district", "district_id")
@@ -86,7 +87,7 @@ def star_tables(inc: DataFrame) -> dict[str, DataFrame]:
         .join(F.broadcast(district), daily.district == district.name)
         .join(F.broadcast(tp.select("time_id", "d")), "d")
         .select("crimes", "district_id", "category_id", "time_id")
-        .cache()  # shared by every OLAP query over the star (J4/A5)
+        .transform(plan_cache)  # shared by every OLAP query over the star (J4/A5)
     )
     return {"category": category, "district": district, "timeperiod": tp, "fact": fact}
 

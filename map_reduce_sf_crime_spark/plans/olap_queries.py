@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.star import star_tables, star_tables_sql
+from ..functions.caching import plan_cache
 from .crimes_view import INCIDENTS_SQL, incidents
 from .registry import register
 
@@ -107,7 +108,7 @@ def _star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["category"].withColumnRenamed("name", "category")), "category_id")
         .join(F.broadcast(t["district"].withColumnRenamed("name", "district")), "district_id")
         .join(F.broadcast(t["timeperiod"]), "time_id")
-        .cache()
+        .transform(plan_cache)
     )
 
 

@@ -21,6 +21,7 @@ from ..functions.text import lang_id_col, tokens_col, tokens_sql
 from ..operators import dedup, packing, sampling, termstats, textops
 from ..operators.textops import LANG_ID_SQL, quality_scores_sql
 from ..sources.parquet import fan_out, load_table
+from ..functions.caching import plan_cache
 from .registry import register
 
 QUALITY_MIN = 0.6
@@ -127,7 +128,7 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (textops.quality_col(F.col("text")) >= QUALITY_MIN)
         & (lang_id_col(tokens_col(F.col("text"))) == "en")
     ).select("doc_id", "text", "source")
-    kept = dedup.dedup_keep_first(filtered).cache()
+    kept = dedup.dedup_keep_first(filtered).transform(plan_cache)
     near_dupes = (
         dedup.near_dup_pairs_exact(kept, n=3, threshold=NEAR_DUP_T)
         .select(F.col("doc_b").alias("doc_id"))

@@ -28,7 +28,22 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None, survey_ids: tuple[str, ...] = ()):
     def deco(fn):
-        REGISTRY[name] = QuerySpec(spark=fn, oracle=oracle, survey_ids=survey_ids)
+        from functools import wraps
+
+        @wraps(fn)
+        def scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Cache scope boundary: the previous query's tracked plan
+            # caches are released when the next one is built, so a
+            # long-lived session running the whole registry never
+            # accumulates cached blocks (functions/caching.py).
+            from ..functions.caching import release_plan_caches
+
+            release_plan_caches()
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QuerySpec(
+            spark=scoped, oracle=oracle, survey_ids=survey_ids
+        )
         return fn
 
     return deco

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..operators import quantize, similarity
 from ..sources.parquet import fan_out, load_table
+from ..functions.caching import plan_cache
 from .registry import register
 
 QUERY_IDS = [0, 1, 2, 3, 4]
@@ -172,7 +173,7 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         similarity.knn_bruteforce(emb, QUERY_IDS, K)
         .select("query_id", "vec_id")
-        .cache()
+        .transform(plan_cache)
     )
     approx = {
         "lsh": similarity.ann_lsh_topk(emb, QUERY_IDS, K),
