@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.caching import plan_cache
 from ..functions.text import tokens_col, tokens_sql
 
 #: Rows per packing window task: a source larger than this is
@@ -54,11 +55,18 @@ def _sharded_running_total(
     within their source — the same NULLS FIRST position Spark's plain
     per-source window would give them."""
     shift = max(0, shard_rows.bit_length() - 1)
-    sharded = sized.withColumn(
-        "_shard",
-        F.coalesce(
-            F.shiftright(F.col("doc_id"), shift), F.lit(-(1 << 62))
-        ),
+    # Both the window branch and the shard-totals branch read this
+    # frame; without the cache the totals branch re-tokenizes the
+    # corpus from parquet (the plan showed a second Scan+Generate).
+    # The frame is thin — ids + token counts, ~tens of bytes/row —
+    # so caching it costs ~0.1% of the text it summarizes.
+    sharded = plan_cache(
+        sized.withColumn(
+            "_shard",
+            F.coalesce(
+                F.shiftright(F.col("doc_id"), shift), F.lit(-(1 << 62))
+            ),
+        )
     )
     w = (
         Window.partitionBy("source", "_shard")

