@@ -69,9 +69,16 @@ def dedup_keep_first(docs: DataFrame, key: str = "text") -> DataFrame:
 
 # ------------------------------------------- n-gram Jaccard (exact)
 
-def shingle_sets(docs: DataFrame, n: int) -> DataFrame:
+def shingle_sets(
+    docs: DataFrame, n: int, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, *carry, sh, n_sh): distinct word-shingle set per doc —
+    THE single definition of shingling for every dedup family (live
+    paths, the persisted catalog, and the incremental form all call
+    this, so the rules can never drift apart)."""
     return docs.select(
         "doc_id",
+        *carry,
         F.array_distinct(shingles_col(tokens_col(F.col("text")), n)).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
 
@@ -294,13 +301,6 @@ def lsh_near_dup_pairs(
 
 # ----------------------------------- incremental (batch vs catalog)
 
-def _sig_base(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, sh, n_sh): distinct word-shingle set per document —
-    the shared input of banded signatures and exact verification."""
-    return docs.select(
-        "doc_id",
-        F.array_distinct(shingles_col(tokens_col(F.col("text")), n)).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
 
 
 def _banded_buckets(
@@ -420,18 +420,11 @@ def incremental_lsh_flags(
     Returns one row per incoming doc: ``(doc_id, n_cat_matches,
     best_jaccard, is_dup)``.
     """
-    base = (
-        docs.select("doc_id", incoming.alias("is_incoming"), "text")
-        .select(
-            "doc_id",
-            "is_incoming",
-            F.array_distinct(
-                shingles_col(tokens_col(F.col("text")), n)
-            ).alias("sh"),
-        )
-        .withColumn("n_sh", F.size("sh"))
-        .transform(plan_cache)
-    )
+    base = shingle_sets(
+        docs.select("doc_id", incoming.alias("is_incoming"), "text"),
+        n,
+        carry=("is_incoming",),
+    ).transform(plan_cache)
     buckets = _banded_buckets(base, n_hashes, bands, carry=("is_incoming",))
     inc_b = buckets.filter(F.col("is_incoming")).alias("i")
     cat_b = buckets.filter(~F.col("is_incoming")).alias("c")
@@ -471,7 +464,7 @@ def write_signature_catalog(
     """
     from ..sources.lakehouse import write_bucketed
 
-    base = _sig_base(docs, n).cache()
+    base = shingle_sets(docs, n).cache()
     try:
         write_bucketed(
             _banded_buckets(base, n_hashes, bands), buckets_table, "key", n_buckets
@@ -500,7 +493,7 @@ def incremental_lsh_flags_cataloged(
     hashes, and shuffles ONLY the new batch. ``n``/``n_hashes``/
     ``bands`` must match the values the catalog was written with
     (they determine the stored band keys)."""
-    base_i = _sig_base(batch, n).transform(plan_cache)
+    base_i = shingle_sets(batch, n).transform(plan_cache)
     inc_b = _banded_buckets(base_i, n_hashes, bands).alias("i")
     cat_b = spark.table(buckets_table).alias("c")
     cands = _candidate_pairs(inc_b, cat_b, threshold)

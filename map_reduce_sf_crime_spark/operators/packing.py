@@ -51,9 +51,15 @@ def _sharded_running_total(
     ordered partition of its rows — with task size bounded by the
     shard width instead of the hottest source. Adds ``_run``.
 
-    NULL doc_ids (if any) land in a dedicated smallest shard, first
-    within their source — the same NULLS FIRST position Spark's plain
-    per-source window would give them."""
+    Bound, stated precisely: a shard holds at most ``shard_rows``
+    DISTINCT doc_ids, so the per-task row count is shard_rows ×
+    rows-per-doc (1 for pack_documents; chunks-per-doc for
+    pack_chunks — callers with heavy chunk fan-out should lower
+    ``shard_rows`` accordingly). NULL doc_ids (if any) land in a
+    dedicated smallest shard, first within their source — the same
+    NULLS FIRST position Spark's plain per-source window gives them;
+    doc_ids are assumed unique-ish, so that sentinel shard stays
+    small."""
     shift = max(0, shard_rows.bit_length() - 1)
     # Both the window branch and the shard-totals branch read this
     # frame; without the cache the totals branch re-tokenizes the
@@ -82,13 +88,26 @@ def _sharded_running_total(
         .orderBy("_shard")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # The offsets join must be NULL-SAFE on source: groupBy and window
+    # partitioning both treat NULL source as a regular group, but a
+    # plain equi-join would drop those rows (confirmed data loss in
+    # review) — <=> keeps the two-phase form row-identical to the
+    # naive window for NULL-source corpora too.
     offsets = totals.withColumn(
         "_off", F.coalesce(F.sum("_tot").over(wo), F.lit(0))
-    ).select("source", "_shard", "_off")
+    ).select(
+        F.col("source").alias("_osrc"),
+        F.col("_shard").alias("_oshard"),
+        "_off",
+    )
     return (
-        local.join(F.broadcast(offsets), ["source", "_shard"])
+        local.join(
+            F.broadcast(offsets),
+            F.col("source").eqNullSafe(F.col("_osrc"))
+            & (F.col("_shard") == F.col("_oshard")),
+        )
         .withColumn("_run", F.col("_run") + F.col("_off"))
-        .drop("_shard", "_off")
+        .drop("_osrc", "_oshard", "_shard", "_off")
     )
 
 
@@ -278,7 +297,10 @@ def pack_chunks(
     running-total discipline as :func:`pack_documents`, ordered by
     (doc_id, chunk_id) within each source so a document's chunks stay
     contiguous in the packed sequence stream. Shards cut on doc_id
-    ranges only, so a document's chunks never straddle a shard."""
+    ranges only, so a document's chunks never straddle a shard — which
+    also means a shard holds shard_rows docs' WORTH of chunks, not
+    shard_rows rows; size ``shard_rows`` down by the expected
+    chunks-per-doc to keep the same per-task bound."""
     cols = chunks.columns
     run = _sharded_running_total(chunks, ["doc_id", "chunk_id"], shard_rows)
     return run.select(

@@ -71,11 +71,14 @@ def temperature_mix_weights(docs: DataFrame) -> DataFrame:
     counts = docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_lang")
     ).transform(plan_cache)
-    # Fold order must match the oracle's `order by coalesce(lang, '')`
-    # exactly: a NULL lang would sort FIRST in Spark's sort_array but
-    # LAST in DuckDB's list(... order by lang), permuting the float
-    # summation and potentially flipping floor() one ulp — so both
-    # engines fold over the ''-coalesced sort key.
+    # Fold order must match the oracle's sort exactly: a NULL lang
+    # would sort FIRST in Spark's sort_array but LAST in DuckDB's
+    # list(... order by lang), permuting the float summation and
+    # potentially flipping floor() one ulp — so both engines fold over
+    # the ''-coalesced key. The sort is TOTAL on both sides: Spark's
+    # struct comparison falls through to n_lang, and the SQL orders by
+    # (coalesce(lang,''), n_lang) — covering the corner where a NULL
+    # and a literal-'' stratum coexist with different counts.
     tot = counts.agg(
         F.aggregate(
             F.sort_array(
@@ -104,7 +107,8 @@ def temperature_mix_weights(docs: DataFrame) -> DataFrame:
 
 MIX_WEIGHT_SQL = """
 with c as (select lang, count(*) as n_lang from documents group by lang),
-t as (select list_sum(list_transform(list(n_lang order by coalesce(lang, '')),
+t as (select list_sum(list_transform(
+            list(n_lang order by coalesce(lang, ''), n_lang),
             x -> sqrt(x::double))) as tot from c)
 select lang,
        cast(floor(1000000.0 * sqrt(n_lang::double) / t.tot) as bigint)
@@ -172,9 +176,13 @@ def with_global_shuffle_pos(
     # Tie-break on the SAME NULL-coalesced string as the hash input:
     # Spark sorts NULLs first, DuckDB last, so ordering by the raw key
     # would give >1 NULL-key rows (all hashing the '' sentinel, hence
-    # tied on _h) an engine-divergent relative order. With the
-    # sentinel, both engines compare equal strings and fall through to
-    # the identical (arbitrary-but-stable) row_number assignment.
+    # tied on _h) an engine-divergent relative order. CONTRACT: full
+    # run-to-run/engine determinism requires distinct (hash, key)
+    # pairs — i.e. unique keys; rows that tie on BOTH columns
+    # (duplicate keys, >1 NULL key) occupy a deterministic contiguous
+    # block of positions but their order within it is arbitrary (no
+    # further column exists to totalize the sort). The positions
+    # OUTSIDE the tied block are unaffected either way.
     local = F.row_number().over(
         Window.partitionBy("_bucket").orderBy(
             "_h", F.coalesce(F.col(key).cast("string"), F.lit(""))

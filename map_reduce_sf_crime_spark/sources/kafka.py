@@ -52,19 +52,50 @@ def kafka_events_reader(
     )
 
 
-def decode_events(wire: DataFrame) -> DataFrame:
-    """Kafka wire frame → events schema: JSON-decode the record value.
-    Accepts any frame carrying a binary/string ``value`` column (the
-    loaded Kafka source in production; a synthesized wire-shaped frame
-    in tests), returns exactly the events columns so every downstream
-    streaming operator is oblivious to the source swap."""
+def _decoded(wire: DataFrame):
     return wire.select(
         F.from_json(
             F.col("value").cast("string"),
             EVENTS_WIRE_SCHEMA,
             {"timestampFormat": WIRE_TS_FORMAT},
         ).alias("e")
-    ).select("e.*")
+    )
+
+
+#: A decoded record is usable only if the fields every downstream
+#: operator keys on survived the parse: ``ts`` drives all windows and
+#: watermarks, ``event_id`` identity/dedup. PERMISSIVE ``from_json``
+#: maps a NULL value to a NULL struct but MALFORMED JSON to a struct
+#: of all-NULL fields — this predicate catches both.
+def _valid(e):
+    return e.isNotNull() & e["ts"].isNotNull() & e["event_id"].isNotNull()
+
+
+def decode_events(wire: DataFrame) -> DataFrame:
+    """Kafka wire frame → events schema: JSON-decode the record value.
+    Accepts any frame carrying a binary/string ``value`` column (the
+    loaded Kafka source in production; a synthesized wire-shaped frame
+    in tests), returns exactly the events columns so every downstream
+    streaming operator is oblivious to the source swap.
+
+    Records that do not decode to a usable event (NULL/truncated
+    value, non-JSON bytes, missing ts/event_id) are DROPPED rather
+    than surfaced as NULL-field rows — those would silently fall out
+    of time windows or group under NULL keys downstream, which is
+    invisible data loss. The drop is observable: alert on
+    :func:`undecodable_count` (production would additionally route the
+    raw record to a dead-letter topic)."""
+    d = _decoded(wire)
+    return d.filter(_valid(F.col("e"))).select("e.*")
+
+
+def undecodable_count(wire: DataFrame) -> DataFrame:
+    """One-row ``(n_undecodable)`` monitoring twin of the decode drop
+    (aggregate it per window on a stream)."""
+    d = _decoded(wire)
+    return d.filter(~_valid(F.col("e"))).agg(
+        F.count(F.lit(1)).alias("n_undecodable")
+    )
 
 
 def kafka_events_stream(

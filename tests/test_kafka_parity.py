@@ -86,3 +86,25 @@ def test_kafka_reader_spec_and_load_paths(spark):
     assert decoded.isStreaming
     ev = load_events(spark, SF_SMOKE)
     assert decoded.schema == ev.schema
+
+
+def test_undecodable_records_dropped_and_counted(spark):
+    """A corrupt record must not become an all-NULL events row (which
+    would silently vanish from windows downstream): it is dropped from
+    the decode and visible in undecodable_count."""
+    ev = load_events(spark, SF_SMOKE).limit(3)
+    wire = _wire_shape(ev)
+    corrupt = spark.createDataFrame(
+        [("{truncated", ), (None, )], "value string"
+    ).select(
+        F.col("value").cast("binary").alias("value"),
+        F.lit(None).cast("binary").alias("key"),
+        F.lit("events").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.lit(0).cast("long").alias("offset"),
+    )
+    mixed = wire.unionByName(corrupt)
+    decoded = kafka.decode_events(mixed)
+    assert decoded.count() == 3
+    assert decoded.filter(F.col("event_id").isNull()).count() == 0
+    assert kafka.undecodable_count(mixed).first()[0] == 2

@@ -98,3 +98,32 @@ def test_sub_sharded_matches_naive_multi_source(spark):
         for r in packing.pack_chunks(chunks, BUDGET, shard_rows=32).collect()
     }
     assert got_c == naive_c
+
+
+def test_null_doc_id_keeps_position(spark):
+    """A NULL doc_id must survive the sub-sharded path in the same
+    position the naive window gives it (Spark NULLS FIRST): the NULL
+    lands in the dedicated smallest shard, and the offsets join key is
+    the non-null sentinel, so the row can never be dropped."""
+    df = spark.createDataFrame(
+        [(None, "s", "a b c"), (1, "s", "d e"), (2, "s", "f")],
+        "doc_id long, source string, text string",
+    )
+    got = {tuple(r) for r in packing.pack_documents(df, 4).collect()}
+    want = {tuple(r) for r in _naive_pack(df, 4).collect()}
+    assert got == want
+    assert len(got) == 3
+
+
+def test_null_source_rows_survive(spark):
+    """Regression (review-confirmed data loss): the offsets join must
+    be null-safe on source — NULL-source docs form a regular window
+    partition in the naive form and must pack identically here."""
+    df = spark.createDataFrame(
+        [(1, None, "a b c"), (2, None, "d e"), (3, "s", "f")],
+        "doc_id long, source string, text string",
+    )
+    got = {tuple(r) for r in packing.pack_documents(df, 4).collect()}
+    want = {tuple(r) for r in _naive_pack(df, 4).collect()}
+    assert got == want
+    assert len(got) == 3

@@ -69,16 +69,30 @@ def replicate(n: int) -> str:
     )
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+
+    def stale(dst: str, table: str) -> bool:
+        # The driver regenerates /root/testdata between rounds: a
+        # replica older than its base would silently bench last
+        # round's fixtures (or mix old and new tables). Rebuild on
+        # base-newer-than-replica, reuse otherwise.
+        if not os.path.exists(dst):
+            return True
+        src = os.path.join(BASE, f"{table}.parquet")
+        if os.path.getmtime(src) > os.path.getmtime(dst):
+            os.remove(dst)
+            return True
+        return False
+
     for table in DIMS:
         dst = os.path.join(out, f"{table}.parquet")
-        if not os.path.exists(dst):
+        if stale(dst, table):
             con.execute(
                 f"copy (select * from '{BASE}/{table}.parquet') to '{dst}'"
                 " (format parquet)"
             )
     for table in REPLICATED:
         dst = os.path.join(out, f"{table}.parquet")
-        if os.path.exists(dst):
+        if not stale(dst, table):
             continue
         cols = duckdb.sql(
             f"select * from '{BASE}/{table}.parquet' limit 0"

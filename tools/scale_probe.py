@@ -48,6 +48,13 @@ def replicate(n: int) -> str:
     con = duckdb.connect()
     for table, key, stride in [("documents", "doc_id", 5000), ("embeddings", "vec_id", 2000)]:
         dst = os.path.join(out, f"{table}.parquet")
+        # rebuild when the base is newer — the driver regenerates
+        # /root/testdata between rounds and a stale replica would
+        # silently probe last round's fixtures
+        if os.path.exists(dst) and os.path.getmtime(
+            os.path.join(BASE, f"{table}.parquet")
+        ) > os.path.getmtime(dst):
+            os.remove(dst)
         if not os.path.exists(dst):
             cols = duckdb.sql(f"select * from '{BASE}/{table}.parquet' limit 0").columns
             rest = ", ".join(c for c in cols if c != key)
