@@ -71,7 +71,7 @@ def _valid(e):
     return e.isNotNull() & e["ts"].isNotNull() & e["event_id"].isNotNull()
 
 
-def decode_events(wire: DataFrame) -> DataFrame:
+def decode_events(wire: DataFrame, observation=None) -> DataFrame:
     """Kafka wire frame → events schema: JSON-decode the record value.
     Accepts any frame carrying a binary/string ``value`` column (the
     loaded Kafka source in production; a synthesized wire-shaped frame
@@ -82,16 +82,29 @@ def decode_events(wire: DataFrame) -> DataFrame:
     value, non-JSON bytes, missing ts/event_id) are DROPPED rather
     than surfaced as NULL-field rows — those would silently fall out
     of time windows or group under NULL keys downstream, which is
-    invisible data loss. The drop is observable: alert on
-    :func:`undecodable_count` (production would additionally route the
-    raw record to a dead-letter topic)."""
+    invisible data loss. The drop is observable in the SAME pass:
+    pass ``observation`` (a metric name on a stream — read it from
+    ``StreamingQueryProgress.observedMetrics[name]`` — or a
+    ``pyspark.sql.Observation`` in batch, read from ``.get``) and the
+    dropped-record count is published as an observed metric with no
+    second scan of the topic; production would additionally route the
+    raw record to a dead-letter topic."""
     d = _decoded(wire)
+    if observation is not None:
+        d = d.observe(
+            observation,
+            F.sum((~_valid(F.col("e"))).cast("long")).alias("n_undecodable"),
+        )
     return d.filter(_valid(F.col("e"))).select("e.*")
 
 
 def undecodable_count(wire: DataFrame) -> DataFrame:
-    """One-row ``(n_undecodable)`` monitoring twin of the decode drop
-    (aggregate it per window on a stream)."""
+    """One-row ``(n_undecodable)`` batch twin of the decode drop.
+    This RE-SCANS the wire frame — fine for a batch audit; on a live
+    stream use ``decode_events(wire, observation=...)`` instead, which
+    counts the drops on the same pass (undecodable rows have no usable
+    event time, so they can only be metered per micro-batch, not
+    windowed)."""
     d = _decoded(wire)
     return d.filter(~_valid(F.col("e"))).agg(
         F.count(F.lit(1)).alias("n_undecodable")

@@ -87,9 +87,8 @@ def normalize_event_ts(df: DataFrame, check_key: str = "") -> DataFrame:
         # gate/bench session pays the sampling job once, not per query
         # build; a streaming frame can't be sampled — events_stream
         # reads the same file the batch loader validates.
-        if (
-            not df.isStreaming
-            and check_key not in _TS_MAGNITUDE_CHECKED
+        if not df.isStreaming and (
+            not check_key or check_key not in _TS_MAGNITUDE_CHECKED
         ):
             sample = df.select("ts").filter(F.col("ts").isNotNull()).first()
             if sample is not None and abs(sample[0]) < 10**17:
@@ -100,7 +99,11 @@ def normalize_event_ts(df: DataFrame, check_key: str = "") -> DataFrame:
                     "normalize_event_ts for this layout instead of "
                     "dividing by 1000"
                 )
-            _TS_MAGNITUDE_CHECKED.add(check_key)
+            # memoize only keyed, successfully-sampled checks: an
+            # anonymous call ('' key) must not waive validation for
+            # other frames, and an empty frame proves nothing
+            if check_key and sample is not None:
+                _TS_MAGNITUDE_CHECKED.add(check_key)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if not isinstance(dtype, TimestampType):
         return df.withColumn("ts", F.col("ts").cast("timestamp"))

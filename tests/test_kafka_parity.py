@@ -108,3 +108,12 @@ def test_undecodable_records_dropped_and_counted(spark):
     assert decoded.count() == 3
     assert decoded.filter(F.col("event_id").isNull()).count() == 0
     assert kafka.undecodable_count(mixed).first()[0] == 2
+
+    # same-pass observability: the drop count publishes as an observed
+    # metric on the decode itself (no second scan of the source)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = kafka.decode_events(mixed, observation=obs)
+    assert observed.count() == 3
+    assert obs.get["n_undecodable"] == 2

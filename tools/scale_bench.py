@@ -74,11 +74,13 @@ def replicate(n: int) -> str:
         # The driver regenerates /root/testdata between rounds: a
         # replica older than its base would silently bench last
         # round's fixtures (or mix old and new tables). Rebuild on
-        # base-newer-than-replica, reuse otherwise.
+        # base-newer-than-replica, reuse otherwise. A base table that
+        # vanished entirely (schema change between rounds) fails at
+        # the copy with a clear path error rather than here.
         if not os.path.exists(dst):
             return True
         src = os.path.join(BASE, f"{table}.parquet")
-        if os.path.getmtime(src) > os.path.getmtime(dst):
+        if os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(dst):
             os.remove(dst)
             return True
         return False

@@ -50,10 +50,14 @@ def replicate(n: int) -> str:
         dst = os.path.join(out, f"{table}.parquet")
         # rebuild when the base is newer — the driver regenerates
         # /root/testdata between rounds and a stale replica would
-        # silently probe last round's fixtures
-        if os.path.exists(dst) and os.path.getmtime(
-            os.path.join(BASE, f"{table}.parquet")
-        ) > os.path.getmtime(dst):
+        # silently probe last round's fixtures (missing base: keep
+        # the replica and let the copy path surface the clear error)
+        src = os.path.join(BASE, f"{table}.parquet")
+        if (
+            os.path.exists(dst)
+            and os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(dst)
+        ):
             os.remove(dst)
         if not os.path.exists(dst):
             cols = duckdb.sql(f"select * from '{BASE}/{table}.parquet' limit 0").columns
