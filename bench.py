@@ -8,6 +8,23 @@ Per-query time is wall-clock for plan construction + execution to a
 count-style action (foreach-noop via ``write.format('noop')``), the
 closest analog to "query finished, results materialized" without
 paying driver-side collect serialization for large outputs.
+
+Noise model (measured, see BASELINE.md "Measurement plan"): this host
+is a steal-prone shared VM — /proc/stat shows nonzero hypervisor
+steal, and co-tenant windows lasting minutes inflate wall-clock up to
+15x (the same query measured 2.3 s isolated and 39.9 s as an
+in-suite median minutes apart, with zero code change). Contention is
+strictly ADDITIVE noise: it can only make a run slower, never faster.
+The minimum over reps is therefore the consistent estimator of the
+engine's own cost, while a median is captured whenever a contention
+window outlasts one query's rep block (~10-60 s). So:
+
+- per-query headline = **min of REPS reps** (noise-robust);
+- per-query medians are ALSO reported (``queries_median`` /
+  ``value_median``) so the spread — i.e. how contended this
+  particular run was — is visible in the recorded artifact;
+- host steal before/after the suite is sampled into ``steal_pct`` as
+  a contention diagnostic.
 """
 
 from __future__ import annotations
@@ -48,9 +65,8 @@ BENCH_QUERIES = [
 ]
 
 
-# 5 reps: the host shows heavy run-to-run variance (co-tenant noise;
-# single reps of the same query spread 1.5-7x), and a median of 5 is
-# materially more robust than of 3 at ~30 s extra suite cost.
+#: 5 reps: enough for the min to dodge a short contention spike while
+#: keeping the suite under ~7 min on a quiet host.
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 
 
@@ -61,21 +77,33 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def median_time(spark, name: str, sf_dir: str) -> float:
-    """Median of REPS runs (BASELINE.md measurement plan) — each rep
-    rebuilds the plan from the registry; Spark's canonicalized-plan
-    cache lookup means intra-query caches behave as in a warm service."""
-    runs = sorted(run_query(spark, name, sf_dir) for _ in range(REPS))
-    return runs[len(runs) // 2]
+def rep_times(spark, name: str, sf_dir: str) -> list[float]:
+    """REPS runs, sorted ascending — each rep rebuilds the plan from
+    the registry; Spark's canonicalized-plan cache lookup means
+    intra-query caches behave as in a warm service."""
+    return sorted(run_query(spark, name, sf_dir) for _ in range(REPS))
+
+
+def steal_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — contention telemetry."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except Exception:
+        return (0, 0)
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
+    st0, tot0 = steal_ticks()
     # warm the JVM/codegen once with the cheapest query
     run_query(spark, "awk_totals", sf_dir)
     times: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in BENCH_QUERIES:
         # drop the previous query's cached intermediates: cross-query
         # cache accumulation (queries cache per-plan intermediates and
@@ -84,7 +112,13 @@ def main() -> None:
         # measurements. Reps of ONE query still share their cache —
         # the warm-service reading BASELINE.md documents.
         spark.catalog.clearCache()
-        times[name] = round(median_time(spark, name, sf_dir), 3)
+        runs = rep_times(spark, name, sf_dir)
+        times[name] = round(runs[0], 3)
+        medians[name] = round(runs[len(runs) // 2], 3)
+    st1, tot1 = steal_ticks()
+    steal_pct = (
+        round(100.0 * (st1 - st0) / max(1, tot1 - tot0), 2) if tot1 > tot0 else None
+    )
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -94,6 +128,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "estimator": f"min_of_{REPS}_reps",
+                "value_median": round(sum(medians.values()), 3),
+                "queries_median": medians,
+                "steal_pct": steal_pct,
             }
         )
     )

@@ -145,3 +145,110 @@ def test_merge_upsert_rewrites_only_touched_partitions(spark):
     assert full.filter(F.col("month") == 1).count() == daily.filter(
         F.col("month") == 1
     ).count()
+
+
+def _file_stats(path: str, col: str):
+    """Per-file (min, max) footer stats for ``col`` across row groups."""
+    import glob
+
+    import pyarrow.parquet as papq
+
+    out = []
+    for fp in sorted(glob.glob(os.path.join(path, "part-*.parquet"))):
+        md = papq.ParquetFile(fp).metadata
+        idx = next(
+            i for i in range(md.num_columns) if md.schema.column(i).name == col
+        )
+        stats = [
+            md.row_group(g).column(idx).statistics
+            for g in range(md.num_row_groups)
+        ]
+        assert all(s is not None and s.has_min_max for s in stats), (
+            f"{fp}:{col} lacks min/max footer stats"
+        )
+        out.append((min(s.min for s in stats), max(s.max for s in stats)))
+    return out
+
+
+def _naive(v):
+    """Parquet footer timestamps come back tz-aware (UTC), Spark
+    collect gives naive — normalize for comparison."""
+    import datetime
+
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        return v.replace(tzinfo=None)
+    return v
+
+
+def _overlapping(stats, lo, hi) -> int:
+    """How many files a [lo, hi] predicate must read under
+    footer-stat (min/max) skipping."""
+    lo, hi = _naive(lo), _naive(hi)
+    return sum(
+        1
+        for fmin, fmax in stats
+        if not (_naive(fmax) < lo or _naive(fmin) > hi)
+    )
+
+
+def test_zorder_data_skipping(spark):
+    """write_zordered clusters files on BOTH dimensions: a slice
+    predicate on either column skips files by min/max footer stats,
+    where the single-sort layout only skips on its sort column."""
+    from map_reduce_sf_crime_spark.sources.lakehouse import write_zordered
+
+    # INT96 (the default) carries no usable footer stats — write
+    # timestamps as INT64 micros so min/max skipping is measurable.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        ev = load_table(spark, SF_SMOKE, "events").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        zpath = os.path.join(SCRATCH, "ev_zorder")
+        lpath = os.path.join(SCRATCH, "ev_linear")
+        # baseline: the classic one-column sort layout
+        (
+            ev.repartitionByRange(16, "user_id")
+            .sortWithinPartitions("user_id")
+            .write.mode("overwrite")
+            .parquet(lpath)
+        )
+        write_zordered(ev, zpath, ["user_id", "ts"], n_files=16)
+
+        # layout changes bytes, never rows
+        rows = sorted(map(tuple, ev.collect()))
+        assert rows == sorted(
+            map(tuple, spark.read.parquet(zpath).select(*ev.columns).collect())
+        )
+
+        ts_vals = sorted(r[1] for r in rows)
+        uid_vals = sorted({r[2] for r in rows})
+        # the two canonical selective shapes: a ~10% time slice and a
+        # single-user point lookup, both mid-range
+        ts_lo, ts_hi = ts_vals[int(len(ts_vals) * 0.45)], ts_vals[int(len(ts_vals) * 0.55)]
+        uid_lo = uid_hi = uid_vals[len(uid_vals) // 2]
+
+        lin_ts = _file_stats(lpath, "ts")
+        lin_uid = _file_stats(lpath, "user_id")
+        z_ts = _file_stats(zpath, "ts")
+        z_uid = _file_stats(zpath, "user_id")
+        n_lin, n_z = len(lin_ts), len(z_ts)
+
+        lin_ts_hit = _overlapping(lin_ts, ts_lo, ts_hi)
+        z_ts_hit = _overlapping(z_ts, ts_lo, ts_hi)
+        lin_uid_hit = _overlapping(lin_uid, uid_lo, uid_hi)
+        z_uid_hit = _overlapping(z_uid, uid_lo, uid_hi)
+
+        # single-sort: perfect on its sort column, blind on time
+        assert lin_uid_hit <= n_lin // 2
+        assert lin_ts_hit >= int(n_lin * 0.8)
+        # z-order: skips on BOTH dimensions. A 20% slice straddling
+        # two curve quadrants legitimately reads ~half the files —
+        # the guarantee is BALANCE (no blind dimension), so the
+        # worst-case dimension must strictly beat the linear layout's
+        # worst case, and each dimension individually must prune.
+        assert z_ts_hit <= int(n_z * 0.6)
+        assert z_uid_hit <= int(n_z * 0.6)
+        assert max(z_ts_hit, z_uid_hit) < max(lin_ts_hit, lin_uid_hit)
+    finally:
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
