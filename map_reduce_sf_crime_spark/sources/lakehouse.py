@@ -101,6 +101,85 @@ def merge_upsert(
     )
 
 
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    target_rows_per_file: int = 1_000_000,
+    max_files_per_partition: int = 1,
+) -> list[tuple]:
+    """Small-file compaction for a hive-partitioned parquet table —
+    the maintenance half of a streaming/CDC lakehouse. Micro-batch
+    sinks (`streaming/materialize.py`) and partition-granular MERGE
+    (`merge_upsert`) both append small files over time; at 100 TB the
+    resulting per-file footer/open overhead dominates scan cost long
+    before data volume does.
+
+    Only partitions whose file count exceeds ``max_files_per_partition``
+    are rewritten, bin-packed to ``ceil(rows / target_rows_per_file)``
+    files each: every touched partition gets its own salt modulus
+    (broadcast back by partition key) and the rewrite shuffles on
+    ``(partition key, salt)`` — so one task never scatters a
+    partition across many small outputs, and an oversized partition
+    still splits. Untouched partitions keep their bytes — the same
+    touched-partition discipline as ``merge_upsert``, so compaction
+    of one hot day never rewrites the other 36,499. The rewrite rides
+    ``partitionOverwriteMode=dynamic`` with a localCheckpoint
+    truncating lineage before the self-overwrite. Returns the list of
+    compacted partition-key tuples.
+    """
+    current = spark.read.parquet(path)
+    counts = (
+        current.withColumn("_f", F.input_file_name())
+        .groupBy(*partition_cols)
+        .agg(
+            F.countDistinct("_f").alias("_nf"),
+            F.count(F.lit(1)).alias("_rows"),
+        )
+        .filter(F.col("_nf") > max_files_per_partition)
+        .collect()
+    )
+    if not counts:
+        return []
+    pred = None
+    for row in counts:
+        clause = None
+        for pc in partition_cols:
+            c = F.col(pc) == row[pc]
+            clause = c if clause is None else (clause & c)
+        pred = clause if pred is None else (pred | clause)
+    kdf = spark.createDataFrame(
+        [
+            tuple(row[pc] for pc in partition_cols)
+            + (max(1, -(-row["_rows"] // target_rows_per_file)),)
+            for row in counts
+        ],
+        current.select(*partition_cols).schema.add("_k", "integer"),
+    )
+    data_cols = [c for c in current.columns if c not in partition_cols]
+    touched = (
+        current.filter(pred)
+        .join(F.broadcast(kdf), partition_cols)
+        .withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), F.col("_k")),
+        )
+    )
+    n_tasks = sum(max(1, -(-row["_rows"] // target_rows_per_file)) for row in counts)
+    touched = (
+        touched.repartition(n_tasks, *partition_cols, "_salt")
+        .drop("_k", "_salt")
+        .localCheckpoint()
+    )
+    (
+        touched.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    return [tuple(row[pc] for pc in partition_cols) for row in counts]
+
+
 #: bits per clustering column in the Z-order key (256 rank buckets);
 #: with m columns the interleaved key is m×ZORDER_BITS bits.
 ZORDER_BITS = 8

@@ -242,8 +242,8 @@ def test_zorder_data_skipping(spark):
         # single-sort: perfect on its sort column, blind on time
         assert lin_uid_hit <= n_lin // 2
         assert lin_ts_hit >= int(n_lin * 0.8)
-        # z-order: skips on BOTH dimensions. A 20% slice straddling
-        # two curve quadrants legitimately reads ~half the files —
+        # z-order: skips on BOTH dimensions. A slice straddling two
+        # curve quadrants legitimately reads up to ~half the files —
         # the guarantee is BALANCE (no blind dimension), so the
         # worst-case dimension must strictly beat the linear layout's
         # worst case, and each dimension individually must prune.
@@ -252,3 +252,77 @@ def test_zorder_data_skipping(spark):
         assert max(z_ts_hit, z_uid_hit) < max(lin_ts_hit, lin_uid_hit)
     finally:
         spark.conf.unset("spark.sql.parquet.outputTimestampType")
+
+
+def test_compact_partitioned(spark):
+    """compact_partitioned bin-packs small files per partition,
+    rewrites only partitions over the file-count threshold, and is
+    idempotent (second run touches nothing)."""
+    import glob
+
+    from map_reduce_sf_crime_spark.sources.lakehouse import compact_partitioned
+
+    path = os.path.join(SCRATCH, "ev_compact")
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .withColumn("day", F.to_date("ts"))
+        .select("event_id", "user_id", "value", "day")
+    )
+    # simulate a micro-batch sink: 8 small files in every partition
+    ev.repartition(8).write.mode("overwrite").partitionBy("day").parquet(path)
+
+    def files_per_partition():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("day="):
+                out[d] = sorted(
+                    os.path.basename(p)
+                    for p in glob.glob(os.path.join(path, d, "part-*.parquet"))
+                )
+        return out
+
+    before = files_per_partition()
+    # each day's rows scatter over the 8 writer tasks → many small
+    # files per partition (≥2 suffices to exercise compaction)
+    assert all(len(fs) >= 2 for fs in before.values())
+    expect_rows = sorted(map(tuple, ev.collect()))
+
+    compacted = compact_partitioned(
+        spark, path, ["day"], target_rows_per_file=10_000
+    )
+    assert len(compacted) == len(before)
+    after = files_per_partition()
+    assert all(len(fs) == 1 for fs in after.values())
+    assert expect_rows == sorted(
+        map(tuple, spark.read.parquet(path).select(*ev.columns).collect())
+    )
+
+    # idempotent: nothing exceeds the threshold now, bytes untouched
+    snap = {
+        d: [
+            (f, os.path.getsize(os.path.join(path, d, f)))
+            for f in fs
+        ]
+        for d, fs in after.items()
+    }
+    assert compact_partitioned(spark, path, ["day"], 10_000) == []
+    assert snap == {
+        d: [(f, os.path.getsize(os.path.join(path, d, f))) for f in fs]
+        for d, fs in files_per_partition().items()
+    }
+
+    # oversized partitions split: a tiny row target forces multiple
+    # output files per partition, capped by ceil(rows / target)
+    ev.repartition(8).write.mode("overwrite").partitionBy("day").parquet(path)
+    compact_partitioned(spark, path, ["day"], target_rows_per_file=10)
+    per_day_rows = {
+        f"day={r['day']}": r["n"]
+        for r in ev.groupBy("day").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    split = files_per_partition()
+    assert expect_rows == sorted(
+        map(tuple, spark.read.parquet(path).select(*ev.columns).collect())
+    )
+    caps = {d: -(-per_day_rows[d] // 10) for d in split}
+    assert all(1 <= len(split[d]) <= caps[d] for d in split)
+    assert any(len(split[d]) >= 2 for d in split)
