@@ -450,6 +450,108 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = IVF_K,
+    refine: bool = False,
+) -> None:
+    """Persist the IVF index: the build-once/query-many production
+    form that :func:`ivf_topk`'s docstring promises ("at 100 TB the
+    lists would be written bucketed by centroid_id so the probe is a
+    partition-pruned scan, not a join"). Two artifacts:
+
+    - ``{path}/centroids`` — the tiny quantizer (centroid_id,
+      embedding), one file;
+    - ``{path}/lists`` — the corpus vectors hive-PARTITIONED by
+      ``centroid_id``: a probe reads only its nprobe directories
+      (partition pruning), never scanning or shuffling the other
+      lists.
+
+    Mirrors the persisted dedup signature catalog (IC1): index build
+    cost is paid once; each query batch touches ≈ nprobe/k of the
+    corpus by layout alone.
+    """
+    spark = emb.sparkSession
+    cids, cmat = (
+        kmeans_centroids(emb, n_centroids) if refine else _centroids(emb, n_centroids)
+    )
+    cdf = spark.createDataFrame(
+        [(int(c), [float(x) for x in cmat[i]]) for i, c in enumerate(cids)],
+        "centroid_id long, embedding array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    lists = ivf_assignments(emb, n_centroids, centroids=(cids, cmat)).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    lists.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/lists"
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 3,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Query a persisted IVF index (:func:`write_ivf_index`) with
+    EXTERNAL query vectors — the serving shape, where queries are new
+    embeddings rather than corpus members. The centroid read is one
+    tiny file; probe selection happens on the driver against the
+    broadcast-size quantizer; the list scan is partition-pruned to
+    the union of probed ``centroid_id`` directories. Same scoring and
+    tie-break as :func:`ivf_topk` (exact cosine re-rank, rank by
+    cosine desc then vec_id), so querying the index with a corpus
+    member's own vector returns bit-identical neighbors — pinned in
+    tests/test_similarity.py."""
+    import numpy as np
+
+    crows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    cids = np.array([r["centroid_id"] for r in crows], dtype=np.int64)
+    cmat = np.array([r["embedding"] for r in crows], dtype=np.float64)
+    qids = np.array([q for q, _ in queries], dtype=np.int64)
+    qmat = np.array([v for _, v in queries], dtype=np.float64)
+    qcos = _seq_cosines(qmat, cmat)
+    probes = [
+        (int(q), int(c))
+        for qi, q in enumerate(qids)
+        for c in cids[np.argsort(-qcos[qi], kind="stable")[:nprobe]]
+    ]
+    probe_df = spark.createDataFrame(probes, "query_id long, centroid_id long")
+    probe_cids = sorted({c for _, c in probes})
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("centroid_id").isin(probe_cids)
+    )
+    # cast to the corpus element type so scoring arithmetic is
+    # bit-identical with the live path (float→double→float is exact)
+    elem_t = spark.read.parquet(f"{path}/lists").schema["embedding"].dataType
+    qv = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "query_id long, qv array<double>",
+    ).select("query_id", F.col("qv").cast(elem_t).alias("qv"))
+    scored = (
+        lists.join(F.broadcast(probe_df), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_col(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     query_ids: list[int],

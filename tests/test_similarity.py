@@ -160,3 +160,56 @@ def test_semdedup_k_clamp_matches_sql():
             f"{similarity.SEMDEDUP_MAX_K}) as bigint)"
         ).fetchone()[0]
         assert sql_k == similarity.semdedup_k(n), n
+
+
+def test_ivf_index_persisted_parity(spark):
+    """The persisted IVF index (write once, partition-pruned probes)
+    returns bit-identical results to the live ivf_topk for the same
+    quantizer, and its probe scan reads only the probed centroid
+    directories."""
+    import os
+    import shutil
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        "ivf_index",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    similarity.write_ivf_index(emb, base, n_centroids=8)
+
+    # hive layout on disk: one directory per inverted list
+    dirs = [d for d in os.listdir(os.path.join(base, "lists")) if d.startswith("centroid_id=")]
+    assert len(dirs) == 8
+
+    qids = QUERY_IDS[:5]
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    ]
+    live = similarity.ivf_topk(emb, qids, k=3, n_centroids=8).collect()
+    idx_df = similarity.ivf_topk_indexed(spark, base, queries, k=3)
+    indexed = idx_df.collect()
+    key = lambda r: (r.query_id, r.rk)
+    assert sorted(map(tuple, live)) == sorted(map(tuple, indexed))
+
+    # partition pruning is real: the probe predicate reaches the list
+    # scan's partition index (and the pruned lists DataFrame itself
+    # reads strictly fewer than all 8 directories)
+    plan = idx_df._jdf.queryExecution().explainString(
+        idx_df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters:" in ln]
+    assert pf and any("centroid_id" in ln for ln in pf)
+    pruned = spark.read.parquet(os.path.join(base, "lists")).filter(
+        F.col("centroid_id").isin([0, 1])
+    )
+    files = {
+        r[0].split("centroid_id=")[1].split("/")[0]
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert files and files <= {"0", "1"}
+    shutil.rmtree(base, ignore_errors=True)
