@@ -41,7 +41,20 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
-def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+def read_partitioned(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
+    """``merge_schema=True`` unions the footer schemas of every file
+    (Spark's ``mergeSchema``), the ALTER TABLE ADD COLUMN of a
+    format-less lakehouse: batches appended with new nullable columns
+    surface them table-wide, earlier files reading NULL. Additive
+    evolution only — a type CONFLICT on a shared column name fails
+    loudly at read (pinned in tests/test_lakehouse.py) rather than
+    silently coercing; widening requires an explicit rewrite. Off by
+    default: schema union lists every footer, a real cost at
+    100 TB file counts, so hot paths pin their schema instead."""
+    if merge_schema:
+        return spark.read.option("mergeSchema", "true").parquet(path)
     return spark.read.parquet(path)
 
 

@@ -326,3 +326,36 @@ def test_compact_partitioned(spark):
     caps = {d: -(-per_day_rows[d] // 10) for d in split}
     assert all(1 <= len(split[d]) <= caps[d] for d in split)
     assert any(len(split[d]) >= 2 for d in split)
+
+
+def test_schema_evolution_merge(spark):
+    """Additive schema evolution on the plain-parquet lakehouse: a
+    batch appended with a new nullable column surfaces table-wide
+    under merge_schema=True (earlier files read NULL); a type
+    conflict fails loudly instead of coercing."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+
+    path = os.path.join(SCRATCH, "evolving")
+    shutil.rmtree(path, ignore_errors=True)
+    v1 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "a")], "id long, qty long, batch string"
+    )
+    write_partitioned(v1, path, ["batch"])
+    v2 = spark.createDataFrame(
+        [(3, 30, 0.5, "b")], "id long, qty long, score double, batch string"
+    )
+    write_partitioned(v2, path, ["batch"], mode="append")
+
+    # default read pins one footer's schema; merged read unions them
+    merged = read_partitioned(spark, path, merge_schema=True)
+    assert set(merged.columns) == {"id", "qty", "score", "batch"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: 0.5}
+
+    # conflicting type for an existing column: loud failure, no coercion
+    v3 = spark.createDataFrame([(4, "not-a-number", "c")], "id long, qty string, batch string")
+    write_partitioned(v3, path, ["batch"], mode="append")
+    with pytest.raises(Exception) as ei:
+        read_partitioned(spark, path, merge_schema=True).collect()
+    assert "qty" in str(ei.value) or "merge" in str(ei.value).lower()
