@@ -1,0 +1,294 @@
+"""MDX front-end for the sfcrime cube — closes SURVEY §7.5 non-goal 1
+for the query shapes the reference actually ships.
+
+The reference serves MDX through Mondrian (mondrian.jsp:5-11) against
+the cube schema sfcrime.xml:4-28; its three committed queries
+(bycategory.mdx:1-4, bydistrict.mdx:1-4, mondrian.jsp:6-9) plus the
+drill-downs JPivot issues against them share one small grammar:
+
+    SELECT <set> ON COLUMNS, <set> ON ROWS
+    FROM [sfcrime] [WHERE <tuple>]
+
+with sets of member tuples, ``.Children`` / ``.Members`` enumeration,
+and the ``sum(crimes)`` measure. This module parses exactly that
+grammar and compiles it onto the engine's star join — no Mondrian, no
+cell cache, just Catalyst: every axis-tuple pair becomes one filtered
+aggregation over the shared (cached) denormalized star frame, grouped
+by whatever the tuple enumerates. All-members compile to "no filter",
+so the 100 TB shape is the same broadcast star join + hash aggregate
+as `olap_rollups`.
+
+Results come back TIDY (long form): one row per populated cell —
+``(row_member, col_member, crimes)`` — the DataFrame-native rendering
+of the JPivot grid. Member captions follow Mondrian: enumerated
+members caption as their column value, ``[Time]`` paths as the
+numeric path, tuples join captions with ", ".
+
+Level values are compared against the cube's level COLUMNS exactly as
+stored — in particular ``[Time].[2013].[0]`` is January, because the
+timeperiod dim keeps LoadStarDB's 0-based Calendar.MONTH
+(LoadStarDB.java:134-141; SURVEY §1.5).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: cube binding (sfcrime.xml): hierarchy → (level → star-join column),
+#: plus the Mondrian all-member caption where the hierarchy hasAll.
+_DIMS = {
+    "district": {"levels": [("name", "district")], "all": "All Districts"},
+    "category": {"levels": [("name", "category")], "all": "All Categories"},
+    "time": {
+        "levels": [
+            ("year", "year"),
+            ("month", "month"),
+            ("week", "week"),
+            ("day", "day"),
+        ],
+        "all": None,  # hasAll="false" (sfcrime.xml:18)
+    },
+}
+_MEASURES = {"crimes"}  # sum aggregator (sfcrime.xml:27)
+
+
+class MdxError(ValueError):
+    pass
+
+
+@dataclass
+class _Member:
+    """One resolved member: either the measure, or a dimension member
+    as (equality filters on level columns) + (enumerated level column
+    or None) + caption parts."""
+
+    measure: str | None = None
+    filters: list[tuple[str, object]] = field(default_factory=list)
+    enum_col: str | None = None
+    caption: list[str] = field(default_factory=list)  # static caption parts
+
+
+_TOKEN = re.compile(
+    r"\s*(?:(\[[^\]]*\])|(\{)|(\})|(\()|(\))|(,)|(\.)|([A-Za-z_][A-Za-z0-9_]*))"
+)
+
+
+def _tokenize(text: str) -> list[str]:
+    toks, i = [], 0
+    while i < len(text):
+        m = _TOKEN.match(text, i)
+        if not m:
+            if text[i:].strip():
+                raise MdxError(f"unparseable MDX at: {text[i:i+40]!r}")
+            break
+        toks.append(m.group(0).strip())
+        i = m.end()
+    return toks
+
+
+class _Parser:
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.peek()
+        if t is None:
+            raise MdxError("unexpected end of MDX")
+        self.i += 1
+        return t
+
+    def expect(self, want: str) -> str:
+        t = self.next()
+        if t.lower() != want.lower():
+            raise MdxError(f"expected {want!r}, got {t!r}")
+        return t
+
+    # member := [seg](.[seg])*(.Children|.Members)?
+    def member(self) -> _Member:
+        segs, suffix = [], None
+        if not (self.peek() or "").startswith("["):
+            raise MdxError(f"expected a [member], got {self.peek()!r}")
+        segs.append(self.next()[1:-1])
+        while self.peek() == ".":
+            self.next()
+            t = self.next()
+            if t.startswith("["):
+                segs.append(t[1:-1])
+            elif t.lower() in ("children", "members"):
+                suffix = t.lower()
+                break
+            else:
+                raise MdxError(f"unexpected {t!r} in member path")
+        return _resolve(segs, suffix)
+
+    # tuple := (member, member, ...) | member
+    def tuple_(self) -> list[_Member]:
+        if self.peek() == "(":
+            self.next()
+            members = [self.member()]
+            while self.peek() == ",":
+                self.next()
+                members.append(self.member())
+            self.expect(")")
+            return members
+        return [self.member()]
+
+    # set := { tuple, tuple, ... } | tuple
+    def set_(self) -> list[list[_Member]]:
+        if self.peek() == "{":
+            self.next()
+            tuples = [self.tuple_()]
+            while self.peek() == ",":
+                self.next()
+                tuples.append(self.tuple_())
+            self.expect("}")
+            return tuples
+        return [self.tuple_()]
+
+
+def _resolve(segs: list[str], suffix: str | None) -> _Member:
+    head = segs[0].lower()
+    if head == "measures":
+        if len(segs) != 2 or segs[1].lower() not in _MEASURES or suffix:
+            raise MdxError(f"unknown measure {segs!r}")
+        return _Member(measure=segs[1].lower(), caption=[segs[1].lower()])
+    if head not in _DIMS:
+        raise MdxError(f"unknown hierarchy [{segs[0]}]")
+    dim = _DIMS[head]
+    levels = dim["levels"]
+    path = segs[1:]
+    m = _Member()
+    li = 0
+    if dim["all"] is not None:
+        # an explicit leading all-member is a no-op filter; its caption
+        # names the cell only when it IS the member — children don't
+        # inherit it (Mondrian unique names root below All)
+        if path and path[0] == dim["all"]:
+            if suffix is None:
+                m.caption.append(path[0])
+            path = path[1:]
+        elif not path and suffix is None:
+            raise MdxError(f"[{segs[0]}] needs a member or .Members")
+    for seg in path:
+        if li >= len(levels):
+            raise MdxError(f"member path too deep for [{segs[0]}]: {segs!r}")
+        _, col = levels[li]
+        val: object = seg
+        if head == "time":
+            try:
+                val = int(seg)
+            except ValueError:
+                raise MdxError(f"[Time] members are numeric, got {seg!r}")
+        m.filters.append((col, val))
+        m.caption.append(seg)
+        li += 1
+    if suffix is not None:  # Children / Members → enumerate next level
+        if suffix == "members" and li > 0:
+            raise MdxError(".Members applies to a hierarchy, not a member")
+        if li >= len(levels):
+            raise MdxError(f".{suffix} below the leaf level of [{segs[0]}]")
+        m.enum_col = levels[li][1]
+    return m
+
+
+@dataclass
+class MdxQuery:
+    columns: list[list[_Member]]
+    rows: list[list[_Member]]
+    cube: str
+    slicer: list[_Member]
+
+
+def parse_mdx(text: str) -> MdxQuery:
+    p = _Parser(_tokenize(text))
+    p.expect("select")
+    first_set = p.set_()
+    p.expect("on")
+    first_axis = p.next().lower()
+    p.expect(",")
+    second_set = p.set_()
+    p.expect("on")
+    second_axis = p.next().lower()
+    axes = {first_axis: first_set, second_axis: second_set}
+    if set(axes) != {"columns", "rows"}:
+        raise MdxError(f"axes must be COLUMNS and ROWS, got {sorted(axes)}")
+    p.expect("from")
+    cube = p.next()
+    if not cube.startswith("["):
+        raise MdxError(f"expected [cube], got {cube!r}")
+    cube = cube[1:-1]
+    if cube.lower() != "sfcrime":
+        raise MdxError(f"unknown cube [{cube}]")
+    slicer: list[_Member] = []
+    if p.peek() and p.peek().lower() == "where":
+        p.next()
+        slicer = p.tuple_()
+        for mem in slicer:
+            if mem.enum_col:
+                raise MdxError("slicer members cannot enumerate (.Children)")
+    if p.peek() is not None:
+        raise MdxError(f"trailing tokens at {p.peek()!r}")
+    return MdxQuery(axes["columns"], axes["rows"], cube, slicer)
+
+
+def _axis_label(tup: list[_Member]):
+    """Column expression for one axis tuple's caption: static parts as
+    literals, enumerated members as their group-column value."""
+    parts = []
+    for mem in tup:
+        parts.extend(F.lit(c) for c in mem.caption)
+        if mem.enum_col:
+            parts.append(F.col(mem.enum_col).cast("string"))
+    return F.concat_ws(", ", *parts) if parts else F.lit("(all)")
+
+
+def mdx_cells(star: DataFrame, query: MdxQuery) -> DataFrame:
+    """Evaluate a parsed MDX query against the wide star frame
+    (columns: crimes, category, district, year, month, week, day).
+    Returns tidy cells ``(row_member, col_member, crimes)``."""
+    measures = [
+        m.measure
+        for tup in query.columns + query.rows
+        for m in tup
+        if m.measure
+    ]
+    if len(measures) > 1:
+        raise MdxError("one measure per query")
+    out = None
+    for ctup in query.columns:
+        for rtup in query.rows:
+            members = ctup + rtup + query.slicer
+            df = star
+            for mem in members:
+                for col, val in mem.filters:
+                    df = df.filter(F.col(col) == val)
+            group_cols = [m.enum_col for m in ctup + rtup if m.enum_col]
+            agg = F.sum("crimes").alias("crimes")
+            cell = (
+                df.groupBy(*group_cols).agg(agg)
+                if group_cols
+                else df.agg(agg)
+            )
+            cell = cell.select(
+                _axis_label(rtup).alias("row_member"),
+                _axis_label(ctup).alias("col_member"),
+                "crimes",
+            )
+            out = cell if out is None else out.unionByName(cell)
+    return out
+
+
+def mdx_query(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    """Parse and run an MDX query end-to-end over the engine's star
+    schema (the same cached star join the rollup surface uses)."""
+    from .plans.olap_queries import _star_join
+
+    return mdx_cells(_star_join(spark, sf_dir), parse_mdx(text))

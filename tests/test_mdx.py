@@ -1,0 +1,181 @@
+"""The reference's MDX surface, run VERBATIM through the MDX
+front-end (mdx.py) and checked cell-for-cell against direct star
+aggregations — bycategory.mdx, bydistrict.mdx, mondrian.jsp:6-9, and
+the drill-down shapes JPivot issues against them."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_sf_crime_spark.mdx import MdxError, mdx_query, parse_mdx
+from map_reduce_sf_crime_spark.plans.crimes_view import incidents
+from map_reduce_sf_crime_spark.operators.star import star_tables
+
+from .conftest import SF_SMOKE
+
+BYCATEGORY = """select {([Measures].[crimes], [Time].[2013])} ON COLUMNS,
+  {[Category].[All Categories]} ON ROWS
+from [sfcrime]
+where [District].[All Districts]
+"""
+
+BYDISTRICT = """select {([Measures].[crimes], [Time].[2013])} ON COLUMNS,
+  {[District].[All Districts]} ON ROWS
+from [sfcrime]
+where [Category].[All Categories]
+"""
+
+JSP_QUERY = """select {[Measures].[crimes]} ON COLUMNS,
+  {([District].[All Districts], [Category].[All Categories])} ON ROWS
+from [sfcrime]
+where [Time].[2013]
+"""
+
+
+def _year_total(spark, year: int) -> int:
+    inc = incidents(spark, SF_SMOKE)
+    return (
+        inc.filter(F.year("d") == year).count()
+    )  # each incident contributes 1 crime
+
+
+def _fixture_year(spark) -> int:
+    return incidents(spark, SF_SMOKE).select(F.year("d")).distinct().collect()[0][0]
+
+
+def _patch_year(q: str, year: int) -> str:
+    # the fixture corpus may not be 2013; the reference query text is
+    # exercised verbatim once, then re-run with the fixture's year for
+    # the value assertions
+    return q.replace("[Time].[2013]", f"[Time].[{year}]")
+
+
+def test_reference_queries_verbatim_parse(spark):
+    for q in (BYCATEGORY, BYDISTRICT, JSP_QUERY):
+        parsed = parse_mdx(q)
+        assert parsed.cube == "sfcrime"
+
+
+def test_bycategory_and_bydistrict_totals(spark):
+    year = _fixture_year(spark)
+    want = _year_total(spark, year)
+    for q, row_caption in (
+        (BYCATEGORY, "All Categories"),
+        (BYDISTRICT, "All Districts"),
+    ):
+        rows = mdx_query(spark, SF_SMOKE, _patch_year(q, year)).collect()
+        assert len(rows) == 1
+        (r,) = rows
+        assert r.row_member == row_caption
+        assert r.col_member == f"crimes, {year}"
+        assert r.crimes == want
+
+
+def test_jsp_grand_total(spark):
+    year = _fixture_year(spark)
+    rows = mdx_query(spark, SF_SMOKE, _patch_year(JSP_QUERY, year)).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert r.row_member == "All Districts, All Categories"
+    assert r.col_member == "crimes"
+    assert r.crimes == _year_total(spark, year)
+
+
+def test_children_drilldown_matches_groupby(spark):
+    """JPivot drill-down: [District].[All Districts].Children enumerates
+    one row per district with its sum — must equal a direct groupBy on
+    the star join, and sum back to the slicer total."""
+    year = _fixture_year(spark)
+    q = f"""select {{[Measures].[crimes]}} ON COLUMNS,
+      {{[District].[All Districts].Children}} ON ROWS
+    from [sfcrime] where [Time].[{year}]"""
+    got = {
+        r.row_member: r.crimes for r in mdx_query(spark, SF_SMOKE, q).collect()
+    }
+    inc = incidents(spark, SF_SMOKE).filter(F.year("d") == year)
+    want = {
+        r.district: r.n
+        for r in inc.groupBy("district").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == _year_total(spark, year)
+
+
+def test_time_path_and_crossed_enumerations(spark):
+    """[Time].[year].Children on COLUMNS crossed with category
+    children on ROWS: one cell per (category, month) with month
+    0-based exactly as the timeperiod dim stores Calendar.MONTH."""
+    year = _fixture_year(spark)
+    q = f"""select {{([Measures].[crimes], [Time].[{year}].Children)}} ON COLUMNS,
+      {{[Category].[All Categories].Children}} ON ROWS
+    from [sfcrime]"""
+    got = {
+        (r.row_member, r.col_member): r.crimes
+        for r in mdx_query(spark, SF_SMOKE, q).collect()
+    }
+    inc = incidents(spark, SF_SMOKE).filter(F.year("d") == year)
+    want = {
+        (r.category, f"crimes, {year}, {r.m}"): r.n
+        for r in inc.select(
+            "category", (F.month("d") - 1).alias("m")
+        )
+        .groupBy("category", "m")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_point_member_filter(spark):
+    """An explicit level-1 member ([District].[<name>]) filters."""
+    year = _fixture_year(spark)
+    inc = incidents(spark, SF_SMOKE)
+    district = inc.select("district").distinct().orderBy("district").collect()[0][0]
+    q = f"""select {{[Measures].[crimes]}} ON COLUMNS,
+      {{[District].[{district}]}} ON ROWS
+    from [sfcrime] where [Time].[{year}]"""
+    rows = mdx_query(spark, SF_SMOKE, q).collect()
+    assert len(rows) == 1
+    assert rows[0].row_member == district
+    assert rows[0].crimes == inc.filter(
+        (F.col("district") == district) & (F.year("d") == year)
+    ).count()
+
+
+def test_multi_tuple_axis(spark):
+    """A set of several tuples on one axis yields one cell per tuple."""
+    year = _fixture_year(spark)
+    q = f"""select {{[Measures].[crimes]}} ON COLUMNS,
+      {{[District].[All Districts], [Category].[All Categories]}} ON ROWS
+    from [sfcrime] where [Time].[{year}]"""
+    rows = mdx_query(spark, SF_SMOKE, q).collect()
+    want = _year_total(spark, year)
+    assert {(r.row_member, r.crimes) for r in rows} == {
+        ("All Districts", want),
+        ("All Categories", want),
+    }
+
+
+def test_parse_errors():
+    for bad in (
+        "select {[Measures].[crimes]} ON COLUMNS from [sfcrime]",  # one axis
+        BYCATEGORY.replace("sfcrime", "adventureworks"),  # unknown cube
+        BYCATEGORY.replace("[Measures].[crimes]", "[Measures].[profit]"),
+        BYCATEGORY.replace("[Category].[All Categories]",
+                           "[Category].[All Categories].[x].[y]"),  # too deep
+        BYCATEGORY.replace("[District].[All Districts]",
+                           "[District].[All Districts].Children"),  # enum slicer
+    ):
+        with pytest.raises(MdxError):
+            parse_mdx(bad)
+
+
+def test_verbatim_reference_files_run(spark):
+    """The exact on-disk reference MDX strings execute end-to-end
+    (values asserted in the year-patched tests above; here the 2013
+    literal simply yields an empty or matching frame without error)."""
+    for q in (BYCATEGORY, BYDISTRICT, JSP_QUERY):
+        df = mdx_query(spark, SF_SMOKE, q)
+        assert df.columns == ["row_member", "col_member", "crimes"]
+        df.collect()
