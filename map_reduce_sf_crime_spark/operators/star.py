@@ -109,3 +109,46 @@ def star_tables_sql(incidents_sql: str) -> dict[str, str]:
     join ({tp}) tp on daily.d = tp.d
     """
     return {"category": cat, "district": dist, "timeperiod": tp, "fact": fact}
+
+
+def timeperiod_upsert(
+    spark, path: str, dates: DataFrame, date_col: str = "d"
+) -> DataFrame:
+    """Insert-on-miss slowly-growing ``timeperiod`` — the INCREMENTAL
+    form of ``LoadStarDB.addTimePeriod`` (LoadStarDB.java:149-160),
+    with the property the reference's auto-increment column actually
+    guarantees and a full rebuild does not: **surrogate keys are
+    stable across loads**. A batch containing already-seen dates
+    changes nothing; unseen dates (including BACKFILLED earlier ones)
+    get fresh ids strictly above the current max, ranked by date
+    within the batch — whereas :func:`timeperiod` (the batch rebuild)
+    ranks globally by date and would renumber every existing row on
+    backfill, silently orphaning facts that reference the old ids.
+
+    Scale shape: the dim is bounded by distinct-date cardinality
+    (days), so the anti-join is broadcast-size, the max-id lookup is
+    a one-row aggregate, and the per-batch rank window is over the
+    handful of new dates only. New rows APPEND — existing files are
+    never rewritten. Returns the updated dimension."""
+    d = F.col(date_col)
+    incoming = dates.select(d.alias("d")).distinct()
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:  # first load: empty dimension
+        first = timeperiod(incoming, "d")
+        first.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+    fresh_dates = incoming.join(existing.select("d"), "d", "left_anti")
+    max_id = existing.agg(F.max("time_id")).collect()[0][0] or 0
+    fresh = fresh_dates.select(
+        (F.row_number().over(Window.orderBy("d")) + F.lit(max_id)).alias(
+            "time_id"
+        ),
+        "d",
+        F.year("d").alias("year"),
+        month0_col(F.col("d")).alias("month"),
+        week_of_month_col(F.col("d")).alias("week"),
+        F.dayofmonth("d").alias("day"),
+    )
+    fresh.write.mode("append").parquet(path)
+    return spark.read.parquet(path)

@@ -109,3 +109,48 @@ def test_sketch_aggregates_error_bounds(spark):
         assert row.users_ok == 1, et
         assert row.median_ok == 1, et
         assert row.n == exact[et], et
+
+
+def test_timeperiod_upsert_stable_surrogate_keys(spark, tmp_path):
+    """The incremental timeperiod keeps existing surrogate ids stable
+    across loads — including a backfill of EARLIER dates, where the
+    batch rebuild would renumber every row and orphan fact FKs."""
+    import datetime
+
+    from map_reduce_sf_crime_spark.operators.star import (
+        timeperiod,
+        timeperiod_upsert,
+    )
+
+    path = str(tmp_path / "timeperiod")
+    feb = [datetime.date(2013, 2, d) for d in (1, 5, 9)]
+    jan = [datetime.date(2013, 1, d) for d in (3, 7)]
+    mar = [datetime.date(2013, 3, 2)]
+
+    def df_of(dates):
+        return spark.createDataFrame([(d,) for d in dates], "d date")
+
+    first = timeperiod_upsert(spark, path, df_of(feb))
+    ids1 = {r.d: r.time_id for r in first.collect()}
+    assert sorted(ids1.values()) == [1, 2, 3]
+
+    # second load: overlap + backfill (jan) + append (mar)
+    second = timeperiod_upsert(spark, path, df_of(feb + jan + mar))
+    ids2 = {r.d: r.time_id for r in second.collect()}
+    # existing keys untouched
+    assert all(ids2[d] == ids1[d] for d in feb)
+    # new dates (even earlier ones) get fresh ids above the max,
+    # ranked by date within the batch
+    assert [ids2[d] for d in sorted(jan + mar)] == [4, 5, 6]
+    # no duplicate dates, derived calendar columns present
+    assert second.count() == 6
+    assert {r.d: r.month for r in second.collect()}[jan[0]] == 0  # 0-based
+
+    # idempotent: re-sending only seen dates changes nothing
+    third = timeperiod_upsert(spark, path, df_of(jan))
+    assert {r.d: r.time_id for r in third.collect()} == ids2
+
+    # and the contrast that motivates it: the batch rebuild renumbers
+    rebuilt = {r.d: r.time_id for r in timeperiod(df_of(feb + jan + mar), "d").collect()}
+    assert rebuilt != ids2
+    assert rebuilt[jan[0]] == 1  # backfilled date steals id 1
