@@ -91,7 +91,9 @@ def merge_upsert(
     for row in part_keys:
         clause = None
         for pc in partition_cols:
-            c = F.col(pc) == row[pc]
+            # null-safe: a NULL partition value must still match its
+            # own partition (plain == is never true for NULL)
+            c = F.col(pc).eqNullSafe(F.lit(row[pc]))
             clause = c if clause is None else (clause & c)
         pred = clause if pred is None else (pred | clause)
     touched = current.filter(pred) if pred is not None else current.limit(0)
@@ -158,7 +160,9 @@ def compact_partitioned(
     for row in counts:
         clause = None
         for pc in partition_cols:
-            c = F.col(pc) == row[pc]
+            # null-safe: a NULL partition value must still match its
+            # own partition (plain == is never true for NULL)
+            c = F.col(pc).eqNullSafe(F.lit(row[pc]))
             clause = c if clause is None else (clause & c)
         pred = clause if pred is None else (pred | clause)
     kdf = spark.createDataFrame(
@@ -170,13 +174,18 @@ def compact_partitioned(
         current.select(*partition_cols).schema.add("_k", "integer"),
     )
     data_cols = [c for c in current.columns if c not in partition_cols]
-    touched = (
-        current.filter(pred)
-        .join(F.broadcast(kdf), partition_cols)
-        .withColumn(
-            "_salt",
-            F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), F.col("_k")),
-        )
+    # null-safe join back of the salt modulus: a plain equi-join would
+    # silently drop the NULL partition's rows
+    t, kk = current.filter(pred).alias("t"), F.broadcast(kdf.alias("k"))
+    cond = None
+    for pc in partition_cols:
+        c = F.col(f"t.{pc}").eqNullSafe(F.col(f"k.{pc}"))
+        cond = c if cond is None else (cond & c)
+    touched = t.join(kk, cond).select(
+        *[F.col(f"t.{c}") for c in current.columns], F.col("k._k").alias("_k")
+    ).withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), F.col("_k")),
     )
     n_tasks = sum(max(1, -(-row["_rows"] // target_rows_per_file)) for row in counts)
     touched = (
@@ -225,11 +234,12 @@ def zorder_value(
     bucket_cols = []
     for j, c in enumerate(cols):
         dt = dict(df.dtypes)[c]
-        if dt in ("timestamp", "date", "timestamp_ntz"):
-            numeric = F.col(c).cast("double")
+        if dt == "date":
+            # date→double is not a legal cast; days-since-epoch is
+            numeric = F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
         elif dt in ("string", "binary", "boolean"):
             numeric = None
-        else:
+        else:  # numeric, decimal, timestamp(_ntz) all cast cleanly
             numeric = F.col(c).cast("double")
         name = f"_zb{j}"
         if numeric is None:

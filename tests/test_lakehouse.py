@@ -359,3 +359,25 @@ def test_schema_evolution_merge(spark):
     with pytest.raises(Exception) as ei:
         read_partitioned(spark, path, merge_schema=True).collect()
     assert "qty" in str(ei.value) or "merge" in str(ei.value).lower()
+
+
+def test_compact_handles_null_partition(spark):
+    """Rows in the NULL partition (__HIVE_DEFAULT_PARTITION__) are
+    compacted too, not silently dropped or skipped — partition
+    predicates and the salt join are null-safe."""
+    from map_reduce_sf_crime_spark.sources.lakehouse import compact_partitioned
+
+    path = os.path.join(SCRATCH, "ev_compact_null")
+    df = spark.createDataFrame(
+        [(i, "g1" if i % 3 else None) for i in range(90)], "id long, grp string"
+    )
+    df.repartition(6).write.mode("overwrite").partitionBy("grp").parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    compacted = compact_partitioned(spark, path, ["grp"], target_rows_per_file=10_000)
+    assert len(compacted) == 2 and (None,) in compacted
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert before == after
+    import glob
+
+    null_dir = os.path.join(path, "grp=__HIVE_DEFAULT_PARTITION__")
+    assert len(glob.glob(os.path.join(null_dir, "part-*.parquet"))) == 1
