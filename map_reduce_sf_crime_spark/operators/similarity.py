@@ -709,6 +709,66 @@ def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
     )
 
 
+def _pq_dtabs(books, qx):
+    """Per-query ADC distance tables: dtabs[q][b][c] =
+    ||q_block_b − centroid_bc||² over unit-normalized queries."""
+    import numpy as np
+
+    sub = books.shape[2]
+    return np.stack(
+        [
+            np.stack(
+                [
+                    ((qx[i, b * sub : (b + 1) * sub][None, :] - books[b]) ** 2).sum(
+                        -1
+                    )
+                    for b in range(books.shape[0])
+                ]
+            )
+            for i in range(len(qx))
+        ]
+    )
+
+
+def _adc_scan(codes: DataFrame, qids, dtabs, top_s: int) -> DataFrame:
+    """Asymmetric-distance scan of a (vec_id, pq_codes) frame against
+    broadcast per-query distance tables, emitting each task's local
+    top-``top_s`` per query (the global top-S is a subset of the union
+    of per-task top-S, so the downstream per-query ranking window sees
+    #tasks·S rows, never the corpus). Shared by the live
+    :func:`pq_topk` and the persisted-index :func:`pq_topk_indexed`."""
+    import numpy as np
+    import pandas as pd
+
+    spark = codes.sparkSession
+    bc = spark.sparkContext.broadcast((qids, dtabs, top_s))
+
+    def adc(batches):
+        q_ids, tabs, topn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue  # codes.shape would be (0,) and unpack would raise
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cds = np.array(list(pdf["pq_codes"]), dtype=np.int64)
+            n, mm = cds.shape
+            for qi, q in enumerate(q_ids):
+                # gather per-block distances by code, sum across blocks
+                ad = tabs[qi][np.arange(mm)[None, :], cds].sum(axis=1)
+                keep = ids != q
+                b_ids, b_ad = ids[keep], ad[keep]
+                # (adist, vec_id) lexicographic keeps ties exact
+                sel = np.lexsort((b_ids, b_ad))[:topn]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(sel), q, dtype=np.int64),
+                        "vec_id": b_ids[sel],
+                        "adist": b_ad[sel],
+                    }
+                )
+
+    return codes.mapInPandas(adc, "query_id long, vec_id long, adist double")
+
+
 def pq_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -737,7 +797,6 @@ def pq_topk(
 
     spark = emb.sparkSession
     books = pq_codebooks(emb, m, ksub)
-    sub = books.shape[2]
     qrows = (
         emb.filter(F.col("vec_id").isin(query_ids))
         .select("vec_id", "embedding")
@@ -746,51 +805,9 @@ def pq_topk(
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     qx = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
-    # per-query distance tables: dtabs[q][b][c] = ||q_b - centroid_bc||²
-    dtabs = np.stack(
-        [
-            np.stack(
-                [
-                    ((qx[i, b * sub : (b + 1) * sub][None, :] - books[b]) ** 2).sum(-1)
-                    for b in range(books.shape[0])
-                ]
-            )
-            for i in range(len(qids))
-        ]
-    )
+    dtabs = _pq_dtabs(books, qx)
     n_short = shortlist * k
-    bc = spark.sparkContext.broadcast((qids, dtabs, n_short))
-
-    def adc(batches):
-        q_ids, tabs, top_s = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue  # codes.shape would be (0,) and unpack would raise
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            codes = np.array(list(pdf["pq_codes"]), dtype=np.int64)
-            n, mm = codes.shape
-            for qi, q in enumerate(q_ids):
-                # gather per-block distances by code, sum across blocks
-                ad = tabs[qi][np.arange(mm)[None, :], codes].sum(axis=1)
-                keep = ids != q
-                b_ids, b_ad = ids[keep], ad[keep]
-                # local prune: the global top-S is a subset of the
-                # union of per-batch top-S, so each task emits at most
-                # S rows per query — the downstream per-query window
-                # ranks #partitions·S rows, never the corpus.
-                # (adist, vec_id) lexicographic keeps ties exact.
-                sel = np.lexsort((b_ids, b_ad))[:top_s]
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.full(len(sel), q, dtype=np.int64),
-                        "vec_id": b_ids[sel],
-                        "adist": b_ad[sel],
-                    }
-                )
-
-    scored = pq_encode(emb, books).mapInPandas(
-        adc, "query_id long, vec_id long, adist double"
-    )
+    scored = _adc_scan(pq_encode(emb, books), qids, dtabs, n_short)
     wa = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
     cands = (
         scored.withColumn("ark", F.row_number().over(wa))
@@ -832,6 +849,95 @@ SEMDEDUP_ROWS_PER_CLUSTER = 100
 #: itself gets sharded (hierarchical coarse quantizer), which is a
 #: layout change, not a semantics change.
 SEMDEDUP_MAX_K = 65_536
+
+
+def write_pq_index(
+    emb: DataFrame, path: str, m: int = PQ_M, ksub: int = PQ_KSUB
+) -> None:
+    """Persist the PQ serving tier: train codebooks once, encode the
+    corpus once, store BOTH — the compressed twin of
+    :func:`write_ivf_index`:
+
+    - ``{path}/codebooks`` — (block, code, centroid), m·ksub tiny rows;
+    - ``{path}/codes`` — (vec_id, pq_codes): 16 bytes a vector at the
+      default geometry, the only thing the ADC scan ever reads.
+
+    At 100 TB the raw vectors stay in cold storage; queries scan the
+    16x-smaller code table and fetch real vectors only for the
+    shortlist re-rank."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    books = pq_codebooks(emb, m, ksub)
+    rows = [
+        (b, j, [float(x) for x in books[b][j]])
+        for b in range(books.shape[0])
+        for j in range(books.shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "block int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    pq_encode(emb, books).write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def pq_topk_indexed(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    emb: DataFrame,
+    k: int = 3,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """Query a persisted PQ index with EXTERNAL query vectors: rebuild
+    the distance tables from the stored codebooks (driver-side, tiny),
+    ADC-scan the stored CODE table (never the vectors), then
+    exact-cosine re-rank the shortlist against ``emb`` — the only
+    touch of real vectors, shortlist·k rows per query. Same scoring,
+    pruning, and tie-breaks as the live :func:`pq_topk`, so a
+    corpus-member query returns bit-identical neighbors
+    (tests/test_similarity.py)."""
+    import numpy as np
+
+    crows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r["block"] for r in crows)
+    ksub = 1 + max(r["code"] for r in crows)
+    sub = len(crows[0]["centroid"])
+    books = np.zeros((m, ksub, sub))
+    for r in crows:
+        books[r["block"], r["code"]] = r["centroid"]
+    qids = np.array([q for q, _ in queries], dtype=np.int64)
+    qmat = np.array([v for _, v in queries], dtype=np.float64)
+    qx = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    dtabs = _pq_dtabs(books, qx)
+    scored = _adc_scan(
+        spark.read.parquet(f"{path}/codes"), qids, dtabs, shortlist * k
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    cands = (
+        scored.withColumn("ark", F.row_number().over(wa))
+        .filter(F.col("ark") <= shortlist * k)
+        .select("query_id", "vec_id")
+    )
+    elem_t = emb.schema["embedding"].dataType
+    qv = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "query_id long, qv array<double>",
+    ).select("query_id", F.col("qv").cast(elem_t).alias("qv"))
+    reranked = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_col(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        reranked.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
 
 
 def semdedup_k(n: int) -> int:

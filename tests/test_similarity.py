@@ -213,3 +213,36 @@ def test_ivf_index_persisted_parity(spark):
     }
     assert files and files <= {"0", "1"}
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_pq_index_persisted_parity(spark):
+    """The persisted PQ index (codebooks + code table on disk)
+    returns bit-identical results to the live pq_topk: distance
+    tables rebuilt from stored codebooks, ADC scan over the stored
+    codes, identical shortlist pruning and re-rank tie-breaks."""
+    import os
+    import shutil
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        "pq_index",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    similarity.write_pq_index(emb, base)
+
+    # the code table is the compressed corpus: one row per vector
+    codes = spark.read.parquet(os.path.join(base, "codes"))
+    assert codes.count() == emb.count()
+    assert codes.columns == ["vec_id", "pq_codes"]
+
+    qids = QUERY_IDS[:5]
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    ]
+    live = similarity.pq_topk(emb, qids, k=3).collect()
+    indexed = similarity.pq_topk_indexed(spark, base, queries, emb, k=3).collect()
+    assert sorted(map(tuple, live)) == sorted(map(tuple, indexed))
+    shutil.rmtree(base, ignore_errors=True)
