@@ -111,3 +111,36 @@ def test_cdc_chunk_count_matches_reference(toks):
     )
     assert got == boundaries + 1
     CON.execute("drop table documents")
+
+
+# ---------------------------------------------------------------- MDX parser
+
+
+_MDX_FRAGMENTS = st.lists(
+    st.sampled_from(
+        [
+            "select", "from", "where", "on", "columns", "rows",
+            "{", "}", "(", ")", ",", ".",
+            "[Measures].[crimes]", "[Category].[All Categories]",
+            "[District].[All Districts]", "[Time].[2013]", "[Time]",
+            "[sfcrime]", "[bogus]", ".Children", ".Members", "[",
+        ]
+    ),
+    max_size=14,
+).map(" ".join)
+
+
+@given(st.one_of(st.text(max_size=80), _MDX_FRAGMENTS))
+@settings(max_examples=300, deadline=None)
+def test_mdx_parser_is_total(text):
+    """The MDX parser rejects arbitrary garbage with MdxError ONLY —
+    never IndexError/AttributeError/recursion — so a malformed query
+    from a user can't crash a driver with an unhandled exception.
+    (Valid parses are fine too; this property is about failure mode,
+    values are pinned in tests/test_mdx.py.)"""
+    from map_reduce_sf_crime_spark.mdx import MdxError, parse_mdx
+
+    try:
+        parse_mdx(text)
+    except MdxError:
+        pass
