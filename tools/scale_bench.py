@@ -115,7 +115,8 @@ def main() -> None:
     print(f"replicated x{n} at {out}")
     if "--bench" in sys.argv:
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=out)
-        # growth-curve point: medians of 3 keep the run affordable at 10×
+        # growth-curve point: 3 reps keep the run affordable at 10×
+        # (bench.py reports min-of-reps; medians ride along in the JSON)
         env.setdefault("SPARK_GRAFT_BENCH_REPS", "3")
         subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")],
