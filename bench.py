@@ -90,7 +90,10 @@ def steal_ticks() -> tuple[int, int]:
         with open("/proc/stat") as f:
             parts = f.readline().split()[1:]
         vals = [int(x) for x in parts]
-        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+        # sum only user..steal (first 8): guest/guest_nice are already
+        # accounted inside user/nice, so including them double-counts
+        # and biases the steal fraction low
+        return (vals[7] if len(vals) > 7 else 0, sum(vals[:8]))
     except Exception:
         return (0, 0)
 

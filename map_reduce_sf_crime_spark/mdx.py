@@ -169,14 +169,19 @@ def _resolve(segs: list[str], suffix: str | None) -> _Member:
     li = 0
     if dim["all"] is not None:
         # an explicit leading all-member is a no-op filter; its caption
-        # names the cell only when it IS the member — children don't
+        # names the cell only when it IS the member — children and
+        # deeper unique-name paths ([Dim].[All X].[member]) don't
         # inherit it (Mondrian unique names root below All)
         if path and path[0] == dim["all"]:
-            if suffix is None:
+            if suffix is None and len(path) == 1:
                 m.caption.append(path[0])
             path = path[1:]
         elif not path and suffix is None:
             raise MdxError(f"[{segs[0]}] needs a member or .Members")
+    elif not path and suffix is None:
+        # hasAll="false" hierarchies ([Time]) have no all-member to
+        # fall back to — a bare hierarchy reference is not a member
+        raise MdxError(f"[{segs[0]}] has no All member; name a member or use .Members")
     for seg in path:
         if li >= len(levels):
             raise MdxError(f"member path too deep for [{segs[0]}]: {segs!r}")
@@ -272,11 +277,13 @@ def mdx_cells(star: DataFrame, query: MdxQuery) -> DataFrame:
                     df = df.filter(F.col(col) == val)
             group_cols = [m.enum_col for m in ctup + rtup if m.enum_col]
             agg = F.sum("crimes").alias("crimes")
-            cell = (
-                df.groupBy(*group_cols).agg(agg)
-                if group_cols
-                else df.agg(agg)
-            )
+            if group_cols:
+                cell = df.groupBy(*group_cols).agg(agg)
+            else:
+                # a global agg over zero rows yields one NULL-sum row;
+                # the tidy contract is one row per POPULATED cell, so
+                # empty cells emit nothing (matching the grouped branch)
+                cell = df.agg(agg).filter(F.col("crimes").isNotNull())
             cell = cell.select(
                 _axis_label(rtup).alias("row_member"),
                 _axis_label(ctup).alias("col_member"),

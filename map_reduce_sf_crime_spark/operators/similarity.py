@@ -284,14 +284,18 @@ def _seq_cosines(a_mat, b_mat):
         return dots / np.sqrt(qa[:, None] * qb[None, :])
 
 
-def ivf_assignments(emb: DataFrame, k: int = IVF_K, centroids=None) -> DataFrame:
+def ivf_assignments(
+    emb: DataFrame, k: int = IVF_K, centroids=None, with_embedding: bool = False
+) -> DataFrame:
     """IVF coarse assignment: nearest centroid per vector (ties → lowest
     centroid id). Broadcast the tiny centroid matrix, score each
     partition's rows with the vectorized kernel — one narrow map, no
     shuffle; the output is the partitioning key for the inverted lists.
     ``centroids``: optional precomputed (ids, matrix) — e.g. from
     :func:`kmeans_centroids`; defaults to the deterministic first-k
-    quantizer the SQL oracle mirrors."""
+    quantizer the SQL oracle mirrors. ``with_embedding=True`` carries
+    the vector through to the output — the index BUILD path uses it so
+    persisting the lists needs no second corpus scan or join."""
     import numpy as np
     import pandas as pd
 
@@ -321,13 +325,18 @@ def ivf_assignments(emb: DataFrame, k: int = IVF_K, centroids=None) -> DataFrame
                 pick = np.where(
                     cos == best, cids[None, :], np.iinfo(np.int64).max
                 ).min(axis=1)
-                yield pd.DataFrame({"vec_id": ids, "centroid_id": pick})
+                out = {"vec_id": ids, "centroid_id": pick}
+                if carry:
+                    out["embedding"] = list(blk["embedding"])
+                yield pd.DataFrame(out)
 
     from ..sources.parquet import fan_out
 
-    return fan_out(emb.select("vec_id", "embedding")).mapInPandas(
-        kernel, "vec_id long, centroid_id long"
-    )
+    carry = with_embedding
+    schema = "vec_id long, centroid_id long"
+    if carry:
+        schema += f", embedding {emb.schema['embedding'].dataType.simpleString()}"
+    return fan_out(emb.select("vec_id", "embedding")).mapInPandas(kernel, schema)
 
 
 def ivf_assignments_sql(k: int = IVF_K, dim: int = DIM) -> str:
@@ -481,8 +490,10 @@ def write_ivf_index(
         "centroid_id long, embedding array<double>",
     )
     cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    lists = ivf_assignments(emb, n_centroids, centroids=(cids, cmat)).join(
-        emb.select("vec_id", "embedding"), "vec_id"
+    # one pass: the assignment kernel carries the vector through, so
+    # the lists write needs no second corpus scan or vec_id join
+    lists = ivf_assignments(
+        emb, n_centroids, centroids=(cids, cmat), with_embedding=True
     )
     lists.write.mode("overwrite").partitionBy("centroid_id").parquet(
         f"{path}/lists"
@@ -495,6 +506,7 @@ def ivf_topk_indexed(
     queries: list[tuple[int, list[float]]],
     k: int = 3,
     nprobe: int = IVF_NPROBE,
+    exclude_query_ids: bool = True,
 ) -> DataFrame:
     """Query a persisted IVF index (:func:`write_ivf_index`) with
     EXTERNAL query vectors — the serving shape, where queries are new
@@ -505,7 +517,11 @@ def ivf_topk_indexed(
     tie-break as :func:`ivf_topk` (exact cosine re-rank, rank by
     cosine desc then vec_id), so querying the index with a corpus
     member's own vector returns bit-identical neighbors — pinned in
-    tests/test_similarity.py."""
+    tests/test_similarity.py. External queries live in their OWN id
+    namespace: pass ``exclude_query_ids=False`` so a query id that
+    happens to collide with a corpus ``vec_id`` does not silently drop
+    that corpus vector from its results (True matches the live
+    corpus-member semantics)."""
     import numpy as np
 
     crows = sorted(
@@ -527,6 +543,11 @@ def ivf_topk_indexed(
     lists = spark.read.parquet(f"{path}/lists").filter(
         F.col("centroid_id").isin(probe_cids)
     )
+    self_filter = (
+        (F.col("vec_id") != F.col("query_id"))
+        if exclude_query_ids
+        else F.lit(True)
+    )
     # cast to the corpus element type so scoring arithmetic is
     # bit-identical with the live path (float→double→float is exact)
     elem_t = spark.read.parquet(f"{path}/lists").schema["embedding"].dataType
@@ -536,7 +557,7 @@ def ivf_topk_indexed(
     ).select("query_id", F.col("qv").cast(elem_t).alias("qv"))
     scored = (
         lists.join(F.broadcast(probe_df), "centroid_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
+        .filter(self_filter)
         .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",
@@ -730,7 +751,9 @@ def _pq_dtabs(books, qx):
     )
 
 
-def _adc_scan(codes: DataFrame, qids, dtabs, top_s: int) -> DataFrame:
+def _adc_scan(
+    codes: DataFrame, qids, dtabs, top_s: int, exclude_query_ids: bool = True
+) -> DataFrame:
     """Asymmetric-distance scan of a (vec_id, pq_codes) frame against
     broadcast per-query distance tables, emitting each task's local
     top-``top_s`` per query (the global top-S is a subset of the union
@@ -741,10 +764,10 @@ def _adc_scan(codes: DataFrame, qids, dtabs, top_s: int) -> DataFrame:
     import pandas as pd
 
     spark = codes.sparkSession
-    bc = spark.sparkContext.broadcast((qids, dtabs, top_s))
+    bc = spark.sparkContext.broadcast((qids, dtabs, top_s, exclude_query_ids))
 
     def adc(batches):
-        q_ids, tabs, topn = bc.value
+        q_ids, tabs, topn, excl = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue  # codes.shape would be (0,) and unpack would raise
@@ -754,7 +777,7 @@ def _adc_scan(codes: DataFrame, qids, dtabs, top_s: int) -> DataFrame:
             for qi, q in enumerate(q_ids):
                 # gather per-block distances by code, sum across blocks
                 ad = tabs[qi][np.arange(mm)[None, :], cds].sum(axis=1)
-                keep = ids != q
+                keep = (ids != q) if excl else slice(None)
                 b_ids, b_ad = ids[keep], ad[keep]
                 # (adist, vec_id) lexicographic keeps ties exact
                 sel = np.lexsort((b_ids, b_ad))[:topn]
@@ -887,6 +910,7 @@ def pq_topk_indexed(
     emb: DataFrame,
     k: int = 3,
     shortlist: int = PQ_SHORTLIST,
+    exclude_query_ids: bool = True,
 ) -> DataFrame:
     """Query a persisted PQ index with EXTERNAL query vectors: rebuild
     the distance tables from the stored codebooks (driver-side, tiny),
@@ -895,7 +919,9 @@ def pq_topk_indexed(
     touch of real vectors, shortlist·k rows per query. Same scoring,
     pruning, and tie-breaks as the live :func:`pq_topk`, so a
     corpus-member query returns bit-identical neighbors
-    (tests/test_similarity.py)."""
+    (tests/test_similarity.py). As with :func:`ivf_topk_indexed`,
+    pass ``exclude_query_ids=False`` when query ids are an external
+    namespace that may collide with corpus ``vec_id``s."""
     import numpy as np
 
     crows = spark.read.parquet(f"{path}/codebooks").collect()
@@ -910,7 +936,11 @@ def pq_topk_indexed(
     qx = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
     dtabs = _pq_dtabs(books, qx)
     scored = _adc_scan(
-        spark.read.parquet(f"{path}/codes"), qids, dtabs, shortlist * k
+        spark.read.parquet(f"{path}/codes"),
+        qids,
+        dtabs,
+        shortlist * k,
+        exclude_query_ids=exclude_query_ids,
     )
     wa = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
     cands = (

@@ -130,25 +130,27 @@ def timeperiod_upsert(
     a one-row aggregate, and the per-batch rank window is over the
     handful of new dates only. New rows APPEND — existing files are
     never rewritten. Returns the updated dimension."""
+    from pyspark.errors import AnalysisException
+
     d = F.col(date_col)
     incoming = dates.select(d.alias("d")).distinct()
     try:
         existing = spark.read.parquet(path)
-    except Exception:  # first load: empty dimension
-        first = timeperiod(incoming, "d")
-        first.write.mode("overwrite").parquet(path)
+    except AnalysisException as e:
+        # ONLY a missing path means "first load" — any other read
+        # failure (permissions, corrupt footer, transient FS error)
+        # must propagate, or the overwrite below would destroy an
+        # existing dimension and renumber every surrogate key.
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        timeperiod(incoming, "d").write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
     fresh_dates = incoming.join(existing.select("d"), "d", "left_anti")
     max_id = existing.agg(F.max("time_id")).collect()[0][0] or 0
-    fresh = fresh_dates.select(
-        (F.row_number().over(Window.orderBy("d")) + F.lit(max_id)).alias(
-            "time_id"
-        ),
-        "d",
-        F.year("d").alias("year"),
-        month0_col(F.col("d")).alias("month"),
-        week_of_month_col(F.col("d")).alias("week"),
-        F.dayofmonth("d").alias("day"),
+    # one derivation of the calendar columns (timeperiod() owns the
+    # month-0 / week-of-month rules); only the id offset differs
+    fresh = timeperiod(fresh_dates, "d").withColumn(
+        "time_id", F.col("time_id") + F.lit(max_id)
     )
     fresh.write.mode("append").parquet(path)
     return spark.read.parquet(path)

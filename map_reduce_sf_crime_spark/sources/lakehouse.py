@@ -151,7 +151,17 @@ def compact_partitioned(
             F.countDistinct("_f").alias("_nf"),
             F.count(F.lit(1)).alias("_rows"),
         )
-        .filter(F.col("_nf") > max_files_per_partition)
+        # a partition already at its bin-packed file count is DONE:
+        # an oversized partition legitimately holds ceil(rows/target)
+        # files, so the threshold is the max of both bounds — without
+        # it every oversized partition would be rewritten forever
+        .filter(
+            F.col("_nf")
+            > F.greatest(
+                F.lit(max_files_per_partition),
+                F.ceil(F.col("_rows") / F.lit(target_rows_per_file)),
+            )
+        )
         .collect()
     )
     if not counts:
@@ -231,7 +241,9 @@ def zorder_value(
     shuffle is the caller's range partition on ``_z``.
     """
     out = df
-    bucket_cols = []
+    numeric_exprs: dict[str, object] = {}  # tmp col name → expression
+    hash_cols: dict[str, str] = {}  # original col → bucket col name
+    bucket_names: list[str] = []
     for j, c in enumerate(cols):
         dt = dict(df.dtypes)[c]
         if dt == "date":
@@ -242,31 +254,46 @@ def zorder_value(
         else:  # numeric, decimal, timestamp(_ntz) all cast cleanly
             numeric = F.col(c).cast("double")
         name = f"_zb{j}"
+        bucket_names.append(name)
         if numeric is None:
-            out = out.withColumn(
-                name, F.pmod(F.xxhash64(F.col(c)), F.lit(1 << bits)).cast("long")
-            )
+            hash_cols[c] = name
         else:
-            tmp = f"_zn{j}"
-            out = out.withColumn(tmp, numeric)
-            n_cuts = (1 << bits) - 1
-            probs = [i / (1 << bits) for i in range(1, n_cuts + 1)]
-            cuts = sorted(set(out.stat.approxQuantile(tmp, probs, 1.0 / (1 << bits))))
-            cut_arr = F.array(*[F.lit(float(x)) for x in cuts])
-            # rank = #cuts ≤ value; NULLs → rank 0. Low-cardinality
-            # columns dedupe to few cuts, so SPREAD the ranks across
-            # the full bucket space — otherwise only low-order bits
-            # would ever vary and the column would contribute nothing
-            # to the high (file-splitting) bits of the curve.
-            scale = (1 << bits) // (len(cuts) + 1)
-            out = out.withColumn(
-                name,
-                F.when(F.col(tmp).isNull(), F.lit(0)).otherwise(
-                    F.size(F.filter(cut_arr, lambda x: x <= F.col(tmp)))
-                    * F.lit(scale)
-                ).cast("long"),
-            ).drop(tmp)
-        bucket_cols.append(name)
+            numeric_exprs[f"_zn{j}"] = (name, numeric)
+    # ONE GK-sketch pass for every numeric column (approxQuantile
+    # takes a column list) — m separate calls would scan m times
+    tmp_names = list(numeric_exprs)
+    for tmp, (_, expr) in numeric_exprs.items():
+        out = out.withColumn(tmp, expr)
+    n_cuts = (1 << bits) - 1
+    probs = [i / (1 << bits) for i in range(1, n_cuts + 1)]
+    all_cuts = (
+        out.stat.approxQuantile(tmp_names, probs, 1.0 / (1 << bits))
+        if tmp_names
+        else []
+    )
+    for tmp, col_cuts in zip(tmp_names, all_cuts):
+        name, _ = numeric_exprs[tmp]
+        cuts = sorted(set(col_cuts))
+        cut_arr = F.array(*[F.lit(float(x)) for x in cuts])
+        # rank = #cuts ≤ value; NULLs → rank 0. Low-cardinality
+        # columns dedupe to few cuts, so SPREAD the ranks across
+        # the full bucket space — otherwise only low-order bits
+        # would ever vary and the column would contribute nothing
+        # to the high (file-splitting) bits of the curve.
+        scale = (1 << bits) // (len(cuts) + 1)
+        out = out.withColumn(
+            name,
+            F.when(F.col(tmp).isNull(), F.lit(0)).otherwise(
+                F.size(F.filter(cut_arr, lambda x: x <= F.col(tmp)))
+                * F.lit(scale)
+            ).cast("long"),
+        )
+    out = out.drop(*tmp_names)
+    for c, name in hash_cols.items():
+        out = out.withColumn(
+            name, F.pmod(F.xxhash64(F.col(c)), F.lit(1 << bits)).cast("long")
+        )
+    bucket_cols = bucket_names
     m = len(bucket_cols)
     z = F.lit(0).cast("long")
     for k in range(bits):

@@ -326,6 +326,10 @@ def test_compact_partitioned(spark):
     caps = {d: -(-per_day_rows[d] // 10) for d in split}
     assert all(1 <= len(split[d]) <= caps[d] for d in split)
     assert any(len(split[d]) >= 2 for d in split)
+    # idempotent for OVERSIZED partitions too: a partition already at
+    # its bin-packed ceil(rows/target) file count is done, not
+    # rewritten forever
+    assert compact_partitioned(spark, path, ["day"], target_rows_per_file=10) == []
 
 
 def test_schema_evolution_merge(spark):

@@ -179,3 +179,35 @@ def test_verbatim_reference_files_run(spark):
         df = mdx_query(spark, SF_SMOKE, q)
         assert df.columns == ["row_member", "col_member", "crimes"]
         df.collect()
+
+
+def test_unique_name_path_below_all_captions_as_member(spark):
+    """[District].[All Districts].[<name>] (the Mondrian unique-name
+    form) filters like [District].[<name>] and captions as the member
+    alone — children and deeper paths don't inherit the All caption."""
+    year = _fixture_year(spark)
+    inc = incidents(spark, SF_SMOKE)
+    district = inc.select("district").distinct().orderBy("district").collect()[0][0]
+    q = f"""select {{[Measures].[crimes]}} ON COLUMNS,
+      {{[District].[All Districts].[{district}]}} ON ROWS
+    from [sfcrime] where [Time].[{year}]"""
+    rows = mdx_query(spark, SF_SMOKE, q).collect()
+    assert len(rows) == 1 and rows[0].row_member == district
+
+
+def test_empty_cells_emit_no_rows(spark):
+    """A slicer matching zero facts yields an EMPTY frame, not a
+    NULL-crimes row (one row per populated cell)."""
+    q = """select {[Measures].[crimes]} ON COLUMNS,
+      {[Category].[All Categories]} ON ROWS
+    from [sfcrime] where [Time].[1899]"""
+    assert mdx_query(spark, SF_SMOKE, q).count() == 0
+
+
+def test_bare_time_hierarchy_rejected():
+    """[Time] has no All member (hasAll=false): a bare hierarchy
+    reference is an error, not a silent aggregate-everything."""
+    with pytest.raises(MdxError):
+        parse_mdx(
+            "select {[Measures].[crimes]} ON COLUMNS, {[Time]} ON ROWS from [sfcrime]"
+        )

@@ -246,3 +246,29 @@ def test_pq_index_persisted_parity(spark):
     indexed = similarity.pq_topk_indexed(spark, base, queries, emb, k=3).collect()
     assert sorted(map(tuple, live)) == sorted(map(tuple, indexed))
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_indexed_external_namespace_no_self_exclusion(spark):
+    """With exclude_query_ids=False (external query-id namespace), a
+    corpus vector whose vec_id collides with a query id is NOT
+    dropped: querying with a corpus member's own vector returns that
+    very vector at rank 1 with cosine 1.0."""
+    import os
+    import shutil
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        "ivf_index_ext",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    similarity.write_ivf_index(emb, base, n_centroids=8)
+    r = emb.filter(F.col("vec_id") == 3).collect()[0]
+    queries = [(3, list(r["embedding"]))]  # id collides with corpus
+    rows = similarity.ivf_topk_indexed(
+        spark, base, queries, k=3, exclude_query_ids=False
+    ).collect()
+    top = min(rows, key=lambda x: x.rk)
+    assert (top.vec_id, top.cosine, top.rk) == (3, 1.0, 1)
+    shutil.rmtree(base, ignore_errors=True)
