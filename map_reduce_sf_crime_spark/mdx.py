@@ -141,9 +141,27 @@ class _Parser:
             return members
         return [self.member()]
 
-    # set := { tuple, tuple, ... } | tuple
+    # set := [NON EMPTY] ( { tuple, ... } | Crossjoin(set, set) | tuple )
     def set_(self) -> list[list[_Member]]:
-        if self.peek() == "{":
+        t = self.peek()
+        if t is not None and t.lower() == "non":
+            # NON EMPTY prunes axis members with no data — already the
+            # tidy contract (one row per POPULATED cell), so the
+            # keyword is accepted and a semantic no-op here
+            self.next()
+            self.expect("empty")
+            return self.set_()
+        if t is not None and t.lower() == "crossjoin":
+            # Crossjoin(set, set): the cartesian tuple product — what
+            # JPivot emits when two hierarchies share an axis
+            self.next()
+            self.expect("(")
+            a = self.set_()
+            self.expect(",")
+            b = self.set_()
+            self.expect(")")
+            return [ta + tb for ta in a for tb in b]
+        if t == "{":
             self.next()
             tuples = [self.tuple_()]
             while self.peek() == ",":

@@ -211,3 +211,29 @@ def test_bare_time_hierarchy_rejected():
         parse_mdx(
             "select {[Measures].[crimes]} ON COLUMNS, {[Time]} ON ROWS from [sfcrime]"
         )
+
+
+def test_crossjoin_and_non_empty(spark):
+    """Crossjoin of two enumerations equals the two-key groupBy, and
+    NON EMPTY parses as a (semantic no-op) prefix — the tidy contract
+    already emits populated cells only."""
+    year = _fixture_year(spark)
+    q = f"""select {{[Measures].[crimes]}} ON COLUMNS,
+      NON EMPTY Crossjoin({{[District].[All Districts].Children}},
+                          {{[Category].[All Categories].Children}}) ON ROWS
+    from [sfcrime] where [Time].[{year}]"""
+    got = {
+        r.row_member: r.crimes for r in mdx_query(spark, SF_SMOKE, q).collect()
+    }
+    inc = incidents(spark, SF_SMOKE).filter(F.year("d") == year)
+    want = {
+        f"{r.district}, {r.category}": r.n
+        for r in inc.groupBy("district", "category")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    # NON EMPTY is real pruning: only populated pairs appear
+    n_dist = inc.select("district").distinct().count()
+    n_cat = inc.select("category").distinct().count()
+    assert len(got) <= n_dist * n_cat
