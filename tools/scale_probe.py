@@ -161,6 +161,65 @@ def main() -> None:
         "overwrite"
     ).save()
     print(f"x{n} pq_topk: {time.perf_counter() - t0:.2f}s")
+
+    # Persisted serving paths (late round 3): index build is the
+    # one-off line; the indexed query should beat or match its live
+    # twin since assignment/encoding never recomputes.
+    from map_reduce_sf_crime_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        pq_topk_indexed,
+        write_ivf_index,
+        write_pq_index,
+    )
+
+    scratch = os.path.join(os.path.dirname(sf_dir), f"probe_idx_x{n}")
+    shutil.rmtree(scratch, ignore_errors=True)
+    qrows = emb.filter(SF.col("vec_id") < 5).collect()
+    queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+    t0 = time.perf_counter()
+    write_ivf_index(emb, os.path.join(scratch, "ivf"))
+    print(f"x{n} ivf index[build, one-off]: {time.perf_counter() - t0:.2f}s")
+    t0 = time.perf_counter()
+    ivf_topk(emb, [0, 1, 2, 3, 4], 3).write.format("noop").mode("overwrite").save()
+    print(f"x{n} ivf_topk[live]: {time.perf_counter() - t0:.2f}s")
+    t0 = time.perf_counter()
+    ivf_topk_indexed(spark, os.path.join(scratch, "ivf"), queries, 3).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    print(f"x{n} ivf_topk[indexed]: {time.perf_counter() - t0:.2f}s")
+    t0 = time.perf_counter()
+    write_pq_index(emb, os.path.join(scratch, "pq"))
+    print(f"x{n} pq index[build, one-off]: {time.perf_counter() - t0:.2f}s")
+    t0 = time.perf_counter()
+    pq_topk_indexed(
+        spark, os.path.join(scratch, "pq"), queries, emb, 3
+    ).write.format("noop").mode("overwrite").save()
+    print(f"x{n} pq_topk[indexed]: {time.perf_counter() - t0:.2f}s")
+    spark.catalog.clearCache()
+
+    # Lakehouse layout/maintenance: z-order build is sketch + one
+    # range shuffle; compaction reads/writes only the touched
+    # partitions — both should track input size.
+    from map_reduce_sf_crime_spark.sources.lakehouse import (
+        compact_partitioned,
+        write_zordered,
+    )
+
+    t0 = time.perf_counter()
+    write_zordered(
+        emb.select("vec_id", "label"), os.path.join(scratch, "zorder"),
+        ["vec_id", "label"], n_files=32,
+    )
+    print(f"x{n} write_zordered: {time.perf_counter() - t0:.2f}s")
+    cpath = os.path.join(scratch, "compact")
+    docs.select("doc_id", "source").repartition(16).write.mode(
+        "overwrite"
+    ).partitionBy("source").parquet(cpath)
+    t0 = time.perf_counter()
+    compact_partitioned(spark, cpath, ["source"], target_rows_per_file=10_000_000)
+    print(f"x{n} compact_partitioned: {time.perf_counter() - t0:.2f}s")
+    shutil.rmtree(scratch, ignore_errors=True)
     spark.stop()
 
 
