@@ -237,3 +237,19 @@ def test_crossjoin_and_non_empty(spark):
     n_dist = inc.select("district").distinct().count()
     n_cat = inc.select("category").distinct().count()
     assert len(got) <= n_dist * n_cat
+
+
+def test_on_disk_reference_mdx_files_run(spark):
+    """The actual files shipped in the reference checkout parse and
+    execute byte-verbatim (no transcription drift between the strings
+    pinned above and the on-disk artifacts)."""
+    import pathlib
+
+    ref = pathlib.Path("/root/reference/src/main/etc")
+    if not ref.exists():
+        pytest.skip("reference checkout not present")
+    for name in ("bycategory.mdx", "bydistrict.mdx"):
+        text = (ref / name).read_text()
+        df = mdx_query(spark, SF_SMOKE, text)
+        assert df.columns == ["row_member", "col_member", "crimes"]
+        df.collect()
