@@ -92,11 +92,12 @@ def stopword_hits_sql(tok: str, words: tuple[str, ...]) -> str:
     return f"len(list_filter({tok}, t -> t in ({lst})))"
 
 
-def lang_id_col(tok: Column) -> Column:
-    """Argmax language by stopword hits; ties and zero-hit docs →
-    'und'. Deterministic: strictly-greater comparison in fixed lang
-    order mirrors the SQL twin."""
-    scores = {lang: stopword_hits_col(tok, ws) for lang, ws in LANG_STOPWORDS.items()}
+def lang_argmax_col(scores: dict) -> Column:
+    """Argmax language over per-language score columns; ties and
+    zero-score docs → 'und'. Deterministic: earlier languages in
+    LANG_STOPWORDS order win ties (reversed overwrite). THE single
+    tie-break rule — lang_id_col and the staged text_profile argmax
+    both call this, so the rule can never drift between them."""
     best_score = F.greatest(*scores.values())
     expr = F.lit("und")
     # reversed so that earlier languages win ties via later overwrite
@@ -105,6 +106,15 @@ def lang_id_col(tok: Column) -> Column:
             (scores[lang] == best_score) & (best_score > 0), F.lit(lang)
         ).otherwise(expr)
     return expr
+
+
+def lang_id_col(tok: Column) -> Column:
+    """Argmax language by stopword hits; ties and zero-hit docs →
+    'und'. Deterministic: strictly-greater comparison in fixed lang
+    order mirrors the SQL twin."""
+    return lang_argmax_col(
+        {lang: stopword_hits_col(tok, ws) for lang, ws in LANG_STOPWORDS.items()}
+    )
 
 
 def lang_id_sql(tok: str) -> str:

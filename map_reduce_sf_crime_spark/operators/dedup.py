@@ -35,6 +35,17 @@ from ..functions.caching import plan_cache
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # 4 × 8-bit bands ⇒ exact blocking for hamming ≤ 3
 
+#: Slack for the candidate-pruning inequalities (prefix length, length
+#: filter). ``threshold * n`` in float64 can exceed its exact value by
+#: one ulp (0.8 * 5 = 4.000000000000001), which would tighten a
+#: provably-lossless prune into a lossy one — ceil() overshoots by a
+#: whole shingle, and a pair at exactly J = t fails ``nb*t <= na``.
+#: Subtracting an epsilon far below any true fractional gap (shingle
+#: counts ≪ 1e6, thresholds with few decimals) restores losslessness;
+#: the slack only ever ADDS candidates, and the exact-Jaccard
+#: verification that follows every prune discards them.
+PRUNE_EPS = 1e-9
+
 
 # ---------------------------------------------------------------- exact
 
@@ -112,7 +123,11 @@ def near_dup_pairs_exact(docs: DataFrame, n: int = 3, threshold: float = 0.5) ->
     e = t.select("doc_id", "n_sh", F.explode("sh").alias("s"))
     freq = e.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     rank_w = Window.partitionBy("doc_id").orderBy("df", "s")
-    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(PRUNE_EPS))
+        + 1
+    )
     prefix = (
         e.join(freq, "s")
         .withColumn("rk", F.row_number().over(rank_w))
@@ -127,8 +142,8 @@ def near_dup_pairs_exact(docs: DataFrame, n: int = 3, threshold: float = 0.5) ->
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # length filter: J ≥ t ⇒ t·na ≤ nb ≤ na/t (symmetric form)
-            & (F.col("b.n_sh") * threshold <= F.col("a.n_sh"))
-            & (F.col("a.n_sh") * threshold <= F.col("b.n_sh")),
+            & (F.col("b.n_sh") * threshold <= F.col("a.n_sh") + PRUNE_EPS)
+            & (F.col("a.n_sh") * threshold <= F.col("b.n_sh") + PRUNE_EPS),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -246,6 +261,12 @@ def lsh_near_dup_pairs(
     sigs = (
         minhash_signatures(docs, n, n_hashes)
         .join(t.select("doc_id", "n_sh"), "doc_id")
+        # zero-shingle docs carry all-NULL signatures → every band key
+        # degenerates to md5('') and E such docs would collide into
+        # ~E²/2 candidate pairs (all discarded later: their jaccard is
+        # NULL). They can never clear a threshold > 0 — drop them here,
+        # matching the catalog path's inner-join behavior
+        .filter(F.col("n_sh") > 0)
         .transform(plan_cache)
     )
     band_cols = F.array(
@@ -272,8 +293,8 @@ def lsh_near_dup_pairs(
             # lossless length filter (same bound as PPJoin): J ≥ t
             # needs t·na ≤ nb ≤ na/t — prunes cross-length bucket
             # collisions before the distinct
-            & (F.col("b.n_sh") * threshold <= F.col("a.n_sh"))
-            & (F.col("a.n_sh") * threshold <= F.col("b.n_sh")),
+            & (F.col("b.n_sh") * threshold <= F.col("a.n_sh") + PRUNE_EPS)
+            & (F.col("a.n_sh") * threshold <= F.col("b.n_sh") + PRUNE_EPS),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -348,8 +369,8 @@ def _candidate_pairs(inc_b: DataFrame, cat_b: DataFrame, threshold: float) -> Da
             cat_b,
             (F.col("i.band") == F.col("c.band"))
             & (F.col("i.key") == F.col("c.key"))
-            & (F.col("c.n_sh") * threshold <= F.col("i.n_sh"))
-            & (F.col("i.n_sh") * threshold <= F.col("c.n_sh")),
+            & (F.col("c.n_sh") * threshold <= F.col("i.n_sh") + PRUNE_EPS)
+            & (F.col("i.n_sh") * threshold <= F.col("c.n_sh") + PRUNE_EPS),
         )
         .select(F.col("i.doc_id").alias("doc_id"), F.col("c.doc_id").alias("cat_id"))
         .distinct()
@@ -594,6 +615,16 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting max_iter without convergence means some component
+        # has diameter > max_iter and the labels are WRONG (two docs of
+        # one component would carry different cluster_ids) — fail
+        # loudly rather than return silently-divergent clusters
+        raise RuntimeError(
+            f"dup_clusters did not converge within {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — the "
+            "component diameter exceeds it"
+        )
     return labels
 
 

@@ -211,6 +211,7 @@ with b as (
 )
 select doc_id, n_bytes::int as n_bytes, checksum,
        (n_bytes // 100 + 1)::int as n_frames,
-       list_sum(bytes_list) * 1.0 / n_bytes as mean_byte
+       case when n_bytes = 0 then 0.0
+            else list_sum(bytes_list) * 1.0 / n_bytes end as mean_byte
 from b
 """

@@ -41,7 +41,7 @@ def int8_scale_col(vec: Column) -> Column:
     return F.round(linf / 127, 6)
 
 
-def int8_quantize_sql(vec: str, dim: int) -> str:
+def int8_quantize_sql(vec: str) -> str:
     linf = (
         f"greatest(list_max(list_transform({vec}, "
         f"x -> abs(x::double))), 1e-12)"

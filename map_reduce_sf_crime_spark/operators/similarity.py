@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.caching import plan_cache
 from ..functions.hashing import hash64_col, hash64_sql
 from ..functions.vectors import cosine_col, cosine_sql
 
@@ -602,7 +603,7 @@ def ann_lsh_topk(
             )
         ).alias("bk"),
     ).select("vec_id", "bk.band", "bk.val")
-    banded = banded.cache()  # query side + corpus side both read it
+    banded = plan_cache(banded)  # query side + corpus side both read it
     qb = banded.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), "band", "val"
     )

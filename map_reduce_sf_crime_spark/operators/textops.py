@@ -12,6 +12,7 @@ from ..functions.hashing import hash64_col, hash64_sql
 from ..functions.text import (
     BPE_REGEX,
     QUALITY_STOPWORDS,
+    lang_argmax_col,
     lang_id_col,
     lang_id_sql,
     shingles_col,
@@ -230,16 +231,12 @@ def pii_scrub_sql() -> str:
 
 # ------------------------------------------------- repetition (TX6)
 
-def _repetition_exprs(tok, n: int = 2) -> tuple:
-    """Row-local repetition signal: sort the n-gram array, then a
-    single ``aggregate`` pass finds the longest equal-run — the count
-    of the most frequent n-gram — with no explode, no groupBy, no
-    join. O(k log k) per row inside the JVM; at 100 TB this keeps
-    TX6 inside the same embarrassingly-parallel scan as every other
-    per-document profile column (the previous explode+two-aggregation
-    form paid two shuffles for a value derivable row-locally)."""
-    grams = shingles_col(tok, n)
-    sg = F.array_sort(grams)
+def max_run_count_col(grams):
+    """Count of the most frequent element of an array column: sort,
+    then one ``aggregate`` pass tracking the longest equal-run — no
+    explode, no groupBy, no join. O(k log k) per row inside the JVM.
+    THE single run-length rule — _repetition_exprs and the staged
+    text_profile both call this."""
     zero = F.lit(0).cast("long")
     init = F.struct(
         F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
@@ -255,7 +252,19 @@ def _repetition_exprs(tok, n: int = 2) -> tuple:
             F.greatest(acc["best"], run2).alias("best"),
         )
 
-    max_c = F.aggregate(sg, init, merge, lambda acc: acc["best"])
+    return F.aggregate(F.array_sort(grams), init, merge, lambda acc: acc["best"])
+
+
+def _repetition_exprs(tok, n: int = 2) -> tuple:
+    """Row-local repetition signal: sort the n-gram array, then a
+    single ``aggregate`` pass finds the longest equal-run — the count
+    of the most frequent n-gram — with no explode, no groupBy, no
+    join. O(k log k) per row inside the JVM; at 100 TB this keeps
+    TX6 inside the same embarrassingly-parallel scan as every other
+    per-document profile column (the previous explode+two-aggregation
+    form paid two shuffles for a value derivable row-locally)."""
+    grams = shingles_col(tok, n)
+    max_c = max_run_count_col(grams)
     total = F.size(grams).cast("long")
     ratio = F.when(total == 0, F.lit(0.0)).otherwise(max_c / total)
     return total.alias("n_bigrams"), ratio.alias("top_bigram_ratio")
@@ -279,11 +288,7 @@ def repetition_stats_sql(n: int = 2) -> str:
       select doc_id, {toks} as tok from documents
     ),
     ex as (
-      select doc_id,
-             unnest(case when len(tok) >= {n}
-               then list_transform(range(1, len(tok) - {n - 2}),
-                    i -> array_to_string(tok[i:i+{n - 1}], ' '))
-               else [] end) as g
+      select doc_id, unnest({shingles_sql('tok', n)}) as g
       from t
     ),
     per_gram as (
@@ -361,14 +366,10 @@ def text_profile(docs: DataFrame) -> DataFrame:
         + uniq_ratio * 0.25
     )
     # argmax language over the materialized integer score columns —
-    # cheap attr comparisons, so double reference (pred + agree) is free
+    # cheap attr comparisons, so double reference (pred + agree) is
+    # free; the tie-break rule is the shared lang_argmax_col
     scores = {lang: F.col(f"_s_{lang}") for lang in LANG_STOPWORDS}
-    best_score = F.greatest(*scores.values())
-    pred = F.lit("und")
-    for lang in reversed(list(LANG_STOPWORDS)):
-        pred = F.when(
-            (scores[lang] == best_score) & (best_score > 0), F.lit(lang)
-        ).otherwise(pred)
+    pred = lang_argmax_col(scores)
     pii_counts = [
         F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).alias(
             f"n_{name}"
@@ -379,22 +380,7 @@ def text_profile(docs: DataFrame) -> DataFrame:
     for name in ("ssn", "phone", "email"):  # overlap-safe order
         redacted = F.regexp_replace(redacted, PII_PATTERNS[name], PII_TOKEN)
     grams = F.col("_grams")
-    zero = F.lit(0).cast("long")
-    init = F.struct(
-        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
-    )
-
-    def merge(acc, x):
-        run2 = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
-            F.lit(1).cast("long")
-        )
-        return F.struct(
-            x.alias("prev"),
-            run2.alias("run"),
-            F.greatest(acc["best"], run2).alias("best"),
-        )
-
-    max_c = F.aggregate(F.array_sort(grams), init, merge, lambda a: a["best"])
+    max_c = max_run_count_col(grams)
     total = F.size(grams).cast("long")
     return stage2.select(
         "doc_id",

@@ -85,7 +85,7 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       select vec_id,
              round(sqrt(list_sum(list_transform(range(1, 65),
                    i -> embedding[i]::double * embedding[i]::double))), 6) as l2,
-             {quantize.int8_quantize_sql('embedding', 64)} as int8_codes,
+             {quantize.int8_quantize_sql('embedding')} as int8_codes,
              {quantize.int8_scale_sql('embedding')} as int8_scale
       from embeddings
     ),

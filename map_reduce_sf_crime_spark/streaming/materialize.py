@@ -15,6 +15,7 @@ MERGE INTO; the partition-level pattern and costs are the same.)
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,7 +35,13 @@ def merge_daily_counts(spark: SparkSession, out_dir: str):
             return
         try:
             existing = spark.read.parquet(out_dir).filter(F.col("day").isin(days))
-        except Exception:  # first batch: nothing materialized yet
+        except AnalysisException as e:
+            # ONLY a missing path means "first batch" — any other read
+            # failure (permissions, corrupt footer, transient FS error)
+            # must propagate, or the overwrite below would replace the
+            # affected partitions with just this micro-batch's counts
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             existing = None
         merged = (
             delta.unionByName(existing) if existing is not None else delta

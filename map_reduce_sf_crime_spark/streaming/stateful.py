@@ -43,13 +43,21 @@ def _update(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
+    from decimal import ROUND_HALF_UP, Decimal
+
     n, s = state.get if state.exists else (0, 0.0)
     for pdf in pdfs:
         n += len(pdf)
         s += float(pdf["value"].sum())
     state.update((n, s))
+    # HALF_UP on the exact binary value — the same decimal semantics
+    # as Spark's F.round and the DuckDB twin; Python's builtin round()
+    # is half-EVEN and would diverge at tie boundaries (the pattern
+    # every other Python kernel here already follows, see
+    # operators/similarity.py cosine kernel / operators/multimodal.py)
+    rounded = float(Decimal(s).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [rounded]}
     )
 
 

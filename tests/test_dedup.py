@@ -164,3 +164,30 @@ def test_incremental_catalog_backed_matches_recompute(spark):
     scan_lines = [l for l in plan.splitlines() if "cat_sig_buckets" in l]
     assert scan_lines, plan
     assert "SelectedBucketsCount" in "\n".join(scan_lines), scan_lines
+
+
+def test_ppjoin_prunes_lossless_at_exact_threshold(spark):
+    """A pair at exactly J = t with t·n inexact in float64 (0.8·5 =
+    4.000000000000001) must survive the prefix and length prunes: the
+    PRUNE_EPS slack keeps the provably-lossless bounds lossless."""
+    from map_reduce_sf_crime_spark.operators.dedup import (
+        near_dup_pairs_exact,
+        near_dup_pairs_naive,
+    )
+
+    words = [f"w{i}" for i in range(7)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(words[:6]), "s"),   # 4 distinct 3-gram shingles
+            (2, " ".join(words[:7]), "s"),   # 5 shingles, superset
+        ],
+        "doc_id long, text string, source string",
+    )
+    exact = sorted(
+        map(tuple, near_dup_pairs_exact(docs, n=3, threshold=0.8).collect())
+    )
+    naive = sorted(
+        map(tuple, near_dup_pairs_naive(docs, n=3, threshold=0.8).collect())
+    )
+    assert exact == naive
+    assert exact and exact[0][:2] == (1, 2) and exact[0][2] == 0.8
