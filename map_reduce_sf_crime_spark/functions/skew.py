@@ -35,11 +35,17 @@ def salted_agg(
     ``partial`` aggregates run per (key, salt); ``final`` aggregates
     combine the per-salt rows per key and must be the algebraic
     re-combination of ``partial`` (e.g. partial ``count(1) as c`` →
-    final ``sum(c) as c``). The salt is a uniform pmod of a random-ish
-    hash of the full row, so one hot key spreads over ``n_salts``
-    shuffle partitions in phase one; phase two shuffles only
-    ``#keys × n_salts`` pre-aggregated rows."""
-    salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).alias("_salt")
+    final ``sum(c) as c``). The salt mixes a per-row id into the hash
+    of the full row: a hash of the columns alone is a pure function of
+    the VALUES, so fully-duplicate rows (or a key-only projection) —
+    exactly the hot-key shapes salting exists for — would all land on
+    one salt and not spread at all. The id is nondeterministic across
+    retries, which is safe here: the final aggregate is invariant to
+    how rows are partitioned among salts."""
+    salt = F.pmod(
+        F.xxhash64(*df.columns, F.monotonically_increasing_id()),
+        F.lit(n_salts),
+    ).alias("_salt")
     phase1 = df.withColumn("_salt", salt).groupBy(key, "_salt").agg(*partial)
     return phase1.groupBy(key).agg(*final)
 

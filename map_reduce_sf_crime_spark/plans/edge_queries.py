@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.calendar import N_WEEK_BUCKETS
 from ..operators.star import timeperiod, timeperiod_sql
 from ..operators.weekly import weekly_summary, weekly_summary_sql
 from ..sources.csv_crimes import read_crimes_csv
@@ -111,7 +112,7 @@ def tsv_report_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _scratch(sf_dir, "weekly_tsv")
     weekly = weekly_summary(category_incidents(spark, sf_dir), "category", F.col("d"))
-    wcols = [f"w{b}" for b in range(16)]
+    wcols = [f"w{b}" for b in range(N_WEEK_BUCKETS)]
     write_report(weekly, "category", wcols, path)
     schema = T.StructType([T.StructField(c, T.LongType()) for c in wcols])
     tsv = read_report(spark, path, schema).withColumnRenamed("key", "category")

@@ -219,7 +219,7 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(median(value), 4) as median_value,
            array_to_string(list_sort(list_distinct(list(event_type))), ',')
              as types,
-           cast(sum(cast(json_extract_string(props, '$.k') as bigint))
+           cast(coalesce(sum(cast(json_extract_string(props, '$.k') as bigint)), 0)
                 as bigint) as sum_props_k,
            cast(count(*) filter (json_extract_string(props, '$.k') is null)
                 as bigint) as n_props_missing

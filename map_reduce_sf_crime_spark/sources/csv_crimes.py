@@ -79,12 +79,31 @@ def read_crimes_csv(spark: SparkSession, path: str) -> CrimesScan:
         # SanFranciscoCrime.java:188-190).
         F.try_to_date(F.split(F.col("Date"), " ").getItem(0), "MM/dd/yyyy"),
     )
-    corrupt_count = raw.filter(structurally_bad).count()
-    bad_date_count = parsed.filter(
-        ~structurally_bad & F.col("Date").isNotNull() & F.col("incident_date").isNull()
-    ).count()
+    # ONE full-schema pass for the audit: the frame is cached before
+    # counting so _corrupt_record reflects the FULL row parse — a
+    # pruned counting scan would never attempt the X/Y double
+    # conversions and undercount corrupt rows (the documented Spark
+    # corrupt-column caveat) — and `clean` reads the same cache. The
+    # two audit categories + clean partition the input exactly:
+    # structurally bad | date absent-or-unparseable | clean.
+    from ..functions.caching import plan_cache
+
+    parsed = parsed.transform(plan_cache)
+    counts = parsed.agg(
+        F.coalesce(F.sum(structurally_bad.cast("long")), F.lit(0)).alias("nc"),
+        F.coalesce(
+            F.sum(
+                (~structurally_bad & F.col("incident_date").isNull()).cast("long")
+            ),
+            F.lit(0),
+        ).alias("nd"),
+    ).collect()[0]
     clean = (
         parsed.filter(~structurally_bad & F.col("incident_date").isNotNull())
         .drop("_corrupt_record")
     )
-    return CrimesScan(clean=clean, corrupt_count=corrupt_count, bad_date_count=bad_date_count)
+    return CrimesScan(
+        clean=clean,
+        corrupt_count=int(counts["nc"]),
+        bad_date_count=int(counts["nd"]),
+    )

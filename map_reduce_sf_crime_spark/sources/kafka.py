@@ -93,7 +93,12 @@ def decode_events(wire: DataFrame, observation=None) -> DataFrame:
     if observation is not None:
         d = d.observe(
             observation,
-            F.sum((~_valid(F.col("e"))).cast("long")).alias("n_undecodable"),
+            # coalesce: F.sum over a zero-row micro-batch is NULL, and a
+            # monitoring consumer doing arithmetic on the observed metric
+            # would throw — report 0 instead
+            F.coalesce(
+                F.sum((~_valid(F.col("e"))).cast("long")), F.lit(0)
+            ).alias("n_undecodable"),
         )
     return d.filter(_valid(F.col("e"))).select("e.*")
 

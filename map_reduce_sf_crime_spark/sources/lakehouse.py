@@ -78,7 +78,16 @@ def merge_upsert(
       directories, atomically per partition). A change batch touching
       one day of a 100 TB fact reads and writes one day.
     - Matched keys take the change row (update), unmatched change
-      rows append (insert), delete-flagged keys drop.
+      rows append (insert), delete-flagged keys drop; a NULL delete
+      flag means upsert (only an explicit ``true`` deletes). Key
+      matching is null-safe, so NULL-valued key columns update rather
+      than duplicate.
+    - CONTRACT: a key's partition-column values must be immutable
+      (the usual day-partitioned-fact shape). A change row that moves
+      a key to a DIFFERENT partition inserts there without touching
+      the old partition — partition-granular copy-on-write cannot see
+      the old row without scanning the whole table; emit an explicit
+      delete row for the old partition in the same batch instead.
 
     The merged frame is localCheckpoint-ed before the write: the plan
     reads the same path it overwrites, and truncating the lineage is
@@ -98,13 +107,24 @@ def merge_upsert(
         pred = clause if pred is None else (pred | clause)
     touched = current.filter(pred) if pred is not None else current.limit(0)
     if delete_col is not None:
-        upserts = changes.filter(~F.col(delete_col)).drop(delete_col)
-        change_keys = changes.select(*key_cols).distinct()
+        # NULL flag = upsert: a bare filter(~flag) would drop the row
+        # from upserts while its key still anti-joins the current row
+        # away — a silent delete for what the caller meant as update
+        upserts = changes.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
     else:
         upserts = changes
-        change_keys = changes.select(*key_cols).distinct()
+    change_keys = changes.select(*key_cols).distinct()
+    # null-safe anti-join on the key: NULL-valued key columns must
+    # match their own key (as the partition predicate above already does)
+    t, ck = touched.alias("t"), change_keys.alias("ck")
+    cond = None
+    for kc in key_cols:
+        c = F.col(f"t.{kc}").eqNullSafe(F.col(f"ck.{kc}"))
+        cond = c if cond is None else (cond & c)
     merged = (
-        touched.join(change_keys, key_cols, "left_anti")
+        t.join(ck, cond, "left_anti")
         .unionByName(upserts)
         .localCheckpoint()
     )

@@ -385,3 +385,32 @@ def test_compact_handles_null_partition(spark):
 
     null_dir = os.path.join(path, "grp=__HIVE_DEFAULT_PARTITION__")
     assert len(glob.glob(os.path.join(null_dir, "part-*.parquet"))) == 1
+
+
+def test_merge_upsert_null_flag_and_null_key(spark):
+    """A NULL delete flag means UPSERT (not silent delete), and
+    NULL-valued key columns match their own key instead of
+    duplicating."""
+    from map_reduce_sf_crime_spark.sources.lakehouse import merge_upsert
+
+    path = os.path.join(SCRATCH, "merge_nulls")
+    shutil.rmtree(path, ignore_errors=True)
+    base = spark.createDataFrame(
+        [(1, "a", None, 10), (1, "b", "x", 20)],
+        "p int, k1 string, k2 string, v long",
+    )
+    write_partitioned(base, path, ["p"])
+    changes = spark.createDataFrame(
+        [
+            (1, "a", None, 11, None),   # NULL flag → update, NULL key col
+            (1, "b", "x", 99, True),    # explicit delete
+            (1, "c", "y", 30, None),    # NULL flag → insert
+        ],
+        "p int, k1 string, k2 string, v long, _del boolean",
+    )
+    merge_upsert(
+        spark, path, changes, key_cols=["k1", "k2"], partition_cols=["p"],
+        delete_col="_del",
+    )
+    rows = {(r.k1, r.k2): r.v for r in spark.read.parquet(path).collect()}
+    assert rows == {("a", None): 11, ("c", "y"): 30}

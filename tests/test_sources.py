@@ -24,6 +24,8 @@ ROWS = [
     "130000004,VANDALISM,tag",
     # unparseable date (dropped+counted, SanFranciscoCrimePrepOlap.java:124-128)
     "130000005,FRAUD,scam,Thursday,13/45/2013 99:99,99:99,RICHMOND,NONE,400 Elm St,-122.43,37.78,loc",
+    # ABSENT date, structurally fine — also dropped+counted as bad date
+    "130000006,BURGLARY,break-in,Friday,,13:00,PARK,NONE,500 Ash St,-122.44,37.79,loc",
 ]
 
 
@@ -34,7 +36,10 @@ def test_crimes_csv_audit(spark, tmp_path: pathlib.Path):
     clean = scan.clean.collect()
     assert len(clean) == 3
     assert scan.corrupt_count == 1
-    assert scan.bad_date_count == 1
+    # covers BOTH unparseable and absent dates — the audit partition
+    # is exact: clean + corrupt + bad_date == total data rows
+    assert scan.bad_date_count == 2
+    assert len(clean) + scan.corrupt_count + scan.bad_date_count == len(ROWS)
     cats = sorted(r.Category for r in clean)
     assert cats == ["ARSON, ATTEMPTED", "ASSAULT", "LARCENY/THEFT"]
     d = {r.IncidntNum: r.incident_date.isoformat() for r in clean}
