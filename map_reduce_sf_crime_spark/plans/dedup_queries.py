@@ -138,6 +138,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INC_PRED = "doc_id % 5 = 4"
 
 
+#: sf_dir → (buckets_table, shingles_table) of the persisted signature
+#: catalog — written once per process, reused by every later call, the
+#: build-once/probe-daily production contract.
+_CATALOG_TABLES: dict[str, tuple[str, str]] = {}
+
+
+def _signature_catalog(
+    spark: SparkSession, sf_dir: str, docs: DataFrame
+) -> tuple[str, str]:
+    if sf_dir not in _CATALOG_TABLES:
+        import hashlib
+        import os
+        import shutil
+
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        bt, st = f"sig_cat_buckets_{tag}", f"sig_cat_shingles_{tag}"
+        # a previous PROCESS may have left the managed-table location
+        # on disk without this session's in-memory catalog knowing it —
+        # saveAsTable(overwrite) then fails with LOCATION_ALREADY_EXISTS,
+        # so drop both the entry and the stale location first
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+            "file:"
+        )
+        for t in (bt, st):
+            spark.sql(f"drop table if exists {t}")
+            shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+        dedup.write_signature_catalog(
+            docs.filter(~((F.col("doc_id") % 5) == 4)), bt, st, n=3
+        )
+        _CATALOG_TABLES[sf_dir] = (bt, st)
+    return _CATALOG_TABLES[sf_dir]
+
+
 @register(
     "dedup_incremental",
     dedup.incremental_exact_sql(_INC_PRED, n=3, threshold=0.8),
@@ -147,12 +180,21 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (new-batch-vs-catalog) near-dedup, j ≥ 0.8: each
     incoming doc flagged with its catalog match count and best
     Jaccard — banded-minhash candidates verified exactly, never
-    comparing incoming docs to each other (operators/dedup.py::
-    incremental_lsh_flags). Oracle = the exact incoming×catalog
-    inverted-index join."""
-    return dedup.incremental_lsh_flags(
-        _docs(spark, sf_dir),
-        (F.col("doc_id") % 5) == 4,
+    comparing incoming docs to each other. This runs the CATALOGED
+    production form (operators/dedup.py::incremental_lsh_flags_cataloged):
+    the catalog side's band buckets and shingle sets are PERSISTED
+    once (write_signature_catalog — key-bucketed so the daily probe
+    shuffles only the new batch) and read back here, so the gate
+    watches the path a 100 TB deployment runs daily; output is pinned
+    identical to the recompute form (tests/test_dedup.py). Oracle =
+    the exact incoming×catalog inverted-index join."""
+    docs = _docs(spark, sf_dir)
+    bt, st = _signature_catalog(spark, sf_dir, docs)
+    return dedup.incremental_lsh_flags_cataloged(
+        spark,
+        docs.filter((F.col("doc_id") % 5) == 4),
+        bt,
+        st,
         n=3,
         threshold=0.8,
     )

@@ -28,10 +28,32 @@ NEAR_THRESHOLD = 0.4
 #: in tests/test_similarity.py assert the tighter measured values).
 RECALL_BOUND = 0.6
 
-ANN_METHODS = ("lsh", "ivf", "ivf_refined", "pq")
+ANN_METHODS = ("lsh", "ivf", "ivf_refined", "pq", "ivf_indexed", "pq_indexed")
 
 
 _DIM_CHECKED: set[str] = set()
+
+#: sf_dir → scratch dir holding the persisted IVF + PQ serving indexes
+#: (built once per process; bench reps and repeated gate calls reuse
+#: the build — the build-once/query-many production contract).
+_INDEX_DIRS: dict[str, str] = {}
+
+
+def _ann_index_dir(sf_dir: str, emb: DataFrame) -> str:
+    """Build (once per process per corpus) the persisted ANN serving
+    indexes — ``{dir}/ivf`` (write_ivf_index: centroid quantizer +
+    hive-partitioned inverted lists) and ``{dir}/pq`` (write_pq_index:
+    codebooks + 16-byte code table) — in a scratch directory, so the
+    gate exercises the paths a 100 TB deployment actually serves from
+    rather than only the live recompute forms."""
+    if sf_dir not in _INDEX_DIRS:
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="sgraft_ann_idx_")
+        similarity.write_ivf_index(emb, f"{base}/ivf")
+        similarity.write_pq_index(emb, f"{base}/pq")
+        _INDEX_DIRS[sf_dir] = base
+    return _INDEX_DIRS[sf_dir]
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,18 +190,39 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single query whose neighbors straddle a partition boundary can
     legitimately recall 1/k (measured per-query floors on the
     fixtures: lsh 2/3, ivf 1/3). The ``pq`` leg is PQ-ADC with exact
-    re-rank of the ADC shortlist (operators/similarity.pq_topk)."""
+    re-rank of the ADC shortlist (operators/similarity.pq_topk).
+
+    The ``ivf_indexed`` / ``pq_indexed`` legs are the PERSISTED
+    serving paths (write_ivf_index → ivf_topk_indexed, write_pq_index
+    → pq_topk_indexed): the index is built once per process into a
+    scratch dir and queried back with the same query vectors — each
+    is bit-identical to its live twin (tests/test_similarity.py), and
+    gating them here means the hard correctness signal watches the
+    build-once/query-many form a production deployment runs."""
     emb = _emb(spark, sf_dir)
     exact = (
         similarity.knn_bruteforce(emb, QUERY_IDS, K)
         .select("query_id", "vec_id")
         .transform(plan_cache)
     )
+    idx = _ann_index_dir(sf_dir, emb)
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").isin(QUERY_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
     approx = {
         "lsh": similarity.ann_lsh_topk(emb, QUERY_IDS, K),
         "ivf": similarity.ivf_topk(emb, QUERY_IDS, K),
         "ivf_refined": similarity.ivf_topk(emb, QUERY_IDS, K, refine=True),
         "pq": similarity.pq_topk(emb, QUERY_IDS, K),
+        "ivf_indexed": similarity.ivf_topk_indexed(
+            spark, f"{idx}/ivf", queries, K
+        ),
+        "pq_indexed": similarity.pq_topk_indexed(
+            spark, f"{idx}/pq", queries, emb, K
+        ),
     }
     total = len(QUERY_IDS) * K
     out = None

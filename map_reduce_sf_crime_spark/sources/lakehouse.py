@@ -58,6 +58,210 @@ def read_partitioned(
     return spark.read.parquet(path)
 
 
+# ---------------------------------------- commit manifest (crash consistency)
+#
+# Plain-parquet dynamic partition overwrite is atomic PER PARTITION
+# but not across partitions: a driver crash mid-`merge_upsert` /
+# mid-`compact_partitioned` can leave some touched partitions
+# rewritten and others still old — readers see a torn table with no
+# way to tell. Delta/Iceberg solve this with a transaction log; the
+# minimal plain-parquet analog here is an intent/commit manifest pair
+# under `{path}/_commits` (underscore-prefixed → invisible to Spark,
+# Hive, and DuckDB parquet readers):
+#
+#   1. `{id}.intent.json`  — BEFORE the rewrite: the touched
+#      partition keys + the pre-rewrite file inventory (name, length)
+#      of each touched partition.
+#   2. `{id}.commit.json`  — AFTER the rewrite: the post-rewrite
+#      inventory of the same partitions.
+#
+# `table_state` then classifies the table: latest intent without its
+# commit → TORN (crashed mid-rewrite; per-partition atomicity means
+# each touched partition is wholly old or wholly new, and the intent
+# says which ones to distrust). Latest commit whose recorded
+# inventory no longer matches the files on disk → TORN (post-commit
+# corruption, e.g. files deleted). RECOVERY contract (documented +
+# tested in tests/test_lakehouse.py): re-run the SAME operation —
+# `merge_upsert` with the same change batch is idempotent (matched
+# keys replace, deletes re-apply, second apply is a fixpoint) and
+# `compact_partitioned` is a no-op on already-compacted partitions —
+# which rewrites every touched partition again and lands a new
+# intent+commit pair, returning the state to CLEAN. All file I/O
+# goes through the Hadoop FileSystem API, so the manifest works on
+# any Hadoop-compatible store (local, HDFS, S3A), not just local
+# disk.
+
+_COMMITS_DIR = "_commits"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _hfs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _partition_dir(path: str, partition_cols: list[str], key: tuple) -> str:
+    segs = [
+        f"{c}={_HIVE_NULL if v is None else v}"
+        for c, v in zip(partition_cols, key)
+    ]
+    return "/".join([path.rstrip("/")] + segs)
+
+
+def _inventory(
+    spark: SparkSession, path: str, partition_cols: list[str], keys: list[tuple]
+) -> dict[str, list[list]]:
+    """``{partition_dir: [[file_name, length], ...]}`` for the touched
+    partitions (data files only; empty list when the dir is absent)."""
+    fs, jvm = _hfs(spark, path)
+    inv: dict[str, list[list]] = {}
+    for key in keys:
+        pdir = _partition_dir(path, partition_cols, key)
+        jp = jvm.org.apache.hadoop.fs.Path(pdir)
+        files: list[list] = []
+        if fs.exists(jp):
+            for st in fs.listStatus(jp):
+                name = st.getPath().getName()
+                if st.isFile() and not name.startswith((".", "_")):
+                    files.append([name, int(st.getLen())])
+        inv[pdir] = sorted(files)
+    return inv
+
+
+def _write_json(spark: SparkSession, file_path: str, obj: dict) -> None:
+    import json
+
+    fs, jvm = _hfs(spark, file_path)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(file_path), True)
+    # default=str: date/timestamp partition keys serialize to the same
+    # string form Spark uses in hive directory names, so keys rebuilt
+    # from a re-read manifest resolve to the same partition dirs
+    out.write(
+        bytearray(
+            json.dumps(obj, sort_keys=True, default=str).encode("utf-8")
+        )
+    )
+    out.close()
+
+
+def _read_json(spark: SparkSession, file_path: str) -> dict:
+    import json
+
+    fs, jvm = _hfs(spark, file_path)
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(file_path))
+    reader = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(stream, "UTF-8")
+    )
+    lines = []
+    while True:
+        ln = reader.readLine()
+        if ln is None:
+            break
+        lines.append(ln)
+    reader.close()
+    return json.loads("\n".join(lines))
+
+
+def _commit_ids(spark: SparkSession, path: str) -> list[int]:
+    fs, jvm = _hfs(spark, path)
+    cdir = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{_COMMITS_DIR}")
+    if not fs.exists(cdir):
+        return []
+    ids = set()
+    for st in fs.listStatus(cdir):
+        name = st.getPath().getName()
+        if name.endswith(".intent.json"):
+            ids.add(int(name.split(".")[0]))
+    return sorted(ids)
+
+
+def begin_commit(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    keys: list[tuple],
+) -> int:
+    """Record rewrite INTENT (single-writer contract: ids are assigned
+    by listing, not atomically reserved — concurrent writers need a
+    real table format)."""
+    ids = _commit_ids(spark, path)
+    cid = (ids[-1] + 1) if ids else 0
+    _write_json(
+        spark,
+        f"{path.rstrip('/')}/{_COMMITS_DIR}/{cid:06d}.intent.json",
+        {
+            "id": cid,
+            "partition_cols": partition_cols,
+            "keys": [list(k) for k in keys],
+            "pre": _inventory(spark, path, partition_cols, keys),
+        },
+    )
+    return cid
+
+
+def finish_commit(spark: SparkSession, path: str, cid: int) -> None:
+    intent = _read_json(
+        spark, f"{path.rstrip('/')}/{_COMMITS_DIR}/{cid:06d}.intent.json"
+    )
+    keys = [tuple(k) for k in intent["keys"]]
+    _write_json(
+        spark,
+        f"{path.rstrip('/')}/{_COMMITS_DIR}/{cid:06d}.commit.json",
+        {
+            "id": cid,
+            "post": _inventory(spark, path, intent["partition_cols"], keys),
+        },
+    )
+
+
+def table_state(spark: SparkSession, path: str) -> dict:
+    """Classify the table's commit state.
+
+    Returns ``{"status": "clean" | "torn", "detail": ..., "suspect":
+    [partition_dir, ...]}``. A table with no manifest history is
+    clean (nothing claimed, nothing to distrust)."""
+    ids = _commit_ids(spark, path)
+    if not ids:
+        return {"status": "clean", "detail": "no manifest history", "suspect": []}
+    last = ids[-1]
+    base = f"{path.rstrip('/')}/{_COMMITS_DIR}/{last:06d}"
+    fs, jvm = _hfs(spark, path)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{base}.commit.json")):
+        intent = _read_json(spark, f"{base}.intent.json")
+        return {
+            "status": "torn",
+            "detail": f"intent {last} has no commit: the rewrite it "
+            "declared may have replaced only some of its partitions — "
+            "re-run the same operation to recover",
+            "suspect": sorted(intent["pre"]),
+        }
+    commit = _read_json(spark, f"{base}.commit.json")
+    intent = _read_json(spark, f"{base}.intent.json")
+    keys = [tuple(k) for k in intent["keys"]]
+    now = _inventory(spark, path, intent["partition_cols"], keys)
+    bad = sorted(p for p, files in commit["post"].items() if now.get(p) != files)
+    if bad:
+        return {
+            "status": "torn",
+            "detail": f"commit {last}'s recorded files diverge on disk "
+            "(deleted or truncated after commit) — re-run the same "
+            "operation to recover",
+            "suspect": bad,
+        }
+    return {"status": "clean", "detail": f"commit {last} verified", "suspect": []}
+
+
+def assert_committed(spark: SparkSession, path: str) -> None:
+    """Reader-side guard: raise loudly instead of serving a torn table."""
+    state = table_state(spark, path)
+    if state["status"] != "clean":
+        raise RuntimeError(
+            f"lakehouse table at {path} is torn: {state['detail']} "
+            f"(suspect partitions: {state['suspect']})"
+        )
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,
@@ -65,6 +269,7 @@ def merge_upsert(
     key_cols: list[str],
     partition_cols: list[str],
     delete_col: str | None = None,
+    manifest: bool = True,
 ) -> None:
     """MERGE INTO for a plain-parquet lakehouse table — the idiomatic
     open-Spark form without a row-level table format: copy-on-write at
@@ -93,6 +298,14 @@ def merge_upsert(
     reads the same path it overwrites, and truncating the lineage is
     what makes the self-overwrite safe (and re-runnable) — the
     checkpoint holds only the touched partitions' rows.
+
+    ``manifest=True`` (default) brackets the rewrite with an
+    intent/commit manifest pair (see the commit-manifest section
+    above): a crash between the two leaves a detectable TORN state
+    (``table_state`` / ``assert_committed``), and re-running the same
+    merge with the same change batch is the recovery — the merge is
+    idempotent, so the second apply is a fixpoint. Tested end-to-end
+    (torn simulation + recovery) in tests/test_lakehouse.py.
     """
     current = spark.read.parquet(path)
     part_keys = changes.select(*partition_cols).distinct().collect()
@@ -128,12 +341,16 @@ def merge_upsert(
         .unionByName(upserts)
         .localCheckpoint()
     )
+    keys = [tuple(row[pc] for pc in partition_cols) for row in part_keys]
+    cid = begin_commit(spark, path, partition_cols, keys) if manifest else None
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+    if manifest:
+        finish_commit(spark, path, cid)
 
 
 def compact_partitioned(
@@ -142,6 +359,7 @@ def compact_partitioned(
     partition_cols: list[str],
     target_rows_per_file: int = 1_000_000,
     max_files_per_partition: int = 1,
+    manifest: bool = True,
 ) -> list[tuple]:
     """Small-file compaction for a hive-partitioned parquet table —
     the maintenance half of a streaming/CDC lakehouse. Micro-batch
@@ -160,8 +378,12 @@ def compact_partitioned(
     touched-partition discipline as ``merge_upsert``, so compaction
     of one hot day never rewrites the other 36,499. The rewrite rides
     ``partitionOverwriteMode=dynamic`` with a localCheckpoint
-    truncating lineage before the self-overwrite. Returns the list of
-    compacted partition-key tuples.
+    truncating lineage before the self-overwrite, bracketed by the
+    intent/commit manifest (``manifest=True``) so a crash mid-rewrite
+    is detectable via ``table_state`` and recoverable by re-running
+    (already-compacted partitions fail the file-count filter, so the
+    re-run touches only what the crash left torn). Returns the list
+    of compacted partition-key tuples.
     """
     current = spark.read.parquet(path)
     counts = (
@@ -211,11 +433,27 @@ def compact_partitioned(
     for pc in partition_cols:
         c = F.col(f"t.{pc}").eqNullSafe(F.col(f"k.{pc}"))
         cond = c if cond is None else (cond & c)
+    # salt = hash of the data columns MIXED with a per-row id: a hash
+    # of values alone is a pure function of row CONTENT, so a
+    # duplicate-heavy partition (or a table with only partition
+    # columns, where data_cols is empty and a bare xxhash64() throws)
+    # would collapse onto one salt, never split past one-file-per-
+    # distinct-row, and be re-selected by the file-count filter on
+    # every run. The id is nondeterministic across task retries, which
+    # the write tolerates on Spark >= 3.3 (SPARK-38388 indeterminate-
+    # stage handling re-runs the whole stage, and file placement — not
+    # content — is all that varies); partition CONTENT is
+    # salt-invariant either way.
     touched = t.join(kk, cond).select(
         *[F.col(f"t.{c}") for c in current.columns], F.col("k._k").alias("_k")
     ).withColumn(
         "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), F.col("_k")),
+        F.pmod(
+            F.xxhash64(
+                *[F.col(c) for c in data_cols], F.monotonically_increasing_id()
+            ),
+            F.col("_k"),
+        ),
     )
     n_tasks = sum(max(1, -(-row["_rows"] // target_rows_per_file)) for row in counts)
     touched = (
@@ -223,13 +461,17 @@ def compact_partitioned(
         .drop("_k", "_salt")
         .localCheckpoint()
     )
+    keys = [tuple(row[pc] for pc in partition_cols) for row in counts]
+    cid = begin_commit(spark, path, partition_cols, keys) if manifest else None
     (
         touched.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*partition_cols)
         .parquet(path)
     )
-    return [tuple(row[pc] for pc in partition_cols) for row in counts]
+    if manifest:
+        finish_commit(spark, path, cid)
+    return keys
 
 
 #: bits per clustering column in the Z-order key (256 rank buckets);

@@ -414,3 +414,107 @@ def test_merge_upsert_null_flag_and_null_key(spark):
     )
     rows = {(r.k1, r.k2): r.v for r in spark.read.parquet(path).collect()}
     assert rows == {("a", None): 11, ("c", "y"): 30}
+
+
+def test_torn_rewrite_detection_and_recovery(spark):
+    """Crash-consistency (the manifest commit): dynamic partition
+    overwrite is atomic per partition but not across partitions, so a
+    crash mid-merge can leave one touched partition NEW and another
+    still OLD. Simulate exactly that — month=1 rolled back to its
+    pre-merge files, the commit marker never written — and assert:
+    (1) table_state reports TORN and names the suspect partitions,
+    (2) assert_committed raises instead of serving the torn table,
+    (3) re-running the SAME merge (the documented recovery contract)
+    lands a new intent+commit and converges to the clean post-merge
+    answer — the merge is idempotent, so the partition that DID swap
+    before the crash is not double-applied."""
+    import pytest
+
+    from map_reduce_sf_crime_spark.sources.lakehouse import (
+        assert_committed,
+        merge_upsert,
+        table_state,
+    )
+
+    path = os.path.join(SCRATCH, "torn_fact")
+    shutil.rmtree(path, ignore_errors=True)
+    daily = (
+        incidents(spark, SF_SMOKE)
+        .groupBy(F.month("d").alias("month"), "d", "category", "district")
+        .agg(F.count(F.lit(1)).alias("crimes"))
+    )
+    write_partitioned(daily, path, ["month"])
+    assert table_state(spark, path)["status"] == "clean"  # no history yet
+
+    backup = os.path.join(SCRATCH, "torn_fact_m1_backup")
+    shutil.rmtree(backup, ignore_errors=True)
+    shutil.copytree(os.path.join(path, "month=1"), backup)
+
+    # the change batch must be STABLE data (not a live plan over the
+    # table being merged), as a real CDC batch would be
+    changes = (
+        read_partitioned(spark, path)
+        .filter(F.col("month").isin(1, 2))
+        .withColumn("crimes", F.col("crimes") + 1000)
+        .localCheckpoint()
+    )
+    key_cols, part_cols = ["d", "category", "district"], ["month"]
+    merge_upsert(spark, path, changes, key_cols=key_cols, partition_cols=part_cols)
+    assert table_state(spark, path)["status"] == "clean"
+    want = {
+        (r.month, r.d, r.category, r.district): r.crimes
+        for r in read_partitioned(spark, path).collect()
+    }
+
+    # crash simulation: commit marker gone, month=1 still the OLD files
+    commits = os.path.join(path, "_commits")
+    marker = sorted(
+        f for f in os.listdir(commits) if f.endswith(".commit.json")
+    )[-1]
+    os.remove(os.path.join(commits, marker))
+    shutil.rmtree(os.path.join(path, "month=1"))
+    shutil.copytree(backup, os.path.join(path, "month=1"))
+
+    state = table_state(spark, path)
+    assert state["status"] == "torn"
+    assert any(p.endswith("month=1") for p in state["suspect"])
+    with pytest.raises(RuntimeError, match="torn"):
+        assert_committed(spark, path)
+
+    # recovery: re-run the same merge with the same batch
+    merge_upsert(spark, path, changes, key_cols=key_cols, partition_cols=part_cols)
+    assert table_state(spark, path)["status"] == "clean"
+    got = {
+        (r.month, r.d, r.category, r.district): r.crimes
+        for r in read_partitioned(spark, path).collect()
+    }
+    assert got == want
+
+
+def test_commit_detects_post_commit_file_loss(spark):
+    """The other torn shape: the commit landed but files recorded in
+    it were later deleted/truncated — table_state compares the
+    committed inventory against the disk and flags the divergence."""
+    from map_reduce_sf_crime_spark.sources.lakehouse import (
+        merge_upsert,
+        read_partitioned,
+        table_state,
+    )
+
+    path = os.path.join(SCRATCH, "lost_files_fact")
+    shutil.rmtree(path, ignore_errors=True)
+    base = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "c", 30)], "p int, k string, v long"
+    )
+    write_partitioned(base, path, ["p"])
+    changes = spark.createDataFrame([(1, "a", 11)], "p int, k string, v long")
+    merge_upsert(spark, path, changes, key_cols=["k"], partition_cols=["p"])
+    assert table_state(spark, path)["status"] == "clean"
+    pdir = os.path.join(path, "p=1")
+    victim = sorted(
+        f for f in os.listdir(pdir) if f.endswith(".parquet")
+    )[0]
+    os.remove(os.path.join(pdir, victim))
+    state = table_state(spark, path)
+    assert state["status"] == "torn"
+    assert any(p.endswith("p=1") for p in state["suspect"])
