@@ -5,10 +5,12 @@ Policy for a 100 TB training pipeline: media payloads are opaque
 frame-sample run as Arrow-batched Pandas UDFs (``mapInPandas``) so the
 JVM↔Python transfer is columnar and the Python work is per-batch, not
 per-row. The heavy codecs (PIL/ffmpeg/soundfile) are NOT in this
-image, so the decode step is stubbed: ``decode_image`` raises
-``NotImplementedError`` unless given the deterministic fake decoder —
-but the Spark-side plumbing (schema, partitioning, batch iteration,
-UDF signatures) is real and tested (tests/test_multimodal.py).
+image; ``decode_image`` is a real stdlib-only decoder for the
+uncompressed formats (P5 PGM, BI_RGB BMP) and raises loudly for
+compressed ones — the decoder seam is injectable
+(``extract_features(media, decoder=...)``), and the Spark-side
+plumbing (schema, partitioning, batch iteration, UDF signatures) is
+identical for any decoder (tests/test_multimodal.py).
 
 The testdata has no binary table, so payloads are derived from
 ``documents.text`` (utf-8 bytes) — stand-ins with realistic plumbing.
@@ -48,13 +50,96 @@ def with_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real decoder stub — the image libs are not in this container.
+def decode_image(payload: bytes) -> dict:
+    """Real (stdlib-only) image decoder for the two uncompressed
+    formats a header+pixel parse can handle without codec libraries:
 
-    A production deployment plugs PIL/torchvision in here; everything
-    around it (batching, schema, partitioning) is already real.
+    - **PGM binary (P5)** — netpbm grayscale: ``P5 <w> <h> <maxval>``
+      header (whitespace/comment tolerant) then ``w*h`` raw bytes
+      (maxval ≤ 255).
+    - **BMP (BI_RGB)** — uncompressed 8- or 24-bit Windows bitmaps:
+      BITMAPFILEHEADER (pixel-array offset at bytes 10..13) +
+      BITMAPINFOHEADER (width/height/bpp/compression); rows are
+      4-byte aligned, bottom-up (negative height = top-down), and the
+      mean skips the row padding.
+
+    Returns the same contract the feature-extraction seam consumes —
+    ``n_frames`` (always 1 for stills) and ``mean_byte`` (mean pixel
+    byte value) — plus ``width``/``height``/``format`` metadata.
+    Compressed formats (JPEG/PNG/…) still raise: a production
+    deployment plugs PIL/torchvision into the same injectable seam
+    (``extract_features(media, decoder=...)``), whose batching,
+    schema, and partitioning are identical for any decoder.
+    Decode is pinned against independently-computed fixtures in
+    tests/test_multimodal.py.
     """
-    raise NotImplementedError("image codecs not available in this environment")
+    import struct
+
+    if payload[:2] == b"P5":
+        # netpbm header: 3 ints after the magic, '#' comments legal
+        fields: list[int] = []
+        i = 2
+        while len(fields) < 3:
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":
+                while i < len(payload) and payload[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+        i += 1  # single whitespace byte after maxval, then raster
+        w, h, maxval = fields
+        if maxval > 255:
+            raise ValueError(f"16-bit PGM not supported (maxval={maxval})")
+        n = w * h
+        pixels = payload[i : i + n]
+        if len(pixels) != n:
+            raise ValueError(f"PGM truncated: want {n} bytes, got {len(pixels)}")
+        return {
+            "n_frames": 1,
+            "mean_byte": (sum(pixels) / n) if n else 0.0,
+            "width": w,
+            "height": h,
+            "format": "pgm",
+        }
+    if payload[:2] == b"BM":
+        if len(payload) < 54:
+            raise ValueError("BMP truncated before BITMAPINFOHEADER")
+        (pix_off,) = struct.unpack_from("<I", payload, 10)
+        w, h = struct.unpack_from("<ii", payload, 18)
+        (bpp,) = struct.unpack_from("<H", payload, 28)
+        (compression,) = struct.unpack_from("<I", payload, 30)
+        if compression != 0:
+            raise ValueError(f"only BI_RGB (uncompressed) BMP supported, got {compression}")
+        if bpp not in (8, 24):
+            raise ValueError(f"only 8/24-bit BMP supported, got {bpp}")
+        abs_h = abs(h)
+        row_bytes = (w * bpp) // 8
+        stride = (row_bytes + 3) & ~3  # rows pad to 4-byte boundaries
+        total, count = 0, 0
+        for r in range(abs_h):
+            start = pix_off + r * stride
+            row = payload[start : start + row_bytes]
+            if len(row) != row_bytes:
+                raise ValueError(f"BMP truncated at row {r}")
+            total += sum(row)
+            count += row_bytes
+        return {
+            "n_frames": 1,
+            "mean_byte": (total / count) if count else 0.0,
+            "width": w,
+            "height": abs_h,
+            "format": "bmp",
+        }
+    raise ValueError(
+        "unsupported image format (stdlib decoder handles P5 PGM and "
+        "uncompressed BMP; plug a codec-backed decoder into "
+        "extract_features for JPEG/PNG/...)"
+    )
 
 
 def fake_decode(payload: bytes) -> dict:

@@ -146,14 +146,20 @@ def embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def l2(vecs: pd.Series) -> pd.Series:
-        out = []
-        for v in vecs:
-            m = np.asarray(v, dtype=np.float64)
-            acc = 0.0
-            for d in range(m.shape[0]):
-                acc += m[d] * m[d]
-            out.append(float(np.sqrt(acc)))
-        return pd.Series(out)
+        # accumulate one DIMENSION at a time over the whole Arrow
+        # batch matrix: the same sequential float64 fold order as the
+        # SQL oracle (so sqrt+round stay bit-identical — numpy's
+        # pairwise einsum/norm would diverge in the last ulp), but
+        # vectorized across ROWS: dim Python iterations per batch
+        # instead of dim per row
+        if not len(vecs):
+            return pd.Series([], dtype="float64")
+        m = np.array(list(vecs), dtype=np.float64)
+        acc = np.zeros(m.shape[0], dtype=np.float64)
+        for d in range(m.shape[1]):
+            col = m[:, d]
+            acc += col * col
+        return pd.Series(np.sqrt(acc))
 
     emb = _emb(spark, sf_dir)
     norms = emb.select(

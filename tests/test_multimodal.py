@@ -25,9 +25,86 @@ def test_payload_schema(spark):
     assert r.n_bytes == len(r.payload)
 
 
-def test_real_decoder_is_gated(spark):
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+def _make_pgm(w: int, h: int, pixels: bytes) -> bytes:
+    """Independent P5 construction (with a header comment, which the
+    parser must skip)."""
+    assert len(pixels) == w * h
+    return b"P5\n# fixture\n%d %d\n255\n" % (w, h) + pixels
+
+
+def _make_bmp24(w: int, h: int, rows_rgb: list[bytes]) -> bytes:
+    """Independent bottom-up 24-bit BI_RGB BMP construction: standard
+    54-byte header + 4-byte-aligned rows."""
+    import struct
+
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3
+    pix = b"".join(r + b"\x00" * (stride - row_bytes) for r in rows_rgb)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 0, 0, 0, 0)
+    )
+    return header + pix
+
+
+def test_real_decoder_pgm_and_bmp(spark, tmp_path):
+    """decode_image is a real decoder now: a planted PGM file on disk
+    and an in-memory BMP both decode, with mean/width/height checked
+    against independent arithmetic; compressed formats still fail
+    loudly."""
+    pixels = bytes(range(12))  # 4x3 grayscale, mean = 5.5
+    pgm = _make_pgm(4, 3, pixels)
+    planted = tmp_path / "fixture.pgm"
+    planted.write_bytes(pgm)
+    got = multimodal.decode_image(planted.read_bytes())
+    assert (got["width"], got["height"], got["format"]) == (4, 3, "pgm")
+    assert got["n_frames"] == 1
+    assert got["mean_byte"] == sum(pixels) / 12
+
+    # 2x2 24-bit BMP, bottom-up rows, padding must NOT enter the mean
+    rows = [bytes([1, 2, 3, 4, 5, 6]), bytes([7, 8, 9, 10, 11, 12])]
+    bmp = _make_bmp24(2, 2, rows)
+    got = multimodal.decode_image(bmp)
+    assert (got["width"], got["height"], got["format"]) == (2, 2, "bmp")
+    assert got["mean_byte"] == sum(range(1, 13)) / 12
+
+    with pytest.raises(ValueError, match="unsupported image format"):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError, match="BI_RGB"):
+        bad = bytearray(bmp)
+        bad[30] = 1  # BI_RLE8
+        multimodal.decode_image(bytes(bad))
+
+
+def test_real_decoder_through_spark_pipeline(spark):
+    """The same injectable seam the fake decoder uses runs the REAL
+    decoder end-to-end through mapInPandas: binary payload column in,
+    per-image features out."""
+    imgs = [
+        (0, _make_pgm(4, 3, bytes(range(12)))),
+        (1, _make_bmp24(2, 2, [bytes([1, 2, 3, 4, 5, 6]), bytes([7, 8, 9, 10, 11, 12])])),
+        (2, _make_pgm(1, 1, b"\xff")),
+    ]
+    import hashlib
+
+    media = spark.createDataFrame(
+        [
+            (doc_id, p, len(p), hashlib.md5(p).hexdigest())
+            for doc_id, p in imgs
+        ],
+        "doc_id long, payload binary, n_bytes int, checksum string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in multimodal.extract_features(
+            media, decoder=multimodal.decode_image
+        ).collect()
+    }
+    assert rows[0].mean_byte == 5.5
+    assert rows[1].mean_byte == 6.5
+    assert rows[2].mean_byte == 255.0
+    assert all(rows[i].n_frames == 1 for i in rows)
 
 
 def test_feature_extraction_batches(spark):
