@@ -25,6 +25,15 @@ window outlasts one query's rep block (~10-60 s). So:
   particular run was — is visible in the recorded artifact;
 - host steal before/after the suite is sampled into ``steal_pct`` as
   a contention diagnostic.
+
+REGRESSION RULE (how to read rounds against each other): a change is
+a regression if EITHER the min or the median total worsens
+meaningfully. The min is robust to additive contention but blind to
+engine-side variance that hits only some reps (GC pressure, spill,
+codegen re-JIT): a change that slows 4 of 5 reps still reports a
+clean min. Gate on both numbers — min for "did the engine's floor
+move", median for "did typical-rep behavior move" — and consult
+steal_pct before attributing a median-only shift to code.
 """
 
 from __future__ import annotations

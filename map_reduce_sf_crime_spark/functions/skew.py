@@ -39,9 +39,17 @@ def salted_agg(
     of the full row: a hash of the columns alone is a pure function of
     the VALUES, so fully-duplicate rows (or a key-only projection) —
     exactly the hot-key shapes salting exists for — would all land on
-    one salt and not spread at all. The id is nondeterministic across
-    retries, which is safe here: the final aggregate is invariant to
-    how rows are partitioned among salts."""
+    one salt and not spread at all.
+
+    REQUIRES Spark >= 3.3: the id is nondeterministic across task
+    retries, and a nondeterministic expression feeding a shuffle key
+    is only safe under indeterminate-stage handling (SPARK-38388),
+    which rolls back and recomputes the WHOLE downstream stage on a
+    fetch failure instead of mixing partials fetched under two
+    different salt assignments (double-count/loss). With that
+    machinery the final aggregate is invariant to how rows are
+    partitioned among salts; on older Spark, pre-materialize the salt
+    (e.g. checkpoint after withColumn) before aggregating."""
     salt = F.pmod(
         F.xxhash64(*df.columns, F.monotonically_increasing_id()),
         F.lit(n_salts),

@@ -55,6 +55,16 @@ _DIMS = {
 }
 _MEASURES = {"crimes"}  # sum aggregator (sfcrime.xml:27)
 
+#: Mondrian default member of the hasAll="false" [Time] hierarchy
+#: (sfcrime.xml:19: defaultMember="[Time].[2013].[1].[1]"): a query
+#: that references [Time] on NO axis and NOT in the slicer is
+#: evaluated at this member, not over all time. District/Category
+#: have hasAll="true" with the All member as default, so leaving them
+#: unmentioned correctly means "no filter". Overridable per query
+#: (``time_default=``) because the member is cube DATA, not grammar —
+#: a fixture whose corpus is 1995-Q1 sets its own.
+TIME_DEFAULT_MEMBER: tuple[int, ...] = (2013, 1, 1)
+
 
 class MdxError(ValueError):
     pass
@@ -70,6 +80,7 @@ class _Member:
     filters: list[tuple[str, object]] = field(default_factory=list)
     enum_col: str | None = None
     caption: list[str] = field(default_factory=list)  # static caption parts
+    hierarchy: str | None = None  # resolved dimension name (None = measure)
 
 
 _TOKEN = re.compile(
@@ -183,7 +194,7 @@ def _resolve(segs: list[str], suffix: str | None) -> _Member:
     dim = _DIMS[head]
     levels = dim["levels"]
     path = segs[1:]
-    m = _Member()
+    m = _Member(hierarchy=head)
     li = 0
     if dim["all"] is not None:
         # an explicit leading all-member is a no-op filter; its caption
@@ -273,10 +284,24 @@ def _axis_label(tup: list[_Member]):
     return F.concat_ws(", ", *parts) if parts else F.lit("(all)")
 
 
-def mdx_cells(star: DataFrame, query: MdxQuery) -> DataFrame:
+def mdx_cells(
+    star: DataFrame,
+    query: MdxQuery,
+    time_default: tuple[int, ...] | None = None,
+) -> DataFrame:
     """Evaluate a parsed MDX query against the wide star frame
     (columns: crimes, category, district, year, month, week, day).
-    Returns tidy cells ``(row_member, col_member, crimes)``."""
+    Returns tidy cells ``(row_member, col_member, crimes)``.
+
+    Mondrian semantics for hierarchies absent from every axis and the
+    slicer: they evaluate at their DEFAULT member. For District and
+    Category that is the All member (no filter); for the
+    hasAll="false" [Time] hierarchy the cube pins
+    ``defaultMember="[Time].[2013].[1].[1]"`` (sfcrime.xml:19), so a
+    query that never names [Time] is implicitly sliced to that
+    (year, month, week) prefix — NOT aggregated over all time.
+    ``time_default`` overrides the member path (cube data, not
+    grammar); None uses :data:`TIME_DEFAULT_MEMBER`."""
     measures = [
         m.measure
         for tup in query.columns + query.rows
@@ -285,11 +310,25 @@ def mdx_cells(star: DataFrame, query: MdxQuery) -> DataFrame:
     ]
     if len(measures) > 1:
         raise MdxError("one measure per query")
+    implicit: list[tuple[str, object]] = []
+    mentions_time = any(
+        m.hierarchy == "time"
+        for tup in query.columns + query.rows + [query.slicer]
+        for m in tup
+    )
+    if not mentions_time:
+        path = TIME_DEFAULT_MEMBER if time_default is None else time_default
+        implicit = [
+            (col, int(v))
+            for (_, col), v in zip(_DIMS["time"]["levels"], path)
+        ]
     out = None
     for ctup in query.columns:
         for rtup in query.rows:
             members = ctup + rtup + query.slicer
             df = star
+            for col, val in implicit:
+                df = df.filter(F.col(col) == val)
             for mem in members:
                 for col, val in mem.filters:
                     df = df.filter(F.col(col) == val)
@@ -311,9 +350,16 @@ def mdx_cells(star: DataFrame, query: MdxQuery) -> DataFrame:
     return out
 
 
-def mdx_query(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+def mdx_query(
+    spark: SparkSession,
+    sf_dir: str,
+    text: str,
+    time_default: tuple[int, ...] | None = None,
+) -> DataFrame:
     """Parse and run an MDX query end-to-end over the engine's star
     schema (the same cached star join the rollup surface uses)."""
     from .plans.olap_queries import _star_join
 
-    return mdx_cells(_star_join(spark, sf_dir), parse_mdx(text))
+    return mdx_cells(
+        _star_join(spark, sf_dir), parse_mdx(text), time_default=time_default
+    )

@@ -135,6 +135,53 @@ _MDX_TOTALS_SQL = f"""
 """
 
 
+#: The reference's three committed MDX queries (bycategory.mdx:1-4,
+#: bydistrict.mdx:1-4, mondrian.jsp:6-9) with the single year member
+#: rebound to the fixture's quarter: the reference corpus is 2013-Q1,
+#: the testdata analog is 1995-Q1 (crimes_view.py), so [Time].[2013]
+#: becomes [Time].[1995] — every other byte is the reference text.
+#: These run through the FULL MDX front-end (tokenizer → parser →
+#: compiler → tidy cells, mdx.py) inside the gate, so the hard
+#: correctness signal hash-checks MDX-computed cells, not just the
+#: equivalent hand-written rollups. (The byte-verbatim 2013 texts are
+#: additionally pinned in tests/test_mdx.py.)
+_MDX_VERBATIM = {
+    "bycategory": """select {([Measures].[crimes], [Time].[1995])} ON COLUMNS,
+  {[Category].[All Categories]} ON ROWS
+from [sfcrime]
+where [District].[All Districts]
+""",
+    "bydistrict": """select {([Measures].[crimes], [Time].[1995])} ON COLUMNS,
+  {[District].[All Districts]} ON ROWS
+from [sfcrime]
+where [Category].[All Categories]
+""",
+    "jsp": """select {[Measures].[crimes]} ON COLUMNS,
+  {([District].[All Districts], [Category].[All Categories])} ON ROWS
+from [sfcrime]
+where [Time].[1995]
+""",
+}
+
+_MDX_VERBATIM_SQL = """
+    select 'mdx_verbatim' as hierarchy, 'All Categories' as l1,
+           'crimes, 1995' as l2, 'bycategory' as l3,
+           cast(sum(crimes) as bigint) as crimes
+    from ({sj}) s where year = 1995
+    union all
+    select 'mdx_verbatim' as hierarchy, 'All Districts' as l1,
+           'crimes, 1995' as l2, 'bydistrict' as l3,
+           cast(sum(crimes) as bigint) as crimes
+    from ({sj}) s where year = 1995
+    union all
+    select 'mdx_verbatim' as hierarchy,
+           'All Districts, All Categories' as l1,
+           'crimes' as l2, 'jsp' as l3,
+           cast(sum(crimes) as bigint) as crimes
+    from ({sj}) s where year = 1995
+""".format(sj=_STAR_JOIN_SQL)
+
+
 @register(
     "olap_rollups",
     f"""
@@ -156,8 +203,10 @@ _MDX_TOTALS_SQL = f"""
            cast(sum(crimes) as bigint) as crimes
     from ({_STAR_JOIN_SQL}) s
     group by rollup (year, month, week)
+    union all
+    {_MDX_VERBATIM_SQL}
     """,
-    survey_ids=("A5", "J4"),
+    survey_ids=("A5", "J4", "MDX"),
 )
 def olap_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole MDX/Mondrian aggregate surface in one tagged row-set:
@@ -225,4 +274,18 @@ def olap_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
             "crimes",
         )
     )
-    return tagged.unionByName(geo)
+    # the reference's three MDX queries, through the REAL front-end
+    # (parse → compile → cells over the same cached star)
+    from ..mdx import mdx_cells, parse_mdx
+
+    out = tagged.unionByName(geo)
+    for tag, text in _MDX_VERBATIM.items():
+        cells = mdx_cells(sj, parse_mdx(text)).select(
+            F.lit("mdx_verbatim").alias("hierarchy"),
+            F.col("row_member").alias("l1"),
+            F.col("col_member").alias("l2"),
+            F.lit(tag).alias("l3"),
+            "crimes",
+        )
+        out = out.unionByName(cells)
+    return out

@@ -253,3 +253,41 @@ def test_on_disk_reference_mdx_files_run(spark):
         df = mdx_query(spark, SF_SMOKE, text)
         assert df.columns == ["row_member", "col_member", "crimes"]
         df.collect()
+
+
+def test_default_time_member_implicit_slicer(spark):
+    """Mondrian evaluates hierarchies absent from every axis and the
+    slicer at their DEFAULT member; the cube pins [Time]'s default to
+    [2013].[1].[1] (hasAll=false, sfcrime.xml:19). A query that never
+    names [Time] must therefore slice to that member — with the
+    cube's literal 2013 default the 1995 fixture has no cells — and an
+    overridden fixture-appropriate default must equal the direct
+    (year, month, week) filtered aggregate."""
+    from map_reduce_sf_crime_spark.plans.olap_queries import _star_join
+
+    q = """select {[Measures].[crimes]} ON COLUMNS,
+      {[District].[All Districts]} ON ROWS
+    from [sfcrime]"""
+    assert mdx_query(spark, SF_SMOKE, q).count() == 0  # 2013 default
+
+    sj = _star_join(spark, SF_SMOKE)
+    first = (
+        sj.select("year", "month", "week")
+        .orderBy("year", "month", "week")
+        .limit(1)
+        .collect()[0]
+    )
+    default = (first.year, first.month, first.week)
+    rows = mdx_query(spark, SF_SMOKE, q, time_default=default).collect()
+    want = (
+        sj.filter(
+            (F.col("year") == default[0])
+            & (F.col("month") == default[1])
+            & (F.col("week") == default[2])
+        )
+        .agg(F.sum("crimes"))
+        .collect()[0][0]
+    )
+    assert len(rows) == 1
+    assert rows[0].row_member == "All Districts"
+    assert rows[0].crimes == want
