@@ -574,7 +574,17 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     diameter) rounds — dup components are near-cliques, so 2-3 rounds
     in practice. Driver-side loop with a converged-count check and a
     localCheckpoint per round to truncate lineage — the canonical
-    Spark shape for iterative algorithms."""
+    Spark shape for iterative algorithms.
+
+    Sizing ``max_iter``: the bound is the worst COMPONENT DIAMETER,
+    not the doc count — the min label travels one hop per round, so a
+    pure chain of D near-dup docs needs ~D rounds (pathological-graph
+    behavior pinned in tests/test_dedup.py), while the near-clique
+    components real dedup produces converge in 2-3. Exhaustion raises
+    rather than returning silently-divergent labels; if that fires on
+    real data the graph has a long chain of pairwise-similar docs and
+    max_iter should be raised toward its length (or the pair
+    threshold tightened)."""
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )

@@ -971,6 +971,61 @@ def pq_topk_indexed(
     )
 
 
+#: Target b-side rows per within-cluster join key: a hot cluster of
+#: size m is split into ceil(m / this) hash blocks, bounding one
+#: task's pair work at ~m × this instead of m² — see
+#: :func:`_semdedup_candidates`.
+SEMDEDUP_BLOCK_ROWS = 256
+
+
+def _semdedup_candidates(sides: DataFrame) -> DataFrame:
+    """Within-cluster ordered pair candidates ``(centroid_id, _blk,
+    a_id, a_emb, b_id, b_emb)`` with ADAPTIVE block decomposition —
+    the structural answer to the hot-cluster skew question.
+
+    The scaled quantizer keeps the MEAN cluster near
+    ``SEMDEDUP_ROWS_PER_CLUSTER``, but natural embedding clusters are
+    Zipfian: one hot centroid with m ≫ mean recreates an m²/2 pair
+    list inside ONE join task (and at local fixture sizes the input
+    bytes sit far below AQE's skew-split threshold, so no runtime
+    rescue). Fix by construction: per cluster, the b-side is hashed
+    into ``nb = ceil(m / SEMDEDUP_BLOCK_ROWS)`` blocks and the a-side
+    is replicated to every block (``explode(sequence(...))``), so the
+    join key becomes ``(centroid_id, _blk)`` — each pair matches in
+    exactly one block (its b's), per-task pair work is bounded at
+    ~m × SEMDEDUP_BLOCK_ROWS, and the hot cluster fans out over nb
+    tasks. Normal-size clusters get nb = 1: no replication, same
+    single-key join as before. The per-cluster block counts ride a
+    broadcast (≤ k rows). Result set is IDENTICAL to the plain
+    centroid join — only the partitioning changes (pinned in
+    tests/test_similarity.py)."""
+    sizes = sides.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("_csize"))
+    blocks = sizes.select(
+        "centroid_id",
+        F.greatest(
+            F.lit(1), F.ceil(F.col("_csize") / F.lit(SEMDEDUP_BLOCK_ROWS))
+        )
+        .cast("int")
+        .alias("_nb"),
+    )
+    tagged = sides.join(F.broadcast(blocks), "centroid_id")
+    lo = tagged.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        "centroid_id",
+        F.explode(F.sequence(F.lit(0), F.col("_nb") - 1)).alias("_blk"),
+    )
+    hi = tagged.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        "centroid_id",
+        F.pmod(F.xxhash64("vec_id"), F.col("_nb")).cast("int").alias("_blk"),
+    )
+    return lo.join(hi, ["centroid_id", "_blk"]).filter(
+        F.col("a_id") < F.col("b_id")
+    )
+
+
 def semdedup_k(n: int) -> int:
     """Corpus-scaled SemDeDup cluster count: ``clamp(n // 100, 32,
     65536)``. Integer arithmetic only (no transcendentals) so the
@@ -999,8 +1054,11 @@ def semantic_dedup(
     probe); pass an explicit ``k`` only for controlled experiments —
     a pinned small k makes the lists grow (n/k)² and was the one
     scale-killer flagged in round 2. The self-join buckets on
-    centroid_id, cosines are exact JVM-side fold expressions, and
-    AQE's skew-join split is the backstop for a hot cluster.
+    (centroid_id, block): a HOT natural cluster (Zipfian sizes
+    survive a scaled k) is adaptively split into hash blocks so no
+    single task ever owns an m² pair list — see
+    :func:`_semdedup_candidates`; cosines are exact JVM-side fold
+    expressions.
     Soundness: every dropped vector has a genuine ≥-threshold
     neighbor (cosine is exact, no approximation in the verify step);
     only RECALL is approximate — cross-cluster near-dups are
@@ -1009,19 +1067,8 @@ def semantic_dedup(
         k = semdedup_k(emb.count())
     a = ivf_assignments(emb, k)
     sides = emb.select("vec_id", "embedding").join(a, "vec_id")
-    lo = sides.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_emb"),
-        "centroid_id",
-    )
-    hi = sides.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_emb"),
-        "centroid_id",
-    )
     prior = (
-        lo.join(hi, "centroid_id")
-        .filter(F.col("a_id") < F.col("b_id"))
+        _semdedup_candidates(sides)
         .groupBy(F.col("b_id").alias("vec_id"))
         .agg(
             F.round(

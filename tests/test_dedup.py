@@ -3,6 +3,7 @@ banding exactness."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from map_reduce_sf_crime_spark.operators import dedup
@@ -191,3 +192,25 @@ def test_ppjoin_prunes_lossless_at_exact_threshold(spark):
     )
     assert exact == naive
     assert exact and exact[0][:2] == (1, 2) and exact[0][2] == 0.8
+
+
+def test_dup_clusters_pathological_chain(spark):
+    """Pathological-graph behavior: min-label propagation moves the
+    min one hop per round, so a CHAIN of diameter D needs ~D rounds.
+    A max_iter below the diameter must raise loudly (never return
+    silently-divergent labels); a max_iter above it must converge the
+    chain AND a star mix to single components labeled by min doc_id,
+    within the documented diameter bound."""
+    chain = [(i, i + 1) for i in range(29)]          # diameter 29
+    star = [(100, s) for s in range(101, 121)]       # diameter 2
+    pairs = spark.createDataFrame(chain + star, "doc_a long, doc_b long")
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_clusters(pairs, max_iter=5)
+
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dup_clusters(pairs, max_iter=35).collect()
+    }
+    assert all(labels[i] == 0 for i in range(30))
+    assert all(labels[s] == 100 for s in [100, *range(101, 121)])

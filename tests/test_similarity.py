@@ -272,3 +272,100 @@ def test_indexed_external_namespace_no_self_exclusion(spark):
     top = min(rows, key=lambda x: x.rk)
     assert (top.vec_id, top.cosine, top.rk) == (3, 1.0, 1)
     shutil.rmtree(base, ignore_errors=True)
+
+
+def _hot_cluster_fixture(spark, n=1200, k=16, dim=8, seed=7):
+    """Pathological embedding table: the coarse quantizer is the
+    first ``k`` vectors by vec_id, so vec 0 is planted as the ONE
+    hot direction, vecs 1..k-1 are spread, and half of the remaining
+    corpus packs tightly around vec 0's direction — one coarse cell
+    swallows ~half the corpus. Deterministic (seeded)."""
+    import random
+
+    rng = random.Random(seed)
+    hot = [1.0] + [0.0] * (dim - 1)
+    rows = []
+    for i in range(n):
+        if i == 0:
+            v = hot
+        elif i < k or i % 2 == 1:
+            v = [rng.uniform(-1, 1) for _ in range(dim)]
+        else:
+            v = [x + rng.uniform(-0.01, 0.01) for x in hot]
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semdedup_hot_cluster_blocked_join(spark):
+    """Hot-cluster skew hardening: with half the corpus in one coarse
+    cell, the within-cluster join must (a) return EXACTLY the same
+    flags as the semantics demand, and (b) split the hot cluster's
+    pair work over many (centroid_id, _blk) keys with per-key
+    candidate counts bounded by ~cluster_size x SEMDEDUP_BLOCK_ROWS —
+    never the single m^2/2 task the unblocked join would produce."""
+    from pyspark.sql import functions as F
+
+    emb = _hot_cluster_fixture(spark).cache()
+    try:
+        k = 16
+        got = {
+            r.vec_id: (r.sd_max_prior_sim, r.sd_keep)
+            for r in similarity.semantic_dedup(emb, k=k).collect()
+        }
+        # independent recompute: assignments + per-cluster numpy max
+        import numpy as np
+
+        assign = {
+            r.vec_id: r.centroid_id
+            for r in similarity.ivf_assignments(emb, k).collect()
+        }
+        vecs = {r.vec_id: np.array(r.embedding) for r in emb.collect()}
+        want_prior = {}
+        by_cluster: dict[int, list[int]] = {}
+        for vid in sorted(vecs):
+            by_cluster.setdefault(assign[vid], []).append(vid)
+        for members in by_cluster.values():
+            for j, b in enumerate(members):
+                best = 0.0
+                for a in members[:j]:
+                    va, vb = vecs[a], vecs[b]
+                    cos = float(
+                        va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+                    )
+                    best = max(best, round(cos, 6))
+                want_prior[b] = best
+        assert set(got) == set(vecs)
+        for vid, (sim, keep) in got.items():
+            assert abs(sim - want_prior.get(vid, 0.0)) < 2e-6, vid
+            assert keep == (want_prior.get(vid, 0.0) < similarity.SEMDEDUP_THRESHOLD)
+
+        # structural: the hot cluster fans out over multiple block keys,
+        # and no single key carries more than size x BLOCK_ROWS pairs
+        sides = emb.select("vec_id", "embedding").join(
+            similarity.ivf_assignments(emb, k), "vec_id"
+        )
+        per_key = (
+            similarity._semdedup_candidates(sides)
+            .groupBy("centroid_id", "_blk")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .collect()
+        )
+        csizes = {
+            r.centroid_id: r.cnt
+            for r in sides.groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        hot_cid, hot_size = max(csizes.items(), key=lambda kv: kv[1])
+        assert hot_size >= 500  # the fixture really is pathological
+        hot_keys = [r for r in per_key if r.centroid_id == hot_cid]
+        assert len(hot_keys) >= hot_size // similarity.SEMDEDUP_BLOCK_ROWS
+        bound = hot_size * similarity.SEMDEDUP_BLOCK_ROWS
+        assert all(r.n_pairs <= bound for r in hot_keys)
+        # the unblocked join would put ALL hot pairs in one key
+        assert max(r.n_pairs for r in hot_keys) < hot_size * (hot_size - 1) // 2
+        # completeness of the decomposition: total pairs conserved
+        total = sum(r.n_pairs for r in per_key)
+        assert total == sum(m * (m - 1) // 2 for m in csizes.values())
+    finally:
+        emb.unpersist()

@@ -70,7 +70,148 @@ def replicate(n: int) -> str:
     return out
 
 
+def hot_cluster_probe(spark, n: int) -> None:
+    """SemDeDup hot-cluster skew probe: a pathologically clustered
+    fixture (half the corpus in ONE coarse cell — Zipfian worst case
+    a scaled k cannot prevent) vs a uniform fixture of the same size.
+    The blocked pair join (operators/similarity._semdedup_candidates)
+    must keep runtime OUTPUT-bound: the hot/uniform time ratio should
+    track the hot/uniform within-cluster PAIR ratio, not blow up on a
+    single straggler task."""
+    import random
+    import time as _t
+
+    import pandas as pd
+    from pyspark.sql import functions as SF
+
+    from map_reduce_sf_crime_spark.operators.similarity import (
+        ivf_assignments,
+        semantic_dedup,
+        semdedup_k,
+    )
+
+    rows_n = 2000 * n
+    dim = 64
+    k = semdedup_k(rows_n)
+    rng = random.Random(11)
+    hot = [1.0] + [0.0] * (dim - 1)
+
+    def vec(i: int, clustered: bool) -> list[float]:
+        if clustered and i >= k and i % 2 == 0:
+            return [x + rng.uniform(-0.01, 0.01) for x in hot]
+        if clustered and i == 0:
+            return hot
+        return [rng.uniform(-1, 1) for _ in range(dim)]
+
+    for label, clustered in (("uniform", False), ("hot", True)):
+        pdf = pd.DataFrame(
+            {"vec_id": range(rows_n),
+             "embedding": [vec(i, clustered) for i in range(rows_n)]}
+        )
+        emb = spark.createDataFrame(pdf).cache()
+        emb.count()
+        sizes = (
+            ivf_assignments(emb, k)
+            .groupBy("centroid_id")
+            .count()
+            .agg(
+                SF.max("count").alias("mx"),
+                SF.sum(SF.col("count") * (SF.col("count") - 1) / 2).alias("pairs"),
+            )
+            .collect()[0]
+        )
+        t0 = _t.perf_counter()
+        semantic_dedup(emb, k=k).write.format("noop").mode("overwrite").save()
+        dt = _t.perf_counter() - t0
+        print(
+            f"x{n} semdedup[{label}]: {dt:.2f}s  "
+            f"(k={k}, max_cluster={sizes.mx}, within_pairs={int(sizes.pairs)})"
+        )
+        emb.unpersist()
+        spark.catalog.clearCache()
+
+
+def stream_throughput_probe(spark, seconds: int = 25) -> None:
+    """Sustained-throughput point for the streaming tier (the gate's
+    stream_* entries replay static parquet via availableNow; this
+    drives a RATE source continuously): rows/s actually processed,
+    median micro-batch latency, and state-store size for (a) the
+    tumbling window+sum agg and (b) watermark-bounded stream dedup."""
+    import statistics
+    import time as _t
+
+    from pyspark.sql import functions as SF
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500_000)
+        .option("numPartitions", 8)
+        .load()
+        .select(
+            SF.col("timestamp").alias("ts"),
+            (SF.col("value") % 5).cast("string").alias("event_type"),
+            (SF.col("value") % 1000).cast("double").alias("value"),
+            (SF.col("value") % 100_000).alias("user_id"),
+        )
+    )
+    legs = {
+        "tumbling": (
+            rate.withWatermark("ts", "10 seconds")
+            .groupBy(SF.window("ts", "10 seconds"), "event_type")
+            .agg(SF.count(SF.lit(1)).alias("n"), SF.sum("value").alias("sv")),
+            "update",
+        ),
+        "dedup": (
+            rate.withWatermark("ts", "10 seconds")
+            .dropDuplicatesWithinWatermark(["user_id"]),
+            "append",
+        ),
+    }
+    for name, (df, mode) in legs.items():
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("noop")
+            .trigger(processingTime="2 seconds")
+            .start()
+        )
+        _t.sleep(seconds)
+        prog = [p for p in q.recentProgress if p.get("numInputRows", 0) > 0]
+        q.stop()
+        q.awaitTermination()
+        if not prog:
+            print(f"stream[{name}]: no progress recorded")
+            continue
+        rps = statistics.median(
+            p["processedRowsPerSecond"] for p in prog
+        )
+        lat = statistics.median(
+            p["durationMs"]["triggerExecution"] for p in prog
+        )
+        states = [p.get("stateOperators") or [] for p in prog]
+        srows = max(
+            (s[0].get("numRowsTotal", 0) for s in states if s), default=0
+        )
+        smem = max(
+            (s[0].get("memoryUsedBytes", 0) for s in states if s), default=0
+        )
+        print(
+            f"stream[{name}]: {rps/1e3:.0f}k rows/s sustained, "
+            f"median batch {lat:.0f} ms, state rows {srows}, "
+            f"state mem {smem/1e6:.1f} MB ({len(prog)} batches)"
+        )
+
+
 def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    if "hot" in args or "stream" in args:
+        n = next((int(a) for a in args if a.isdigit()), 10)
+        spark = get_spark("scale_probe")
+        if "hot" in args:
+            hot_cluster_probe(spark, n)
+        if "stream" in args:
+            stream_throughput_probe(spark)
+        spark.stop()
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = replicate(n)
     spark = get_spark("scale_probe")
@@ -220,6 +361,9 @@ def main() -> None:
     compact_partitioned(spark, cpath, ["source"], target_rows_per_file=10_000_000)
     print(f"x{n} compact_partitioned: {time.perf_counter() - t0:.2f}s")
     shutil.rmtree(scratch, ignore_errors=True)
+
+    hot_cluster_probe(spark, n)
+    stream_throughput_probe(spark)
     spark.stop()
 
 
