@@ -322,11 +322,30 @@ def mdx_cells(
             (col, int(v))
             for (_, col), v in zip(_DIMS["time"]["levels"], path)
         ]
+    # Mondrian's cell-cache trick, Catalyst-style: pre-aggregate the
+    # star ONCE at leaf granularity (every level column of every
+    # hierarchy) and evaluate all axis-tuple pairs against that.
+    # Member filters and enumerations only ever reference level
+    # columns, and sum is reassociative, so each pair's
+    # filter+group+sum over the leaf frame equals the same over the
+    # raw star — but an N×M tuple matrix costs ONE fact scan plus
+    # N×M aggregations of a dimension-bounded frame (≤ |days|×|cats|
+    # ×|districts| rows), instead of N×M scans of a 100 TB fact.
+    level_cols = [
+        col for dim in _DIMS.values() for (_, col) in dim["levels"]
+    ]
+    leaf = star.groupBy(*level_cols).agg(F.sum("crimes").alias("crimes"))
+    try:
+        from .functions.caching import plan_cache
+
+        leaf = plan_cache(leaf)
+    except ImportError:  # pragma: no cover - standalone use
+        pass
     out = None
     for ctup in query.columns:
         for rtup in query.rows:
             members = ctup + rtup + query.slicer
-            df = star
+            df = leaf
             for col, val in implicit:
                 df = df.filter(F.col(col) == val)
             for mem in members:

@@ -466,6 +466,7 @@ def write_signature_catalog(
     n_hashes: int = 16,
     bands: int = 8,
     n_buckets: int = 16,
+    mode: str = "overwrite",
 ) -> None:
     """Persist the CATALOG side of incremental near-dedup once — the
     production layout :func:`incremental_lsh_flags`'s docstring
@@ -480,21 +481,49 @@ def write_signature_catalog(
       bucket instead of reshuffling catalog shingle sets.
 
     Signatures are content hashes, so rows never mutate: the table is
-    append-only — after a batch is flagged, its rows are appended with
-    ``mode="append"`` and become catalog for the next batch.
+    append-only — after a batch is flagged,
+    :func:`append_signature_catalog` folds its rows in with
+    ``mode="append"`` and they become catalog for the next batch (the
+    daily loop is round-tripped in tests/test_dedup.py).
     """
     from ..sources.lakehouse import write_bucketed
 
     base = shingle_sets(docs, n).cache()
     try:
         write_bucketed(
-            _banded_buckets(base, n_hashes, bands), buckets_table, "key", n_buckets
+            _banded_buckets(base, n_hashes, bands), buckets_table, "key", n_buckets,
+            mode=mode,
         )
         write_bucketed(
-            base.select("doc_id", "sh", "n_sh"), shingles_table, "doc_id", n_buckets
+            base.select("doc_id", "sh", "n_sh"), shingles_table, "doc_id", n_buckets,
+            mode=mode,
         )
     finally:
         base.unpersist()
+
+
+def append_signature_catalog(
+    docs: DataFrame,
+    buckets_table: str,
+    shingles_table: str,
+    n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 8,
+    n_buckets: int = 16,
+) -> None:
+    """The daily loop's closing step: after a batch is flagged
+    (:func:`incremental_lsh_flags_cataloged`), APPEND its signatures
+    to the catalog so tomorrow's batch dedups against today's docs
+    too. Spark appends to a bucketed table keep the bucket spec (new
+    files per bucket), so the shuffle-free probe property is
+    preserved; compaction of accumulated small bucket files is the
+    same maintenance story as `sources/lakehouse.py::
+    compact_partitioned`. Signature rows are content-derived and
+    immutable, so append-only is sufficient — no merge needed."""
+    write_signature_catalog(
+        docs, buckets_table, shingles_table, n, n_hashes, bands, n_buckets,
+        mode="append",
+    )
 
 
 def incremental_lsh_flags_cataloged(

@@ -262,6 +262,25 @@ def assert_committed(spark: SparkSession, path: str) -> None:
         )
 
 
+def vacuum_commits(spark: SparkSession, path: str, keep_last: int = 10) -> int:
+    """Manifest retention: a daily-merged table accrues one
+    intent/commit pair per rewrite forever; only the LATEST pair is
+    load-bearing for ``table_state`` (older pairs are audit history).
+    Drops all but the newest ``keep_last`` pairs and returns how many
+    ids were removed. ``keep_last`` is floored at 1 — the latest pair
+    is never dropped."""
+    ids = _commit_ids(spark, path)
+    drop = ids[: -max(1, keep_last)]
+    fs, jvm = _hfs(spark, path)
+    for cid in drop:
+        base = f"{path.rstrip('/')}/{_COMMITS_DIR}/{cid:06d}"
+        for suffix in (".intent.json", ".commit.json"):
+            p = jvm.org.apache.hadoop.fs.Path(base + suffix)
+            if fs.exists(p):
+                fs.delete(p, False)
+    return len(drop)
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,

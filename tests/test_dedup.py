@@ -214,3 +214,53 @@ def test_dup_clusters_pathological_chain(spark):
     }
     assert all(labels[i] == 0 for i in range(30))
     assert all(labels[s] == 100 for s in [100, *range(101, 121)])
+
+
+def test_incremental_catalog_daily_append_loop(spark):
+    """The daily production loop end-to-end: day 1's batch is flagged
+    against the catalog, then APPENDED to it (append_signature_catalog
+    — bucketed append keeps the shuffle-free probe); day 2's batch
+    must then see day 1's docs as catalog. Equivalence oracle: the
+    recompute form over the grown corpus."""
+    import os
+    import shutil
+
+    docs = _docs(spark)
+    day1 = (F.col("doc_id") % 5) == 3
+    day2 = (F.col("doc_id") % 5) == 4
+    base_pred = ~day1 & ~day2
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    bt, st = "loop_sig_buckets", "loop_sig_shingles"
+    for t in (bt, st):
+        spark.sql(f"drop table if exists {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+
+    dedup.write_signature_catalog(docs.filter(base_pred), bt, st)
+    # day 1: flag, then append to the catalog
+    dedup.incremental_lsh_flags_cataloged(
+        spark, docs.filter(day1), bt, st, threshold=0.8
+    ).collect()
+    dedup.append_signature_catalog(docs.filter(day1), bt, st)
+    # the bucketed layout must survive the append (no probe-side
+    # regression to a shuffled join)
+    assert spark.catalog.tableExists(bt)
+
+    # day 2 must dedup against base + day 1
+    got = {
+        tuple(r)
+        for r in dedup.incremental_lsh_flags_cataloged(
+            spark, docs.filter(day2), bt, st, threshold=0.8
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in dedup.incremental_lsh_flags(
+            docs.filter(base_pred | day1 | day2), day2, threshold=0.8
+        ).collect()
+    }
+    assert got == want
+    # and the catalog really grew: a day-1 doc is now probe-visible
+    cat_ids = {r.doc_id for r in spark.table(st).select("doc_id").collect()}
+    day1_ids = {r.doc_id for r in docs.filter(day1).select("doc_id").collect()}
+    assert day1_ids <= cat_ids

@@ -518,3 +518,41 @@ def test_commit_detects_post_commit_file_loss(spark):
     state = table_state(spark, path)
     assert state["status"] == "torn"
     assert any(p.endswith("p=1") for p in state["suspect"])
+
+
+def test_vacuum_commits_keeps_latest(spark):
+    """Manifest retention: vacuum drops old intent/commit pairs but
+    never the latest one, and table_state stays clean afterwards."""
+    from map_reduce_sf_crime_spark.sources.lakehouse import (
+        merge_upsert,
+        table_state,
+        vacuum_commits,
+    )
+
+    path = os.path.join(SCRATCH, "vacuum_fact")
+    shutil.rmtree(path, ignore_errors=True)
+    base = spark.createDataFrame([(1, "a", 10)], "p int, k string, v long")
+    write_partitioned(base, path, ["p"])
+    for v in range(11, 16):  # five merges → five commit pairs
+        merge_upsert(
+            spark,
+            path,
+            spark.createDataFrame([(1, "a", v)], "p int, k string, v long"),
+            key_cols=["k"],
+            partition_cols=["p"],
+        )
+    commits = os.path.join(path, "_commits")
+
+    def manifest_files():
+        # the Hadoop local FS adds .crc sidecars; count the manifests
+        return [f for f in os.listdir(commits) if f.endswith(".json")]
+
+    assert len(manifest_files()) == 10  # 5 intents + 5 commits
+    dropped = vacuum_commits(spark, path, keep_last=2)
+    assert dropped == 3
+    assert len(manifest_files()) == 4
+    assert table_state(spark, path)["status"] == "clean"
+    # keep_last floors at 1: the latest pair survives
+    vacuum_commits(spark, path, keep_last=0)
+    assert len(manifest_files()) == 2
+    assert table_state(spark, path)["status"] == "clean"

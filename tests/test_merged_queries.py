@@ -13,8 +13,11 @@ from .conftest import SF_SMOKE
 
 
 def test_ann_recall_bounds_all_pass(spark):
+    from map_reduce_sf_crime_spark.plans.similarity_queries import ANN_METHODS
+
     rows = REGISTRY["ann_recall_check"].spark(spark, SF_SMOKE).collect()
-    assert {r.method for r in rows} == {"lsh", "ivf", "ivf_refined", "pq"}
+    # includes the persisted-index serving legs (ivf_indexed/pq_indexed)
+    assert {r.method for r in rows} == set(ANN_METHODS)
     assert all(r.ok == 1 for r in rows), rows
 
 
