@@ -65,6 +65,12 @@ _MEASURES = {"crimes"}  # sum aggregator (sfcrime.xml:27)
 #: a fixture whose corpus is 1995-Q1 sets its own.
 TIME_DEFAULT_MEMBER: tuple[int, ...] = (2013, 1, 1)
 
+#: Axis-tuple-pair count at which mdx_cells switches from aggregating
+#: the (cached) star directly to pre-aggregating a leaf cell frame
+#: first — the leaf's one extra shuffle pays for itself once several
+#: pairs would otherwise each rescan the fact.
+MDX_LEAF_MIN_PAIRS = 4
+
 
 class MdxError(ValueError):
     pass
@@ -284,14 +290,15 @@ def _axis_label(tup: list[_Member]):
     return F.concat_ws(", ", *parts) if parts else F.lit("(all)")
 
 
-def mdx_cells(
+def mdx_cells_many(
     star: DataFrame,
-    query: MdxQuery,
+    tagged: list[tuple[str, MdxQuery]],
     time_default: tuple[int, ...] | None = None,
 ) -> DataFrame:
-    """Evaluate a parsed MDX query against the wide star frame
-    (columns: crimes, category, district, year, month, week, day).
-    Returns tidy cells ``(row_member, col_member, crimes)``.
+    """Evaluate SEVERAL parsed MDX queries in one compilation against
+    the wide star frame (columns: crimes, category, district, year,
+    month, week, day). Returns tidy cells ``(tag, row_member,
+    col_member, crimes)``.
 
     Mondrian semantics for hierarchies absent from every axis and the
     slicer: they evaluate at their DEFAULT member. For District and
@@ -301,72 +308,143 @@ def mdx_cells(
     query that never names [Time] is implicitly sliced to that
     (year, month, week) prefix — NOT aggregated over all time.
     ``time_default`` overrides the member path (cube data, not
-    grammar); None uses :data:`TIME_DEFAULT_MEMBER`."""
-    measures = [
-        m.measure
-        for tup in query.columns + query.rows
-        for m in tup
-        if m.measure
-    ]
-    if len(measures) > 1:
-        raise MdxError("one measure per query")
-    implicit: list[tuple[str, object]] = []
-    mentions_time = any(
-        m.hierarchy == "time"
-        for tup in query.columns + query.rows + [query.slicer]
-        for m in tup
-    )
-    if not mentions_time:
-        path = TIME_DEFAULT_MEMBER if time_default is None else time_default
-        implicit = [
-            (col, int(v))
-            for (_, col), v in zip(_DIMS["time"]["levels"], path)
-        ]
-    # Mondrian's cell-cache trick, Catalyst-style: pre-aggregate the
-    # star ONCE at leaf granularity (every level column of every
-    # hierarchy) and evaluate all axis-tuple pairs against that.
-    # Member filters and enumerations only ever reference level
-    # columns, and sum is reassociative, so each pair's
-    # filter+group+sum over the leaf frame equals the same over the
-    # raw star — but an N×M tuple matrix costs ONE fact scan plus
-    # N×M aggregations of a dimension-bounded frame (≤ |days|×|cats|
-    # ×|districts| rows), instead of N×M scans of a 100 TB fact.
-    level_cols = [
-        col for dim in _DIMS.values() for (_, col) in dim["levels"]
-    ]
-    leaf = star.groupBy(*level_cols).agg(F.sum("crimes").alias("crimes"))
-    try:
-        from .functions.caching import plan_cache
+    grammar); None uses :data:`TIME_DEFAULT_MEMBER`.
 
-        leaf = plan_cache(leaf)
-    except ImportError:  # pragma: no cover - standalone use
-        pass
+    Compilation shape (why this beats one-aggregation-per-cell):
+
+    - Every SCALAR cell (no ``.Children``/``.Members`` enumeration) —
+      across ALL queries in the batch — compiles into a single
+      conditional aggregation ``sum(when(cell_condition, crimes))``
+      per cell, then unpivots: a JPivot grid of N×M point members, or
+      a batch of reference queries, costs ONE 2-stage job instead of
+      N×M (each global agg is its own 2-stage job with a ~0.15 s
+      scheduling floor — the dominant cost of the unioned-subtree
+      form). A never-matched condition sums to NULL and is dropped —
+      the same empty-cell contract as the grouped branch.
+    - Each ENUMERATING pair stays its own groupBy. When a batch has
+      ≥ :data:`MDX_LEAF_MIN_PAIRS` such pairs, they all aggregate a
+      once-computed leaf pre-aggregate (every level column, Mondrian's
+      cell-cache idea) instead of rescanning the fact — sum is
+      reassociative and member filters only reference level columns,
+      so the results are identical; below the threshold the (cached)
+      star is aggregated directly, since the leaf's extra shuffle
+      costs more than it saves (measured +0.7 s per olap_rollups rep
+      at sf0.1 when applied unconditionally)."""
+    compiled = []  # (tag, query, implicit_filters)
+    for tag, query in tagged:
+        measures = [
+            m.measure
+            for tup in query.columns + query.rows
+            for m in tup
+            if m.measure
+        ]
+        if len(measures) > 1:
+            raise MdxError("one measure per query")
+        implicit: list[tuple[str, object]] = []
+        mentions_time = any(
+            m.hierarchy == "time"
+            for tup in query.columns + query.rows + [query.slicer]
+            for m in tup
+        )
+        if not mentions_time:
+            path = TIME_DEFAULT_MEMBER if time_default is None else time_default
+            implicit = [
+                (col, int(v))
+                for (_, col), v in zip(_DIMS["time"]["levels"], path)
+            ]
+        compiled.append((tag, query, implicit))
+
+    all_pairs = [
+        (tag, ctup, rtup, implicit, query.slicer)
+        for tag, query, implicit in compiled
+        for ctup in query.columns
+        for rtup in query.rows
+    ]
+    n_enum_pairs = sum(
+        1
+        for _, ctup, rtup, _, _ in all_pairs
+        if any(m.enum_col for m in ctup + rtup)
+    )
+    base = star
+    if n_enum_pairs >= MDX_LEAF_MIN_PAIRS:
+        level_cols = [
+            col for dim in _DIMS.values() for (_, col) in dim["levels"]
+        ]
+        base = star.groupBy(*level_cols).agg(F.sum("crimes").alias("crimes"))
+        try:
+            from .functions.caching import plan_cache
+
+            base = plan_cache(base)
+        except ImportError:  # pragma: no cover - standalone use
+            pass
+
     out = None
-    for ctup in query.columns:
-        for rtup in query.rows:
-            members = ctup + rtup + query.slicer
-            df = leaf
-            for col, val in implicit:
-                df = df.filter(F.col(col) == val)
-            for mem in members:
-                for col, val in mem.filters:
-                    df = df.filter(F.col(col) == val)
-            group_cols = [m.enum_col for m in ctup + rtup if m.enum_col]
-            agg = F.sum("crimes").alias("crimes")
-            if group_cols:
-                cell = df.groupBy(*group_cols).agg(agg)
-            else:
-                # a global agg over zero rows yields one NULL-sum row;
-                # the tidy contract is one row per POPULATED cell, so
-                # empty cells emit nothing (matching the grouped branch)
-                cell = df.agg(agg).filter(F.col("crimes").isNotNull())
-            cell = cell.select(
+    scalar = []  # (tag, ctup, rtup, condition)
+    for tag, ctup, rtup, implicit, slicer in all_pairs:
+        members = ctup + rtup + slicer
+        conds = [F.col(col) == val for col, val in implicit] + [
+            F.col(col) == val for mem in members for col, val in mem.filters
+        ]
+        group_cols = [m.enum_col for m in ctup + rtup if m.enum_col]
+        if not group_cols:
+            cond = F.lit(True)
+            for c in conds:
+                cond = cond & c
+            scalar.append((tag, ctup, rtup, cond))
+            continue
+        df = base
+        for c in conds:
+            df = df.filter(c)
+        cell = (
+            df.groupBy(*group_cols)
+            .agg(F.sum("crimes").alias("crimes"))
+            .select(
+                F.lit(tag).alias("tag"),
                 _axis_label(rtup).alias("row_member"),
                 _axis_label(ctup).alias("col_member"),
                 "crimes",
             )
-            out = cell if out is None else out.unionByName(cell)
+        )
+        out = cell if out is None else out.unionByName(cell)
+    if scalar:
+        aggs = [
+            F.sum(F.when(cond, F.col("crimes"))).alias(f"_c{i}")
+            for i, (_, _, _, cond) in enumerate(scalar)
+        ]
+        row = base.agg(*aggs)
+        cells = (
+            row.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(tag).alias("tag"),
+                                _axis_label(rtup).alias("row_member"),
+                                _axis_label(ctup).alias("col_member"),
+                                F.col(f"_c{i}").alias("crimes"),
+                            )
+                            for i, (tag, ctup, rtup, _) in enumerate(scalar)
+                        ]
+                    )
+                ).alias("cell")
+            )
+            .select("cell.*")
+            .filter(F.col("crimes").isNotNull())
+        )
+        out = cells if out is None else out.unionByName(cells)
     return out
+
+
+def mdx_cells(
+    star: DataFrame,
+    query: MdxQuery,
+    time_default: tuple[int, ...] | None = None,
+) -> DataFrame:
+    """Single-query form of :func:`mdx_cells_many`: tidy cells
+    ``(row_member, col_member, crimes)``."""
+    return mdx_cells_many(star, [("q", query)], time_default=time_default).select(
+        "row_member", "col_member", "crimes"
+    )
 
 
 def mdx_query(

@@ -275,17 +275,19 @@ def olap_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # the reference's three MDX queries, through the REAL front-end
-    # (parse → compile → cells over the same cached star)
-    from ..mdx import mdx_cells, parse_mdx
+    # (parse → compile → cells over the same cached star). Batched:
+    # all three queries' cells are scalar, so mdx_cells_many folds
+    # them into ONE conditional aggregation — one extra job for the
+    # whole MDX leg, not one per query.
+    from ..mdx import mdx_cells_many, parse_mdx
 
-    out = tagged.unionByName(geo)
-    for tag, text in _MDX_VERBATIM.items():
-        cells = mdx_cells(sj, parse_mdx(text)).select(
-            F.lit("mdx_verbatim").alias("hierarchy"),
-            F.col("row_member").alias("l1"),
-            F.col("col_member").alias("l2"),
-            F.lit(tag).alias("l3"),
-            "crimes",
-        )
-        out = out.unionByName(cells)
-    return out
+    cells = mdx_cells_many(
+        sj, [(tag, parse_mdx(text)) for tag, text in _MDX_VERBATIM.items()]
+    ).select(
+        F.lit("mdx_verbatim").alias("hierarchy"),
+        F.col("row_member").alias("l1"),
+        F.col("col_member").alias("l2"),
+        F.col("tag").alias("l3"),
+        "crimes",
+    )
+    return tagged.unionByName(geo).unionByName(cells)

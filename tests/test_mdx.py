@@ -291,3 +291,34 @@ def test_default_time_member_implicit_slicer(spark):
     assert len(rows) == 1
     assert rows[0].row_member == "All Districts"
     assert rows[0].crimes == want
+
+
+def test_leaf_preaggregation_path_matches_direct(spark):
+    """A tuple matrix with >= MDX_LEAF_MIN_PAIRS pairs routes through
+    the leaf pre-aggregate (one fact scan + per-pair aggregation of
+    the dimension-bounded cell frame); values must equal the direct
+    filtered counts — sum-of-sums reassociativity."""
+    from map_reduce_sf_crime_spark.mdx import MDX_LEAF_MIN_PAIRS
+
+    year = _fixture_year(spark)
+    inc = incidents(spark, SF_SMOKE).filter(F.year("d") == year)
+    d1, d2 = [
+        r.district
+        for r in inc.select("district").distinct().orderBy("district").limit(2).collect()
+    ]
+    q = f"""select {{[Measures].[crimes]}} ON COLUMNS,
+      {{[District].[{d1}], [District].[{d2}],
+        [District].[All Districts], [Category].[All Categories]}} ON ROWS
+    from [sfcrime] where [Time].[{year}]"""
+    parsed = parse_mdx(q)
+    assert len(parsed.rows) * len(parsed.columns) >= MDX_LEAF_MIN_PAIRS
+    got = {
+        r.row_member: r.crimes for r in mdx_query(spark, SF_SMOKE, q).collect()
+    }
+    total = inc.count()
+    assert got == {
+        d1: inc.filter(F.col("district") == d1).count(),
+        d2: inc.filter(F.col("district") == d2).count(),
+        "All Districts": total,
+        "All Categories": total,
+    }
