@@ -769,3 +769,93 @@ def simhash_near_pairs_sql(max_hamming: int = 3) -> str:
     from s a join s b on a.doc_id < b.doc_id
     where bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
+
+
+# ------------------------------- duplicated spans (substring-level dedup)
+
+def duplicate_span_stats(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Exact substring-level duplication profile — the span form of
+    corpus dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", public): document-level dedup misses the
+    boilerplate/quotation/template text that recurs INSIDE otherwise
+    distinct documents, which is what actually gets memorized. Every
+    length-``n`` token window is hashed; a window whose hash occurs
+    ≥ 2 times anywhere in the corpus (another doc, or elsewhere in
+    the same doc) is a duplicated span.
+
+    Returns per doc: ``(doc_id, n_tokens, n_grams, n_dup_grams,
+    dup_token_frac)`` — ``dup_token_frac`` is the fraction of the
+    doc's tokens covered by at least one duplicated span, computed by
+    MERGING overlapping span intervals (a run of k duplicated tokens
+    counts k, not k·n).
+
+    Scale shape: inverted index on the gram hash — a uniform shuffle
+    key (md5-based), never all-pairs; the corpus frequency pass is
+    one groupBy; interval merging is a per-doc window bounded by doc
+    length. The production cut step (drop all-but-one copy of each
+    span) consumes these stats plus a retention policy; the stats are
+    the distributed-heavy part.
+    """
+    toks = docs.select(
+        "doc_id",
+        tokens_col(F.col("text")).alias("toks"),
+    ).select("doc_id", "toks", F.size("toks").alias("n_tokens"))
+    empty = F.array().cast("array<bigint>")
+    gram_arr = F.when(
+        F.col("n_tokens") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+            lambda i: hash64_col(
+                F.concat_ws(" ", F.slice(F.col("toks"), i, n)), seed="span"
+            ),
+        ),
+    ).otherwise(empty)
+    grams = toks.select(
+        "doc_id", F.posexplode(gram_arr).alias("pos", "gh")
+    )
+    grams = plan_cache(grams)  # frequency pass + dup join both read it
+    freq = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = (
+        grams.join(freq.filter(F.col("cnt") >= 2), "gh")
+        .select(
+            "doc_id",
+            F.col("pos").alias("start"),
+            (F.col("pos") + (n - 1)).alias("end"),
+        )
+    )
+    # gaps-and-islands: each interval contributes the part of
+    # [start, end] not already covered by an earlier interval's end
+    w = Window.partitionBy("doc_id").orderBy("start")
+    prev_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("end")
+        - F.greatest(F.coalesce(prev_end, F.lit(-1)), F.col("start") - 1),
+    )
+    per_doc = (
+        dup.withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_grams"),
+            F.sum("contrib").alias("dup_tokens"),
+        )
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "n_tokens",
+            F.greatest(F.col("n_tokens") - (n - 1), F.lit(0)).alias("n_grams"),
+        )
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest("n_tokens", F.lit(1)),
+                6,
+            ).alias("dup_token_frac"),
+        )
+    )

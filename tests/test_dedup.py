@@ -264,3 +264,57 @@ def test_incremental_catalog_daily_append_loop(spark):
     cat_ids = {r.doc_id for r in spark.table(st).select("doc_id").collect()}
     day1_ids = {r.doc_id for r in docs.filter(day1).select("doc_id").collect()}
     assert day1_ids <= cat_ids
+
+
+def test_duplicate_span_stats_exact(spark):
+    """Substring-level dedup (duplicated n-gram spans): checked
+    against an independent pure-Python reference on a fixture with a
+    cross-doc shared run, an internal repetition, overlapping spans,
+    and a too-short doc."""
+    n = 4
+    fixture = {
+        0: "a b c d e f g h",              # shares a 5-token run with doc 1
+        1: "zz a b c d e yy ww",           # → overlapping dup 4-grams merge
+        2: "p q r s p q r s",              # internal repetition
+        3: "m n o",                        # shorter than n: zero grams
+        4: "u v w x y z u2 v2 w2 x2",      # fully unique
+    }
+    docs = spark.createDataFrame(
+        list(fixture.items()), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_grams, r.n_dup_grams, r.dup_token_frac)
+        for r in dedup.duplicate_span_stats(docs, n=n).collect()
+    }
+
+    # independent reference
+    from collections import Counter
+
+    tok = {d: t.split() for d, t in fixture.items()}
+    gram_occurrences = Counter()
+    for d, ts in tok.items():
+        for i in range(max(0, len(ts) - n + 1)):
+            gram_occurrences[tuple(ts[i : i + n])] += 1
+    want = {}
+    for d, ts in tok.items():
+        spans = [
+            (i, i + n - 1)
+            for i in range(max(0, len(ts) - n + 1))
+            if gram_occurrences[tuple(ts[i : i + n])] >= 2
+        ]
+        covered = set()
+        for s, e in spans:
+            covered.update(range(s, e + 1))
+        want[d] = (
+            len(ts),
+            max(0, len(ts) - n + 1),
+            len(spans),
+            round(len(covered) / max(1, len(ts)), 6),
+        )
+    assert got == want
+    # sanity on the fixture's intent: docs 0/1 and 2 have dup spans,
+    # 3 and 4 have none
+    assert want[0][2] > 0 and want[1][2] > 0 and want[2][2] > 0
+    assert want[3][2] == 0 and want[4][2] == 0
+    # doc 1's overlapping dup grams merged: frac < grams x n / tokens
+    assert got[1][3] == 5 / 8
