@@ -395,7 +395,12 @@ def _verify_and_flag(
         .filter(F.col("jaccard") >= threshold)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_cat_matches"),
+            # DISTINCT catalog docs: count(*) would double-count when
+            # the catalog carries duplicated signature rows for a
+            # cat_id (e.g. append_signature_catalog replayed after a
+            # crash) — the flag semantics are "how many catalog DOCS
+            # match", which countDistinct preserves under replays
+            F.countDistinct("cat_id").alias("n_cat_matches"),
             F.max("jaccard").alias("best_jaccard"),
         )
     )
@@ -519,7 +524,14 @@ def append_signature_catalog(
     preserved; compaction of accumulated small bucket files is the
     same maintenance story as `sources/lakehouse.py::
     compact_partitioned`. Signature rows are content-derived and
-    immutable, so append-only is sufficient — no merge needed."""
+    immutable, so append-only is sufficient — no merge needed.
+
+    Replay tolerance: a crash-and-re-run that appends the same batch
+    twice duplicates STORAGE rows, but cannot corrupt flag results —
+    candidate pairs are distinct by construction and the verify
+    aggregation counts DISTINCT catalog docs (see _verify_and_flag);
+    equality under a double append is pinned in tests/test_dedup.py.
+    Storage-side, re-compact or rebuild the catalog to reclaim."""
     write_signature_catalog(
         docs, buckets_table, shingles_table, n, n_hashes, bands, n_buckets,
         mode="append",

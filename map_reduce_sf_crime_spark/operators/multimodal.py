@@ -96,9 +96,21 @@ def decode_image(payload: bytes) -> dict:
         if maxval > 255:
             raise ValueError(f"16-bit PGM not supported (maxval={maxval})")
         n = w * h
+        # CRLF-written headers ("255\r\n") leave a stray '\n' before
+        # the raster; consume extra whitespace ONLY while the
+        # remaining byte count still exceeds the declared raster —
+        # and then require an EXACT match, so an off-by-one header
+        # fails loudly instead of returning a silently shifted mean
+        while len(payload) - i > n and payload[i : i + 1] in (
+            b" ", b"\t", b"\r", b"\n",
+        ):
+            i += 1
+        if len(payload) - i != n:
+            raise ValueError(
+                f"PGM raster size mismatch: header declares {n} bytes, "
+                f"{len(payload) - i} remain after the header"
+            )
         pixels = payload[i : i + n]
-        if len(pixels) != n:
-            raise ValueError(f"PGM truncated: want {n} bytes, got {len(pixels)}")
         return {
             "n_frames": 1,
             "mean_byte": (sum(pixels) / n) if n else 0.0,

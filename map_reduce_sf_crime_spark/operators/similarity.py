@@ -999,6 +999,9 @@ def _semdedup_candidates(sides: DataFrame) -> DataFrame:
     broadcast (≤ k rows). Result set is IDENTICAL to the plain
     centroid join — only the partitioning changes (pinned in
     tests/test_similarity.py)."""
+    # three consumers read sides (size pass, a-side, b-side) — cache
+    # it so the assignment kernel runs ONE corpus pass, not three
+    sides = plan_cache(sides)
     sizes = sides.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("_csize"))
     blocks = sizes.select(
         "centroid_id",

@@ -147,13 +147,19 @@ _CATALOG_TABLES: dict[str, tuple[str, str]] = {}
 def _signature_catalog(
     spark: SparkSession, sf_dir: str, docs: DataFrame
 ) -> tuple[str, str]:
-    if sf_dir not in _CATALOG_TABLES:
-        import hashlib
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    bt, st = f"sig_cat_buckets_{tag}", f"sig_cat_shingles_{tag}"
+    # the cache is process-scoped but the tables are SESSION-catalog
+    # scoped: a later session in the same process (previous one
+    # stopped) would hit the cache and then fail to resolve the
+    # tables — verify they exist in THIS session's catalog too
+    if sf_dir not in _CATALOG_TABLES or not (
+        spark.catalog.tableExists(bt) and spark.catalog.tableExists(st)
+    ):
         import os
         import shutil
-
-        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        bt, st = f"sig_cat_buckets_{tag}", f"sig_cat_shingles_{tag}"
         # a previous PROCESS may have left the managed-table location
         # on disk without this session's in-memory catalog knowing it —
         # saveAsTable(overwrite) then fails with LOCATION_ALREADY_EXISTS,

@@ -94,6 +94,18 @@ def read_partitioned(
 _COMMITS_DIR = "_commits"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+#: Characters Hive/Spark percent-escape in partition directory names
+#: (ExternalCatalogUtils.escapePathName): without matching escaping a
+#: value like "DRUG/NARCOTIC" would inventory a nonexistent path and
+#: silently disable the corruption checks.
+_HIVE_ESCAPE = set('"#%\'*/:=?\\{[]^\x7f') | {chr(c) for c in range(0x20)}
+
+
+def _hive_escape(value: str) -> str:
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE else ch for ch in value
+    )
+
 
 def _hfs(spark: SparkSession, path: str):
     jvm = spark._jvm
@@ -101,31 +113,36 @@ def _hfs(spark: SparkSession, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
 
 
-def _partition_dir(path: str, partition_cols: list[str], key: tuple) -> str:
+def _partition_subpath(partition_cols: list[str], key: tuple) -> str:
+    """Hive-style relative partition path, e.g. ``month=2/day=5``.
+    RELATIVE so manifests compare equal regardless of how the caller
+    spells the table root (relative vs absolute vs file: URI)."""
     segs = [
-        f"{c}={_HIVE_NULL if v is None else v}"
+        f"{c}={_HIVE_NULL if v is None else _hive_escape(str(v))}"
         for c, v in zip(partition_cols, key)
     ]
-    return "/".join([path.rstrip("/")] + segs)
+    return "/".join(segs)
 
 
 def _inventory(
     spark: SparkSession, path: str, partition_cols: list[str], keys: list[tuple]
 ) -> dict[str, list[list]]:
-    """``{partition_dir: [[file_name, length], ...]}`` for the touched
-    partitions (data files only; empty list when the dir is absent)."""
+    """``{partition_subpath: [[file_name, length], ...]}`` for the
+    touched partitions (data files only; empty list when the dir is
+    absent). Keys are RELATIVE subpaths — see
+    :func:`_partition_subpath`."""
     fs, jvm = _hfs(spark, path)
     inv: dict[str, list[list]] = {}
     for key in keys:
-        pdir = _partition_dir(path, partition_cols, key)
-        jp = jvm.org.apache.hadoop.fs.Path(pdir)
+        sub = _partition_subpath(partition_cols, key)
+        jp = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{sub}")
         files: list[list] = []
         if fs.exists(jp):
             for st in fs.listStatus(jp):
                 name = st.getPath().getName()
                 if st.isFile() and not name.startswith((".", "_")):
                     files.append([name, int(st.getLen())])
-        inv[pdir] = sorted(files)
+        inv[sub] = sorted(files)
     return inv
 
 
@@ -219,25 +236,55 @@ def table_state(spark: SparkSession, path: str) -> dict:
     """Classify the table's commit state.
 
     Returns ``{"status": "clean" | "torn", "detail": ..., "suspect":
-    [partition_dir, ...]}``. A table with no manifest history is
-    clean (nothing claimed, nothing to distrust)."""
+    [partition_subpath, ...]}``. A table with no manifest history is
+    clean (nothing claimed, nothing to distrust).
+
+    EVERY unfinished intent is considered, not just the newest — a
+    later successful rewrite of OTHER partitions must not mask an
+    earlier crash. An unfinished intent is RESOLVED only when every
+    partition it declared was since rewritten by a LATER committed
+    operation (per-partition overwrite atomicity makes those
+    partitions wholly-new again — which is exactly what the
+    documented re-run recovery produces); partitions no later commit
+    covered stay suspect."""
     ids = _commit_ids(spark, path)
     if not ids:
         return {"status": "clean", "detail": "no manifest history", "suspect": []}
-    last = ids[-1]
-    base = f"{path.rstrip('/')}/{_COMMITS_DIR}/{last:06d}"
     fs, jvm = _hfs(spark, path)
-    if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{base}.commit.json")):
+    root = path.rstrip("/")
+    meta = {}
+    for cid in ids:
+        base = f"{root}/{_COMMITS_DIR}/{cid:06d}"
         intent = _read_json(spark, f"{base}.intent.json")
+        committed = fs.exists(jvm.org.apache.hadoop.fs.Path(f"{base}.commit.json"))
+        meta[cid] = (intent, committed)
+    suspect: set[str] = set()
+    unfinished = []
+    for cid in ids:
+        intent, committed = meta[cid]
+        if committed:
+            continue
+        later_covered: set[str] = set()
+        for cid2 in ids:
+            intent2, committed2 = meta[cid2]
+            if cid2 > cid and committed2:
+                later_covered.update(intent2["pre"].keys())
+        leftover = set(intent["pre"].keys()) - later_covered
+        if leftover:
+            unfinished.append(cid)
+            suspect.update(leftover)
+    if unfinished:
         return {
             "status": "torn",
-            "detail": f"intent {last} has no commit: the rewrite it "
-            "declared may have replaced only some of its partitions — "
-            "re-run the same operation to recover",
-            "suspect": sorted(intent["pre"]),
+            "detail": f"intent(s) {unfinished} have no commit and "
+            "partitions no later commit rewrote: the declared rewrite "
+            "may have replaced only some of its partitions — re-run "
+            "the same operation to recover",
+            "suspect": sorted(suspect),
         }
-    commit = _read_json(spark, f"{base}.commit.json")
-    intent = _read_json(spark, f"{base}.intent.json")
+    last = ids[-1]
+    intent, _ = meta[last]
+    commit = _read_json(spark, f"{root}/{_COMMITS_DIR}/{last:06d}.commit.json")
     keys = [tuple(k) for k in intent["keys"]]
     now = _inventory(spark, path, intent["partition_cols"], keys)
     bad = sorted(p for p, files in commit["post"].items() if now.get(p) != files)
@@ -268,10 +315,21 @@ def vacuum_commits(spark: SparkSession, path: str, keep_last: int = 10) -> int:
     load-bearing for ``table_state`` (older pairs are audit history).
     Drops all but the newest ``keep_last`` pairs and returns how many
     ids were removed. ``keep_last`` is floored at 1 — the latest pair
-    is never dropped."""
+    is never dropped — and an UNFINISHED intent (no commit) is never
+    dropped regardless of age: it is the evidence ``table_state``
+    needs to report a torn rewrite."""
     ids = _commit_ids(spark, path)
-    drop = ids[: -max(1, keep_last)]
     fs, jvm = _hfs(spark, path)
+    root = path.rstrip("/")
+    drop = [
+        cid
+        for cid in ids[: -max(1, keep_last)]
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{root}/{_COMMITS_DIR}/{cid:06d}.commit.json"
+            )
+        )
+    ]
     for cid in drop:
         base = f"{path.rstrip('/')}/{_COMMITS_DIR}/{cid:06d}"
         for suffix in (".intent.json", ".commit.json"):

@@ -318,3 +318,35 @@ def test_duplicate_span_stats_exact(spark):
     assert want[3][2] == 0 and want[4][2] == 0
     # doc 1's overlapping dup grams merged: frac < grams x n / tokens
     assert got[1][3] == 5 / 8
+
+
+def test_append_replay_does_not_corrupt_flags(spark):
+    """Crash-and-re-run tolerance: appending the same batch's
+    signatures TWICE (the replay a mid-loop crash produces) duplicates
+    storage rows but must not change any flag — n_cat_matches counts
+    distinct catalog docs."""
+    import os
+    import shutil
+
+    docs = _docs(spark)
+    day1 = (F.col("doc_id") % 5) == 3
+    day2 = (F.col("doc_id") % 5) == 4
+    base_pred = ~day1 & ~day2
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    results = {}
+    for label, n_appends in (("once", 1), ("twice", 2)):
+        bt, st = f"replay_{label}_buckets", f"replay_{label}_shingles"
+        for t in (bt, st):
+            spark.sql(f"drop table if exists {t}")
+            shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+        dedup.write_signature_catalog(docs.filter(base_pred), bt, st)
+        for _ in range(n_appends):
+            dedup.append_signature_catalog(docs.filter(day1), bt, st)
+        results[label] = {
+            tuple(r)
+            for r in dedup.incremental_lsh_flags_cataloged(
+                spark, docs.filter(day2), bt, st, threshold=0.8
+            ).collect()
+        }
+    assert results["once"] == results["twice"]

@@ -556,3 +556,77 @@ def test_vacuum_commits_keeps_latest(spark):
     vacuum_commits(spark, path, keep_last=0)
     assert len(manifest_files()) == 2
     assert table_state(spark, path)["status"] == "clean"
+
+
+def test_torn_intent_not_masked_by_later_commit(spark):
+    """A later successful rewrite of OTHER partitions must not bury an
+    earlier crash: the unfinished intent's partitions stay suspect
+    until a later committed operation rewrites THEM (which is exactly
+    what the re-run recovery does)."""
+    from map_reduce_sf_crime_spark.sources.lakehouse import (
+        merge_upsert,
+        table_state,
+    )
+
+    path = os.path.join(SCRATCH, "masked_fact")
+    shutil.rmtree(path, ignore_errors=True)
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "p int, k string, v long"
+    )
+    write_partitioned(base, path, ["p"])
+    ch12 = spark.createDataFrame(
+        [(1, "a", 11), (2, "b", 21)], "p int, k string, v long"
+    ).localCheckpoint()
+    merge_upsert(spark, path, ch12, key_cols=["k"], partition_cols=["p"])
+    # crash simulation: the p=1,2 commit marker never landed
+    commits = os.path.join(path, "_commits")
+    marker = sorted(f for f in os.listdir(commits) if f.endswith(".commit.json"))[-1]
+    os.remove(os.path.join(commits, marker))
+    # a LATER, unrelated merge of p=3 completes cleanly
+    ch3 = spark.createDataFrame([(3, "c", 31)], "p int, k string, v long")
+    merge_upsert(spark, path, ch3, key_cols=["k"], partition_cols=["p"])
+    state = table_state(spark, path)
+    assert state["status"] == "torn"
+    assert {s for s in state["suspect"]} == {"p=1", "p=2"}
+    # recovery: re-run the p=1,2 merge → its partitions are covered by
+    # a later committed intent → clean again
+    merge_upsert(spark, path, ch12, key_cols=["k"], partition_cols=["p"])
+    assert table_state(spark, path)["status"] == "clean"
+
+
+def test_manifest_escapes_partition_values(spark):
+    """Partition values containing hive-escaped characters ('/', ':')
+    must inventory the REAL escaped directory — otherwise the
+    corruption checks silently no-op on those partitions."""
+    from map_reduce_sf_crime_spark.sources.lakehouse import (
+        merge_upsert,
+        table_state,
+    )
+
+    path = os.path.join(SCRATCH, "escaped_fact")
+    shutil.rmtree(path, ignore_errors=True)
+    cat = "DRUG/NARCOTIC: SALE"
+    base = spark.createDataFrame(
+        [(cat, "a", 10), (cat, "b", 20), ("OTHER", "c", 30)],
+        "cat string, k string, v long",
+    )
+    write_partitioned(base, path, ["cat"])
+    changes = spark.createDataFrame([(cat, "a", 11)], "cat string, k string, v long")
+    merge_upsert(spark, path, changes, key_cols=["k"], partition_cols=["cat"])
+    state = table_state(spark, path)
+    assert state["status"] == "clean"
+    # the escaped dir exists and was inventoried with real files
+    esc = "cat=DRUG%2FNARCOTIC%3A SALE"
+    assert os.path.isdir(os.path.join(path, esc))
+    import json as _json
+
+    commits = os.path.join(path, "_commits")
+    commit = sorted(f for f in os.listdir(commits) if f.endswith(".commit.json"))[-1]
+    post = _json.load(open(os.path.join(commits, commit)))["post"]
+    assert esc in post and len(post[esc]) > 0
+    # deleting a file in the escaped dir is DETECTED
+    victim = sorted(
+        f for f in os.listdir(os.path.join(path, esc)) if f.endswith(".parquet")
+    )[0]
+    os.remove(os.path.join(path, esc, victim))
+    assert table_state(spark, path)["status"] == "torn"

@@ -294,10 +294,11 @@ def test_default_time_member_implicit_slicer(spark):
 
 
 def test_leaf_preaggregation_path_matches_direct(spark):
-    """A tuple matrix with >= MDX_LEAF_MIN_PAIRS pairs routes through
-    the leaf pre-aggregate (one fact scan + per-pair aggregation of
-    the dimension-bounded cell frame); values must equal the direct
-    filtered counts — sum-of-sums reassociativity."""
+    """A matrix with >= MDX_LEAF_MIN_PAIRS ENUMERATING pairs (the
+    switch counts enum pairs, not all pairs — scalar cells batch into
+    one conditional aggregation regardless) routes every pair's
+    groupBy through the leaf pre-aggregate; values must equal the
+    direct filtered counts — sum-of-sums reassociativity."""
     from map_reduce_sf_crime_spark.mdx import MDX_LEAF_MIN_PAIRS
 
     year = _fixture_year(spark)
@@ -306,19 +307,40 @@ def test_leaf_preaggregation_path_matches_direct(spark):
         r.district
         for r in inc.select("district").distinct().orderBy("district").limit(2).collect()
     ]
-    q = f"""select {{[Measures].[crimes]}} ON COLUMNS,
+    # the column tuple enumerates [Time].[year].Children, so EVERY
+    # pair of the 1×4 matrix is an enumerating pair
+    q = f"""select {{([Measures].[crimes], [Time].[{year}].Children)}} ON COLUMNS,
       {{[District].[{d1}], [District].[{d2}],
         [District].[All Districts], [Category].[All Categories]}} ON ROWS
-    from [sfcrime] where [Time].[{year}]"""
+    from [sfcrime]"""
     parsed = parse_mdx(q)
-    assert len(parsed.rows) * len(parsed.columns) >= MDX_LEAF_MIN_PAIRS
+    enum_pairs = [
+        (ct, rt)
+        for ct in parsed.columns
+        for rt in parsed.rows
+        if any(m.enum_col for m in ct + rt)
+    ]
+    assert len(enum_pairs) >= MDX_LEAF_MIN_PAIRS  # leaf branch engaged
     got = {
-        r.row_member: r.crimes for r in mdx_query(spark, SF_SMOKE, q).collect()
+        (r.row_member, r.col_member): r.crimes
+        for r in mdx_query(spark, SF_SMOKE, q).collect()
     }
-    total = inc.count()
-    assert got == {
-        d1: inc.filter(F.col("district") == d1).count(),
-        d2: inc.filter(F.col("district") == d2).count(),
-        "All Districts": total,
-        "All Categories": total,
+    by_month = {
+        r.m: r.n
+        for r in inc.select((F.month("d") - 1).alias("m"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     }
+    want = {}
+    for m in by_month:
+        col = f"crimes, {year}, {m}"
+        for d in (d1, d2):
+            n = inc.filter(
+                (F.col("district") == d) & (F.month("d") - 1 == m)
+            ).count()
+            if n:
+                want[(d, col)] = n
+        want[("All Districts", col)] = by_month[m]
+        want[("All Categories", col)] = by_month[m]
+    assert got == want

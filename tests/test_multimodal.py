@@ -152,3 +152,21 @@ def test_resize_deterministic_and_bounded(spark):
          multimodal.resize_binary(media, 256).collect()}
     assert a == b
     assert all(n <= 256 and n > 0 for _, n, _ in a)
+
+
+def test_pgm_crlf_header_and_size_mismatch(spark):
+    """A CRLF-written P5 header decodes correctly (stray '\\n' before
+    the raster consumed), and any header/raster size mismatch raises
+    loudly instead of returning a silently shifted mean."""
+    pixels = bytes(range(12))
+    crlf = b"P5\r\n4 3\r\n255\r\n" + pixels
+    got = multimodal.decode_image(crlf)
+    assert (got["width"], got["height"]) == (4, 3)
+    assert got["mean_byte"] == sum(pixels) / 12
+
+    truncated = b"P5\n4 3\n255\n" + pixels[:-1]
+    with pytest.raises(ValueError, match="size mismatch"):
+        multimodal.decode_image(truncated)
+    trailing = b"P5\n4 3\n255\n" + pixels + b"\x41"
+    with pytest.raises(ValueError, match="size mismatch"):
+        multimodal.decode_image(trailing)
