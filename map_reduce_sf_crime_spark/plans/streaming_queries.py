@@ -118,6 +118,7 @@ def stream_materialized_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = result.collect()  # materialize before the scratch dir goes away
     shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(out + "_deltas", ignore_errors=True)  # staged-delta table
     shutil.rmtree(out + "_ckpt", ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
 

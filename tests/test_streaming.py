@@ -141,3 +141,63 @@ def test_foreachbatch_materialization_merges_partitions(spark, tmp_path):
     per_day = collections.Counter(t[:10] for t in rows)
     want = {(d, "click", n) for d, n in per_day.items()}
     assert got == want
+
+
+def test_materialization_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crashed micro-batch replays
+    with the SAME batch_id. The staged-delta sink must converge —
+    applying a batch twice yields exactly the single-apply counts
+    (the old read-merge-overwrite form would double-count), and a
+    simulated torn serving write self-heals on the replay."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_sf_crime_spark.streaming.materialize import merge_daily_counts
+
+    out = str(tmp_path / "agg")
+    fn = merge_daily_counts(spark, out)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "ts string, event_type string").select(
+            F.col("ts").cast("timestamp").alias("ts"), "event_type"
+        )
+
+    def snapshot():
+        return {
+            (str(r.day), r.event_type, r.n)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    b0 = batch(
+        [
+            ("2024-01-01 01:00:00", "click"),
+            ("2024-01-01 02:00:00", "view"),
+            ("2024-01-02 01:00:00", "click"),
+        ]
+    )
+    fn(b0, 0)
+    first = snapshot()
+    fn(b0, 0)  # replay of batch 0
+    assert snapshot() == first
+
+    # overlapping second batch, replayed too
+    b1 = batch([("2024-01-02 02:00:00", "click"), ("2024-01-03 01:00:00", "view")])
+    fn(b1, 1)
+    second = snapshot()
+    fn(b1, 1)
+    assert snapshot() == second
+    assert second == {
+        ("2024-01-01", "click", 1),
+        ("2024-01-01", "view", 1),
+        ("2024-01-02", "click", 2),
+        ("2024-01-03", "view", 1),
+    }
+
+    # torn serving write: a day partition lost its files entirely —
+    # replaying the last batch that touched it rebuilds from staging
+    import os
+
+    shutil.rmtree(os.path.join(out, "day=2024-01-02"))
+    fn(b1, 1)
+    assert snapshot() == second
