@@ -243,8 +243,15 @@ def test_incremental_catalog_daily_append_loop(spark):
     ).collect()
     dedup.append_signature_catalog(docs.filter(day1), bt, st)
     # the bucketed layout must survive the append (no probe-side
-    # regression to a shuffled join)
+    # regression to a shuffled join): the day-2 probe's catalog scan
+    # still rides the bucket spec
     assert spark.catalog.tableExists(bt)
+    probe_df = dedup.incremental_lsh_flags_cataloged(
+        spark, docs.filter(day2), bt, st, threshold=0.8
+    )
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if bt in l]
+    assert scan_lines and "SelectedBucketsCount" in "\n".join(scan_lines)
 
     # day 2 must dedup against base + day 1
     got = {
