@@ -91,19 +91,20 @@ def decode_image(payload: bytes) -> dict:
                 j += 1
             fields.append(int(payload[i:j]))
             i = j
-        i += 1  # single whitespace byte after maxval, then raster
+        sep = payload[i : i + 1]
+        i += 1  # the spec's single whitespace byte after maxval
         w, h, maxval = fields
         if maxval > 255:
             raise ValueError(f"16-bit PGM not supported (maxval={maxval})")
         n = w * h
-        # CRLF-written headers ("255\r\n") leave a stray '\n' before
-        # the raster; consume extra whitespace ONLY while the
-        # remaining byte count still exceeds the declared raster —
-        # and then require an EXACT match, so an off-by-one header
-        # fails loudly instead of returning a silently shifted mean
-        while len(payload) - i > n and payload[i : i + 1] in (
-            b" ", b"\t", b"\r", b"\n",
-        ):
+        # CRLF-written headers ("255\r\n"): the spec's single
+        # whitespace is the '\r'; consume its paired '\n' and NOTHING
+        # else — a greedy whitespace skip could silently eat a real
+        # first pixel whose value happens to be whitespace when the
+        # file carries trailing bytes. Then require an EXACT raster
+        # length so any other header drift fails loudly instead of
+        # returning a shifted mean.
+        if sep == b"\r" and payload[i : i + 1] == b"\n":
             i += 1
         if len(payload) - i != n:
             raise ValueError(

@@ -93,18 +93,10 @@ def read_partitioned(
 
 _COMMITS_DIR = "_commits"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
-
-#: Characters Hive/Spark percent-escape in partition directory names
-#: (ExternalCatalogUtils.escapePathName): without matching escaping a
-#: value like "DRUG/NARCOTIC" would inventory a nonexistent path and
-#: silently disable the corruption checks.
-_HIVE_ESCAPE = set('"#%\'*/:=?\\{[]^\x7f') | {chr(c) for c in range(0x20)}
-
-
-def _hive_escape(value: str) -> str:
-    return "".join(
-        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE else ch for ch in value
-    )
+#: Manifest schema version. v2 = table-root-RELATIVE inventory keys
+#: (v1, absolute keys, existed only briefly and is refused loudly
+#: rather than silently mis-compared as torn).
+_MANIFEST_FORMAT = 2
 
 
 def _hfs(spark: SparkSession, path: str):
@@ -113,12 +105,17 @@ def _hfs(spark: SparkSession, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
 
 
-def _partition_subpath(partition_cols: list[str], key: tuple) -> str:
+def _partition_subpath(spark: SparkSession, partition_cols: list[str], key: tuple) -> str:
     """Hive-style relative partition path, e.g. ``month=2/day=5``.
     RELATIVE so manifests compare equal regardless of how the caller
-    spells the table root (relative vs absolute vs file: URI)."""
+    spells the table root (relative vs absolute vs file: URI).
+    Escaping delegates to Spark's own
+    ``ExternalCatalogUtils.getPartitionPathString`` so the manifest
+    names the directories the running Spark version actually writes
+    (a hand-copied escape set would drift)."""
+    utils = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     segs = [
-        f"{c}={_HIVE_NULL if v is None else _hive_escape(str(v))}"
+        f"{c}={_HIVE_NULL}" if v is None else utils.getPartitionPathString(c, str(v))
         for c, v in zip(partition_cols, key)
     ]
     return "/".join(segs)
@@ -134,7 +131,7 @@ def _inventory(
     fs, jvm = _hfs(spark, path)
     inv: dict[str, list[list]] = {}
     for key in keys:
-        sub = _partition_subpath(partition_cols, key)
+        sub = _partition_subpath(spark, partition_cols, key)
         jp = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{sub}")
         files: list[list] = []
         if fs.exists(jp):
@@ -208,6 +205,7 @@ def begin_commit(
         spark,
         f"{path.rstrip('/')}/{_COMMITS_DIR}/{cid:06d}.intent.json",
         {
+            "format": _MANIFEST_FORMAT,
             "id": cid,
             "partition_cols": partition_cols,
             "keys": [list(k) for k in keys],
@@ -226,6 +224,7 @@ def finish_commit(spark: SparkSession, path: str, cid: int) -> None:
         spark,
         f"{path.rstrip('/')}/{_COMMITS_DIR}/{cid:06d}.commit.json",
         {
+            "format": _MANIFEST_FORMAT,
             "id": cid,
             "post": _inventory(spark, path, intent["partition_cols"], keys),
         },
@@ -242,11 +241,13 @@ def table_state(spark: SparkSession, path: str) -> dict:
     EVERY unfinished intent is considered, not just the newest — a
     later successful rewrite of OTHER partitions must not mask an
     earlier crash. An unfinished intent is RESOLVED only when every
-    partition it declared was since rewritten by a LATER committed
-    operation (per-partition overwrite atomicity makes those
-    partitions wholly-new again — which is exactly what the
-    documented re-run recovery produces); partitions no later commit
-    covered stay suspect."""
+    partition it declared shows REWRITE EVIDENCE in a later committed
+    operation: that commit's post inventory for the partition differs
+    from its own pre (fresh part-file names prove the overwrite
+    actually replaced it — a committed merge that merely DECLARED the
+    partition but produced zero rows for it leaves the directory
+    untouched and must not clear it). This is exactly what the
+    documented re-run recovery produces."""
     ids = _commit_ids(spark, path)
     if not ids:
         return {"status": "clean", "detail": "no manifest history", "suspect": []}
@@ -256,19 +257,33 @@ def table_state(spark: SparkSession, path: str) -> dict:
     for cid in ids:
         base = f"{root}/{_COMMITS_DIR}/{cid:06d}"
         intent = _read_json(spark, f"{base}.intent.json")
+        if intent.get("format") != _MANIFEST_FORMAT:
+            raise RuntimeError(
+                f"manifest {base}.intent.json has format "
+                f"{intent.get('format')!r}, this engine reads format "
+                f"{_MANIFEST_FORMAT}; rebuild the table's manifests "
+                "(vacuum_commits(keep_last=1) after a fresh rewrite)"
+            )
         committed = fs.exists(jvm.org.apache.hadoop.fs.Path(f"{base}.commit.json"))
-        meta[cid] = (intent, committed)
+        post = (
+            _read_json(spark, f"{base}.commit.json")["post"] if committed else None
+        )
+        meta[cid] = (intent, post)
     suspect: set[str] = set()
     unfinished = []
     for cid in ids:
-        intent, committed = meta[cid]
-        if committed:
+        intent, post = meta[cid]
+        if post is not None:
             continue
         later_covered: set[str] = set()
         for cid2 in ids:
-            intent2, committed2 = meta[cid2]
-            if cid2 > cid and committed2:
-                later_covered.update(intent2["pre"].keys())
+            intent2, post2 = meta[cid2]
+            if cid2 > cid and post2 is not None:
+                later_covered.update(
+                    p
+                    for p in intent2["pre"]
+                    if post2.get(p) != intent2["pre"][p]
+                )
         leftover = set(intent["pre"].keys()) - later_covered
         if leftover:
             unfinished.append(cid)
@@ -282,12 +297,21 @@ def table_state(spark: SparkSession, path: str) -> dict:
             "the same operation to recover",
             "suspect": sorted(suspect),
         }
-    last = ids[-1]
-    intent, _ = meta[last]
-    commit = _read_json(spark, f"{root}/{_COMMITS_DIR}/{last:06d}.commit.json")
+    committed_ids = [cid for cid in ids if meta[cid][1] is not None]
+    if not committed_ids:
+        # only unfinished-but-empty intents (e.g. a crash during a
+        # zero-partition merge): nothing was claimed about any data
+        return {
+            "status": "clean",
+            "detail": "no committed history; unfinished intents declared "
+            "no partitions",
+            "suspect": [],
+        }
+    last = committed_ids[-1]
+    intent, post = meta[last]
     keys = [tuple(k) for k in intent["keys"]]
     now = _inventory(spark, path, intent["partition_cols"], keys)
-    bad = sorted(p for p, files in commit["post"].items() if now.get(p) != files)
+    bad = sorted(p for p, files in post.items() if now.get(p) != files)
     if bad:
         return {
             "status": "torn",
@@ -315,20 +339,29 @@ def vacuum_commits(spark: SparkSession, path: str, keep_last: int = 10) -> int:
     load-bearing for ``table_state`` (older pairs are audit history).
     Drops all but the newest ``keep_last`` pairs and returns how many
     ids were removed. ``keep_last`` is floored at 1 — the latest pair
-    is never dropped — and an UNFINISHED intent (no commit) is never
-    dropped regardless of age: it is the evidence ``table_state``
-    needs to report a torn rewrite."""
+    is never dropped — and retention stops at the OLDEST unfinished
+    intent: everything from it onward is kept, both the unfinished
+    intent itself (the evidence ``table_state`` needs to report a
+    torn rewrite) and every later committed pair (one of which may be
+    the RESOLVER whose rewrite evidence clears it — dropping the
+    resolver while keeping the intent would manufacture a permanent
+    false-torn)."""
     ids = _commit_ids(spark, path)
     fs, jvm = _hfs(spark, path)
     root = path.rstrip("/")
-    drop = [
-        cid
-        for cid in ids[: -max(1, keep_last)]
-        if fs.exists(
+    cutoff = None
+    for cid in ids:
+        if not fs.exists(
             jvm.org.apache.hadoop.fs.Path(
                 f"{root}/{_COMMITS_DIR}/{cid:06d}.commit.json"
             )
-        )
+        ):
+            cutoff = cid
+            break
+    drop = [
+        cid
+        for cid in ids[: -max(1, keep_last)]
+        if cutoff is None or cid < cutoff
     ]
     for cid in drop:
         base = f"{path.rstrip('/')}/{_COMMITS_DIR}/{cid:06d}"
@@ -363,7 +396,10 @@ def merge_upsert(
       rows append (insert), delete-flagged keys drop; a NULL delete
       flag means upsert (only an explicit ``true`` deletes). Key
       matching is null-safe, so NULL-valued key columns update rather
-      than duplicate.
+      than duplicate. A batch whose deletes empty a WHOLE partition
+      removes that partition's directory explicitly (dynamic
+      overwrite skips empty outputs and would otherwise leave the old
+      files — pinned in tests/test_lakehouse.py).
     - CONTRACT: a key's partition-column values must be immutable
       (the usual day-partitioned-fact shape). A change row that moves
       a key to a DIFFERENT partition inserts there without touching
@@ -426,6 +462,25 @@ def merge_upsert(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+    # dynamic overwrite only replaces partitions PRESENT in the
+    # output: a change batch whose deletes empty a whole partition
+    # yields zero merged rows for it, the overwrite skips the
+    # directory, and the old files would silently survive — an
+    # unapplied delete. Remove those directories explicitly, inside
+    # the manifest bracket so the commit's post inventory records the
+    # emptiness. (merged is checkpointed; the distinct over touched
+    # partitions is batch-sized.)
+    present = {
+        tuple(row[pc] for pc in partition_cols)
+        for row in merged.select(*partition_cols).distinct().collect()
+    }
+    fs, jvm = _hfs(spark, path)
+    for key in keys:
+        if key not in present:
+            sub = _partition_subpath(spark, partition_cols, key)
+            p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{sub}")
+            if fs.exists(p):
+                fs.delete(p, True)
     if manifest:
         finish_commit(spark, path, cid)
 

@@ -21,24 +21,70 @@ version uses the standard **staged-delta** discipline instead:
    self-heals on the replay. Untouched days are never rewritten.
 
 At 100 TB the nightly "reload the world" becomes a per-partition
-delta; staging accrues one small file per (day, batch) —
-`sources/lakehouse.py::compact_partitioned` is the matching
-maintenance story. (A lakehouse table format would replace this with
-MERGE INTO + its transaction log; the pattern and costs are the
-same.) Replay-idempotence is pinned in tests/test_streaming.py.
+delta. Staging growth is BOUNDED by periodic folding: every
+``fold_every`` batches the active deltas consolidate into one
+``batch = -B`` partition per day (ids < B are checkpoint-committed —
+Structured Streaming replays only the last uncommitted batch — so
+folding them is replay-safe), and the active view is
+``batch == -cmax OR batch >= cmax``; superseded partitions become
+inert garbage that ``vacuum_staged_deltas`` reclaims. (A lakehouse
+table format would replace this with MERGE INTO + its transaction
+log; the pattern and costs are the same.) Replay-idempotence and
+folding are pinned in tests/test_streaming.py.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: Consolidate staged deltas every N micro-batches: the rebuild then
+#: reads ≤ N+1 partitions per day (one consolidated + the unfolded
+#: tail) instead of one per batch since stream start.
+FOLD_EVERY = 32
 
-def merge_daily_counts(spark: SparkSession, out_dir: str):
+
+def _fold_point(staged: DataFrame) -> int:
+    """Latest fold id: ``cmax`` such that partition ``batch = -cmax``
+    consolidates every delta with id < cmax (0 = never folded)."""
+    negs = [
+        r.batch
+        for r in staged.select("batch").distinct().filter("batch < 0").collect()
+    ]
+    return max((-b for b in negs), default=0)
+
+
+def _active(staged: DataFrame) -> tuple[DataFrame, int]:
+    cmax = _fold_point(staged)
+    return (
+        staged.filter((F.col("batch") == -cmax) | (F.col("batch") >= cmax)),
+        cmax,
+    )
+
+
+def _day_filter(days: list) -> Column:
+    """Null-safe membership: ``day IN (NULL, ...)`` is never true in
+    SQL, which would silently drop the NULL-day (unparseable-ts)
+    partition from every rebuild."""
+    non_null = [d for d in days if d is not None]
+    cond = F.col("day").isin(non_null) if non_null else F.lit(False)
+    if any(d is None for d in days):
+        cond = cond | F.col("day").isNull()
+    return cond
+
+
+def merge_daily_counts(
+    spark: SparkSession, out_dir: str, fold_every: int = FOLD_EVERY
+):
     """Returns a foreachBatch function maintaining a day-partitioned
     (day, event_type, n) aggregate under ``out_dir`` (staging under
     ``{out_dir}_deltas``), idempotent under micro-batch replay."""
     deltas_dir = out_dir.rstrip("/") + "_deltas"
+
+    def _staging_exists() -> bool:
+        jvm = spark._jvm
+        jp = jvm.org.apache.hadoop.fs.Path(deltas_dir)
+        return jp.getFileSystem(spark._jsc.hadoopConfiguration()).exists(jp)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         delta = (
@@ -49,6 +95,25 @@ def merge_daily_counts(spark: SparkSession, out_dir: str):
         days = [r["day"] for r in delta.select("day").distinct().collect()]
         if not days:
             return
+        # fold BEFORE staging this batch: every staged id < batch_id
+        # is checkpoint-committed, so consolidating them into one
+        # (day, -batch_id) partition set is deterministic under
+        # replay (the crashed attempt's own (day, batch_id) rows are
+        # explicitly excluded)
+        if batch_id > 0 and batch_id % fold_every == 0 and _staging_exists():
+            active, _ = _active(spark.read.parquet(deltas_dir))
+            folded = (
+                active.filter(F.col("batch") < batch_id)
+                .groupBy("day", "event_type")
+                .agg(F.sum("n").alias("n"))
+                .withColumn("batch", F.lit(-batch_id))
+            )
+            (
+                folded.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("day", "batch")
+                .parquet(deltas_dir)
+            )
         (
             delta.withColumn("batch", F.lit(batch_id))
             .write.mode("overwrite")
@@ -56,9 +121,9 @@ def merge_daily_counts(spark: SparkSession, out_dir: str):
             .partitionBy("day", "batch")
             .parquet(deltas_dir)
         )
+        active, _ = _active(spark.read.parquet(deltas_dir))
         merged = (
-            spark.read.parquet(deltas_dir)
-            .filter(F.col("day").isin(days))  # partition-pruned scan
+            active.filter(_day_filter(days))  # partition-pruned scan
             .groupBy("day", "event_type")
             .agg(F.sum("n").alias("n"))
         )
@@ -70,6 +135,33 @@ def merge_daily_counts(spark: SparkSession, out_dir: str):
         )
 
     return _merge
+
+
+def vacuum_staged_deltas(spark: SparkSession, out_dir: str) -> int:
+    """Reclaim staging partitions the active view can no longer read:
+    positives below the fold point and consolidated sets older than
+    the latest. Returns the number of directories removed. Safe at
+    any time — the active view is recomputed from what remains."""
+    deltas_dir = out_dir.rstrip("/") + "_deltas"
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(deltas_dir)
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jp):
+        return 0
+    cmax = _fold_point(spark.read.parquet(deltas_dir))
+    removed = 0
+    for day_st in fs.listStatus(jp):
+        if not day_st.isDirectory():
+            continue
+        for b_st in fs.listStatus(day_st.getPath()):
+            name = b_st.getPath().getName()
+            if not name.startswith("batch="):
+                continue
+            b = int(name.split("=", 1)[1])
+            if (0 <= b < cmax) or (b < 0 and b != -cmax):
+                fs.delete(b_st.getPath(), True)
+                removed += 1
+    return removed
 
 
 def run_materialization(

@@ -630,3 +630,76 @@ def test_manifest_escapes_partition_values(spark):
     )[0]
     os.remove(os.path.join(path, esc, victim))
     assert table_state(spark, path)["status"] == "torn"
+
+
+def test_merge_delete_empties_whole_partition(spark):
+    """A change batch whose deletes empty an entire partition must
+    actually remove it: dynamic overwrite skips empty outputs, so
+    merge_upsert deletes the directory explicitly (and records the
+    emptiness in the commit manifest)."""
+    from map_reduce_sf_crime_spark.sources.lakehouse import (
+        merge_upsert,
+        table_state,
+    )
+
+    path = os.path.join(SCRATCH, "delete_all_fact")
+    shutil.rmtree(path, ignore_errors=True)
+    base = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "c", 30)], "p int, k string, v long"
+    )
+    write_partitioned(base, path, ["p"])
+    changes = spark.createDataFrame(
+        [(1, "a", 0, True), (1, "b", 0, True)],
+        "p int, k string, v long, _del boolean",
+    )
+    merge_upsert(
+        spark, path, changes, key_cols=["k"], partition_cols=["p"],
+        delete_col="_del",
+    )
+    rows = {(r.p, r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert rows == {(2, "c", 30)}
+    assert not os.path.exists(os.path.join(path, "p=1"))
+    assert table_state(spark, path)["status"] == "clean"
+
+
+def test_vacuum_after_recovery_stays_clean(spark):
+    """Vacuum must never orphan an unfinished intent from its
+    RESOLVER: after crash + re-run recovery + many later merges,
+    vacuuming down to a small window either drops the whole
+    crash-and-recovery prefix together or keeps both — table_state
+    stays clean either way."""
+    from map_reduce_sf_crime_spark.sources.lakehouse import (
+        merge_upsert,
+        table_state,
+        vacuum_commits,
+    )
+
+    path = os.path.join(SCRATCH, "vacuum_recovery_fact")
+    shutil.rmtree(path, ignore_errors=True)
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "p int, k string, v long"
+    )
+    write_partitioned(base, path, ["p"])
+    ch1 = spark.createDataFrame([(1, "a", 11)], "p int, k string, v long")
+    merge_upsert(spark, path, ch1, key_cols=["k"], partition_cols=["p"])
+    # crash: drop the commit marker of intent 0
+    commits = os.path.join(path, "_commits")
+    os.remove(os.path.join(commits, "000000.commit.json"))
+    # recovery re-run (intent 1, committed, rewrites p=1)
+    merge_upsert(spark, path, ch1, key_cols=["k"], partition_cols=["p"])
+    assert table_state(spark, path)["status"] == "clean"
+    # many later merges on the OTHER partition
+    for v in range(21, 26):
+        merge_upsert(
+            spark,
+            path,
+            spark.createDataFrame([(2, "b", v)], "p int, k string, v long"),
+            key_cols=["k"],
+            partition_cols=["p"],
+        )
+    vacuum_commits(spark, path, keep_last=2)
+    # the unfinished intent 0 and its resolver 1 were retained
+    # together (retention stops at the oldest unfinished intent)
+    names = sorted(os.listdir(commits))
+    assert "000000.intent.json" in names and "000001.commit.json" in names
+    assert table_state(spark, path)["status"] == "clean"

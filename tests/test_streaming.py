@@ -201,3 +201,65 @@ def test_materialization_replay_idempotent(spark, tmp_path):
     shutil.rmtree(os.path.join(out, "day=2024-01-02"))
     fn(b1, 1)
     assert snapshot() == second
+
+
+def test_staged_delta_folding_and_vacuum(spark, tmp_path):
+    """Folding bounds staging growth: every fold_every batches the
+    active deltas consolidate into one (day, -B) partition set, the
+    rebuild reads consolidated + tail only, replaying the FOLD batch
+    converges, NULL-day rows survive the rebuild, and vacuum removes
+    only superseded partitions."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_sf_crime_spark.streaming.materialize import (
+        merge_daily_counts,
+        vacuum_staged_deltas,
+    )
+
+    out = str(tmp_path / "agg")
+    fn = merge_daily_counts(spark, out, fold_every=4)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "ts string, event_type string").select(
+            F.col("ts").cast("timestamp").alias("ts"), "event_type"
+        )
+
+    def snapshot():
+        return {
+            (str(r.day), r.event_type, r.n)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # batches 0..5, all touching one hot day (+ a NULL-ts row in b3)
+    for b in range(6):
+        rows = [("2024-02-01 0%d:00:00" % b, "click")]
+        if b == 3:
+            rows.append((None, "click"))
+        fn(batch(rows), b)
+    want = {("2024-02-01", "click", 6), ("None", "click", 1)}
+    assert snapshot() == want
+
+    # fold happened at batch 4: consolidated partitions exist
+    deltas = out + "_deltas"
+    hot = os.path.join(deltas, "day=2024-02-01")
+    batches = sorted(os.listdir(hot))
+    assert "batch=-4" in batches
+    # replaying the fold batch converges (fold + stage + rebuild rerun)
+    fn(batch([("2024-02-01 04:00:00", "click")]), 4)
+    assert snapshot() == want
+
+    # vacuum drops superseded partitions (positives < 4) but keeps
+    # the consolidated set and the tail; results unchanged after the
+    # next batch
+    removed = vacuum_staged_deltas(spark, out)
+    assert removed > 0
+    left = sorted(os.listdir(hot))
+    assert "batch=-4" in left and "batch=0" not in left
+    fn(batch([("2024-02-01 06:00:00", "view")]), 6)
+    assert snapshot() == {
+        ("2024-02-01", "click", 6),
+        ("2024-02-01", "view", 1),
+        ("None", "click", 1),
+    }
