@@ -98,13 +98,19 @@ def decode_image(payload: bytes) -> dict:
             raise ValueError(f"16-bit PGM not supported (maxval={maxval})")
         n = w * h
         # CRLF-written headers ("255\r\n"): the spec's single
-        # whitespace is the '\r'; consume its paired '\n' and NOTHING
-        # else — a greedy whitespace skip could silently eat a real
-        # first pixel whose value happens to be whitespace when the
-        # file carries trailing bytes. Then require an EXACT raster
-        # length so any other header drift fails loudly instead of
-        # returning a shifted mean.
-        if sep == b"\r" and payload[i : i + 1] == b"\n":
+        # whitespace is the '\r'; consume its paired '\n' ONLY when
+        # the remaining length says there is one extra byte — a bare
+        # '\r' separator followed by a real first pixel of value 0x0A
+        # ('\n') is a valid file and must not lose that pixel, and a
+        # greedy whitespace skip could likewise eat whitespace-valued
+        # pixels. Then require an EXACT raster length so any other
+        # header drift fails loudly instead of returning a shifted
+        # mean.
+        if (
+            sep == b"\r"
+            and payload[i : i + 1] == b"\n"
+            and len(payload) - i == n + 1
+        ):
             i += 1
         if len(payload) - i != n:
             raise ValueError(

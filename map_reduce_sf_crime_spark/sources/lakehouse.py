@@ -93,9 +93,12 @@ def read_partitioned(
 
 _COMMITS_DIR = "_commits"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
-#: Manifest schema version. v2 = table-root-RELATIVE inventory keys
-#: (v1, absolute keys, existed only briefly and is refused loudly
-#: rather than silently mis-compared as torn).
+#: Manifest schema version (2 = table-root-relative inventory keys,
+#: version-stamped). Manifests WITHOUT the stamp predate it and the
+#: key spelling is unverifiable, so strict readers (table_state /
+#: assert_committed) refuse them loudly rather than risk
+#: mis-comparing inventories as torn/clean; vacuum_commits is the
+#: sanctioned discard path.
 _MANIFEST_FORMAT = 2
 
 
@@ -231,6 +234,69 @@ def finish_commit(spark: SparkSession, path: str, cid: int) -> None:
     )
 
 
+def _manifest_meta(spark: SparkSession, path: str, strict: bool):
+    """Load every manifest pair: ``(ids, {id: (intent, post|None)},
+    legacy_ids)``. ``strict=True`` raises on a manifest without the
+    current format stamp (readers must not mis-compare it);
+    ``strict=False`` marks it legacy (``meta[id] = (None, None)``) so
+    vacuum can discard it."""
+    ids = _commit_ids(spark, path)
+    fs, jvm = _hfs(spark, path)
+    root = path.rstrip("/")
+    meta, legacy = {}, set()
+    for cid in ids:
+        base = f"{root}/{_COMMITS_DIR}/{cid:06d}"
+        intent = _read_json(spark, f"{base}.intent.json")
+        if intent.get("format") != _MANIFEST_FORMAT:
+            if strict:
+                raise RuntimeError(
+                    f"manifest {base}.intent.json has format "
+                    f"{intent.get('format')!r}, this engine reads format "
+                    f"{_MANIFEST_FORMAT}; after a fresh rewrite, "
+                    "vacuum_commits(keep_last=1) will drop the old-format "
+                    "manifests"
+                )
+            legacy.add(cid)
+            meta[cid] = (None, None)
+            continue
+        committed = fs.exists(jvm.org.apache.hadoop.fs.Path(f"{base}.commit.json"))
+        post = (
+            _read_json(spark, f"{base}.commit.json")["post"] if committed else None
+        )
+        meta[cid] = (intent, post)
+    return ids, meta, legacy
+
+
+def _unresolved(ids: list[int], meta: dict) -> dict[int, set[str]]:
+    """Unfinished intents whose declared partitions lack later
+    rewrite/emptiness evidence: ``{id: suspect_subpaths}``."""
+    out: dict[int, set[str]] = {}
+    for cid in ids:
+        intent, post = meta[cid]
+        if intent is None or post is not None:
+            continue
+        later_covered: set[str] = set()
+        for cid2 in ids:
+            intent2, post2 = meta[cid2]
+            if cid2 > cid and intent2 is not None and post2 is not None:
+                # rewrite evidence (post ≠ pre: fresh part-file names)
+                # OR a definitively-empty post: the later op committed
+                # with the partition holding no files, a KNOWN state
+                # (sound: if the partition still held the crashed
+                # rewrite's — or the old — files, that later op's own
+                # pre/post would list them and not be empty).
+                later_covered.update(
+                    p
+                    for p in intent2["pre"]
+                    if post2.get(p) != intent2["pre"][p]
+                    or post2.get(p) == []
+                )
+        leftover = set(intent["pre"].keys()) - later_covered
+        if leftover:
+            out[cid] = leftover
+    return out
+
+
 def table_state(spark: SparkSession, path: str) -> dict:
     """Classify the table's commit state.
 
@@ -246,49 +312,18 @@ def table_state(spark: SparkSession, path: str) -> dict:
     from its own pre (fresh part-file names prove the overwrite
     actually replaced it — a committed merge that merely DECLARED the
     partition but produced zero rows for it leaves the directory
-    untouched and must not clear it). This is exactly what the
-    documented re-run recovery produces."""
-    ids = _commit_ids(spark, path)
+    untouched and must not clear it) — or shows it definitively
+    EMPTY. This is exactly what the documented re-run recovery
+    produces."""
+    ids, meta, legacy = _manifest_meta(spark, path, strict=True)
     if not ids:
         return {"status": "clean", "detail": "no manifest history", "suspect": []}
-    fs, jvm = _hfs(spark, path)
-    root = path.rstrip("/")
-    meta = {}
-    for cid in ids:
-        base = f"{root}/{_COMMITS_DIR}/{cid:06d}"
-        intent = _read_json(spark, f"{base}.intent.json")
-        if intent.get("format") != _MANIFEST_FORMAT:
-            raise RuntimeError(
-                f"manifest {base}.intent.json has format "
-                f"{intent.get('format')!r}, this engine reads format "
-                f"{_MANIFEST_FORMAT}; rebuild the table's manifests "
-                "(vacuum_commits(keep_last=1) after a fresh rewrite)"
-            )
-        committed = fs.exists(jvm.org.apache.hadoop.fs.Path(f"{base}.commit.json"))
-        post = (
-            _read_json(spark, f"{base}.commit.json")["post"] if committed else None
-        )
-        meta[cid] = (intent, post)
-    suspect: set[str] = set()
-    unfinished = []
-    for cid in ids:
-        intent, post = meta[cid]
-        if post is not None:
-            continue
-        later_covered: set[str] = set()
-        for cid2 in ids:
-            intent2, post2 = meta[cid2]
-            if cid2 > cid and post2 is not None:
-                later_covered.update(
-                    p
-                    for p in intent2["pre"]
-                    if post2.get(p) != intent2["pre"][p]
-                )
-        leftover = set(intent["pre"].keys()) - later_covered
-        if leftover:
-            unfinished.append(cid)
+    unresolved = _unresolved(ids, meta)
+    if unresolved:
+        unfinished = sorted(unresolved)
+        suspect: set[str] = set()
+        for leftover in unresolved.values():
             suspect.update(leftover)
-    if unfinished:
         return {
             "status": "torn",
             "detail": f"intent(s) {unfinished} have no commit and "
@@ -339,29 +374,26 @@ def vacuum_commits(spark: SparkSession, path: str, keep_last: int = 10) -> int:
     load-bearing for ``table_state`` (older pairs are audit history).
     Drops all but the newest ``keep_last`` pairs and returns how many
     ids were removed. ``keep_last`` is floored at 1 — the latest pair
-    is never dropped — and retention stops at the OLDEST unfinished
-    intent: everything from it onward is kept, both the unfinished
-    intent itself (the evidence ``table_state`` needs to report a
-    torn rewrite) and every later committed pair (one of which may be
-    the RESOLVER whose rewrite evidence clears it — dropping the
-    resolver while keeping the intent would manufacture a permanent
-    false-torn)."""
-    ids = _commit_ids(spark, path)
+    is never dropped. Within the drop window, an id is droppable when
+    it is committed, RESOLVED-unfinished (its crash evidence is moot:
+    dropping the intent removes the need for its resolver — keeping
+    the intent while dropping the resolver would manufacture a
+    permanent false-torn, and droppability is a prefix so the pair
+    always leaves together), or a legacy-format manifest (vacuum is
+    the sanctioned discard path the strict readers point to). A
+    genuinely UNRESOLVED intent is never dropped — it is the evidence
+    ``table_state`` needs, and the fix is the documented re-run
+    recovery, not retention."""
+    ids, meta, legacy = _manifest_meta(spark, path, strict=False)
     fs, jvm = _hfs(spark, path)
-    root = path.rstrip("/")
-    cutoff = None
-    for cid in ids:
-        if not fs.exists(
-            jvm.org.apache.hadoop.fs.Path(
-                f"{root}/{_COMMITS_DIR}/{cid:06d}.commit.json"
-            )
-        ):
-            cutoff = cid
-            break
+    unresolved = _unresolved(
+        [cid for cid in ids if cid not in legacy], meta
+    )
     drop = [
         cid
         for cid in ids[: -max(1, keep_last)]
-        if cutoff is None or cid < cutoff
+        if cid in legacy
+        or (meta[cid][0] is not None and cid not in unresolved)
     ]
     for cid in drop:
         base = f"{path.rstrip('/')}/{_COMMITS_DIR}/{cid:06d}"
@@ -455,6 +487,33 @@ def merge_upsert(
         .localCheckpoint()
     )
     keys = [tuple(row[pc] for pc in partition_cols) for row in part_keys]
+    # dynamic overwrite only replaces partitions PRESENT in the
+    # output: a change batch whose deletes empty a whole partition
+    # yields zero merged rows for it, the overwrite skips the
+    # directory, and the old files would silently survive — an
+    # unapplied delete. Those directories are removed explicitly
+    # below, inside the manifest bracket so the commit's post
+    # inventory records the emptiness. (merged is checkpointed; the
+    # distinct over touched partitions is batch-sized.)
+    present = {
+        tuple(row[pc] for pc in partition_cols)
+        for row in merged.select(*partition_cols).distinct().collect()
+    }
+    if not present and keys:
+        # the merge would delete EVERY declared partition; if nothing
+        # else remains the table becomes a bare _commits dir that
+        # spark.read.parquet can no longer schema-infer — refuse
+        # loudly BEFORE touching anything rather than strand readers
+        untouched = (
+            current.filter(~pred).limit(1).count() if pred is not None else 0
+        )
+        if untouched == 0:
+            raise ValueError(
+                "merge_upsert: this change batch would delete every row "
+                "of the table, leaving an unreadable (schema-less) "
+                "parquet directory — drop or rewrite the table "
+                "explicitly instead"
+            )
     cid = begin_commit(spark, path, partition_cols, keys) if manifest else None
     (
         merged.write.mode("overwrite")
@@ -462,18 +521,6 @@ def merge_upsert(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
-    # dynamic overwrite only replaces partitions PRESENT in the
-    # output: a change batch whose deletes empty a whole partition
-    # yields zero merged rows for it, the overwrite skips the
-    # directory, and the old files would silently survive — an
-    # unapplied delete. Remove those directories explicitly, inside
-    # the manifest bracket so the commit's post inventory records the
-    # emptiness. (merged is checkpointed; the distinct over touched
-    # partitions is batch-sized.)
-    present = {
-        tuple(row[pc] for pc in partition_cols)
-        for row in merged.select(*partition_cols).distinct().collect()
-    }
     fs, jvm = _hfs(spark, path)
     for key in keys:
         if key not in present:

@@ -25,9 +25,14 @@ delta. Staging growth is BOUNDED by periodic folding: every
 ``fold_every`` batches the active deltas consolidate into one
 ``batch = -B`` partition per day (ids < B are checkpoint-committed —
 Structured Streaming replays only the last uncommitted batch — so
-folding them is replay-safe), and the active view is
-``batch == -cmax OR batch >= cmax``; superseded partitions become
-inert garbage that ``vacuum_staged_deltas`` reclaims. (A lakehouse
+folding them is replay-safe), and the active view is PER DAY
+``batch == -cmax_day OR batch >= cmax_day`` with fold points read
+from the directory listing (per-day, because the fold write itself
+is only per-partition atomic: a torn fold leaves some days on the
+new point and others on the old, and each must keep reading its own
+consistent set until the replayed fold catches the stragglers up);
+superseded partitions become inert garbage that
+``vacuum_staged_deltas`` reclaims. (A lakehouse
 table format would replace this with MERGE INTO + its transaction
 log; the pattern and costs are the same.) Replay-idempotence and
 folding are pinned in tests/test_streaming.py.
@@ -38,27 +43,71 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.lakehouse import _hfs
+
 #: Consolidate staged deltas every N micro-batches: the rebuild then
 #: reads ≤ N+1 partitions per day (one consolidated + the unfolded
 #: tail) instead of one per batch since stream start.
 FOLD_EVERY = 32
 
-
-def _fold_point(staged: DataFrame) -> int:
-    """Latest fold id: ``cmax`` such that partition ``batch = -cmax``
-    consolidates every delta with id < cmax (0 = never folded)."""
-    negs = [
-        r.batch
-        for r in staged.select("batch").distinct().filter("batch < 0").collect()
-    ]
-    return max((-b for b in negs), default=0)
+_HIVE_NULL_DAY = "__HIVE_DEFAULT_PARTITION__"
 
 
-def _active(staged: DataFrame) -> tuple[DataFrame, int]:
-    cmax = _fold_point(staged)
+def _fold_points(spark: SparkSession, deltas_dir: str) -> dict[str, int]:
+    """PER-DAY fold points from a directory LISTING (no Spark job):
+    ``{day_dir_value: cmax}`` where partition ``batch = -cmax``
+    consolidates that day's deltas with id < cmax (0 = never folded).
+
+    Per-day — not global — on purpose: the fold write is a dynamic
+    partition overwrite, atomic per partition only. A crash can land
+    ``batch=-B`` for day X but not day Y; a single global fold point
+    (max over all days) would then hide day Y's still-unfolded
+    history from every rebuild AND from the replayed fold itself,
+    losing those counts permanently. With per-day points each day's
+    view stays internally consistent, and the replayed fold simply
+    re-folds whichever days the crash left behind."""
+    fs, jvm = _hfs(spark, deltas_dir)
+    root = jvm.org.apache.hadoop.fs.Path(deltas_dir)
+    points: dict[str, int] = {}
+    if not fs.exists(root):
+        return points
+    for day_st in fs.listStatus(root):
+        if not day_st.isDirectory():
+            continue
+        dname = day_st.getPath().getName()
+        if not dname.startswith("day="):
+            continue
+        cmax = 0
+        for b_st in fs.listStatus(day_st.getPath()):
+            bname = b_st.getPath().getName()
+            if bname.startswith("batch=-"):
+                cmax = max(cmax, -int(bname.split("=", 1)[1]))
+        points[dname.split("=", 1)[1]] = cmax
+    return points
+
+
+def _active(spark: SparkSession, deltas_dir: str) -> DataFrame:
+    """The live staged-delta view: per day, the latest consolidated
+    partition (``batch == -cmax_day``) plus the unfolded tail
+    (``batch >= cmax_day``). Fold points come from the directory
+    listing; the frame joins them back by the day's directory value
+    (null-safe via the hive default-partition sentinel)."""
+    staged = spark.read.parquet(deltas_dir)
+    points = _fold_points(spark, deltas_dir)
+    pts = spark.createDataFrame(
+        [(d, c) for d, c in points.items()] or [(None, 0)],
+        "_dk string, _cmax int",
+    )
+    dk = F.coalesce(F.col("day").cast("string"), F.lit(_HIVE_NULL_DAY))
     return (
-        staged.filter((F.col("batch") == -cmax) | (F.col("batch") >= cmax)),
-        cmax,
+        staged.withColumn("_dk", dk)
+        .join(F.broadcast(pts), "_dk", "left")
+        .withColumn("_cmax", F.coalesce("_cmax", F.lit(0)))
+        .filter(
+            (F.col("batch") == -F.col("_cmax"))
+            | (F.col("batch") >= F.col("_cmax"))
+        )
+        .drop("_dk", "_cmax")
     )
 
 
@@ -82,9 +131,8 @@ def merge_daily_counts(
     deltas_dir = out_dir.rstrip("/") + "_deltas"
 
     def _staging_exists() -> bool:
-        jvm = spark._jvm
-        jp = jvm.org.apache.hadoop.fs.Path(deltas_dir)
-        return jp.getFileSystem(spark._jsc.hadoopConfiguration()).exists(jp)
+        fs, jvm = _hfs(spark, deltas_dir)
+        return fs.exists(jvm.org.apache.hadoop.fs.Path(deltas_dir))
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         delta = (
@@ -99,11 +147,12 @@ def merge_daily_counts(
         # is checkpoint-committed, so consolidating them into one
         # (day, -batch_id) partition set is deterministic under
         # replay (the crashed attempt's own (day, batch_id) rows are
-        # explicitly excluded)
+        # explicitly excluded, and per-day fold points mean a fold
+        # that tore mid-write simply re-folds the days it missed)
         if batch_id > 0 and batch_id % fold_every == 0 and _staging_exists():
-            active, _ = _active(spark.read.parquet(deltas_dir))
             folded = (
-                active.filter(F.col("batch") < batch_id)
+                _active(spark, deltas_dir)
+                .filter(F.col("batch") < batch_id)
                 .groupBy("day", "event_type")
                 .agg(F.sum("n").alias("n"))
                 .withColumn("batch", F.lit(-batch_id))
@@ -121,9 +170,9 @@ def merge_daily_counts(
             .partitionBy("day", "batch")
             .parquet(deltas_dir)
         )
-        active, _ = _active(spark.read.parquet(deltas_dir))
         merged = (
-            active.filter(_day_filter(days))  # partition-pruned scan
+            _active(spark, deltas_dir)
+            .filter(_day_filter(days))  # partition-pruned scan
             .groupBy("day", "event_type")
             .agg(F.sum("n").alias("n"))
         )
@@ -139,20 +188,25 @@ def merge_daily_counts(
 
 def vacuum_staged_deltas(spark: SparkSession, out_dir: str) -> int:
     """Reclaim staging partitions the active view can no longer read:
-    positives below the fold point and consolidated sets older than
-    the latest. Returns the number of directories removed. Safe at
-    any time — the active view is recomputed from what remains."""
+    per day, positives below that day's fold point and consolidated
+    sets older than that day's latest. Returns the number of
+    directories removed. Safe at any time — the active view is
+    per-day and recomputed from what remains, so even a torn fold's
+    days (whose points differ) vacuum consistently."""
     deltas_dir = out_dir.rstrip("/") + "_deltas"
-    jvm = spark._jvm
-    jp = jvm.org.apache.hadoop.fs.Path(deltas_dir)
-    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jp):
+    fs, jvm = _hfs(spark, deltas_dir)
+    root = jvm.org.apache.hadoop.fs.Path(deltas_dir)
+    if not fs.exists(root):
         return 0
-    cmax = _fold_point(spark.read.parquet(deltas_dir))
+    points = _fold_points(spark, deltas_dir)
     removed = 0
-    for day_st in fs.listStatus(jp):
+    for day_st in fs.listStatus(root):
         if not day_st.isDirectory():
             continue
+        dname = day_st.getPath().getName()
+        if not dname.startswith("day="):
+            continue
+        cmax = points.get(dname.split("=", 1)[1], 0)
         for b_st in fs.listStatus(day_st.getPath()):
             name = b_st.getPath().getName()
             if not name.startswith("batch="):

@@ -663,11 +663,11 @@ def test_merge_delete_empties_whole_partition(spark):
 
 
 def test_vacuum_after_recovery_stays_clean(spark):
-    """Vacuum must never orphan an unfinished intent from its
-    RESOLVER: after crash + re-run recovery + many later merges,
-    vacuuming down to a small window either drops the whole
-    crash-and-recovery prefix together or keeps both — table_state
-    stays clean either way."""
+    """Vacuum must never manufacture a false-torn: a RESOLVED
+    unfinished intent is droppable (dropping it removes the need for
+    its resolver — droppability is a prefix, so the pair leaves
+    together), while a genuinely UNRESOLVED intent is always
+    retained. table_state stays correct across both."""
     from map_reduce_sf_crime_spark.sources.lakehouse import (
         merge_upsert,
         table_state,
@@ -698,8 +698,20 @@ def test_vacuum_after_recovery_stays_clean(spark):
             partition_cols=["p"],
         )
     vacuum_commits(spark, path, keep_last=2)
-    # the unfinished intent 0 and its resolver 1 were retained
-    # together (retention stops at the oldest unfinished intent)
+    # the RESOLVED crash prefix is gone — manifests stay bounded even
+    # for a table that crashed once early in its life
     names = sorted(os.listdir(commits))
-    assert "000000.intent.json" in names and "000001.commit.json" in names
+    assert "000000.intent.json" not in names
     assert table_state(spark, path)["status"] == "clean"
+
+    # a genuinely UNRESOLVED intent survives any vacuum: crash the
+    # newest merge and delete nothing else
+    latest_commit = sorted(
+        f for f in os.listdir(commits) if f.endswith(".commit.json")
+    )[-1]
+    os.remove(os.path.join(commits, latest_commit))
+    assert table_state(spark, path)["status"] == "torn"
+    vacuum_commits(spark, path, keep_last=1)
+    names = sorted(os.listdir(commits))
+    assert latest_commit.replace(".commit.", ".intent.") in names
+    assert table_state(spark, path)["status"] == "torn"
