@@ -223,8 +223,14 @@ def olap_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rollup are ONE grouping-sets aggregate: a single Expand + one
     # hash aggregate over the cached star join, instead of three
     # separate shuffled aggregation passes. grouping() indicators
-    # route each output row to its hierarchy tag. (geo stays its own
-    # pass: its year-slice filter doesn't compose into the sets.)
+    # route each output row to its hierarchy tag. geo DELIBERATELY
+    # stays its own pass: folding it in (extra [year, district,
+    # category] sets + post-agg year filter) was measured neutral
+    # locally and is WORSE at scale — Expand would push the whole
+    # fact through 8 set-copies instead of 6, while the separate pass
+    # expands only the year slice by 3 with the year predicate pushed
+    # into the (pruned) scan. Grouping-sets share a pass only when
+    # every set wants the same input rows.
     gs = sj.groupingSets(
         [
             ["category"],
