@@ -108,17 +108,39 @@ def _hfs(spark: SparkSession, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
 
 
-def _partition_subpath(spark: SparkSession, partition_cols: list[str], key: tuple) -> str:
+def _spelled_keys(df: DataFrame, partition_cols: list[str]) -> list[tuple]:
+    """Distinct partition keys of ``df`` spelled the way SPARK spells
+    them in directory names: each value is cast to string INSIDE
+    Spark (the writer path is Cast-to-StringType), never by Python
+    ``str()`` — which diverges for booleans (``True`` vs ``true``)
+    and scientific-notation doubles (``1e-07`` vs ``1.0E-7``) and
+    would make every path-based check silently miss the real
+    directory. NULL stays None (the hive default-partition sentinel
+    is applied at path-building time)."""
+    rows = (
+        df.select(
+            *[F.col(pc).cast("string").alias(pc) for pc in partition_cols]
+        )
+        .distinct()
+        .collect()
+    )
+    return [tuple(r[pc] for pc in partition_cols) for r in rows]
+
+
+def _partition_subpath(
+    spark: SparkSession, partition_cols: list[str], key: tuple
+) -> str:
     """Hive-style relative partition path, e.g. ``month=2/day=5``.
     RELATIVE so manifests compare equal regardless of how the caller
     spells the table root (relative vs absolute vs file: URI).
-    Escaping delegates to Spark's own
+    ``key`` values must already be SPARK-SPELLED strings (or None) —
+    see :func:`_spelled_keys`. Escaping delegates to Spark's own
     ``ExternalCatalogUtils.getPartitionPathString`` so the manifest
     names the directories the running Spark version actually writes
     (a hand-copied escape set would drift)."""
     utils = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     segs = [
-        f"{c}={_HIVE_NULL}" if v is None else utils.getPartitionPathString(c, str(v))
+        f"{c}={_HIVE_NULL}" if v is None else utils.getPartitionPathString(c, v)
         for c, v in zip(partition_cols, key)
     ]
     return "/".join(segs)
@@ -151,9 +173,8 @@ def _write_json(spark: SparkSession, file_path: str, obj: dict) -> None:
 
     fs, jvm = _hfs(spark, file_path)
     out = fs.create(jvm.org.apache.hadoop.fs.Path(file_path), True)
-    # default=str: date/timestamp partition keys serialize to the same
-    # string form Spark uses in hive directory names, so keys rebuilt
-    # from a re-read manifest resolve to the same partition dirs
+    # keys are pre-spelled strings (_spelled_keys); default=str is a
+    # safety net for any other non-JSON value that slips in
     out.write(
         bytearray(
             json.dumps(obj, sort_keys=True, default=str).encode("utf-8")
@@ -246,23 +267,35 @@ def _manifest_meta(spark: SparkSession, path: str, strict: bool):
     meta, legacy = {}, set()
     for cid in ids:
         base = f"{root}/{_COMMITS_DIR}/{cid:06d}"
-        intent = _read_json(spark, f"{base}.intent.json")
-        if intent.get("format") != _MANIFEST_FORMAT:
+        try:
+            intent = _read_json(spark, f"{base}.intent.json")
+        except ValueError:
+            # a crash inside _write_json leaves an empty/truncated
+            # file; unreadable ≈ old-format: strict readers refuse
+            # loudly, vacuum treats it as discardable history
+            intent = None
+        if intent is None or intent.get("format") != _MANIFEST_FORMAT:
             if strict:
+                fmt = "unreadable" if intent is None else repr(intent.get("format"))
                 raise RuntimeError(
-                    f"manifest {base}.intent.json has format "
-                    f"{intent.get('format')!r}, this engine reads format "
-                    f"{_MANIFEST_FORMAT}; after a fresh rewrite, "
-                    "vacuum_commits(keep_last=1) will drop the old-format "
-                    "manifests"
+                    f"manifest {base}.intent.json is {fmt} (this engine "
+                    f"reads format {_MANIFEST_FORMAT}); after a fresh "
+                    "rewrite, vacuum_commits(keep_last=1) drops "
+                    "old-format/unreadable manifests"
                 )
             legacy.add(cid)
             meta[cid] = (None, None)
             continue
-        committed = fs.exists(jvm.org.apache.hadoop.fs.Path(f"{base}.commit.json"))
-        post = (
-            _read_json(spark, f"{base}.commit.json")["post"] if committed else None
-        )
+        post = None
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{base}.commit.json")):
+            try:
+                post = _read_json(spark, f"{base}.commit.json")["post"]
+            except (ValueError, KeyError):
+                # a torn finish_commit (created-then-crashed file) is
+                # the same state as no commit marker: the intent is
+                # unfinished, the re-run recovery + resolution
+                # machinery (and vacuum, once resolved) handle it
+                post = None
         meta[cid] = (intent, post)
     return ids, meta, legacy
 
@@ -486,7 +519,9 @@ def merge_upsert(
         .unionByName(upserts)
         .localCheckpoint()
     )
-    keys = [tuple(row[pc] for pc in partition_cols) for row in part_keys]
+    # Spark-spelled key strings for everything PATH-shaped (manifest
+    # inventories, the empty-partition delete) — see _spelled_keys
+    keys = _spelled_keys(changes.select(*partition_cols), partition_cols)
     # dynamic overwrite only replaces partitions PRESENT in the
     # output: a change batch whose deletes empty a whole partition
     # yields zero merged rows for it, the overwrite skips the
@@ -495,10 +530,9 @@ def merge_upsert(
     # below, inside the manifest bracket so the commit's post
     # inventory records the emptiness. (merged is checkpointed; the
     # distinct over touched partitions is batch-sized.)
-    present = {
-        tuple(row[pc] for pc in partition_cols)
-        for row in merged.select(*partition_cols).distinct().collect()
-    }
+    present = set(
+        _spelled_keys(merged.select(*partition_cols), partition_cols)
+    )
     if not present and keys:
         # the merge would delete EVERY declared partition; if nothing
         # else remains the table becomes a bare _commits dir that
@@ -583,6 +617,15 @@ def compact_partitioned(
                 F.ceil(F.col("_rows") / F.lit(target_rows_per_file)),
             )
         )
+        # carry Spark-spelled string forms alongside the native values:
+        # the manifest paths must use Spark's spelling (see _spelled_keys)
+        .select(
+            "*",
+            *[
+                F.col(pc).cast("string").alias(f"_s_{pc}")
+                for pc in partition_cols
+            ],
+        )
         .collect()
     )
     if not counts:
@@ -641,7 +684,10 @@ def compact_partitioned(
         .localCheckpoint()
     )
     keys = [tuple(row[pc] for pc in partition_cols) for row in counts]
-    cid = begin_commit(spark, path, partition_cols, keys) if manifest else None
+    skeys = [
+        tuple(row[f"_s_{pc}"] for pc in partition_cols) for row in counts
+    ]
+    cid = begin_commit(spark, path, partition_cols, skeys) if manifest else None
     (
         touched.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

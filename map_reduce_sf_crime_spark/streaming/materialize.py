@@ -40,17 +40,15 @@ folding are pinned in tests/test_streaming.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.lakehouse import _hfs
+from ..sources.lakehouse import _HIVE_NULL, _hfs
 
 #: Consolidate staged deltas every N micro-batches: the rebuild then
 #: reads ≤ N+1 partitions per day (one consolidated + the unfolded
 #: tail) instead of one per batch since stream start.
 FOLD_EVERY = 32
-
-_HIVE_NULL_DAY = "__HIVE_DEFAULT_PARTITION__"
 
 
 def _fold_points(spark: SparkSession, deltas_dir: str) -> dict[str, int]:
@@ -86,40 +84,39 @@ def _fold_points(spark: SparkSession, deltas_dir: str) -> dict[str, int]:
     return points
 
 
-def _active(spark: SparkSession, deltas_dir: str) -> DataFrame:
+def _active(
+    spark: SparkSession, deltas_dir: str, days: list | None = None
+) -> DataFrame:
     """The live staged-delta view: per day, the latest consolidated
     partition (``batch == -cmax_day``) plus the unfolded tail
     (``batch >= cmax_day``). Fold points come from the directory
-    listing; the frame joins them back by the day's directory value
-    (null-safe via the hive default-partition sentinel)."""
+    listing and enter the plan as a LITERAL per-day predicate
+    (``day == d AND (batch == -c OR batch >= c)`` disjunction, both
+    partition columns vs literals) — statically partition-PRUNABLE,
+    so the scan lists only active (day, batch) directories; a joined
+    fold-point column would force reading every superseded partition
+    and filtering rows after the fact. ``days`` (values as returned
+    by collect; None member = the null day) restricts the view to the
+    affected days — the rebuild's pruning rides the same predicate."""
     staged = spark.read.parquet(deltas_dir)
     points = _fold_points(spark, deltas_dir)
-    pts = spark.createDataFrame(
-        [(d, c) for d, c in points.items()] or [(None, 0)],
-        "_dk string, _cmax int",
-    )
-    dk = F.coalesce(F.col("day").cast("string"), F.lit(_HIVE_NULL_DAY))
-    return (
-        staged.withColumn("_dk", dk)
-        .join(F.broadcast(pts), "_dk", "left")
-        .withColumn("_cmax", F.coalesce("_cmax", F.lit(0)))
-        .filter(
-            (F.col("batch") == -F.col("_cmax"))
-            | (F.col("batch") >= F.col("_cmax"))
+    wanted = None
+    if days is not None:
+        wanted = {_HIVE_NULL if d is None else str(d) for d in days}
+    pred = None
+    for day_str, cmax in points.items():
+        if wanted is not None and day_str not in wanted:
+            continue
+        dcond = (
+            F.col("day").isNull()
+            if day_str == _HIVE_NULL
+            else (F.col("day") == day_str)
         )
-        .drop("_dk", "_cmax")
-    )
-
-
-def _day_filter(days: list) -> Column:
-    """Null-safe membership: ``day IN (NULL, ...)`` is never true in
-    SQL, which would silently drop the NULL-day (unparseable-ts)
-    partition from every rebuild."""
-    non_null = [d for d in days if d is not None]
-    cond = F.col("day").isin(non_null) if non_null else F.lit(False)
-    if any(d is None for d in days):
-        cond = cond | F.col("day").isNull()
-    return cond
+        cond = dcond & (
+            (F.col("batch") == -cmax) | (F.col("batch") >= cmax)
+        )
+        pred = cond if pred is None else (pred | cond)
+    return staged.filter(pred if pred is not None else F.lit(False))
 
 
 def merge_daily_counts(
@@ -171,8 +168,7 @@ def merge_daily_counts(
             .parquet(deltas_dir)
         )
         merged = (
-            _active(spark, deltas_dir)
-            .filter(_day_filter(days))  # partition-pruned scan
+            _active(spark, deltas_dir, days)  # partition-pruned scan
             .groupBy("day", "event_type")
             .agg(F.sum("n").alias("n"))
         )

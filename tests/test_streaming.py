@@ -263,3 +263,36 @@ def test_staged_delta_folding_and_vacuum(spark, tmp_path):
         ("2024-02-01", "view", 1),
         ("None", "click", 1),
     }
+
+
+def test_active_view_partition_prunes(spark, tmp_path):
+    """The staged-delta active view must reach the scan as PARTITION
+    FILTERS (literal per-day predicate), so superseded (day, batch)
+    directories are never read — the point of folding."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_sf_crime_spark.streaming.materialize import (
+        _active,
+        merge_daily_counts,
+    )
+
+    out = str(tmp_path / "agg")
+    fn = merge_daily_counts(spark, out, fold_every=4)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "ts string, event_type string").select(
+            F.col("ts").cast("timestamp").alias("ts"), "event_type"
+        )
+
+    for b in range(6):
+        fn(batch([("2024-03-01 0%d:00:00" % b, "click")]), b)
+    view = _active(spark, out + "_deltas")
+    plan = view._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the scan reads only active files: batch=-4 (consolidated) and
+    # the tail 4,5 — never the superseded 0..3
+    files = {
+        r[0].split("/batch=")[1].split("/")[0]
+        for r in view.select(F.input_file_name()).distinct().collect()
+    }
+    assert files == {"-4", "4", "5"}
