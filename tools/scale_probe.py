@@ -290,6 +290,18 @@ def main() -> None:
         threshold=0.8,
     ).write.format("noop").mode("overwrite").save()
     print(f"x{n} incremental[catalog-backed daily run]: {time.perf_counter() - t0:.2f}s")
+    # the daily loop's closing step: append the flagged batch's
+    # signatures so tomorrow's batch dedups against today's docs —
+    # batch-sized shingling + bucketed append, no catalog rewrite
+    from map_reduce_sf_crime_spark.operators.dedup import (
+        append_signature_catalog,
+    )
+
+    t0 = time.perf_counter()
+    append_signature_catalog(
+        docs.filter(pred), "probe_sig_buckets", "probe_sig_shingles"
+    )
+    print(f"x{n} incremental[catalog append, daily]: {time.perf_counter() - t0:.2f}s")
     spark.catalog.clearCache()
 
     # PQ-ADC search: codebook training is bounded, encode + ADC scan
