@@ -465,6 +465,7 @@ def write_ivf_index(
     path: str,
     n_centroids: int = IVF_K,
     refine: bool = False,
+    centroids=None,
 ) -> None:
     """Persist the IVF index: the build-once/query-many production
     form that :func:`ivf_topk`'s docstring promises ("at 100 TB the
@@ -474,18 +475,29 @@ def write_ivf_index(
     - ``{path}/centroids`` — the tiny quantizer (centroid_id,
       embedding), one file;
     - ``{path}/lists`` — the corpus vectors hive-PARTITIONED by
-      ``centroid_id``: a probe reads only its nprobe directories
-      (partition pruning), never scanning or shuffling the other
-      lists.
+      ``(centroid_id, append_id)``: a probe reads only its nprobe
+      top-level directories (partition pruning), never scanning or
+      shuffling the other lists. The build lands as ``append_id=0``;
+      daily batches fold in as higher ids via
+      :func:`append_ivf_index` without rewriting the base.
+
+    ``centroids``: optional precomputed (ids, matrix) quantizer —
+    overrides ``refine`` (used by rebuild-equality tests and by
+    callers that version the quantizer separately).
 
     Mirrors the persisted dedup signature catalog (IC1): index build
     cost is paid once; each query batch touches ≈ nprobe/k of the
     corpus by layout alone.
     """
     spark = emb.sparkSession
-    cids, cmat = (
-        kmeans_centroids(emb, n_centroids) if refine else _centroids(emb, n_centroids)
-    )
+    if centroids is not None:
+        cids, cmat = centroids
+    else:
+        cids, cmat = (
+            kmeans_centroids(emb, n_centroids)
+            if refine
+            else _centroids(emb, n_centroids)
+        )
     cdf = spark.createDataFrame(
         [(int(c), [float(x) for x in cmat[i]]) for i, c in enumerate(cids)],
         "centroid_id long, embedding array<double>",
@@ -496,8 +508,63 @@ def write_ivf_index(
     lists = ivf_assignments(
         emb, n_centroids, centroids=(cids, cmat), with_embedding=True
     )
-    lists.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        f"{path}/lists"
+    lists.withColumn("append_id", F.lit(0)).write.mode("overwrite").partitionBy(
+        "centroid_id", "append_id"
+    ).parquet(f"{path}/lists")
+
+
+def _stored_centroids(spark, path: str):
+    """Load a persisted index's quantizer as the (ids, matrix) pair
+    the assignment/probe kernels take."""
+    import numpy as np
+
+    crows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    cids = np.array([r["centroid_id"] for r in crows], dtype=np.int64)
+    cmat = np.array([r["embedding"] for r in crows], dtype=np.float64)
+    return cids, cmat
+
+
+def append_ivf_index(batch: DataFrame, path: str, append_id: int) -> None:
+    """The ANN serving tier's daily loop (the index twin of
+    ``dedup.append_signature_catalog``): assign a NEW embedding batch
+    against the index's STORED quantizer — never retrained, so
+    existing lists and every past probe stay valid — and land it as
+    the batch's own ``append_id`` partitions under each touched
+    centroid directory. Cost is one narrow assignment map over the
+    batch plus a batch-sized write; the base corpus is never re-read
+    or rewritten, and probes keep partition-pruning on ``centroid_id``
+    (the top-level directory) exactly as before.
+
+    ``append_id`` identifies the batch (> 0; the base build owns 0)
+    and makes replay IDEMPOTENT by layout: assignment is
+    deterministic, so a crashed-and-re-run append dynamically
+    overwrites exactly its own ``(centroid_id, append_id)``
+    directories with identical content — the staged-delta discipline
+    of ``streaming/materialize.py``. Appending the same batch under
+    TWO DIFFERENT ids is caller error (vectors would duplicate in the
+    lists); queries do not dedup. Query equality with a same-quantizer
+    one-shot rebuild and replay idempotence are pinned in
+    tests/test_similarity.py. Centroid drift as the corpus grows
+    degrades recall, not correctness — rebuild (or re-``refine``) the
+    quantizer on a maintenance cadence, which is a full
+    :func:`write_ivf_index` with a fresh ``append_id=0`` layout."""
+    if append_id <= 0:
+        raise ValueError(
+            f"append_id must be > 0 (got {append_id}); 0 is the base build"
+        )
+    spark = batch.sparkSession
+    lists = ivf_assignments(
+        batch, centroids=_stored_centroids(spark, path), with_embedding=True
+    )
+    (
+        lists.withColumn("append_id", F.lit(append_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("centroid_id", "append_id")
+        .parquet(f"{path}/lists")
     )
 
 
@@ -525,12 +592,7 @@ def ivf_topk_indexed(
     corpus-member semantics)."""
     import numpy as np
 
-    crows = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(),
-        key=lambda r: r["centroid_id"],
-    )
-    cids = np.array([r["centroid_id"] for r in crows], dtype=np.int64)
-    cmat = np.array([r["embedding"] for r in crows], dtype=np.float64)
+    cids, cmat = _stored_centroids(spark, path)
     qids = np.array([q for q, _ in queries], dtype=np.int64)
     qmat = np.array([v for _, v in queries], dtype=np.float64)
     qcos = _seq_cosines(qmat, cmat)
@@ -876,7 +938,7 @@ SEMDEDUP_MAX_K = 65_536
 
 
 def write_pq_index(
-    emb: DataFrame, path: str, m: int = PQ_M, ksub: int = PQ_KSUB
+    emb: DataFrame, path: str, m: int = PQ_M, ksub: int = PQ_KSUB, codebooks=None
 ) -> None:
     """Persist the PQ serving tier: train codebooks once, encode the
     corpus once, store BOTH — the compressed twin of
@@ -884,15 +946,19 @@ def write_pq_index(
 
     - ``{path}/codebooks`` — (block, code, centroid), m·ksub tiny rows;
     - ``{path}/codes`` — (vec_id, pq_codes): 16 bytes a vector at the
-      default geometry, the only thing the ADC scan ever reads.
+      default geometry, the only thing the ADC scan ever reads. The
+      build lands as hive partition ``append_id=0``; daily batches
+      fold in as higher ids via :func:`append_pq_index`.
+
+    ``codebooks``: optional pretrained (m, ksub, dim//m) array —
+    skips training (rebuild-equality tests; externally versioned
+    codebooks).
 
     At 100 TB the raw vectors stay in cold storage; queries scan the
     16x-smaller code table and fetch real vectors only for the
     shortlist re-rank."""
-    import numpy as np
-
     spark = emb.sparkSession
-    books = pq_codebooks(emb, m, ksub)
+    books = pq_codebooks(emb, m, ksub) if codebooks is None else codebooks
     rows = [
         (b, j, [float(x) for x in books[b][j]])
         for b in range(books.shape[0])
@@ -901,7 +967,53 @@ def write_pq_index(
     spark.createDataFrame(
         rows, "block int, code int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
-    pq_encode(emb, books).write.mode("overwrite").parquet(f"{path}/codes")
+    pq_encode(emb, books).withColumn("append_id", F.lit(0)).write.mode(
+        "overwrite"
+    ).partitionBy("append_id").parquet(f"{path}/codes")
+
+
+def _stored_codebooks(spark, path: str):
+    """Reconstruct the (m, ksub, dim//m) codebook array from a
+    persisted index's ``codebooks`` table."""
+    import numpy as np
+
+    crows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r["block"] for r in crows)
+    ksub = 1 + max(r["code"] for r in crows)
+    sub = len(crows[0]["centroid"])
+    books = np.zeros((m, ksub, sub))
+    for r in crows:
+        books[r["block"], r["code"]] = r["centroid"]
+    return books
+
+
+def append_pq_index(batch: DataFrame, path: str, append_id: int) -> None:
+    """Daily append for the persisted PQ index: encode a NEW batch
+    with the index's STORED codebooks (never retrained — stored codes
+    and every cached distance table stay valid) and land it as the
+    batch's own ``append_id`` partition of the code table. One narrow
+    encode map + a batch-sized write; the corpus codes are never
+    re-read or rewritten. Same replay contract as
+    :func:`append_ivf_index`: encoding is deterministic, so a re-run
+    with the same ``append_id`` (> 0; the base build owns 0)
+    dynamically overwrites its own partition with identical bytes,
+    while re-appending under a DIFFERENT id is caller error.
+    Codebook drift as the corpus grows degrades recall only; retrain
+    on a maintenance cadence via a fresh :func:`write_pq_index`."""
+    if append_id <= 0:
+        raise ValueError(
+            f"append_id must be > 0 (got {append_id}); 0 is the base build"
+        )
+    spark = batch.sparkSession
+    books = _stored_codebooks(spark, path)
+    (
+        pq_encode(batch, books)
+        .withColumn("append_id", F.lit(append_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("append_id")
+        .parquet(f"{path}/codes")
+    )
 
 
 def pq_topk_indexed(
@@ -925,13 +1037,7 @@ def pq_topk_indexed(
     namespace that may collide with corpus ``vec_id``s."""
     import numpy as np
 
-    crows = spark.read.parquet(f"{path}/codebooks").collect()
-    m = 1 + max(r["block"] for r in crows)
-    ksub = 1 + max(r["code"] for r in crows)
-    sub = len(crows[0]["centroid"])
-    books = np.zeros((m, ksub, sub))
-    for r in crows:
-        books[r["block"], r["code"]] = r["centroid"]
+    books = _stored_codebooks(spark, path)
     qids = np.array([q for q, _ in queries], dtype=np.int64)
     qmat = np.array([v for _, v in queries], dtype=np.float64)
     qx = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)

@@ -233,9 +233,11 @@ def test_pq_index_persisted_parity(spark):
     similarity.write_pq_index(emb, base)
 
     # the code table is the compressed corpus: one row per vector
+    # (append_id is the hive batch-partition column, base build = 0)
     codes = spark.read.parquet(os.path.join(base, "codes"))
     assert codes.count() == emb.count()
-    assert codes.columns == ["vec_id", "pq_codes"]
+    assert codes.columns == ["vec_id", "pq_codes", "append_id"]
+    assert codes.select("append_id").distinct().collect()[0][0] == 0
 
     qids = QUERY_IDS[:5]
     queries = [
@@ -272,6 +274,78 @@ def test_indexed_external_namespace_no_self_exclusion(spark):
     top = min(rows, key=lambda x: x.rk)
     assert (top.vec_id, top.cosine, top.rk) == (3, 1.0, 1)
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_index_append_daily_loop(spark):
+    """The serving tier's daily loop (append_ivf_index /
+    append_pq_index): appending a new embedding batch to a persisted
+    index under the STORED quantizer/codebooks yields query results
+    identical to a one-shot rebuild over base+batch with that same
+    quantizer, and a replayed append (same append_id) changes
+    nothing — idempotent by (append_id) layout."""
+    import os
+    import shutil
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
+    )
+    paths = {n: os.path.join(scratch, f"append_{n}") for n in
+             ("ivf_a", "ivf_b", "pq_a", "pq_b")}
+    for p in paths.values():
+        shutil.rmtree(p, ignore_errors=True)
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    base_df = emb.filter(F.col("vec_id") % 5 != 4)
+    batch = emb.filter(F.col("vec_id") % 5 == 4)
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").isin(QUERY_IDS[:4])).collect()
+    ]
+
+    # IVF: base build + append  ==  rebuild over all, same quantizer
+    similarity.write_ivf_index(base_df, paths["ivf_a"], n_centroids=8)
+    similarity.append_ivf_index(batch, paths["ivf_a"], append_id=1)
+    cq = similarity._stored_centroids(spark, paths["ivf_a"])
+    similarity.write_ivf_index(emb, paths["ivf_b"], centroids=cq)
+    got = similarity.ivf_topk_indexed(spark, paths["ivf_a"], queries, k=3)
+    want = similarity.ivf_topk_indexed(spark, paths["ivf_b"], queries, k=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the batch landed as its own append_id partitions under the lists
+    lists_dir = os.path.join(paths["ivf_a"], "lists")
+    appended = [
+        d for c in os.listdir(lists_dir) if c.startswith("centroid_id=")
+        for d in os.listdir(os.path.join(lists_dir, c)) if d == "append_id=1"
+    ]
+    assert appended
+    # replay: same batch, same append_id — results identical
+    similarity.append_ivf_index(batch, paths["ivf_a"], append_id=1)
+    replayed = similarity.ivf_topk_indexed(spark, paths["ivf_a"], queries, k=3)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, replayed.collect())
+    )
+
+    # PQ: same contract with stored codebooks
+    similarity.write_pq_index(base_df, paths["pq_a"])
+    similarity.append_pq_index(batch, paths["pq_a"], append_id=1)
+    books = similarity._stored_codebooks(spark, paths["pq_a"])
+    similarity.write_pq_index(emb, paths["pq_b"], codebooks=books)
+    got_pq = similarity.pq_topk_indexed(spark, paths["pq_a"], queries, emb, k=3)
+    want_pq = similarity.pq_topk_indexed(spark, paths["pq_b"], queries, emb, k=3)
+    assert sorted(map(tuple, got_pq.collect())) == sorted(
+        map(tuple, want_pq.collect())
+    )
+    similarity.append_pq_index(batch, paths["pq_a"], append_id=1)
+    again = similarity.pq_topk_indexed(spark, paths["pq_a"], queries, emb, k=3)
+    assert sorted(map(tuple, got_pq.collect())) == sorted(map(tuple, again.collect()))
+
+    # the base build owns append_id 0 and appends must not claim it
+    import pytest
+
+    with pytest.raises(ValueError):
+        similarity.append_ivf_index(batch, paths["ivf_a"], append_id=0)
+    with pytest.raises(ValueError):
+        similarity.append_pq_index(batch, paths["pq_a"], append_id=0)
+    for p in paths.values():
+        shutil.rmtree(p, ignore_errors=True)
 
 
 def _hot_cluster_fixture(spark, n=1200, k=16, dim=8, seed=7):
