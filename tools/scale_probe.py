@@ -319,6 +319,8 @@ def main() -> None:
     # one-off line; the indexed query should beat or match its live
     # twin since assignment/encoding never recomputes.
     from map_reduce_sf_crime_spark.operators.similarity import (
+        append_ivf_index,
+        append_pq_index,
         ivf_topk,
         ivf_topk_indexed,
         pq_topk_indexed,
@@ -341,6 +343,13 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
     print(f"x{n} ivf_topk[indexed]: {time.perf_counter() - t0:.2f}s")
+    # daily append: a batch-sized assignment map + write — never
+    # re-reads the base lists (cost must track the batch, not n)
+    t0 = time.perf_counter()
+    append_ivf_index(
+        emb.filter(SF.col("vec_id") % 5 == 4), os.path.join(scratch, "ivf"), 1
+    )
+    print(f"x{n} ivf index[append, daily]: {time.perf_counter() - t0:.2f}s")
     t0 = time.perf_counter()
     write_pq_index(emb, os.path.join(scratch, "pq"))
     print(f"x{n} pq index[build, one-off]: {time.perf_counter() - t0:.2f}s")
@@ -349,6 +358,11 @@ def main() -> None:
         spark, os.path.join(scratch, "pq"), queries, emb, 3
     ).write.format("noop").mode("overwrite").save()
     print(f"x{n} pq_topk[indexed]: {time.perf_counter() - t0:.2f}s")
+    t0 = time.perf_counter()
+    append_pq_index(
+        emb.filter(SF.col("vec_id") % 5 == 4), os.path.join(scratch, "pq"), 1
+    )
+    print(f"x{n} pq index[append, daily]: {time.perf_counter() - t0:.2f}s")
     spark.catalog.clearCache()
 
     # Lakehouse layout/maintenance: z-order build is sketch + one
