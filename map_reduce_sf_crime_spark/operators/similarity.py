@@ -508,9 +508,13 @@ def write_ivf_index(
     lists = ivf_assignments(
         emb, n_centroids, centroids=(cids, cmat), with_embedding=True
     )
-    lists.withColumn("append_id", F.lit(0)).write.mode("overwrite").partitionBy(
-        "centroid_id", "append_id"
-    ).parquet(f"{path}/lists")
+    # STATIC overwrite pinned explicitly: a rebuild must truncate the
+    # whole lists tree — under a session-level dynamic default, stale
+    # append_id>0 partitions from the previous layout would survive
+    # next to the fresh quantizer's lists and silently duplicate
+    lists.withColumn("append_id", F.lit(0)).write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("centroid_id", "append_id").parquet(f"{path}/lists")
 
 
 def _stored_centroids(spark, path: str):
@@ -967,9 +971,14 @@ def write_pq_index(
     spark.createDataFrame(
         rows, "block int, code int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    # STATIC overwrite pinned (see write_ivf_index): a rebuild must
+    # truncate prior append_id partitions, even under a session-level
+    # dynamic default
     pq_encode(emb, books).withColumn("append_id", F.lit(0)).write.mode(
         "overwrite"
-    ).partitionBy("append_id").parquet(f"{path}/codes")
+    ).option("partitionOverwriteMode", "static").partitionBy("append_id").parquet(
+        f"{path}/codes"
+    )
 
 
 def _stored_codebooks(spark, path: str):

@@ -344,6 +344,27 @@ def test_index_append_daily_loop(spark):
         similarity.append_ivf_index(batch, paths["ivf_a"], append_id=0)
     with pytest.raises(ValueError):
         similarity.append_pq_index(batch, paths["pq_a"], append_id=0)
+
+    # a REBUILD truncates prior appends even when the session default
+    # is dynamic overwrite (the build writes pin static explicitly) —
+    # otherwise stale append partitions would survive next to the
+    # fresh quantizer's lists and silently duplicate vectors
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        similarity.write_ivf_index(emb, paths["ivf_a"], n_centroids=8)
+        leftover = [
+            d for c in os.listdir(lists_dir) if c.startswith("centroid_id=")
+            for d in os.listdir(os.path.join(lists_dir, c))
+            if d == "append_id=1"
+        ]
+        assert not leftover
+        similarity.write_pq_index(emb, paths["pq_a"])
+        codes_dir = os.path.join(paths["pq_a"], "codes")
+        assert "append_id=1" not in os.listdir(codes_dir)
+    finally:
+        spark.conf.set(conf_key, prev)
     for p in paths.values():
         shutil.rmtree(p, ignore_errors=True)
 
