@@ -28,7 +28,16 @@ NEAR_THRESHOLD = 0.4
 #: in tests/test_similarity.py assert the tighter measured values).
 RECALL_BOUND = 0.6
 
-ANN_METHODS = ("lsh", "ivf", "ivf_refined", "pq", "ivf_indexed", "pq_indexed")
+ANN_METHODS = (
+    "lsh",
+    "ivf",
+    "ivf_refined",
+    "pq",
+    "ivf_indexed",
+    "pq_indexed",
+    "ivf_appended",
+    "pq_appended",
+)
 
 
 _DIM_CHECKED: set[str] = set()
@@ -52,6 +61,16 @@ def _ann_index_dir(sf_dir: str, emb: DataFrame) -> str:
         base = tempfile.mkdtemp(prefix="sgraft_ann_idx_")
         similarity.write_ivf_index(emb, f"{base}/ivf")
         similarity.write_pq_index(emb, f"{base}/pq")
+        # the DAILY-LOOP form: base build on 4/5 of the corpus, then
+        # the held-out 1/5 folded in through the append path (stored
+        # quantizer/codebooks, batch's own append_id partitions) — so
+        # the gate also watches the incremental-ingest serving shape
+        older = emb.filter(F.col("vec_id") % 5 != 4)
+        batch = emb.filter(F.col("vec_id") % 5 == 4)
+        similarity.write_ivf_index(older, f"{base}/ivf_app")
+        similarity.append_ivf_index(batch, f"{base}/ivf_app", 1)
+        similarity.write_pq_index(older, f"{base}/pq_app")
+        similarity.append_pq_index(batch, f"{base}/pq_app", 1)
         _INDEX_DIRS[sf_dir] = base
     return _INDEX_DIRS[sf_dir]
 
@@ -204,7 +223,16 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch dir and queried back with the same query vectors — each
     is bit-identical to its live twin (tests/test_similarity.py), and
     gating them here means the hard correctness signal watches the
-    build-once/query-many form a production deployment runs."""
+    build-once/query-many form a production deployment runs.
+
+    The ``ivf_appended`` / ``pq_appended`` legs gate the DAILY-INGEST
+    form on top: the index is built on 4/5 of the corpus and the
+    held-out 1/5 (which contains query id 4) folds in through
+    ``append_ivf_index`` / ``append_pq_index`` — stored quantizer and
+    codebooks, batch-sized assignment/encode, the batch's own
+    ``append_id`` partitions. Equality with a same-quantizer one-shot
+    rebuild is pytest-pinned; the gate asserts the recall bound holds
+    through the incremental path."""
     emb = _emb(spark, sf_dir)
     exact = (
         similarity.knn_bruteforce(emb, QUERY_IDS, K)
@@ -228,6 +256,12 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "pq_indexed": similarity.pq_topk_indexed(
             spark, f"{idx}/pq", queries, emb, K
+        ),
+        "ivf_appended": similarity.ivf_topk_indexed(
+            spark, f"{idx}/ivf_app", queries, K
+        ),
+        "pq_appended": similarity.pq_topk_indexed(
+            spark, f"{idx}/pq_app", queries, emb, K
         ),
     }
     total = len(QUERY_IDS) * K
