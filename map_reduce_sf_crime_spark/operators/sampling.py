@@ -221,6 +221,161 @@ def global_shuffle_pos_sql(
     """
 
 
+#: Fixed-width score buckets for the two-phase per-group cap. Purely
+#: a performance knob: the kept set is identical for any count (see
+#: per_group_cap_flags), finer buckets just shrink the straddling
+#: bucket's exact-rank window.
+CAP_BUCKETS = 256
+
+
+def per_group_cap_flags(
+    docs: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    score_col: str = "score",
+    lo: float = 0.0,
+    hi: float = 1.0,
+    buckets: int = CAP_BUCKETS,
+) -> DataFrame:
+    """Per-group quota cap — "keep at most ``cap`` documents per
+    source/domain, preferring the highest-scoring ones" (the
+    RefinedWeb/CCNet-style domain cap that stops a handful of giant
+    domains from dominating a web corpus). Keeps the top ``cap`` rows
+    per ``group_col`` under the total order ``(score desc, doc_id
+    asc)``; returns ``(doc_id, <group_col>, kept)``.
+
+    The naive form — ``row_number() over (partition by group order by
+    score desc)`` — funnels each group through ONE task: a 100 TB
+    corpus with a few giant sources is exactly where it dies. This is
+    the scalable two-phase decomposition of the same semantics:
+
+    1. Each row maps to a fixed-width score bucket over ``[lo, hi]``
+       (scores are bounded by construction here — textops quality is
+       0..1; pass ``lo``/``hi`` for other ranges). Floor-bucketing
+       preserves the score order BETWEEN buckets, so per
+       ``(group, bucket)`` COUNTS — a tiny map-side-combined
+       aggregate — decide most rows without ranking anything:
+       running the counts from the top bucket down, a bucket whose
+       cumulative start is past the cap is wholly dropped, one whose
+       end is within the cap is wholly kept.
+    2. Only the ONE straddling bucket per group needs exact ranks,
+       and its window is ``partitionBy(group, bucket)`` — bounded by
+       the bucket's width, not the group's size. (Degenerate worst
+       case: every row of a group carries the SAME score, collapsing
+       it to one bucket and re-creating the per-group window; caps
+       order by a richer score or pre-salt in that regime.)
+
+    The kept set is IDENTICAL to the naive form for any bucket count:
+    equal scores always share a bucket, inter-bucket order refines
+    score order, and the within-bucket tie-break (``doc_id`` asc)
+    matches the naive window's. NULL scores sort below ``lo`` (kept
+    only after every scored row). One corpus exchange total — the
+    ``(group, bucket)`` join both phases share."""
+    if cap < 0:
+        raise ValueError(f"cap must be >= 0, got {cap}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    width = (hi - lo) / buckets
+    # NULL → bucket -1: below every real score, still cappable
+    b = F.when(F.col("_s").isNull(), F.lit(-1)).otherwise(
+        F.least(
+            F.lit(buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("_s") - F.lit(lo)) / F.lit(width)).cast("int"),
+            ),
+        )
+    )
+    rows = docs.select(
+        "doc_id", F.col(group_col).alias("_g"), F.col(score_col).alias("_s")
+    ).withColumn("_b", b)
+    counts = rows.groupBy("_g", "_b").agg(F.count(F.lit(1)).alias("_n"))
+    # prior = rows in STRICTLY better buckets of the same group; the
+    # window runs over the (groups × ≤buckets+1)-row aggregate only
+    wcum = Window.partitionBy("_g").orderBy(F.desc("_b"))
+    decided = counts.withColumn(
+        "_prior",
+        F.coalesce(
+            F.sum("_n").over(wcum.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select(
+        "_g",
+        "_b",
+        # quota left when this bucket starts; <=0 → drop all, >=_n →
+        # keep all, else exact-rank the straddling bucket
+        (F.lit(cap) - F.col("_prior")).alias("_quota"),
+        "_n",
+    )
+    # null-safe on the group: a NULL source is a real group (the
+    # naive window and the SQL twin both rank it) — a plain equi-join
+    # would silently drop its rows
+    tagged = rows.alias("r").join(
+        decided.alias("d"),
+        F.col("r._g").eqNullSafe(F.col("d._g"))
+        & (F.col("r._b") == F.col("d._b")),
+    ).select(
+        F.col("r.doc_id").alias("doc_id"),
+        F.col("r._g").alias("_g"),
+        F.col("r._b").alias("_b"),
+        F.col("r._s").alias("_s"),
+        F.col("d._quota").alias("_quota"),
+        F.col("d._n").alias("_n"),
+    )
+    whole = tagged.filter(
+        (F.col("_quota") <= 0) | (F.col("_quota") >= F.col("_n"))
+    ).select(
+        "doc_id",
+        F.col("_g").alias(group_col),
+        (F.col("_quota") >= F.col("_n")).cast("int").alias("kept"),
+    )
+    straddle = tagged.filter(
+        (F.col("_quota") > 0) & (F.col("_quota") < F.col("_n"))
+    )
+    win = Window.partitionBy("_g", "_b").orderBy(
+        F.desc_nulls_last("_s"), F.asc("doc_id")
+    )
+    ranked = straddle.withColumn("_r", F.row_number().over(win)).select(
+        "doc_id",
+        F.col("_g").alias(group_col),
+        (F.col("_r") <= F.col("_quota")).cast("int").alias("kept"),
+    )
+    return whole.unionByName(ranked)
+
+
+def per_group_cap_naive(
+    docs: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    score_col: str = "score",
+) -> DataFrame:
+    """The one-window-per-group reference form (equality oracle for
+    :func:`per_group_cap_flags`; do not run at scale — the per-group
+    window is the straggler the two-phase form exists to avoid)."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc_nulls_last(score_col), F.asc("doc_id")
+    )
+    return docs.select(
+        "doc_id", group_col, F.row_number().over(w).alias("_r")
+    ).select(
+        "doc_id", group_col, (F.col("_r") <= cap).cast("int").alias("kept")
+    )
+
+
+def per_group_cap_sql(
+    cap: int, group_col: str = "source", score_sql: str = "score"
+) -> str:
+    """DuckDB twin (single-window form, oracle-only)."""
+    return f"""
+    select doc_id, {group_col},
+           cast(row_number() over (
+                  partition by {group_col}
+                  order by {score_sql} desc nulls last, doc_id
+                ) <= {cap} as int) as kept
+    from documents
+    """
+
+
 def stratified_sample_sql(
     rates: dict[str, int] = MIXTURE_RATES,
     default: int = DEFAULT_RATE,

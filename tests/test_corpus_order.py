@@ -259,3 +259,81 @@ def test_temperature_mix_weights_null_lang_matches_oracle(spark):
     )
     want = {(r[0], r[1]) for r in con.sql(sampling.MIX_WEIGHT_SQL).fetchall()}
     assert got == want
+
+
+def _cap_fixture(spark):
+    """Mixed shapes: a dominant source, a tiny one, equal-score runs
+    straddling the cap boundary, NULL scores, and a NULL group."""
+    rows = []
+    for i in range(400):
+        rows.append((i, "big", 0.25 + (i % 50) / 100.0))  # scores .25..0.74
+    for i in range(400, 408):
+        rows.append((i, "small", 0.9))
+    for i in range(408, 420):
+        rows.append((i, "big", None))  # NULL scores rank last
+    for i in range(420, 440):
+        rows.append((i, None, (i % 10) / 10.0))  # NULL group is a group
+    for i in range(440, 460):
+        rows.append((i, "ties", 0.5))  # one equal-score run > cap
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, score double"
+    )
+
+
+def test_per_group_cap_equals_naive_window(spark):
+    df = _cap_fixture(spark)
+    for cap in (0, 1, 10, 100, 1000):
+        got = {
+            (r.doc_id, r.source, r.kept)
+            for r in sampling.per_group_cap_flags(df, cap).collect()
+        }
+        want = {
+            (r.doc_id, r.source, r.kept)
+            for r in sampling.per_group_cap_naive(df, cap).collect()
+        }
+        assert got == want, f"cap={cap}"
+        assert len(got) == df.count(), f"cap={cap}: rows lost"
+
+
+def test_per_group_cap_bucket_count_invariance(spark):
+    """The bucket count is a pure performance knob: any power-of-two
+    choice keeps the identical doc set."""
+    df = _cap_fixture(spark)
+    base = {
+        (r.doc_id, r.kept)
+        for r in sampling.per_group_cap_flags(df, 25, buckets=256).collect()
+    }
+    for b in (4, 16, 1024):
+        other = {
+            (r.doc_id, r.kept)
+            for r in sampling.per_group_cap_flags(df, 25, buckets=b).collect()
+        }
+        assert other == base, f"buckets={b}"
+
+
+def test_per_group_cap_matches_duckdb_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    df = _cap_fixture(spark)
+    got = {
+        (r.doc_id, r.kept)
+        for r in sampling.per_group_cap_flags(df, 30, score_col="score").collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    want = {
+        (r[0], r[2])
+        for r in con.sql(sampling.per_group_cap_sql(30)).fetchall()
+    }
+    assert got == want
+
+
+def test_per_group_cap_rejects_bad_args(spark):
+    import pytest
+
+    df = _cap_fixture(spark)
+    with pytest.raises(ValueError):
+        sampling.per_group_cap_flags(df, -1)
+    with pytest.raises(ValueError):
+        sampling.per_group_cap_flags(df, 5, lo=1.0, hi=0.0)
