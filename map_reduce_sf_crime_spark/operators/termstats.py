@@ -57,6 +57,115 @@ def token_doc_freq(docs: DataFrame, top_k: int = 50) -> DataFrame:
     )
 
 
+def unigram_commonness(docs: DataFrame, min_df: int = 2) -> DataFrame:
+    """Corpus-adaptive document quality score — the APPLICATION of the
+    TF1 term statistics: score each document by how "common" its
+    tokens are in this corpus (the cheap, model-free stand-in for the
+    CCNet-style LM-perplexity filter: gibberish and OCR noise score
+    low, boilerplate scores very high, both tails are filter
+    candidates). Per doc:
+
+    - ``n_toks`` — token count;
+    - ``mean_tf_ppm`` — mean corpus collection-frequency (ppm) of its
+      tokens (occurrence-weighted): high = built from frequent
+      tokens;
+    - ``oov_frac`` — fraction of token occurrences whose document
+      frequency is below ``min_df`` (corpus-derived out-of-vocabulary
+      mass: near-1 = tokens that appear nowhere else).
+
+    Both ratios divide exact integer sums, so the values are
+    IEEE-identical on any engine (the same discipline as ``df_ppm`` —
+    no transcendental ``ln`` in the output; idf-style log-weighting is
+    derivable downstream).
+
+    Scale shape: the per-(doc, token) count collapses repeats BEFORE
+    the vocabulary join, so a hot token ("the") joins once per
+    CONTAINING DOC, never once per occurrence, and the join's build
+    side carries one row per distinct token. Zipfian join keys are
+    exactly what AQE skew-split handles (enabled in session.py); the
+    final aggregate is map-side combined on doc_id. Empty/token-less
+    docs are preserved with zeroed stats via the left join back."""
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    dt = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("k"))
+    stats = dt.groupBy("token").agg(
+        F.sum("k").alias("tf"), F.count(F.lit(1)).alias("df")
+    )
+    total = stats.agg(F.sum("tf").alias("total_tf"))
+    vocab = stats.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.floor(F.col("tf") * 1000000.0 / F.col("total_tf"))
+        .cast("long")
+        .alias("tf_ppm"),
+        "df",
+    )
+    per_doc = (
+        dt.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_toks"),
+            F.round(
+                F.sum(F.col("k") * F.col("tf_ppm")) / F.sum("k"), 6
+            ).alias("mean_tf_ppm"),
+            F.round(
+                F.sum(
+                    F.when(F.col("df") < min_df, F.col("k")).otherwise(0)
+                )
+                / F.sum("k"),
+                6,
+            ).alias("oov_frac"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_toks", F.lit(0)).cast("long").alias("n_toks"),
+            F.coalesce("mean_tf_ppm", F.lit(0.0)).alias("mean_tf_ppm"),
+            F.coalesce("oov_frac", F.lit(0.0)).alias("oov_frac"),
+        )
+    )
+
+
+def unigram_commonness_sql(min_df: int = 2) -> str:
+    """DuckDB twin of :func:`unigram_commonness`."""
+    return f"""
+    with tok as (
+      select doc_id, unnest({tokens_sql('text')}) as token
+      from documents
+    ),
+    dt as (
+      select doc_id, token, count(*) as k from tok group by doc_id, token
+    ),
+    stats as (
+      select token, sum(k) as tf, count(*) as df from dt group by token
+    ),
+    vocab as (
+      select token,
+             cast(floor(tf * 1000000.0 / (select sum(tf) from stats))
+                  as bigint) as tf_ppm,
+             df
+      from stats
+    ),
+    per_doc as (
+      select dt.doc_id,
+             sum(k) as n_toks,
+             round(sum(k * tf_ppm) * 1.0 / sum(k), 6) as mean_tf_ppm,
+             round(sum(case when df < {min_df} then k else 0 end) * 1.0
+                   / sum(k), 6) as oov_frac
+      from dt join vocab using (token)
+      group by dt.doc_id
+    )
+    select d.doc_id,
+           cast(coalesce(p.n_toks, 0) as bigint) as n_toks,
+           coalesce(p.mean_tf_ppm, 0.0) as mean_tf_ppm,
+           coalesce(p.oov_frac, 0.0) as oov_frac
+    from documents d left join per_doc p using (doc_id)
+    """
+
+
 def token_doc_freq_sql(top_k: int = 50) -> str:
     return f"""
     with tok as (

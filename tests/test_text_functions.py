@@ -208,3 +208,54 @@ def test_dup_span_within_doc_repeat_not_cross_doc(spark):
     out = {r.doc_id: r for r in dup_span_stats(docs, n=5).collect()}
     assert out[1].dup_span_frac == 0.0
     assert out[2].dup_span_frac == 0.0
+
+
+def test_unigram_commonness_matches_duckdb_twin(spark):
+    """Corpus-adaptive commonness/OOV score: Spark == DuckDB twin
+    bit-for-bit on sf0.01 documents (integer-exact ratios)."""
+    import duckdb
+
+    from map_reduce_sf_crime_spark.operators import termstats
+    from map_reduce_sf_crime_spark.sources.parquet import load_table
+
+    from .conftest import SF_CHECK
+
+    docs = load_table(spark, SF_CHECK, "documents")
+    got = {
+        (r.doc_id, r.n_toks, r.mean_tf_ppm, r.oov_frac)
+        for r in termstats.unigram_commonness(docs).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as "
+        f"select * from '{SF_CHECK}/documents.parquet'"
+    )
+    want = {
+        tuple(r)
+        for r in con.sql(termstats.unigram_commonness_sql()).fetchall()
+    }
+    assert got == want
+
+
+def test_unigram_commonness_semantics(spark):
+    """Hand-checkable fixture: boilerplate scores high, a hapax-only
+    doc is pure OOV, an empty doc survives with zeroed stats."""
+    from map_reduce_sf_crime_spark.operators import termstats
+
+    rows = [
+        (1, "the cat sat on the mat", "en", "s", 1),
+        (2, "the dog sat on the rug", "en", "s", 1),
+        (3, "zxqv wplk", "en", "s", 1),  # two hapaxes
+        (4, "", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    out = {r.doc_id: r for r in termstats.unigram_commonness(df).collect()}
+    assert out[4].n_toks == 0 and out[4].oov_frac == 0.0
+    assert out[3].oov_frac == 1.0  # every token below min_df
+    assert out[1].oov_frac < 1.0
+    # docs 1/2 share most tokens -> higher mean commonness than doc 3
+    assert out[1].mean_tf_ppm > out[3].mean_tf_ppm
+    # n_toks is the raw token count (repeats included)
+    assert out[1].n_toks == 6
