@@ -251,19 +251,22 @@ def per_group_cap_flags(
 
     1. Each row maps to a fixed-width score bucket over ``[lo, hi]``
        (scores are bounded by construction here — textops quality is
-       0..1; pass ``lo``/``hi`` for other ranges). Floor-bucketing
+       0..1; pass ``lo``/``hi`` for other ranges; out-of-range scores
+       clamp monotonically into the end buckets). Floor-bucketing
        preserves the score order BETWEEN buckets, so per
        ``(group, bucket)`` COUNTS — a tiny map-side-combined
-       aggregate — decide most rows without ranking anything:
-       running the counts from the top bucket down, a bucket whose
-       cumulative start is past the cap is wholly dropped, one whose
-       end is within the cap is wholly kept.
-    2. Only the ONE straddling bucket per group needs exact ranks,
-       and its window is ``partitionBy(group, bucket)`` — bounded by
-       the bucket's width, not the group's size. (Degenerate worst
-       case: every row of a group carries the SAME score, collapsing
-       it to one bucket and re-creating the per-group window; caps
-       order by a richer score or pre-salt in that regime.)
+       aggregate — give every bucket its remaining quota from a
+       running total over that aggregate alone.
+    2. Ranks are only ever computed WITHIN a bucket: the one window
+       over the data is ``partitionBy(group, bucket)`` — bounded by
+       the bucket's width, not the group's size, and it reuses the
+       quota join's partitioning (no extra exchange). ``kept`` is
+       simply ``in-bucket rank <= bucket quota``, which resolves
+       wholly-kept, wholly-dropped, and straddling buckets in one
+       expression. (Degenerate worst case: every row of a group
+       carries the SAME score, collapsing it to one bucket and
+       re-creating the per-group window; cap on a richer score or
+       pre-salt in that regime.)
 
     The kept set is IDENTICAL to the naive form for any bucket count:
     equal scores always share a bucket, inter-bucket order refines
@@ -320,27 +323,22 @@ def per_group_cap_flags(
         F.col("r._b").alias("_b"),
         F.col("r._s").alias("_s"),
         F.col("d._quota").alias("_quota"),
-        F.col("d._n").alias("_n"),
     )
-    whole = tagged.filter(
-        (F.col("_quota") <= 0) | (F.col("_quota") >= F.col("_n"))
-    ).select(
-        "doc_id",
-        F.col("_g").alias(group_col),
-        (F.col("_quota") >= F.col("_n")).cast("int").alias("kept"),
-    )
-    straddle = tagged.filter(
-        (F.col("_quota") > 0) & (F.col("_quota") < F.col("_n"))
-    )
+    # ONE pass decides everything: the in-bucket rank (every window
+    # partition is one (group, bucket) — bounded by bucket width, and
+    # it reuses the join's (_g, _b) partitioning, no extra exchange)
+    # against the bucket's remaining quota. Whole-kept buckets satisfy
+    # _r <= _quota for all rows, whole-dropped ones for none, the
+    # straddling bucket for exactly its quota — no branch split, no
+    # union re-reading the corpus twice.
     win = Window.partitionBy("_g", "_b").orderBy(
         F.desc_nulls_last("_s"), F.asc("doc_id")
     )
-    ranked = straddle.withColumn("_r", F.row_number().over(win)).select(
+    return tagged.withColumn("_r", F.row_number().over(win)).select(
         "doc_id",
         F.col("_g").alias(group_col),
         (F.col("_r") <= F.col("_quota")).cast("int").alias("kept"),
     )
-    return whole.unionByName(ranked)
 
 
 def per_group_cap_naive(
