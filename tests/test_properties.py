@@ -144,3 +144,78 @@ def test_mdx_parser_is_total(text):
         parse_mdx(text)
     except MdxError:
         pass
+
+
+# ---- per-group quota cap: the bucket-quota decomposition (SM2) ----
+#
+# operators/sampling.per_group_cap_flags keeps `in-bucket rank <=
+# (cap - rows in strictly-higher buckets)`. This property pins that
+# arithmetic — clamping, NULL bucket, boundary ties, any bucket
+# count — against the naive "sort each group, take cap" reference on
+# arbitrary inputs, in the same IEEE doubles Spark evaluates. The
+# Spark wiring of the identical formula is pinned against the naive
+# window in tests/test_corpus_order.py.
+
+
+def _cap_bucket(s, buckets, lo, hi):
+    if s is None:
+        return -1
+    width = (hi - lo) / buckets
+    return min(buckets - 1, max(0, math.floor((s - lo) / width)))
+
+
+def _two_phase_kept(rows, cap, buckets, lo=0.0, hi=1.0):
+    from collections import defaultdict
+
+    bygb = defaultdict(list)
+    for g, s, d in rows:
+        bygb[(g, _cap_bucket(s, buckets, lo, hi))].append((s, d))
+    kept = set()
+    for (g, bb), lst in bygb.items():
+        prior = sum(
+            len(v) for (g2, b2), v in bygb.items() if g2 == g and b2 > bb
+        )
+        quota = cap - prior
+        # score desc with NULLs last, doc_id asc — the operator's order
+        lst.sort(key=lambda t: (t[0] is None, -(t[0] or 0.0), t[1]))
+        kept.update(d for r, (s, d) in enumerate(lst, 1) if r <= quota)
+    return kept
+
+
+def _naive_kept(rows, cap):
+    from collections import defaultdict
+
+    byg = defaultdict(list)
+    for g, s, d in rows:
+        byg[g].append((s, d))
+    kept = set()
+    for g, lst in byg.items():
+        lst.sort(key=lambda t: (t[0] is None, -(t[0] or 0.0), t[1]))
+        kept.update(d for (s, d) in lst[:cap])
+    return kept
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", None]),
+            st.one_of(
+                st.none(),
+                # in-range, boundary, and out-of-range (clamped) scores
+                st.floats(
+                    min_value=-0.5,
+                    max_value=1.5,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+            ),
+        ),
+        max_size=60,
+    ),
+    st.integers(0, 20),
+    st.sampled_from([1, 2, 4, 16, 256]),
+)
+@settings(max_examples=300, deadline=None)
+def test_cap_bucket_decomposition_equals_naive(gs, cap, buckets):
+    rows = [(g, s, i) for i, (g, s) in enumerate(gs)]
+    assert _two_phase_kept(rows, cap, buckets) == _naive_kept(rows, cap)
