@@ -490,9 +490,19 @@ def write_signature_catalog(
     :func:`append_signature_catalog` folds its rows in with
     ``mode="append"`` and they become catalog for the next batch (the
     daily loop is round-tripped in tests/test_dedup.py).
+
+    A ``{buckets_table}_meta`` one-row table records the signature
+    parameters: band keys are pure functions of ``(n, n_hashes,
+    bands)``, so probing or appending with DIFFERENT values would not
+    error — incoming hashes simply never collide with stored ones and
+    every doc silently reports zero matches. Readers and appenders
+    verify the stamp and raise instead (tests/test_dedup.py).
     """
     from ..sources.lakehouse import write_bucketed
 
+    spark = docs.sparkSession
+    if mode == "append":
+        _check_catalog_meta(spark, buckets_table, n, n_hashes, bands)
     base = shingle_sets(docs, n).cache()
     try:
         write_bucketed(
@@ -505,6 +515,33 @@ def write_signature_catalog(
         )
     finally:
         base.unpersist()
+    if mode != "append":
+        spark.createDataFrame(
+            [(n, n_hashes, bands)], "n int, n_hashes int, bands int"
+        ).write.mode("overwrite").format("parquet").saveAsTable(
+            f"{buckets_table}_meta"
+        )
+
+
+def _check_catalog_meta(
+    spark, buckets_table: str, n: int, n_hashes: int, bands: int
+) -> None:
+    """Raise if the persisted catalog was written with different
+    signature parameters (the silent-zero-matches hazard); a catalog
+    predating the stamp passes with no check (document its params
+    out-of-band or rebuild)."""
+    if not spark.catalog.tableExists(f"{buckets_table}_meta"):
+        return
+    row = spark.table(f"{buckets_table}_meta").collect()[0]
+    stored = (row["n"], row["n_hashes"], row["bands"])
+    if stored != (n, n_hashes, bands):
+        raise ValueError(
+            f"signature catalog {buckets_table} was written with "
+            f"(n, n_hashes, bands)={stored}, called with "
+            f"{(n, n_hashes, bands)} — banded keys would never collide "
+            "and every doc would silently report zero matches; pass the "
+            "catalog's parameters or rebuild it"
+        )
 
 
 def append_signature_catalog(
@@ -554,7 +591,10 @@ def incremental_lsh_flags_cataloged(
     instead of recomputed from raw text — the daily run shingles,
     hashes, and shuffles ONLY the new batch. ``n``/``n_hashes``/
     ``bands`` must match the values the catalog was written with
-    (they determine the stored band keys)."""
+    (they determine the stored band keys) — verified against the
+    catalog's meta stamp, raising instead of silently matching
+    nothing."""
+    _check_catalog_meta(spark, buckets_table, n, n_hashes, bands)
     base_i = shingle_sets(batch, n).transform(plan_cache)
     inc_b = _banded_buckets(base_i, n_hashes, bands).alias("i")
     cat_b = spark.table(buckets_table).alias("c")

@@ -357,3 +357,41 @@ def test_append_replay_does_not_corrupt_flags(spark):
             ).collect()
         }
     assert results["once"] == results["twice"]
+
+
+def test_catalog_meta_stamp_guards_parameter_mismatch(spark):
+    """Probing or appending a persisted signature catalog with
+    different (n, n_hashes, bands) would silently match NOTHING (band
+    keys are pure functions of those params) — the meta stamp turns
+    that into a loud error."""
+    import os
+    import shutil
+
+    import pytest
+
+    docs = _docs(spark)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("meta_sig_buckets", "meta_sig_buckets_meta", "meta_sig_shingles"):
+        spark.sql(f"drop table if exists {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    dedup.write_signature_catalog(
+        docs, "meta_sig_buckets", "meta_sig_shingles", n=3, n_hashes=16, bands=8
+    )
+    row = spark.table("meta_sig_buckets_meta").collect()[0]
+    assert (row["n"], row["n_hashes"], row["bands"]) == (3, 16, 8)
+    # matching params pass
+    dedup.incremental_lsh_flags_cataloged(
+        spark, docs.limit(5), "meta_sig_buckets", "meta_sig_shingles",
+        n=3, n_hashes=16, bands=8,
+    ).collect()
+    # mismatched shingle width / band geometry raise on probe AND append
+    with pytest.raises(ValueError, match="written with"):
+        dedup.incremental_lsh_flags_cataloged(
+            spark, docs.limit(5), "meta_sig_buckets", "meta_sig_shingles", n=4
+        )
+    with pytest.raises(ValueError, match="written with"):
+        dedup.append_signature_catalog(
+            docs.limit(5), "meta_sig_buckets", "meta_sig_shingles", bands=4
+        )
+    for t in ("meta_sig_buckets", "meta_sig_buckets_meta", "meta_sig_shingles"):
+        spark.sql(f"drop table if exists {t}")
