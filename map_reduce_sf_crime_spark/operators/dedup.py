@@ -516,11 +516,21 @@ def write_signature_catalog(
     finally:
         base.unpersist()
     if mode != "append":
+        meta = f"{buckets_table}_meta"
+        spark.sql(f"drop table if exists {meta}")
+        # an earlier PROCESS may have left the managed location behind
+        # (the in-memory catalog forgets the table, the directory
+        # survives) — saveAsTable refuses to adopt it, so clear it
+        from ..sources.lakehouse import _hfs
+
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        fs, jvm = _hfs(spark, wh)
+        orphan = jvm.org.apache.hadoop.fs.Path(f"{wh.rstrip('/')}/{meta}")
+        if fs.exists(orphan):
+            fs.delete(orphan, True)
         spark.createDataFrame(
             [(n, n_hashes, bands)], "n int, n_hashes int, bands int"
-        ).write.mode("overwrite").format("parquet").saveAsTable(
-            f"{buckets_table}_meta"
-        )
+        ).write.mode("overwrite").format("parquet").saveAsTable(meta)
 
 
 def _check_catalog_meta(
@@ -558,10 +568,12 @@ def append_signature_catalog(
     to the catalog so tomorrow's batch dedups against today's docs
     too. Spark appends to a bucketed table keep the bucket spec (new
     files per bucket), so the shuffle-free probe property is
-    preserved; compaction of accumulated small bucket files is the
-    same maintenance story as `sources/lakehouse.py::
-    compact_partitioned`. Signature rows are content-derived and
-    immutable, so append-only is sufficient — no merge needed.
+    preserved; accumulated small bucket files are reclaimed by
+    `sources/lakehouse.py::compact_bucketed` (a zero-shuffle
+    one-file-per-bucket rewrite + rename swap, probe equality and
+    crash recovery pinned in tests/test_lakehouse.py). Signature rows
+    are content-derived and immutable, so append-only is sufficient —
+    no merge needed.
 
     Replay tolerance: a crash-and-re-run that appends the same batch
     twice duplicates STORAGE rows, but cannot corrupt flag results —

@@ -699,6 +699,128 @@ def compact_partitioned(
     return keys
 
 
+def _bucket_spec(spark: SparkSession, table: str):
+    """(n_buckets, bucket_cols, sort_cols, location) from the catalog."""
+    rows = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"describe extended {table}").collect()
+    }
+    if "Num Buckets" not in rows:
+        raise ValueError(f"{table} is not a bucketed table")
+    parse = lambda s: [c.strip(" `") for c in s.strip("[]").split(",") if c.strip()]
+    return (
+        int(rows["Num Buckets"]),
+        parse(rows.get("Bucket Columns", "[]")),
+        parse(rows.get("Sort Columns", "[]")),
+        rows["Location"].removeprefix("file:"),
+    )
+
+
+def _table_file_count(location: str) -> int:
+    import os
+
+    if not os.path.isdir(location):
+        return 0
+    return sum(
+        1
+        for f in os.listdir(location)
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
+
+
+def compact_bucketed(
+    spark: SparkSession, table: str, files_per_bucket: int = 1
+) -> int:
+    """Small-file compaction for a BUCKETED ``saveAsTable`` table — the
+    maintenance half of the append-only signature catalog
+    (`operators/dedup.py::append_signature_catalog`): every bucketed
+    append lands one file per (writing task, bucket), so a year of
+    daily appends puts hundreds of files in each bucket and footer
+    overhead starts to dominate the probe's bucket-pruned scan.
+
+    Rewrites the table at one task per bucket — the FORCED bucketed
+    scan yields exactly one partition per bucket (all its fragment
+    files), so the bucketed writer emits one file per bucket with no
+    shuffle anywhere — into ``{table}__compact`` with the ORIGINAL
+    bucket/sort spec read from the catalog, then swaps via two
+    renames and drops the old data.
+    No-op (returns 0) when the table already has ≤ ``files_per_bucket``
+    files per bucket.
+
+    Crash contract (single writer, like the commit manifest): each
+    window is recoverable and re-running is always safe —
+
+    - before the first rename: a stray ``__compact`` table; the next
+      run overwrites it.
+    - between the renames: ``{table}`` is briefly ABSENT (the one
+      non-atomic window two metastore renames can't close — a real
+      table format's transaction log is the upgrade);
+      :func:`recover_bucketed_compaction` restores it from whichever
+      of ``__old``/``__compact`` survived, preferring the compacted
+      copy.
+    - after the second rename: a stray ``__old``; recovery (or the
+      next run) drops it.
+
+    Returns the number of files removed by the rewrite."""
+    n_buckets, bucket_cols, sort_cols, location = _bucket_spec(spark, table)
+    before = _table_file_count(location)
+    if before <= files_per_bucket * n_buckets:
+        return 0
+    tmp, old = f"{table}__compact", f"{table}__old"
+    for t in (tmp, old):
+        spark.sql(f"drop table if exists {t}")
+    # One file per bucket with ZERO shuffle: force the BUCKETED scan.
+    # The planner's auto choice disables it here (no join/agg wants
+    # the distribution) while the optimizer simultaneously drops a
+    # repartition(n, bucket_cols) as redundant (the table's claimed
+    # HashPartitioning satisfies it) — leaving NEITHER mechanism
+    # aligning tasks to buckets, and the write scatters each bucket
+    # over every scan task (observed: 61 files for 16 buckets).
+    # With autoBucketedScan off, the scan itself yields exactly one
+    # partition per bucket (all of that bucket's fragment files), so
+    # the bucketed writer emits exactly one file per bucket and the
+    # whole compaction is a narrow read→write, no exchange at all.
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev_auto = spark.conf.get(auto_key)
+    spark.conf.set(auto_key, "false")
+    try:
+        w = spark.table(table).write.bucketBy(n_buckets, *bucket_cols)
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        w.format("parquet").mode("overwrite").saveAsTable(tmp)
+    finally:
+        spark.conf.set(auto_key, prev_auto)
+    _, _, _, tmp_loc = _bucket_spec(spark, tmp)
+    after = _table_file_count(tmp_loc)
+    spark.sql(f"alter table {table} rename to {old}")
+    spark.sql(f"alter table {tmp} rename to {table}")
+    spark.sql(f"drop table {old}")
+    return before - after
+
+
+def recover_bucketed_compaction(spark: SparkSession, table: str) -> str:
+    """Restore ``table`` after a crash inside :func:`compact_bucketed`'s
+    rename window. Returns what was done: ``"intact"`` (nothing to
+    recover; stray helpers dropped), ``"recovered_compacted"`` (the
+    finished rewrite was promoted), or ``"recovered_original"`` (the
+    pre-compaction table was restored)."""
+    tmp, old = f"{table}__compact", f"{table}__old"
+    if spark.catalog.tableExists(table):
+        for t in (tmp, old):
+            spark.sql(f"drop table if exists {t}")
+        return "intact"
+    if spark.catalog.tableExists(tmp):
+        spark.sql(f"alter table {tmp} rename to {table}")
+        spark.sql(f"drop table if exists {old}")
+        return "recovered_compacted"
+    if spark.catalog.tableExists(old):
+        spark.sql(f"alter table {old} rename to {table}")
+        return "recovered_original"
+    raise ValueError(
+        f"nothing to recover: neither {table}, {tmp}, nor {old} exists"
+    )
+
+
 #: bits per clustering column in the Z-order key (256 rank buckets);
 #: with m columns the interleaved key is m×ZORDER_BITS bits.
 ZORDER_BITS = 8

@@ -790,3 +790,75 @@ def test_torn_commit_json_is_recoverable(spark):
     assert table_state(spark, path)["status"] == "clean"
     vacuum_commits(spark, path, keep_last=1)
     assert table_state(spark, path)["status"] == "clean"
+
+
+def test_compact_bucketed_preserves_probe_and_recovers(spark):
+    """Bucketed-catalog compaction (the maintenance half of the daily
+    signature-append loop): file count collapses to one per bucket,
+    the catalog probe stays bucket-pruned and its flags identical, a
+    second run is a no-op, and both crash-window recoveries restore
+    the table."""
+    from map_reduce_sf_crime_spark.operators import dedup
+    from map_reduce_sf_crime_spark.sources.lakehouse import (
+        _bucket_spec,
+        _table_file_count,
+        compact_bucketed,
+        recover_bucketed_compaction,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bt, st = "cb_sig_buckets", "cb_sig_shingles"
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (bt, f"{bt}_meta", st):
+        for suffix in ("", "__compact", "__old"):
+            spark.sql(f"drop table if exists {t}{suffix}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    base_pred = F.col("doc_id") % 5 != 4
+    dedup.write_signature_catalog(docs.filter(base_pred), bt, st)
+    # three daily appends, distinct slices
+    for m in (0, 1, 2):
+        dedup.append_signature_catalog(
+            docs.filter((F.col("doc_id") % 5 == 4) & (F.col("doc_id") % 3 == m)),
+            bt,
+            st,
+        )
+    probe = lambda: {
+        tuple(r)
+        for r in dedup.incremental_lsh_flags_cataloged(
+            spark, docs.filter(~base_pred), bt, st, threshold=0.8
+        ).collect()
+    }
+    before_flags = probe()
+    n_buckets, _, _, loc = _bucket_spec(spark, bt)
+    files_before = _table_file_count(loc)
+    assert files_before > n_buckets  # the appends really fragmented it
+    removed = compact_bucketed(spark, bt)
+    assert removed > 0
+    assert compact_bucketed(spark, st) > 0
+    _, _, _, loc2 = _bucket_spec(spark, bt)
+    assert _table_file_count(loc2) == n_buckets
+    # identical flags through the compacted catalog, still bucket-pruned
+    after_df = dedup.incremental_lsh_flags_cataloged(
+        spark, docs.filter(~base_pred), bt, st, threshold=0.8
+    )
+    assert {tuple(r) for r in after_df.collect()} == before_flags
+    plan = after_df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if bt in ln]
+    assert "SelectedBucketsCount" in "\n".join(scan_lines), scan_lines
+    # second run: already compacted → no-op
+    assert compact_bucketed(spark, bt) == 0
+    # recovery: intact table just clears strays
+    assert recover_bucketed_compaction(spark, bt) == "intact"
+    # crash between the renames, rewrite finished → promote it
+    spark.table(bt).write.bucketBy(n_buckets, "key").sortBy("key").format(
+        "parquet"
+    ).mode("overwrite").saveAsTable(f"{bt}__compact")
+    spark.sql(f"alter table {bt} rename to {bt}__old")
+    assert recover_bucketed_compaction(spark, bt) == "recovered_compacted"
+    assert probe() == before_flags
+    # crash before the rewrite finished → restore the original
+    spark.sql(f"alter table {bt} rename to {bt}__old")
+    assert recover_bucketed_compaction(spark, bt) == "recovered_original"
+    assert probe() == before_flags
+    for t in (bt, f"{bt}_meta", st):
+        spark.sql(f"drop table if exists {t}")
