@@ -716,15 +716,17 @@ def _bucket_spec(spark: SparkSession, table: str):
     )
 
 
-def _table_file_count(location: str) -> int:
-    import os
-
-    if not os.path.isdir(location):
+def _table_file_count(spark: SparkSession, location: str) -> int:
+    """Data files directly under ``location`` (Hadoop FS API — works
+    on any store, matching the manifest machinery above)."""
+    fs, jvm = _hfs(spark, location)
+    root = jvm.org.apache.hadoop.fs.Path(location)
+    if not fs.exists(root):
         return 0
     return sum(
         1
-        for f in os.listdir(location)
-        if f.startswith("part-") and not f.endswith(".crc")
+        for st in fs.listStatus(root)
+        if st.isFile() and st.getPath().getName().startswith("part-")
     )
 
 
@@ -763,7 +765,7 @@ def compact_bucketed(
 
     Returns the number of files removed by the rewrite."""
     n_buckets, bucket_cols, sort_cols, location = _bucket_spec(spark, table)
-    before = _table_file_count(location)
+    before = _table_file_count(spark, location)
     if before <= files_per_bucket * n_buckets:
         return 0
     tmp, old = f"{table}__compact", f"{table}__old"
@@ -791,7 +793,7 @@ def compact_bucketed(
     finally:
         spark.conf.set(auto_key, prev_auto)
     _, _, _, tmp_loc = _bucket_spec(spark, tmp)
-    after = _table_file_count(tmp_loc)
+    after = _table_file_count(spark, tmp_loc)
     spark.sql(f"alter table {table} rename to {old}")
     spark.sql(f"alter table {tmp} rename to {table}")
     spark.sql(f"drop table {old}")

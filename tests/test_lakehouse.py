@@ -830,13 +830,13 @@ def test_compact_bucketed_preserves_probe_and_recovers(spark):
     }
     before_flags = probe()
     n_buckets, _, _, loc = _bucket_spec(spark, bt)
-    files_before = _table_file_count(loc)
+    files_before = _table_file_count(spark, loc)
     assert files_before > n_buckets  # the appends really fragmented it
     removed = compact_bucketed(spark, bt)
     assert removed > 0
     assert compact_bucketed(spark, st) > 0
     _, _, _, loc2 = _bucket_spec(spark, bt)
-    assert _table_file_count(loc2) == n_buckets
+    assert _table_file_count(spark, loc2) == n_buckets
     # identical flags through the compacted catalog, still bucket-pruned
     after_df = dedup.incremental_lsh_flags_cataloged(
         spark, docs.filter(~base_pred), bt, st, threshold=0.8
