@@ -516,18 +516,12 @@ def write_signature_catalog(
     finally:
         base.unpersist()
     if mode != "append":
-        meta = f"{buckets_table}_meta"
-        spark.sql(f"drop table if exists {meta}")
-        # an earlier PROCESS may have left the managed location behind
-        # (the in-memory catalog forgets the table, the directory
-        # survives) — saveAsTable refuses to adopt it, so clear it
-        from ..sources.lakehouse import _hfs
+        # drops an orphaned location too — an earlier process's
+        # leftover directory would make saveAsTable refuse to adopt
+        from ..sources.lakehouse import drop_table_and_orphan
 
-        wh = spark.conf.get("spark.sql.warehouse.dir")
-        fs, jvm = _hfs(spark, wh)
-        orphan = jvm.org.apache.hadoop.fs.Path(f"{wh.rstrip('/')}/{meta}")
-        if fs.exists(orphan):
-            fs.delete(orphan, True)
+        meta = f"{buckets_table}_meta"
+        drop_table_and_orphan(spark, meta)
         spark.createDataFrame(
             [(n, n_hashes, bands)], "n int, n_hashes int, bands int"
         ).write.mode("overwrite").format("parquet").saveAsTable(meta)

@@ -716,6 +716,22 @@ def _bucket_spec(spark: SparkSession, table: str):
     )
 
 
+def drop_table_and_orphan(spark: SparkSession, table: str) -> None:
+    """``drop table if exists`` PLUS removal of an orphaned managed
+    location: a crash during a ``saveAsTable`` (or an earlier PROCESS
+    whose in-memory catalog forgot the registration) can leave the
+    warehouse directory behind with no table over it, and a later
+    ``saveAsTable`` refuses to adopt it (LOCATION_ALREADY_EXISTS).
+    Default-database managed tables only — the shape every bucketed
+    store here uses."""
+    spark.sql(f"drop table if exists {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    fs, jvm = _hfs(spark, wh)
+    orphan = jvm.org.apache.hadoop.fs.Path(f"{wh.rstrip('/')}/{table}")
+    if fs.exists(orphan):
+        fs.delete(orphan, True)
+
+
 def _table_file_count(spark: SparkSession, location: str) -> int:
     """Data files directly under ``location`` (Hadoop FS API — works
     on any store, matching the manifest machinery above)."""
@@ -770,7 +786,10 @@ def compact_bucketed(
         return 0
     tmp, old = f"{table}__compact", f"{table}__old"
     for t in (tmp, old):
-        spark.sql(f"drop table if exists {t}")
+        # a crash DURING a previous run's tmp write leaves an
+        # orphaned location no drop clears — adopt-refusal would
+        # otherwise wedge every later compaction
+        drop_table_and_orphan(spark, t)
     # One file per bucket with ZERO shuffle: force the BUCKETED scan.
     # The planner's auto choice disables it here (no join/agg wants
     # the distribution) while the optimizer simultaneously drops a
@@ -809,7 +828,7 @@ def recover_bucketed_compaction(spark: SparkSession, table: str) -> str:
     tmp, old = f"{table}__compact", f"{table}__old"
     if spark.catalog.tableExists(table):
         for t in (tmp, old):
-            spark.sql(f"drop table if exists {t}")
+            drop_table_and_orphan(spark, t)
         return "intact"
     if spark.catalog.tableExists(tmp):
         spark.sql(f"alter table {tmp} rename to {table}")

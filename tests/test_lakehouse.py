@@ -860,5 +860,19 @@ def test_compact_bucketed_preserves_probe_and_recovers(spark):
     spark.sql(f"alter table {bt} rename to {bt}__old")
     assert recover_bucketed_compaction(spark, bt) == "recovered_original"
     assert probe() == before_flags
+    # crash DURING a tmp write leaves an ORPHANED location (directory,
+    # no table) — the next compaction must clear it, not wedge on
+    # LOCATION_ALREADY_EXISTS
+    wh2 = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    orphan_dir = os.path.join(wh2, f"{bt}__compact")
+    os.makedirs(orphan_dir, exist_ok=True)
+    with open(os.path.join(orphan_dir, "part-junk.parquet"), "wb") as fh:
+        fh.write(b"torn")
+    # fragment the table again so compaction actually runs
+    dedup.append_signature_catalog(
+        docs.filter(F.col("doc_id") % 5 == 4), bt, st
+    )
+    assert compact_bucketed(spark, bt) > 0
+    assert not os.path.exists(os.path.join(orphan_dir, "part-junk.parquet"))
     for t in (bt, f"{bt}_meta", st):
         spark.sql(f"drop table if exists {t}")
