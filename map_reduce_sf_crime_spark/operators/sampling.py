@@ -223,8 +223,8 @@ def global_shuffle_pos_sql(
 
 #: Fixed-width score buckets for the two-phase per-group cap. Purely
 #: a performance knob: the kept set is identical for any count (see
-#: per_group_cap_flags), finer buckets just shrink the straddling
-#: bucket's exact-rank window.
+#: per_group_cap_flags), finer buckets just shrink each in-bucket
+#: rank window.
 CAP_BUCKETS = 256
 
 

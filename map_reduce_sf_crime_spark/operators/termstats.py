@@ -85,13 +85,20 @@ def unigram_commonness(docs: DataFrame, min_df: int = 2) -> DataFrame:
     exactly what AQE skew-split handles (enabled in session.py); the
     final aggregate is map-side combined on doc_id. Empty/token-less
     docs are preserved with zeroed stats via the left join back."""
+    from ..functions.caching import plan_cache
+
     tok = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
     )
-    dt = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("k"))
+    # both the vocabulary and the per-doc aggregate read dt, and both
+    # the ppm projection and the corpus total read stats — cache each
+    # so the corpus is tokenized once, not once per consumer
+    dt = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("k")
+    ).transform(plan_cache)
     stats = dt.groupBy("token").agg(
         F.sum("k").alias("tf"), F.count(F.lit(1)).alias("df")
-    )
+    ).transform(plan_cache)
     total = stats.agg(F.sum("tf").alias("total_tf"))
     vocab = stats.crossJoin(F.broadcast(total)).select(
         "token",
