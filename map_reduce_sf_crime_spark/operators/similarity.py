@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.caching import plan_cache
-from ..functions.hashing import hash64_col, hash64_sql
+from ..functions.hashing import hash64_sql
 from ..functions.vectors import cosine_col, cosine_sql
 
 DIM = 64
