@@ -46,10 +46,23 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     thousands of splits and this is a no-op; locally it buys scan-side
     parallelism for CPU-heavy derivations (shingling, hashing, UDFs) at
     the cost of one small shuffle. Use on compute-bound paths, not plain
-    scan→filter→agg where the shuffle would outweigh the win."""
+    scan→filter→agg where the shuffle would outweigh the win.
+
+    Gating reads the plan's file inventory (``df.inputFiles()``), never
+    ``df.rdd`` — the RDD conversion materializes a JavaRDD per query
+    build, pure overhead on a cluster where this helper is a documented
+    no-op. File count lower-bounds the scan's split count (Spark splits
+    big files further by maxPartitionBytes; the only way a scan gets
+    fewer tasks than files is small-file coalescing — exactly the case
+    that WANTS fanning out), so ``files >= target -> no-op`` is safe on
+    the cluster side; a non-file source (in-memory frame) reports no
+    files and is left untouched — its partitioning was chosen by
+    whoever built it.
+    """
     spark = df.sparkSession
     target = min_parts or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    files = df.inputFiles()
+    if not files or len(files) >= target:
         return df
     return df.repartition(target)
 
