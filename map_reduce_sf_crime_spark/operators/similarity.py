@@ -711,7 +711,14 @@ PQ_M = 16
 PQ_KSUB = 16
 PQ_TRAIN_ROWS = 100_000
 #: ADC shortlist size as a multiple of k before exact re-rank.
-PQ_SHORTLIST = 10
+#: 64 (FAISS-style refine factor): at 4-bit-per-block ADC
+#: granularity a true neighbor's quantized rank routinely lands in
+#: the 30-200 range (measured: round-5 diagnosed stored-codebook
+#: serving missing true neighbors at ADC ranks 34-183 with the old
+#: 10·k shortlist — pq_appended recall 0.47 at sf0.1), and the
+#: re-rank cost is shortlist·k exact cosines per query — noise at
+#: any corpus size.
+PQ_SHORTLIST = 64
 
 
 def pq_codebooks(

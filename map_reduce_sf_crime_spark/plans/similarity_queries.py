@@ -24,20 +24,28 @@ from .registry import register
 QUERY_IDS = [0, 1, 2, 3, 4]
 K = 3
 NEAR_THRESHOLD = 0.4
-#: Gate-checked recall floor for every approximate method (the tests
-#: in tests/test_similarity.py assert the tighter measured values).
-RECALL_BOUND = 0.6
-
-ANN_METHODS = (
-    "lsh",
-    "ivf",
-    "ivf_refined",
-    "pq",
-    "ivf_indexed",
-    "pq_indexed",
-    "ivf_appended",
-    "pq_appended",
-)
+#: Gate-checked PER-METHOD recall floors (percent, round 5 — one
+#: shared 0.6 before). The two tiers fail differently, so they gate
+#: differently: the PQ family re-ranks an exact-cosine shortlist, so
+#: with the widened 64·k ADC shortlist it measures 15/15 on all
+#: three driver corpora — a floor of 0.8 (3 recall steps of margin
+#: at 15 true pairs) turns a serving-quality regression red at the
+#: DRIVER, not just in pytest. The LSH/IVF tier is genuinely
+#: approximate on near-orthogonal synthetic vectors (measured range
+#: 0.67–1.0 across the sf0.001/0.01/0.1 corpora) and keeps the 0.6
+#: floor its variance needs. Floors are also EMITTED as a column and
+#: enumerated in the oracle VALUES rows, so silently loosening one
+#: hash-mismatches.
+ANN_METHODS = {
+    "lsh": 60,
+    "ivf": 60,
+    "ivf_refined": 60,
+    "pq": 80,
+    "ivf_indexed": 60,
+    "pq_indexed": 80,
+    "ivf_appended": 60,
+    "pq_appended": 80,
+}
 
 
 _DIM_CHECKED: set[str] = set()
@@ -200,16 +208,22 @@ def embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_recall_check",
     "select * from (values "
-    + ", ".join(f"('{m}', {len(QUERY_IDS)}, 1)" for m in ANN_METHODS)
-    + ") t(method, n_queries, ok)",
+    + ", ".join(
+        f"('{m}', {len(QUERY_IDS)}, {floor}, 1)"
+        for m, floor in ANN_METHODS.items()
+    )
+    + ") t(method, n_queries, floor_pct, ok)",
     survey_ids=("ANN3", "ANN4", "ANN5"),
 )
 def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable bound for the approximate ANN tier: per-method
     recall@k over the query set against exact brute force, emitted as
-    ``ok = recall >= RECALL_BOUND``. The oracle enumerates the
-    expected all-ok rows, so a recall regression turns the entry red
-    instead of hiding behind "approximate ⇒ rows-only". The bound is
+    ``ok = recall >= floor`` with the PER-METHOD floor from
+    ``ANN_METHODS`` (round 5 — previously one shared 0.6; the
+    near-exact PQ legs now gate at 0.8, so a serving regression to
+    0.65 turns the DRIVER red instead of only pytest). The emitted
+    ``floor_pct`` column is enumerated in the oracle VALUES rows, so
+    loosening a floor on one side alone hash-mismatches. The bound is
     per METHOD (aggregate over queries): banded LSH/IVF guarantee
     recall in expectation over queries, not per individual query —
     a single query whose neighbors straddle a partition boundary can
@@ -266,7 +280,7 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     total = len(QUERY_IDS) * K
     out = None
-    for method in ANN_METHODS:
+    for method, floor in ANN_METHODS.items():
         hits = (
             approx[method]
             .select("query_id", "vec_id")
@@ -276,7 +290,8 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         leg = hits.select(
             F.lit(method).alias("method"),
             F.lit(len(QUERY_IDS)).cast("int").alias("n_queries"),
-            (F.col("hits") / total >= RECALL_BOUND).cast("int").alias("ok"),
+            F.lit(floor).cast("int").alias("floor_pct"),
+            (F.col("hits") * 100 / total >= floor).cast("int").alias("ok"),
         )
         out = leg if out is None else out.unionByName(leg)
     return out
