@@ -917,3 +917,52 @@ def duplicate_span_stats(docs: DataFrame, n: int = 8) -> DataFrame:
             ).alias("dup_token_frac"),
         )
     )
+
+
+def duplicate_span_stats_sql(n: int = 8) -> str:
+    """DuckDB twin of :func:`duplicate_span_stats` — same portable
+    gram hash (md5, seed ``span``), same corpus-frequency rule, same
+    gaps-and-islands interval merge, so ``dup_token_frac`` is
+    hash-identical across engines (integer-exact arithmetic until the
+    final single division)."""
+    gram_txt = f"array_to_string(list_slice(toks, i, i + {n - 1}), ' ')"
+    gh = hash64_sql(gram_txt, seed="span")
+    return f"""
+    with sized as (
+      select doc_id, toks, cast(len(toks) as bigint) as n_tokens
+      from (select doc_id, {tokens_sql('text')} as toks from documents)
+    ),
+    g0 as (
+      select doc_id,
+             unnest(list_transform(
+               range(1, greatest(n_tokens - {n - 1}, 0) + 1),
+               i -> struct_pack(pos := i - 1, gh := {gh}))) as g
+      from sized
+    ),
+    grams as (select doc_id, g.pos as pos, g.gh as gh from g0),
+    freq as (select gh, count(*) as cnt from grams group by gh),
+    dup as (
+      select grams.doc_id, grams.pos as s, grams.pos + {n - 1} as e
+      from grams join freq using (gh)
+      where freq.cnt >= 2
+    ),
+    m as (
+      select doc_id, s, e,
+             max(e) over (partition by doc_id order by s
+                          rows between unbounded preceding
+                                   and 1 preceding) as pe
+      from dup
+    ),
+    agg as (
+      select doc_id,
+             count(*) as n_dup_grams,
+             sum(greatest(0, e - greatest(coalesce(pe, -1), s - 1)))
+               as dup_tokens
+      from m group by doc_id
+    )
+    select z.doc_id,
+           cast(coalesce(agg.n_dup_grams, 0) as bigint) as n_dup_grams,
+           round(coalesce(agg.dup_tokens, 0)
+                 / greatest(z.n_tokens, 1), 6) as dup_token_frac
+    from sized z left join agg using (doc_id)
+    """

@@ -66,17 +66,20 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                        n_grams
                 from ({textops.fingerprints_sql()})),
          ds as ({textops.dup_span_sql()}),
+         dx as ({dedup.duplicate_span_stats_sql(n=8)}),
          cc as ({packing.cdc_chunk_count_sql()})
     select d.doc_id, mh.minhash_sig, sh.simhash, fp.fingerprint, fp.n_grams,
-           ds.n_span_grams, ds.dup_span_frac, cc.n_cdc_chunks
+           ds.n_span_grams, ds.dup_span_frac,
+           dx.n_dup_grams, dx.dup_token_frac, cc.n_cdc_chunks
     from documents d
     left join mh using (doc_id)
     left join sh using (doc_id)
     left join fp using (doc_id)
     left join ds using (doc_id)
+    left join dx using (doc_id)
     left join cc using (doc_id)
     """,
-    survey_ids=("DD3", "DD4", "TX4", "DS1", "CH2"),
+    survey_ids=("DD3", "DD4", "TX4", "DS1", "DD7", "CH2"),
 )
 def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document signature catalog in one entry: 16-hash MinHash
@@ -87,9 +90,14 @@ def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-substring dedup, catching boilerplate and partial copies
     that doc-level dedup misses), and the content-defined chunk count
     (CH2, operators/packing.chunk_documents_cdc — rolling-hash
-    boundaries whose edit-stability is unit-tested). One doc-keyed
-    join of per-doc projections — co-partitioned on the doc key at
-    scale."""
+    boundaries whose edit-stability is unit-tested), plus the
+    INTERVAL-MERGED duplicated-span coverage (DD7,
+    operators/dedup.duplicate_span_stats — Lee et al. 2022's span
+    form: every 8-token window hashed, corpus-frequency ≥ 2 flags a
+    span, overlapping spans merged so a run of k duplicated tokens
+    counts k, not k·8; gate-promoted round 5 beside the simpler
+    positional form). One doc-keyed join of per-doc projections —
+    co-partitioned on the doc key at scale."""
     docs = _docs(spark, sf_dir)
     mh = dedup.minhash_signatures(docs, n=3, n_hashes=16).select(
         "doc_id",
@@ -104,6 +112,9 @@ def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_grams",
     )
     ds = textops.dup_span_stats(docs)
+    dx = dedup.duplicate_span_stats(docs, n=8).select(
+        "doc_id", "n_dup_grams", "dup_token_frac"
+    )
     cc = packing.cdc_chunk_counts(docs)
     return (
         docs.select("doc_id")
@@ -111,6 +122,7 @@ def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sh, "doc_id", "left")
         .join(fp, "doc_id", "left")
         .join(ds, "doc_id", "left")
+        .join(dx, "doc_id", "left")
         .join(cc, "doc_id", "left")
     )
 

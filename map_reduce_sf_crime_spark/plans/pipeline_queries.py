@@ -66,29 +66,56 @@ def token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-source quota for the SM2 leg of corpus_sample — sized so the
+#: sf0.01 corpus (~25 docs/source) genuinely straddles it (some
+#: kept, some dropped per source).
+CAP_PER_SOURCE = 15
+
+
 @register(
     "corpus_sample",
     sampling.global_shuffle_pos_sql(
         f"""
-        select s.doc_id, s.lang, s.kept, w.mix_weight_ppm
+        select s.doc_id, s.lang, s.kept, w.mix_weight_ppm, c.cap_kept
         from ({sampling.stratified_sample_sql()}) s
         join ({sampling.MIX_WEIGHT_SQL}) w using (lang)
+        join (
+          with q as ({textops.quality_scores_sql()})
+          select d.doc_id,
+                 cast(row_number() over (
+                        partition by d.source
+                        order by q.quality desc nulls last, d.doc_id
+                      ) <= {CAP_PER_SOURCE} as int) as cap_kept
+          from documents d join q using (doc_id)
+        ) c using (doc_id)
         """
     ),
-    survey_ids=("SM1", "SH1", "MX1"),
+    survey_ids=("SM1", "SH1", "MX1", "SM2"),
 )
 def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (SM1), temperature-balanced
     mixture weights (MX1, UniMax α=0.5 — √share damping, broadcast
-    back by language), and the deterministic global shuffle order
+    back by language), the deterministic global shuffle order
     (SH1): each doc's 0-based position in a pseudorandom training
     order via two-phase range-bucketed ranking, never a
-    single-partition window. See operators/sampling.py."""
+    single-partition window, and — round 5 — the per-source quota
+    cap (SM2, operators/sampling.per_group_cap_flags: keep the
+    ``CAP_PER_SOURCE`` best-quality docs per source via the
+    two-phase score-bucket decomposition whose only data-sized
+    window is (group, bucket)-bounded; the oracle is the naive
+    one-window-per-group form it is proven equal to). See
+    operators/sampling.py."""
     docs = load_table(spark, sf_dir, "documents")
     flags = sampling.stratified_sample_flags(docs).join(
         F.broadcast(sampling.temperature_mix_weights(docs)), "lang"
     )
-    return sampling.with_global_shuffle_pos(flags)
+    capped = sampling.per_group_cap_flags(
+        docs.withColumn("score", textops.quality_col(F.col("text"))),
+        CAP_PER_SOURCE,
+        group_col="source",
+        score_col="score",
+    ).select("doc_id", F.col("kept").alias("cap_kept"))
+    return sampling.with_global_shuffle_pos(flags).join(capped, "doc_id")
 
 
 #: sized to the fixture corpus (docs average ~54 tokens, max ~100) so

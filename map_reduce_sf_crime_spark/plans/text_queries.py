@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import contamination as contam
-from ..operators import textops
+from ..operators import termstats, textops
 from ..sources.parquet import fan_out, load_table
 from .registry import register
 
@@ -49,20 +49,23 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
          q as ({textops.quality_scores_sql()}),
          l as ({textops.LANG_ID_SQL}),
          p as ({textops.pii_scrub_sql()}),
-         r as ({textops.repetition_stats_sql()})
+         r as ({textops.repetition_stats_sql()}),
+         uc as ({termstats.unigram_commonness_sql(min_df=50)})
     select ts.doc_id, ts.n_chars, ts.n_tokens, ts.n_bpe_tokens,
            ts.n_unique_tokens,
            q.stopword_ratio, q.punct_ratio, q.unique_ratio, q.quality,
            l.lang_pred, l.lang_label, l.agree,
            p.n_email, p.n_phone, p.n_ssn, p.redacted_md5,
-           r.n_bigrams, r.top_bigram_ratio
+           r.n_bigrams, r.top_bigram_ratio,
+           uc.mean_tf_ppm, uc.oov_frac
     from ts
     join q using (doc_id)
     join l using (doc_id)
     join p using (doc_id)
     join r using (doc_id)
+    join uc using (doc_id)
     """,
-    survey_ids=("TX1", "TX2", "TX3", "TX5", "TX6"),
+    survey_ids=("TX1", "TX2", "TX3", "TX5", "TX6", "TF2"),
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis in one entry: whitespace/BPE-ish
@@ -73,8 +76,25 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     redacted text (TX5, actual-redaction behavior unit-tested with
     planted PII in tests/test_text_functions.py), and intra-document
     repetition (TX6, the Gopher/C4 "repetitious text" signal: share
-    of all word bigrams taken by the most frequent one). One
-    zero-shuffle projection over one scan (operators/textops.py::
-    text_profile); the DuckDB oracle keeps the per-analysis joined
-    form — identical values, independently derived."""
-    return textops.text_profile(_docs(spark, sf_dir))
+    of all word bigrams taken by the most frequent one). The
+    row-local analyses are one zero-shuffle projection over one scan
+    (operators/textops.py::text_profile); the DuckDB oracle keeps
+    the per-analysis joined form — identical values, independently
+    derived. Round 5 adds the CORPUS-ADAPTIVE commonness/OOV score
+    (TF2, operators/termstats.unigram_commonness — mean collection
+    frequency + below-min-df occurrence mass per doc, the model-free
+    stand-in for a perplexity filter), joined back on doc_id; unlike
+    the row-local columns it reads a corpus-global vocabulary, so
+    the entry now also gate-checks the Zipfian-key join shape
+    (repeat occurrences collapsed before the join, AQE skew-split's
+    case)."""
+    docs = _docs(spark, sf_dir)
+    # min_df sized to the synthetic corpus's 31-token vocabulary
+    # (min df 25 of 500 docs): the production default of 2 makes
+    # oov_frac identically zero here, i.e. a dead gate column
+    return textops.text_profile(docs).join(
+        termstats.unigram_commonness(docs, min_df=50).select(
+            "doc_id", "mean_tf_ppm", "oov_frac"
+        ),
+        "doc_id",
+    )
