@@ -161,6 +161,16 @@ where [Category].[All Categories]
 from [sfcrime]
 where [Time].[1995]
 """,
+    # the DRILL-DOWN shape JPivot emits when a user expands both All
+    # members of the mondrian.jsp grid (NON EMPTY + Crossjoin +
+    # .Children — the grammar mdx.py implements beyond the three
+    # committed texts; gate-promoted round 5 so the driver, not just
+    # tests/test_mdx.py, watches it)
+    "drill": """select {([Measures].[crimes], [Time].[1995])} ON COLUMNS,
+  NON EMPTY Crossjoin({[District].[All Districts].Children},
+                      {[Category].[All Categories].Children}) ON ROWS
+from [sfcrime]
+""",
 }
 
 _MDX_VERBATIM_SQL = """
@@ -179,6 +189,13 @@ _MDX_VERBATIM_SQL = """
            'crimes' as l2, 'jsp' as l3,
            cast(sum(crimes) as bigint) as crimes
     from ({sj}) s where year = 1995
+    union all
+    select 'mdx_verbatim' as hierarchy,
+           district || ', ' || category as l1,
+           'crimes, 1995' as l2, 'drill' as l3,
+           cast(sum(crimes) as bigint) as crimes
+    from ({sj}) s where year = 1995
+    group by district, category
 """.format(sj=_STAR_JOIN_SQL)
 
 
@@ -280,11 +297,13 @@ def olap_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
             "crimes",
         )
     )
-    # the reference's three MDX queries, through the REAL front-end
-    # (parse → compile → cells over the same cached star). Batched:
-    # all three queries' cells are scalar, so mdx_cells_many folds
-    # them into ONE conditional aggregation — one extra job for the
-    # whole MDX leg, not one per query.
+    # the reference's three MDX queries PLUS the JPivot drill shape
+    # (NON EMPTY Crossjoin of both .Children sets), through the REAL
+    # front-end (parse → compile → cells over the same cached star).
+    # Batched: the three reference queries' cells are scalar, so
+    # mdx_cells_many folds them into ONE conditional aggregation; the
+    # drill pair is the one enumerating groupBy — two extra jobs for
+    # the whole MDX leg, not one per query/cell.
     from ..mdx import mdx_cells_many, parse_mdx
 
     cells = mdx_cells_many(
