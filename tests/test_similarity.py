@@ -464,3 +464,155 @@ def test_semdedup_hot_cluster_blocked_join(spark):
         assert total == sum(m * (m - 1) // 2 for m in csizes.values())
     finally:
         emb.unpersist()
+
+
+def _h64(seed: str, s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+
+def _bounded_spec(vecs, assign, cap, threshold):
+    """Numpy mirror of the BOUNDED hot-cell SemDeDup semantics
+    (operators/similarity._semdedup_candidates_bounded): sub-quantize
+    via s min-by-seeded-hash draws, hash-block over-cap sub-cells,
+    cell+sub anchor pairs; exact-cell semantics for cells <= cap.
+    Returns {vec_id: max_prior_sim} over the candidate pair set,
+    using the engine's sequential cosine fold (_seq_cosines)."""
+    import math
+
+    import numpy as np
+
+    def cos(a, b):
+        return float(
+            similarity._seq_cosines(a[None, :], b[None, :])[0, 0]
+        )
+
+    by_cell: dict[int, list[int]] = {}
+    for vid in sorted(vecs):
+        by_cell.setdefault(assign[vid], []).append(vid)
+    prior: dict[int, float] = {}
+
+    def feed(a, b):
+        if a > b:
+            a, b = b, a
+        if a == b:
+            return
+        c = cos(np.array(vecs[a]), np.array(vecs[b]))
+        if b not in prior or c > prior[b]:
+            prior[b] = c
+
+    for members in by_cell.values():
+        m = len(members)
+        if m <= cap:
+            for j, b in enumerate(members):
+                for a in members[:j]:
+                    feed(a, b)
+            continue
+        s = min(max(math.ceil(m / cap), 2), similarity.SEMDEDUP_SUBQ_MAX)
+        draws = []
+        for j in range(s):
+            hs = [(_h64(f"sdsub{j}", str(v)), v) for v in members]
+            assert len({h for h, _ in hs}) == len(hs), "hash tie in fixture"
+            draws.append(min(hs)[1])
+        subs = [np.array(vecs[d]) for d in draws]
+        sub_of = {}
+        for v in members:
+            best_c, best_j = -2.0, -1
+            for j, sc in enumerate(subs):
+                c = cos(np.array(vecs[v]), sc)
+                if c > best_c:
+                    best_c, best_j = c, j
+            sub_of[v] = best_j
+        by_sub: dict[int, list[int]] = {}
+        for v in members:
+            by_sub.setdefault(sub_of[v], []).append(v)
+        for sub_members in by_sub.values():
+            nb = max(1, math.ceil(len(sub_members) / cap))
+            by_blk: dict[int, list[int]] = {}
+            for v in sub_members:
+                by_blk.setdefault(_h64("sdblk", str(v)) % nb, []).append(v)
+            for blk_members in by_blk.values():
+                for j, b in enumerate(blk_members):
+                    for a in blk_members[:j]:
+                        feed(a, b)
+            sa = min(sub_members)
+            for v in sub_members:
+                feed(sa, v)
+        ca = min(members)
+        for v in members:
+            feed(ca, v)
+    return prior
+
+
+def test_semdedup_bounded_cell_matches_spec(spark):
+    """The hot-cell bounded scheme must implement EXACTLY its spec
+    (sub-quantize draws, hash blocks, anchors) — engine vs the numpy
+    mirror, per-vector equality of sd_max_prior_sim and sd_keep —
+    and stay SOUND vs the exact form (bounded candidates are a
+    subset, so its keep set is a superset of exact's)."""
+    cap = 100
+    emb = _hot_cluster_fixture(spark).cache()
+    try:
+        k = 16
+        got = {
+            r.vec_id: (r.sd_max_prior_sim, r.sd_keep)
+            for r in similarity.semantic_dedup(emb, k=k, cell_cap=cap).collect()
+        }
+        assign = {
+            r.vec_id: r.centroid_id
+            for r in similarity.ivf_assignments(emb, k).collect()
+        }
+        vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+        want = _bounded_spec(vecs, assign, cap, similarity.SEMDEDUP_THRESHOLD)
+        assert set(got) == set(vecs)
+        for vid, (sim, keep) in got.items():
+            w = round(want.get(vid, 0.0), 6)
+            assert abs(sim - w) < 2e-6, (vid, sim, w)
+            assert keep == (
+                want.get(vid, 0.0) < similarity.SEMDEDUP_THRESHOLD
+            ), vid
+        # soundness vs exact: bounded never drops a vector exact keeps
+        exact_keep = {
+            r.vec_id
+            for r in similarity.semantic_dedup(
+                emb, k=k, cell_cap=10**9
+            ).collect()
+            if r.sd_keep
+        }
+        bounded_keep = {v for v, (_, kp) in got.items() if kp}
+        assert exact_keep <= bounded_keep
+    finally:
+        emb.unpersist()
+
+
+def test_semdedup_bounded_total_pairs_linear(spark):
+    """Work bound: the bounded candidate set for a hot cell of size m
+    is O(m·cap) pairs — never the m²/2 of the exact form."""
+    cap = 100
+    emb = _hot_cluster_fixture(spark).cache()
+    try:
+        k = 16
+        sides = emb.select("vec_id", "embedding").join(
+            similarity.ivf_assignments(emb, k), "vec_id"
+        )
+        sizes = {
+            r.centroid_id: r.cnt
+            for r in sides.groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        hot = [c for c, m in sizes.items() if m > cap]
+        assert hot, "fixture must have a hot cell"
+        sides_hot = sides.filter(F.col("centroid_id").isin(hot))
+        n_pairs = similarity._semdedup_candidates_bounded(sides_hot, cap).count()
+        m_tot = sum(sizes[c] for c in hot)
+        # hash-block variance bound: ~1.5x the nominal m*cap/2 + 2m
+        assert n_pairs <= int(1.5 * (m_tot * cap / 2 + 2 * m_tot)), (
+            n_pairs,
+            m_tot,
+        )
+        worst_exact = max(sizes[c] for c in hot)
+        assert n_pairs < worst_exact * (worst_exact - 1) // 2
+    finally:
+        emb.unpersist()
