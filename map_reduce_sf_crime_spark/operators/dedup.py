@@ -650,79 +650,119 @@ def incremental_exact_sql(
 
 # ---------------------------------------------- duplicate clusters
 
+def _cc_mins(canon: DataFrame):
+    """Symmetric adjacency of a canonical (a > b) edge frame plus
+    ``m(u) = min(Γ(u) ∪ {u})`` per vertex."""
+    sym = canon.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).union(canon.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    mins = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select("src", F.least("_mn", "src").alias("m"))
+    )
+    return sym, mins
+
+
+def _cc_large_star(canon: DataFrame) -> DataFrame:
+    """Large-star: for every vertex u, link each STRICTLY LARGER
+    neighbor v to m(u). Output stays canonical (v > u ≥ m)."""
+    sym, mins = _cc_mins(canon)
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _cc_small_star(canon: DataFrame) -> DataFrame:
+    """Small-star: for every vertex u, link each SMALLER neighbor —
+    and u itself — to m(u); self-loops dropped."""
+    sym, mins = _cc_mins(canon)
+    smaller = (
+        sym.join(mins, "src")
+        .filter(F.col("dst") < F.col("src"))
+        .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+    )
+    own = mins.select(F.col("src").alias("a"), F.col("m").alias("b"))
+    return (
+        smaller.union(own).filter(F.col("a") != F.col("b")).distinct()
+    )
+
+
+#: Rounds the last :func:`dup_clusters` call took to converge —
+#: diagnostic for tests and ops (the documented bound is
+#: O(log² n) alternations, O(log n) on chain/star shapes).
+LAST_CC_ROUNDS = 0
+
+
 def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over the near-dup pair graph: every doc in
     ≥1 pair gets ``cluster_id`` = min doc_id of its component (the
     canonical representative — "which docs are the same document").
 
-    Iterative min-label propagation (the simple member of the
-    large-star/small-star family): each round every vertex takes the
-    min label over itself and its neighbors; converges in O(graph
-    diameter) rounds — dup components are near-cliques, so 2-3 rounds
-    in practice. Driver-side loop with a converged-count check and a
-    localCheckpoint per round to truncate lineage — the canonical
-    Spark shape for iterative algorithms.
+    Alternating large-star / small-star edge contraction (Kiveris et
+    al. 2014, "Connected Components in MapReduce and Beyond", public):
+    each round rewrites the edge set so every vertex's larger
+    neighbors (large-star) then smaller neighbors and itself
+    (small-star) link directly to the minimum of its closed
+    neighborhood. Distances to each component's minimum roughly HALVE
+    per round — the pathological chain that cost the round-4
+    min-label-propagation form O(diameter) rounds converges in
+    O(log n) alternations (pinned in tests/test_dedup.py: the 30-doc
+    chain inside ⌈log₂ n⌉ + 1 rounds), and the fixpoint is exactly
+    the star forest centered at component minima. Worst-case bound
+    over all graphs is O(log² n) rounds. Each round is two
+    aggregate+join+distinct passes over the current edge set (which
+    only ever shrinks-or-holds in size class — large-star emits at
+    most one edge per input edge, small-star at most one per edge
+    plus one per vertex), localCheckpointed to truncate lineage — the
+    canonical Spark shape for iterative algorithms.
 
-    Sizing ``max_iter``: the bound is the worst COMPONENT DIAMETER,
-    not the doc count — the min label travels one hop per round, so a
-    pure chain of D near-dup docs needs ~D rounds (pathological-graph
-    behavior pinned in tests/test_dedup.py), while the near-clique
-    components real dedup produces converge in 2-3. Exhaustion raises
-    rather than returning silently-divergent labels; if that fires on
-    real data the graph has a long chain of pairwise-similar docs and
-    max_iter should be raised toward its length (or the pair
-    threshold tightened)."""
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    sym = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).transform(plan_cache)
-    labels = (
-        sym.groupBy("src")
-        .agg(F.min("dst").alias("nbr_min"))
-        .select(
-            F.col("src").alias("doc_id"),
-            F.least("src", "nbr_min").alias("cluster_id"),
+    Exhausting ``max_iter`` raises rather than returning
+    silently-divergent labels; with the log-round contraction the
+    default 20 covers components of ~2²⁰ vertices even at the
+    worst-case square, so a raise means something structurally new.
+    Round count of the last call is exported as ``LAST_CC_ROUNDS``."""
+    global LAST_CC_ROUNDS
+    canon = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("a"),
+            F.least("doc_a", "doc_b").alias("b"),
         )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
         .localCheckpoint()
     )
-    for _ in range(max_iter):
-        nbr = (
-            sym.join(labels, sym.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("nbr_label"))
+    for rounds in range(1, max_iter + 1):
+        new = _cc_small_star(_cc_large_star(canon)).localCheckpoint()
+        unchanged = (
+            new.count() == canon.count()
+            and new.exceptAll(canon).limit(1).count() == 0
         )
-        new_labels = (
-            labels.join(nbr, labels.doc_id == nbr.src, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    "cluster_id", F.coalesce("nbr_label", "cluster_id")
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        canon = new
+        if unchanged:
+            LAST_CC_ROUNDS = rounds
             break
     else:
-        # exhausting max_iter without convergence means some component
-        # has diameter > max_iter and the labels are WRONG (two docs of
-        # one component would carry different cluster_ids) — fail
-        # loudly rather than return silently-divergent clusters
         raise RuntimeError(
             f"dup_clusters did not converge within {max_iter} rounds "
-            f"({changed} labels still changing); raise max_iter — the "
-            "component diameter exceeds it"
+            "of large-star/small-star contraction; raise max_iter — "
+            "the edge set is still changing"
         )
-    return labels
+    return (
+        canon.select(
+            F.col("a").alias("doc_id"), F.col("b").alias("cluster_id")
+        )
+        .union(
+            canon.select(
+                F.col("b").alias("doc_id"), F.col("b").alias("cluster_id")
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
 
 
 def dup_clusters_sql(pairs_sql: str) -> str:

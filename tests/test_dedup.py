@@ -195,23 +195,28 @@ def test_ppjoin_prunes_lossless_at_exact_threshold(spark):
 
 
 def test_dup_clusters_pathological_chain(spark):
-    """Pathological-graph behavior: min-label propagation moves the
-    min one hop per round, so a CHAIN of diameter D needs ~D rounds.
-    A max_iter below the diameter must raise loudly (never return
-    silently-divergent labels); a max_iter above it must converge the
-    chain AND a star mix to single components labeled by min doc_id,
-    within the documented diameter bound."""
-    chain = [(i, i + 1) for i in range(29)]          # diameter 29
+    """Pathological-graph behavior: the large-star/small-star
+    contraction roughly HALVES each vertex's distance to its
+    component minimum per round, so a CHAIN of n docs converges in
+    ≤ ⌈log₂ n⌉ + 1 rounds (the round-4 min-label form needed O(n)).
+    A max_iter below the log bound must raise loudly (never return
+    silently-divergent labels); at the bound the chain AND a star
+    mix converge to single components labeled by min doc_id."""
+    import math
+
+    chain = [(i, i + 1) for i in range(29)]          # 30-vertex chain
     star = [(100, s) for s in range(101, 121)]       # diameter 2
     pairs = spark.createDataFrame(chain + star, "doc_a long, doc_b long")
 
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.dup_clusters(pairs, max_iter=5)
+        dedup.dup_clusters(pairs, max_iter=3)
 
+    log_bound = math.ceil(math.log2(30)) + 1  # = 6
     labels = {
         r.doc_id: r.cluster_id
-        for r in dedup.dup_clusters(pairs, max_iter=35).collect()
+        for r in dedup.dup_clusters(pairs, max_iter=log_bound).collect()
     }
+    assert dedup.LAST_CC_ROUNDS <= log_bound
     assert all(labels[i] == 0 for i in range(30))
     assert all(labels[s] == 100 for s in [100, *range(101, 121)])
 
