@@ -201,6 +201,126 @@ def _read_json(spark: SparkSession, file_path: str) -> dict:
     return json.loads("\n".join(lines))
 
 
+_LEASE_NAME = "_lease.json"
+#: Default writer-lease time-to-live. A lease older than this (by
+#: filesystem mtime) is presumed to belong to a DEAD writer and may
+#: be broken; sized far above any local merge/compaction and
+#: documented as an ops dial for cluster jobs.
+LEASE_TTL_SEC = 900
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A live foreign writer holds (or broke) the table's lease."""
+
+
+def acquire_lease(
+    spark: SparkSession,
+    path: str,
+    ttl_sec: int = LEASE_TTL_SEC,
+    owner: str | None = None,
+) -> str:
+    """Claim the table's single-writer lease, or raise
+    :class:`ConcurrentWriterError` if a LIVE foreign writer holds it.
+
+    The manifest protocol (intent → rewrite → commit) assumes ONE
+    writer: two interleaved merges can each read the other's
+    unfinished intent as a crash and "recover" it, and commit ids are
+    assigned by listing, not reserved. The lease makes that
+    assumption enforced instead of implicit: writers exclusive-create
+    ``_commits/_lease.json`` (``FileSystem.create(overwrite=false)``
+    is atomic on HDFS and local filesystems — NOT on bare S3, where a
+    real table format or an external lock service is the answer) and
+    delete it after commit. Liveness is judged by the lease file's
+    MTIME against ``ttl_sec`` — a crashed writer's lease expires and
+    the next writer breaks it (one takeover attempt; losing the
+    takeover race to another writer raises). Returns the owner token
+    to pass to :func:`release_lease`."""
+    import json
+    import os
+    import socket
+    import time
+    import uuid
+
+    fs, jvm = _hfs(spark, path)
+    lease = f"{path.rstrip('/')}/{_COMMITS_DIR}/{_LEASE_NAME}"
+    jp = jvm.org.apache.hadoop.fs.Path(lease)
+    token = owner or (
+        f"{socket.gethostname()}:{os.getpid()}:{uuid.uuid4().hex[:8]}"
+    )
+    for attempt in (0, 1):
+        try:
+            out = fs.create(jp, False)
+            out.write(
+                bytearray(
+                    json.dumps(
+                        {"owner": token, "ttl_sec": ttl_sec}
+                    ).encode("utf-8")
+                )
+            )
+            out.close()
+            return token
+        except Exception as e:  # noqa: BLE001 — Py4J surfaces JVM errors
+            low = str(e).lower()
+            if "already exists" not in low and "alreadyexists" not in low:
+                raise
+        try:
+            st = fs.getFileStatus(jp)
+            age = time.time() - st.getModificationTime() / 1000.0
+        except Exception:  # noqa: BLE001
+            continue  # holder released between create and stat — retry
+        if age <= ttl_sec:
+            try:
+                holder = _read_json(spark, lease).get("owner", "?")
+            except Exception:  # noqa: BLE001 — torn lease file is live
+                holder = "(unreadable)"
+            raise ConcurrentWriterError(
+                f"table at {path} is locked by a live writer "
+                f"({holder}, lease age {age:.0f}s <= ttl {ttl_sec}s); "
+                "refusing to interleave. Wait for it to finish, or "
+                "break_lease() if you KNOW the writer is dead."
+            )
+        fs.delete(jp, False)  # stale — break and retry the create once
+    raise ConcurrentWriterError(
+        f"lost the lease-takeover race on {path} to another writer"
+    )
+
+
+def release_lease(spark: SparkSession, path: str, token: str) -> None:
+    """Release a held lease. Raises :class:`ConcurrentWriterError` if
+    the lease is gone or owned by someone else — that means another
+    writer broke ours mid-operation (our rewrite overran the TTL) and
+    may have interleaved; the table needs a ``table_state`` check,
+    not a silent shrug."""
+    fs, jvm = _hfs(spark, path)
+    lease = f"{path.rstrip('/')}/{_COMMITS_DIR}/{_LEASE_NAME}"
+    jp = jvm.org.apache.hadoop.fs.Path(lease)
+    holder = None
+    if fs.exists(jp):
+        try:
+            holder = _read_json(spark, lease).get("owner")
+        except Exception:  # noqa: BLE001
+            holder = None
+    if holder != token:
+        raise ConcurrentWriterError(
+            f"lease on {path} was broken while held (found "
+            f"{holder!r}, expected {token!r}) — another writer "
+            "presumed this one dead; run table_state() before "
+            "trusting the table"
+        )
+    fs.delete(jp, False)
+
+
+def break_lease(spark: SparkSession, path: str) -> None:
+    """Operator override: forcibly remove the lease regardless of
+    liveness. Only for a KNOWN-dead writer."""
+    fs, jvm = _hfs(spark, path)
+    jp = jvm.org.apache.hadoop.fs.Path(
+        f"{path.rstrip('/')}/{_COMMITS_DIR}/{_LEASE_NAME}"
+    )
+    if fs.exists(jp):
+        fs.delete(jp, False)
+
+
 def _commit_ids(spark: SparkSession, path: str) -> list[int]:
     fs, jvm = _hfs(spark, path)
     cdir = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{_COMMITS_DIR}")
@@ -220,9 +340,11 @@ def begin_commit(
     partition_cols: list[str],
     keys: list[tuple],
 ) -> int:
-    """Record rewrite INTENT (single-writer contract: ids are assigned
-    by listing, not atomically reserved — concurrent writers need a
-    real table format)."""
+    """Record rewrite INTENT. Single-writer contract: ids are assigned
+    by listing, not atomically reserved — which is why the writers
+    that call this (merge_upsert, compact_partitioned) first take the
+    table's lease (:func:`acquire_lease`) and a live foreign writer
+    is REFUSED loudly instead of interleaved."""
     ids = _commit_ids(spark, path)
     cid = (ids[-1] + 1) if ids else 0
     _write_json(
@@ -548,22 +670,45 @@ def merge_upsert(
                 "parquet directory — drop or rewrite the table "
                 "explicitly instead"
             )
-    cid = begin_commit(spark, path, partition_cols, keys) if manifest else None
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*partition_cols)
-        .parquet(path)
-    )
-    fs, jvm = _hfs(spark, path)
-    for key in keys:
-        if key not in present:
-            sub = _partition_subpath(spark, partition_cols, key)
-            p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{sub}")
-            if fs.exists(p):
-                fs.delete(p, True)
-    if manifest:
-        finish_commit(spark, path, cid)
+    # single-writer lease around the manifest bracket: a concurrent
+    # merge raises ConcurrentWriterError instead of interleaving (two
+    # writers could otherwise each "recover" the other's unfinished
+    # intent). Released on success AND on in-process failure — the
+    # unfinished intent, not the lease, is the crash evidence, and an
+    # immediate re-run is the documented recovery; only a hard crash
+    # leaves the lease, where the TTL protects the torn table until
+    # the writer is provably dead.
+    token = acquire_lease(spark, path) if manifest else None
+    ok = False
+    try:
+        cid = (
+            begin_commit(spark, path, partition_cols, keys)
+            if manifest
+            else None
+        )
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+        fs, jvm = _hfs(spark, path)
+        for key in keys:
+            if key not in present:
+                sub = _partition_subpath(spark, partition_cols, key)
+                p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{sub}")
+                if fs.exists(p):
+                    fs.delete(p, True)
+        if manifest:
+            finish_commit(spark, path, cid)
+        ok = True
+    finally:
+        if token is not None:
+            try:
+                release_lease(spark, path, token)
+            except ConcurrentWriterError:
+                if ok:  # broken-lease alarm must not mask the real error
+                    raise
 
 
 def compact_partitioned(
@@ -687,15 +832,32 @@ def compact_partitioned(
     skeys = [
         tuple(row[f"_s_{pc}"] for pc in partition_cols) for row in counts
     ]
-    cid = begin_commit(spark, path, partition_cols, skeys) if manifest else None
-    (
-        touched.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*partition_cols)
-        .parquet(path)
-    )
-    if manifest:
-        finish_commit(spark, path, cid)
+    # same single-writer lease discipline as merge_upsert (a
+    # compaction interleaving with a merge is the same hazard)
+    token = acquire_lease(spark, path) if manifest else None
+    ok = False
+    try:
+        cid = (
+            begin_commit(spark, path, partition_cols, skeys)
+            if manifest
+            else None
+        )
+        (
+            touched.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+        if manifest:
+            finish_commit(spark, path, cid)
+        ok = True
+    finally:
+        if token is not None:
+            try:
+                release_lease(spark, path, token)
+            except ConcurrentWriterError:
+                if ok:
+                    raise
     return keys
 
 

@@ -876,3 +876,80 @@ def test_compact_bucketed_preserves_probe_and_recovers(spark):
     assert not os.path.exists(os.path.join(orphan_dir, "part-junk.parquet"))
     for t in (bt, f"{bt}_meta", st):
         spark.sql(f"drop table if exists {t}")
+
+
+def test_concurrent_writer_lease(spark):
+    """Two interleaved writers: while writer A holds the table lease,
+    writer B's merge must FAIL LOUDLY (ConcurrentWriterError) before
+    writing anything — round 4's protocol let both writers 'recover'
+    each other's unfinished intents. A lease whose mtime has aged
+    past the TTL belongs to a dead writer: broken automatically, the
+    merge proceeds. A lease broken out from under a live writer is
+    detected at release time and raises."""
+    import time
+
+    import pytest
+
+    from map_reduce_sf_crime_spark.sources.lakehouse import (
+        LEASE_TTL_SEC,
+        ConcurrentWriterError,
+        acquire_lease,
+        break_lease,
+        merge_upsert,
+        release_lease,
+        table_state,
+    )
+
+    path = os.path.join(SCRATCH, "lease_fact")
+    shutil.rmtree(path, ignore_errors=True)
+    daily = (
+        incidents(spark, SF_SMOKE)
+        .groupBy(F.month("d").alias("month"), "d", "category", "district")
+        .agg(F.count(F.lit(1)).alias("crimes"))
+    )
+    write_partitioned(daily, path, ["month"])
+    changes = (
+        read_partitioned(spark, path)
+        .filter(F.col("month") == 1)
+        .withColumn("crimes", F.col("crimes") + 1000)
+        .localCheckpoint()
+    )
+    key_cols, part_cols = ["d", "category", "district"], ["month"]
+
+    # writer A mid-merge (holds the lease) -> writer B refused loudly
+    token = acquire_lease(spark, path)
+    with pytest.raises(ConcurrentWriterError, match="live writer"):
+        merge_upsert(
+            spark, path, changes, key_cols=key_cols, partition_cols=part_cols
+        )
+    # the refused merge left no manifest and no data change
+    assert table_state(spark, path)["status"] == "clean"
+    commits = os.path.join(path, "_commits")
+    assert not any(
+        f.endswith(".intent.json") for f in os.listdir(commits)
+    )
+    release_lease(spark, path, token)
+
+    # lease free -> the same merge proceeds and releases afterwards
+    merge_upsert(
+        spark, path, changes, key_cols=key_cols, partition_cols=part_cols
+    )
+    assert table_state(spark, path)["status"] == "clean"
+    lease_file = os.path.join(commits, "_lease.json")
+    assert not os.path.exists(lease_file)
+
+    # stale lease (dead writer): aged past TTL -> broken, merge runs
+    acquire_lease(spark, path)
+    old = time.time() - 2 * LEASE_TTL_SEC
+    os.utime(lease_file, (old, old))
+    merge_upsert(
+        spark, path, changes, key_cols=key_cols, partition_cols=part_cols
+    )
+    assert table_state(spark, path)["status"] == "clean"
+    assert not os.path.exists(lease_file)
+
+    # a lease broken out from under a live writer raises at release
+    t2 = acquire_lease(spark, path)
+    break_lease(spark, path)
+    with pytest.raises(ConcurrentWriterError, match="broken while held"):
+        release_lease(spark, path, t2)
