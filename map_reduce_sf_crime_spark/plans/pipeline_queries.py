@@ -66,9 +66,10 @@ def token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Per-source quota for the SM2 leg of corpus_sample — sized so the
-#: sf0.01 corpus (~25 docs/source) genuinely straddles it (some
-#: kept, some dropped per source).
+#: Per-source quota for the SM2 leg of corpus_sample (keep the N
+#: longest docs per source) — sized so the sf0.01 corpus
+#: (~25 docs/source) genuinely straddles it (some kept, some
+#: dropped per source).
 CAP_PER_SOURCE = 15
 
 
@@ -80,13 +81,12 @@ CAP_PER_SOURCE = 15
         from ({sampling.stratified_sample_sql()}) s
         join ({sampling.MIX_WEIGHT_SQL}) w using (lang)
         join (
-          with q as ({textops.quality_scores_sql()})
-          select d.doc_id,
+          select doc_id,
                  cast(row_number() over (
-                        partition by d.source
-                        order by q.quality desc nulls last, d.doc_id
+                        partition by source
+                        order by n_chars desc nulls last, doc_id
                       ) <= {CAP_PER_SOURCE} as int) as cap_kept
-          from documents d join q using (doc_id)
+          from documents
         ) c using (doc_id)
         """
     ),
@@ -100,20 +100,28 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     order via two-phase range-bucketed ranking, never a
     single-partition window, and — round 5 — the per-source quota
     cap (SM2, operators/sampling.per_group_cap_flags: keep the
-    ``CAP_PER_SOURCE`` best-quality docs per source via the
-    two-phase score-bucket decomposition whose only data-sized
-    window is (group, bucket)-bounded; the oracle is the naive
-    one-window-per-group form it is proven equal to). See
+    ``CAP_PER_SOURCE`` LONGEST docs per source via the two-phase
+    score-bucket decomposition whose only data-sized window is
+    (group, bucket)-bounded; the oracle is the naive
+    one-window-per-group form it is proven equal to). The cap scores
+    by the stored ``n_chars`` column deliberately: a cheap column
+    score keeps this whole entry COLUMN-PRUNED (doc_id, lang,
+    source, n_chars — the text bytes, i.e. ~all of a 100 TB corpus's
+    weight, are never read), where a computed quality score — which
+    per_group_cap_flags handles identically, pinned in
+    tests/test_corpus_order.py — would force a full text scan. See
     operators/sampling.py."""
     docs = load_table(spark, sf_dir, "documents")
     flags = sampling.stratified_sample_flags(docs).join(
         F.broadcast(sampling.temperature_mix_weights(docs)), "lang"
     )
     capped = sampling.per_group_cap_flags(
-        docs.withColumn("score", textops.quality_col(F.col("text"))),
+        docs,
         CAP_PER_SOURCE,
         group_col="source",
-        score_col="score",
+        score_col="n_chars",
+        lo=0.0,
+        hi=1024.0,
     ).select("doc_id", F.col("kept").alias("cap_kept"))
     return sampling.with_global_shuffle_pos(flags).join(capped, "doc_id")
 
