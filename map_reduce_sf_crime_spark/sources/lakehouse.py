@@ -202,6 +202,7 @@ def _read_json(spark: SparkSession, file_path: str) -> dict:
 
 
 _LEASE_NAME = "_lease.json"
+_ARCHIVE_SUFFIX = ".archive"
 #: Default writer-lease time-to-live. A lease older than this (by
 #: filesystem mtime) is presumed to belong to a DEAD writer and may
 #: be broken; sized far above any local merge/compaction and
@@ -556,7 +557,159 @@ def vacuum_commits(spark: SparkSession, path: str, keep_last: int = 10) -> int:
             p = jvm.org.apache.hadoop.fs.Path(base + suffix)
             if fs.exists(p):
                 fs.delete(p, False)
+        # a dropped manifest's archived pre-images go with it: without
+        # the manifest the snapshot is unreconstructable anyway, and
+        # the archive is the retention cost vacuum exists to bound
+        arch = jvm.org.apache.hadoop.fs.Path(base + _ARCHIVE_SUFFIX)
+        if fs.exists(arch):
+            fs.delete(arch, True)
     return len(drop)
+
+
+def _archive_pre_images(
+    spark: SparkSession, path: str, cid: int, intent_pre: dict
+) -> None:
+    """Copy the declared partitions' CURRENT data files (exactly the
+    intent's ``pre`` inventory) under
+    ``_commits/{cid}.archive/{partition_subpath}/`` before the
+    overwrite replaces them — the retention half of time travel. Cost
+    is proportional to the REWRITTEN partitions (one day of a
+    day-partitioned fact), never the table; vacuum_commits bounds how
+    long archives live."""
+    fs, jvm = _hfs(spark, path)
+    root = path.rstrip("/")
+    conf = spark._jsc.hadoopConfiguration()
+    futil = jvm.org.apache.hadoop.fs.FileUtil
+    for sub, files in intent_pre.items():
+        if not files:
+            continue
+        dst_dir = jvm.org.apache.hadoop.fs.Path(
+            f"{root}/{_COMMITS_DIR}/{cid:06d}{_ARCHIVE_SUFFIX}/{sub}"
+        )
+        fs.mkdirs(dst_dir)
+        for name, _length in files:
+            src = jvm.org.apache.hadoop.fs.Path(f"{root}/{sub}/{name}")
+            dst = jvm.org.apache.hadoop.fs.Path(f"{dst_dir.toString()}/{name}")
+            futil.copy(fs, src, fs, dst, False, True, conf)
+
+
+def read_as_of(spark: SparkSession, path: str, cid: int) -> DataFrame:
+    """TIME-TRAVEL read: the table exactly as it stood at commit
+    ``cid`` — the reproducibility primitive a training-data lakehouse
+    needs (pin the precise corpus snapshot a model trained on, after
+    later daily merges rewrote it).
+
+    Reconstruction folds the manifest log per partition:
+
+    - touched by a commit ≤ ``cid`` → that latest commit's ``post``
+      file list (an empty post means the partition did not exist at
+      ``cid`` and is skipped);
+    - first touched by an intent > ``cid`` → that intent's ``pre``
+      list (the files as they stood from before that later op all the
+      way back — nothing else wrote the table under the single-writer
+      lease);
+    - never manifested → the live directory (untouched since the
+      initial load).
+
+    Each wanted file is served from the live directory when still
+    present with its recorded length, else from the EARLIEST archive
+    of a later commit that rewrote its partition
+    (``merge_upsert(..., archive=True)`` copies replaced files there;
+    a snapshot whose files were overwritten by a NON-archiving merge,
+    or vacuumed, raises with the missing paths — time travel is
+    opt-in retention, not magic). Files are read in per-root groups
+    with ``basePath`` set so hive partition columns resolve for live
+    and archived locations alike."""
+    ids, meta, _legacy = _manifest_meta(spark, path, strict=True)
+    if cid not in ids or meta[cid][1] is None:
+        raise ValueError(
+            f"read_as_of: commit {cid} is unknown or never committed at "
+            f"{path} (committed ids: "
+            f"{[i for i in ids if meta[i][1] is not None]})"
+        )
+    root = path.rstrip("/")
+    fs, jvm = _hfs(spark, path)
+    part_cols = meta[cid][0]["partition_cols"]
+    # partition universe: every subpath any manifest mentions, plus
+    # live partition directories (for never-manifested partitions)
+    subs: set[str] = set()
+    for i in ids:
+        intent, post = meta[i]
+        if intent is not None:
+            subs.update(intent["pre"].keys())
+        if post is not None:
+            subs.update(post.keys())
+
+    def _live_dirs(base: str, depth: int) -> list[str]:
+        if depth == 0:
+            return [base]
+        out = []
+        jb = jvm.org.apache.hadoop.fs.Path(f"{root}/{base}" if base else root)
+        if not fs.exists(jb):
+            return []
+        for st in fs.listStatus(jb):
+            name = st.getPath().getName()
+            if st.isDirectory() and "=" in name and not name.startswith("_"):
+                child = f"{base}/{name}" if base else name
+                out.extend(_live_dirs(child, depth - 1))
+        return out
+
+    subs.update(_live_dirs("", len(part_cols)))
+
+    def _state_at(sub: str):
+        best = None
+        for i in ids:
+            intent, post = meta[i]
+            if i <= cid and post is not None and sub in post:
+                best = ("post", i, post[sub])
+        if best is not None:
+            return best[2]
+        for i in ids:
+            intent, post = meta[i]
+            if i > cid and intent is not None and sub in intent["pre"]:
+                return intent["pre"][sub]
+        # never manifested: live listing
+        files = []
+        jp = jvm.org.apache.hadoop.fs.Path(f"{root}/{sub}")
+        if fs.exists(jp):
+            for st in fs.listStatus(jp):
+                name = st.getPath().getName()
+                if st.isFile() and not name.startswith((".", "_")):
+                    files.append([name, int(st.getLen())])
+        return files
+
+    later_ids = [i for i in ids if i > cid and meta[i][0] is not None]
+    groups: dict[str, list[str]] = {}  # basePath root → file paths
+    missing: list[str] = []
+    for sub in sorted(subs):
+        for name, length in _state_at(sub):
+            live = f"{root}/{sub}/{name}"
+            jlive = jvm.org.apache.hadoop.fs.Path(live)
+            if fs.exists(jlive) and int(fs.getFileStatus(jlive).getLen()) == int(length):
+                groups.setdefault(root, []).append(live)
+                continue
+            for i in later_ids:
+                arch_root = f"{root}/{_COMMITS_DIR}/{i:06d}{_ARCHIVE_SUFFIX}"
+                cand = f"{arch_root}/{sub}/{name}"
+                if fs.exists(jvm.org.apache.hadoop.fs.Path(cand)):
+                    groups.setdefault(arch_root, []).append(cand)
+                    break
+            else:
+                missing.append(f"{sub}/{name}")
+    if missing:
+        raise ValueError(
+            f"read_as_of: commit {cid}'s files are gone (overwritten "
+            "without archive=True, or vacuumed): " + ", ".join(missing)
+        )
+    out = None
+    for base_root, files in groups.items():
+        df = spark.read.option("basePath", base_root).parquet(*files)
+        out = df if out is None else out.unionByName(df)
+    if out is None:
+        raise ValueError(
+            f"read_as_of: commit {cid} describes an empty table"
+        )
+    return out
 
 
 def merge_upsert(
@@ -567,6 +720,7 @@ def merge_upsert(
     partition_cols: list[str],
     delete_col: str | None = None,
     manifest: bool = True,
+    archive: bool = False,
 ) -> None:
     """MERGE INTO for a plain-parquet lakehouse table — the idiomatic
     open-Spark form without a row-level table format: copy-on-write at
@@ -606,6 +760,12 @@ def merge_upsert(
     merge with the same change batch is the recovery — the merge is
     idempotent, so the second apply is a fixpoint. Tested end-to-end
     (torn simulation + recovery) in tests/test_lakehouse.py.
+
+    ``archive=True`` additionally copies the replaced partitions'
+    files under the commit's ``.archive`` dir before overwriting,
+    enabling :func:`read_as_of` time travel back past this merge;
+    cost is proportional to the rewritten partitions and bounded by
+    ``vacuum_commits`` retention.
     """
     current = spark.read.parquet(path)
     part_keys = changes.select(*partition_cols).distinct().collect()
@@ -686,6 +846,16 @@ def merge_upsert(
             if manifest
             else None
         )
+        if manifest and archive:
+            # retention for time travel (read_as_of): the replaced
+            # files — exactly the intent's pre inventory — are copied
+            # under the commit's .archive dir before the overwrite
+            # deletes them
+            intent = _read_json(
+                spark,
+                f"{path.rstrip('/')}/{_COMMITS_DIR}/{cid:06d}.intent.json",
+            )
+            _archive_pre_images(spark, path, cid, intent["pre"])
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -953,3 +953,91 @@ def test_concurrent_writer_lease(spark):
     break_lease(spark, path)
     with pytest.raises(ConcurrentWriterError, match="broken while held"):
         release_lease(spark, path, t2)
+
+
+def test_time_travel_read_as_of(spark):
+    """Time travel (read_as_of + archive=True): after later merges
+    rewrite a partition, the archived pre-images reconstruct the
+    table exactly as each commit left it; a snapshot whose files were
+    replaced by a NON-archiving merge raises with the missing paths
+    (opt-in retention, not magic); vacuum drops archives with their
+    manifests, after which the snapshot id itself is unknown."""
+    import pytest
+
+    from map_reduce_sf_crime_spark.sources.lakehouse import (
+        merge_upsert,
+        read_as_of,
+        table_state,
+        vacuum_commits,
+    )
+
+    path = os.path.join(SCRATCH, "tt_fact")
+    shutil.rmtree(path, ignore_errors=True)
+    daily = (
+        incidents(spark, SF_SMOKE)
+        .groupBy(F.month("d").alias("month"), "d", "category", "district")
+        .agg(F.count(F.lit(1)).alias("crimes"))
+    )
+    write_partitioned(daily, path, ["month"])
+    key_cols, part_cols = ["d", "category", "district"], ["month"]
+
+    def snap(df):
+        return {
+            (r.month, r.d, r.category, r.district): r.crimes
+            for r in df.collect()
+        }
+
+    base = snap(read_partitioned(spark, path))
+
+    def batch(months, delta):
+        return (
+            read_partitioned(spark, path)
+            .filter(F.col("month").isin(months))
+            .withColumn("crimes", F.col("crimes") + delta)
+            .localCheckpoint()
+        )
+
+    # commit 0 (archived): months 1+2 get +1000
+    merge_upsert(
+        spark, path, batch([1, 2], 1000), key_cols=key_cols,
+        partition_cols=part_cols, archive=True,
+    )
+    want0 = snap(read_partitioned(spark, path))
+    # commit 1 (archived): month 1 gets +7 — rewrites month=1's files
+    merge_upsert(
+        spark, path, batch([1], 7), key_cols=key_cols,
+        partition_cols=part_cols, archive=True,
+    )
+    want1 = snap(read_partitioned(spark, path))
+    assert want1 != want0 != base
+
+    # snapshots reconstruct exactly: month=1 via commit 1's archive,
+    # month=2 and untouched months live
+    assert snap(read_as_of(spark, path, 0)) == want0
+    assert snap(read_as_of(spark, path, 1)) == want1
+    assert table_state(spark, path)["status"] == "clean"
+
+    # unknown commit id refuses
+    with pytest.raises(ValueError, match="unknown or never committed"):
+        read_as_of(spark, path, 99)
+
+    # commit 2 WITHOUT archive rewrites month=2 -> commit 0/1's view of
+    # month=2 is unreconstructable and says so loudly
+    merge_upsert(
+        spark, path, batch([2], 1), key_cols=key_cols,
+        partition_cols=part_cols, archive=False,
+    )
+    want2 = snap(read_partitioned(spark, path))
+    assert snap(read_as_of(spark, path, 2)) == want2
+    with pytest.raises(ValueError, match="overwritten without archive"):
+        read_as_of(spark, path, 1)
+
+    # vacuum drops old manifests AND their archives; the snapshot id
+    # is gone rather than silently wrong
+    dropped = vacuum_commits(spark, path, keep_last=1)
+    assert dropped == 2
+    commits = os.path.join(path, "_commits")
+    assert not any(f.endswith(".archive") for f in os.listdir(commits))
+    with pytest.raises(ValueError, match="unknown or never committed"):
+        read_as_of(spark, path, 0)
+    assert snap(read_as_of(spark, path, 2)) == want2
