@@ -503,6 +503,7 @@ def write_ivf_index(
         "centroid_id long, embedding array<double>",
     )
     cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    _clear_tombstones(spark, path)
     # one pass: the assignment kernel carries the vector through, so
     # the lists write needs no second corpus scan or vec_id join
     lists = ivf_assignments(
@@ -572,6 +573,145 @@ def append_ivf_index(batch: DataFrame, path: str, append_id: int) -> None:
     )
 
 
+_TOMBSTONES = "tombstones"
+#: read_changes vocabulary → which side of the index fold each event
+#: lands on (pre-images and deletes kill the stored copy; post-images
+#: and inserts are the batch to append).
+_DEAD_TYPES = ("delete", "update_preimage")
+_LIVE_TYPES = ("insert", "update_postimage")
+
+
+def tombstone_index(spark, path: str, vec_ids, append_id: int) -> None:
+    """Mark corpus vectors DEAD for every index generation before
+    ``append_id`` — the delete/update half of the persisted ANN
+    serving loop (IVF lists and PQ codes share the ``append_id``
+    partition convention, so one tombstone layout serves both).
+
+    A tombstone row lands under ``{path}/tombstones/append_id=N`` and
+    kills matching ``vec_id`` rows with ``append_id < N`` at probe
+    time. GENERATION SCOPING is the point: the same batch's own
+    re-insert (an update's post-image appended under the same id) and
+    any later re-insert survive their own tombstone, so delete +
+    re-add compose without ever rewriting the base lists. Replay is
+    idempotent by the same layout rule as the appends — a re-run
+    dynamically overwrites exactly its own partition with identical
+    content. The set is churn-sized (bounded by deletes + updates,
+    never corpus size), which is why the probe-side filter may
+    broadcast it; a rebuild (``write_ivf_index`` / ``write_pq_index``)
+    clears it along with the lists."""
+    if append_id <= 0:
+        raise ValueError(
+            f"append_id must be > 0 (got {append_id}); 0 is the base build"
+        )
+    if not isinstance(vec_ids, DataFrame):
+        vec_ids = spark.createDataFrame(
+            [(int(v),) for v in vec_ids], "vec_id long"
+        )
+    (
+        vec_ids.select("vec_id")
+        .distinct()
+        .withColumn("append_id", F.lit(append_id))
+        .repartition(1)  # churn-sized by contract: one file per batch
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("append_id")
+        .parquet(f"{path.rstrip('/')}/{_TOMBSTONES}")
+    )
+
+
+def _clear_tombstones(spark, path: str) -> None:
+    """A rebuild truncates the generation line: stale tombstones
+    (as-of some old append_id) would otherwise kill the fresh base's
+    ``append_id=0`` rows."""
+    from ..sources.lakehouse import _hfs
+
+    fs, jvm = _hfs(spark, path)
+    tp = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{_TOMBSTONES}")
+    if fs.exists(tp):
+        fs.delete(tp, True)
+
+
+def _filter_tombstones(spark, path: str, rows: DataFrame) -> DataFrame:
+    """Probe-side tombstone filter: drop index rows whose ``vec_id``
+    is dead as of a generation AFTER the row's own ``append_id``.
+    No-op when the index has none. One broadcast left join against
+    the churn-sized max-generation set — the pruned lists/codes scan
+    is never shuffled."""
+    from ..sources.lakehouse import _hfs
+
+    fs, jvm = _hfs(spark, path)
+    tpath = f"{path.rstrip('/')}/{_TOMBSTONES}"
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(tpath)):
+        return rows
+    dead = (
+        spark.read.parquet(tpath)
+        .groupBy("vec_id")
+        .agg(F.max("append_id").alias("_dead_as_of"))
+    )
+    return (
+        rows.join(F.broadcast(dead), "vec_id", "left")
+        .filter(
+            F.col("_dead_as_of").isNull()
+            | (F.col("append_id") >= F.col("_dead_as_of"))
+        )
+        .drop("_dead_as_of")
+    )
+
+
+def _split_changes(changes: DataFrame, id_col: str, emb_col: str):
+    dead = changes.filter(
+        F.col("_change_type").isin(*_DEAD_TYPES)
+    ).select(F.col(id_col).alias("vec_id"))
+    live = changes.filter(
+        F.col("_change_type").isin(*_LIVE_TYPES)
+    ).select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
+    return dead, live
+
+
+def apply_changes_to_ivf_index(
+    spark,
+    path: str,
+    changes: DataFrame,
+    append_id: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Fold a lakehouse change feed (``sources.lakehouse.read_changes``
+    vocabulary) into a persisted IVF index as ONE replay-idempotent
+    batch: deletes + update pre-images tombstone the stored copies,
+    inserts + update post-images append under the same ``append_id``.
+    After the fold a probe sees exactly the post-snapshot corpus —
+    pinned in tests/test_similarity.py against a same-quantizer
+    rebuild from the post-change table. Cost is churn-sized on both
+    legs (one narrow assignment map + two batch-sized writes); the
+    base lists are never re-read or rewritten — the index twin of the
+    feed's own contract that incremental work reads the churn, not
+    the table."""
+    dead, live = _split_changes(changes, id_col, emb_col)
+    if dead.take(1):
+        tombstone_index(spark, path, dead, append_id)
+    if live.take(1):
+        append_ivf_index(live, path, append_id)
+
+
+def apply_changes_to_pq_index(
+    spark,
+    path: str,
+    changes: DataFrame,
+    append_id: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """PQ twin of :func:`apply_changes_to_ivf_index`: same fold, same
+    replay contract, with the live half encoded by the index's stored
+    codebooks via :func:`append_pq_index`."""
+    dead, live = _split_changes(changes, id_col, emb_col)
+    if dead.take(1):
+        tombstone_index(spark, path, dead, append_id)
+    if live.take(1):
+        append_pq_index(live, path, append_id)
+
+
 def ivf_topk_indexed(
     spark,
     path: str,
@@ -607,8 +747,12 @@ def ivf_topk_indexed(
     ]
     probe_df = spark.createDataFrame(probes, "query_id long, centroid_id long")
     probe_cids = sorted({c for _, c in probes})
-    lists = spark.read.parquet(f"{path}/lists").filter(
-        F.col("centroid_id").isin(probe_cids)
+    lists = _filter_tombstones(
+        spark,
+        path,
+        spark.read.parquet(f"{path}/lists").filter(
+            F.col("centroid_id").isin(probe_cids)
+        ),
     )
     self_filter = (
         (F.col("vec_id") != F.col("query_id"))
@@ -978,6 +1122,7 @@ def write_pq_index(
     spark.createDataFrame(
         rows, "block int, code int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    _clear_tombstones(spark, path)
     # STATIC overwrite pinned (see write_ivf_index): a rebuild must
     # truncate prior append_id partitions, even under a session-level
     # dynamic default
@@ -1059,7 +1204,7 @@ def pq_topk_indexed(
     qx = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
     dtabs = _pq_dtabs(books, qx)
     scored = _adc_scan(
-        spark.read.parquet(f"{path}/codes"),
+        _filter_tombstones(spark, path, spark.read.parquet(f"{path}/codes")),
         qids,
         dtabs,
         shortlist * k,

@@ -621,40 +621,79 @@ def read_as_of(spark: SparkSession, path: str, cid: int) -> DataFrame:
     with ``basePath`` set so hive partition columns resolve for live
     and archived locations alike."""
     ids, meta, _legacy = _manifest_meta(spark, path, strict=True)
+    _require_committed(ids, meta, cid, path, "read_as_of")
+    groups = _snapshot_groups(spark, path, cid, ids, meta)
+    out = None
+    for base_root, files in groups.items():
+        df = spark.read.option("basePath", base_root).parquet(*files)
+        out = df if out is None else out.unionByName(df)
+    if out is None:
+        raise ValueError(
+            f"read_as_of: commit {cid} describes an empty table"
+        )
+    return out
+
+
+def _require_committed(
+    ids: list[int], meta: dict, cid: int, path: str, who: str
+) -> None:
     if cid not in ids or meta[cid][1] is None:
         raise ValueError(
-            f"read_as_of: commit {cid} is unknown or never committed at "
+            f"{who}: commit {cid} is unknown or never committed at "
             f"{path} (committed ids: "
             f"{[i for i in ids if meta[i][1] is not None]})"
         )
+
+
+def _snapshot_groups(
+    spark: SparkSession,
+    path: str,
+    cid: int,
+    ids: list[int],
+    meta: dict,
+    only_subs: set[str] | None = None,
+) -> dict[str, list[str]]:
+    """Resolve commit ``cid``'s state to concrete parquet files,
+    grouped by the ``basePath`` root each must be read under (live
+    table root, or a later commit's ``.archive`` root). The manifest
+    fold and live/archive resolution documented on :func:`read_as_of`
+    live here so the change feed (:func:`read_changes`) shares them;
+    ``only_subs`` restricts resolution to the named partition
+    subpaths (the feed's touched-partition pruning). Raises when a
+    wanted file's bytes are gone."""
     root = path.rstrip("/")
     fs, jvm = _hfs(spark, path)
     part_cols = meta[cid][0]["partition_cols"]
-    # partition universe: every subpath any manifest mentions, plus
-    # live partition directories (for never-manifested partitions)
-    subs: set[str] = set()
-    for i in ids:
-        intent, post = meta[i]
-        if intent is not None:
-            subs.update(intent["pre"].keys())
-        if post is not None:
-            subs.update(post.keys())
+    if only_subs is not None:
+        subs = set(only_subs)
+    else:
+        # partition universe: every subpath any manifest mentions,
+        # plus live partition directories (never-manifested ones)
+        subs = set()
+        for i in ids:
+            intent, post = meta[i]
+            if intent is not None:
+                subs.update(intent["pre"].keys())
+            if post is not None:
+                subs.update(post.keys())
 
-    def _live_dirs(base: str, depth: int) -> list[str]:
-        if depth == 0:
-            return [base]
-        out = []
-        jb = jvm.org.apache.hadoop.fs.Path(f"{root}/{base}" if base else root)
-        if not fs.exists(jb):
-            return []
-        for st in fs.listStatus(jb):
-            name = st.getPath().getName()
-            if st.isDirectory() and "=" in name and not name.startswith("_"):
-                child = f"{base}/{name}" if base else name
-                out.extend(_live_dirs(child, depth - 1))
-        return out
+        def _live_dirs(base: str, depth: int) -> list[str]:
+            if depth == 0:
+                return [base]
+            out = []
+            jb = jvm.org.apache.hadoop.fs.Path(
+                f"{root}/{base}" if base else root
+            )
+            if not fs.exists(jb):
+                return []
+            for st in fs.listStatus(jb):
+                name = st.getPath().getName()
+                if st.isDirectory() and "=" in name and not name.startswith("_"):
+                    child = f"{base}/{name}" if base else name
+                    out.extend(_live_dirs(child, depth - 1))
+            return out
 
-    subs.update(_live_dirs("", len(part_cols)))
+        subs.update(_live_dirs("", len(part_cols)))
 
     def _state_at(sub: str):
         best = None
@@ -698,18 +737,143 @@ def read_as_of(spark: SparkSession, path: str, cid: int) -> DataFrame:
                 missing.append(f"{sub}/{name}")
     if missing:
         raise ValueError(
-            f"read_as_of: commit {cid}'s files are gone (overwritten "
+            f"commit {cid}'s files are gone (overwritten "
             "without archive=True, or vacuumed): " + ", ".join(missing)
         )
+    return groups
+
+
+def _read_groups(
+    spark: SparkSession, groups: dict[str, list[str]]
+) -> DataFrame | None:
     out = None
     for base_root, files in groups.items():
         df = spark.read.option("basePath", base_root).parquet(*files)
         out = df if out is None else out.unionByName(df)
-    if out is None:
-        raise ValueError(
-            f"read_as_of: commit {cid} describes an empty table"
-        )
     return out
+
+
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    from_cid: int,
+    to_cid: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """CHANGE FEED between two committed snapshots — the incremental
+    primitive for "what changed since the snapshot my last run read":
+    re-embed / re-index / re-train only the delta instead of
+    reprocessing a 100 TB table.
+
+    Emits one row per change event with the table's columns plus
+    ``_change_type`` ∈ {``insert``, ``delete``, ``update_preimage``,
+    ``update_postimage``} (the public Delta CDF vocabulary): rows
+    keyed identically in both snapshots with identical values are NOT
+    emitted. ``delete`` and ``update_preimage`` carry the ``from``
+    image; ``insert`` and ``update_postimage`` carry the ``to``
+    image.
+
+    Scale shape: the diff never reads the whole table — only
+    partitions TOUCHED by a commit in ``(from_cid, to_cid]`` (their
+    intents' ``pre`` ∪ their ``post`` universe) are reconstructed on
+    either side, so cost is proportional to the churn between the two
+    snapshots, not to table size. Both snapshots resolve through the
+    same live/archive machinery as :func:`read_as_of` (so travelling
+    the ``from`` side back past a rewrite needs
+    ``merge_upsert(archive=True)`` retention, and missing bytes raise
+    rather than mis-diff). Assumes ``key_cols`` identify a row the
+    way :func:`merge_upsert` matches them (unique per key; a key
+    never changes its partition-column values — the same contract the
+    merge itself enforces by matching only within rewritten
+    partitions)."""
+    if from_cid > to_cid:
+        raise ValueError(
+            f"read_changes: from_cid {from_cid} > to_cid {to_cid}"
+        )
+    ids, meta, _legacy = _manifest_meta(spark, path, strict=True)
+    _require_committed(ids, meta, from_cid, path, "read_changes")
+    _require_committed(ids, meta, to_cid, path, "read_changes")
+
+    touched: set[str] = set()
+    for i in ids:
+        intent, post = meta[i]
+        if from_cid < i <= to_cid and intent is not None:
+            touched.update(intent["pre"].keys())
+            if post is not None:
+                touched.update(post.keys())
+
+    def _empty() -> DataFrame:
+        schema = spark.read.parquet(path).schema.add(
+            "_change_type", "string", False
+        )
+        return spark.createDataFrame([], schema)
+
+    if not touched:
+        return _empty()
+    pre_df = _read_groups(
+        spark,
+        _snapshot_groups(spark, path, from_cid, ids, meta, only_subs=touched),
+    )
+    post_df = _read_groups(
+        spark,
+        _snapshot_groups(spark, path, to_cid, ids, meta, only_subs=touched),
+    )
+    if pre_df is None and post_df is None:
+        return _empty()
+    if pre_df is None:  # partitions born in the range: all inserts
+        return post_df.withColumn("_change_type", F.lit("insert"))
+    if post_df is None:  # partitions emptied in the range: all deletes
+        return pre_df.withColumn("_change_type", F.lit("delete"))
+
+    cols = post_df.columns
+    val_cols = [c for c in cols if c not in key_cols]
+    pre, post = pre_df.alias("pre"), post_df.alias("post")
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"pre.{k}").eqNullSafe(F.col(f"post.{k}"))
+        cond = eq if cond is None else cond & eq
+    # presence is detectable without flag columns only if some column
+    # is non-null; a literal marker is unconditionally sound
+    joined = (
+        pre.withColumn("_p", F.lit(True))
+        .alias("pre")
+        .join(
+            post.withColumn("_q", F.lit(True)).alias("post"),
+            on=cond,
+            how="full_outer",
+        )
+    )
+    same = None
+    for c in val_cols:
+        eq = F.col(f"pre.{c}").eqNullSafe(F.col(f"post.{c}"))
+        same = eq if same is None else same & eq
+    if same is None:  # key-only table: matched rows are identical
+        same = F.lit(True)
+
+    def _img(side: str, tag: str):
+        return F.struct(
+            *[F.col(f"{side}.{c}").alias(c) for c in cols],
+            F.lit(tag).alias("_change_type"),
+        )
+
+    # one pass over the single join: each matched pair maps to 0, 1,
+    # or 2 change events, exploded — no cache, no re-join
+    events = (
+        F.when(F.col("pre._p").isNull(), F.array(_img("post", "insert")))
+        .when(F.col("post._q").isNull(), F.array(_img("pre", "delete")))
+        .when(
+            ~same,
+            F.array(
+                _img("pre", "update_preimage"),
+                _img("post", "update_postimage"),
+            ),
+        )
+        .otherwise(F.array())
+    )
+    return (
+        joined.select(F.explode(events).alias("_e"))
+        .select("_e.*")
+    )
 
 
 def merge_upsert(

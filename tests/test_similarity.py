@@ -616,3 +616,143 @@ def test_semdedup_bounded_total_pairs_linear(spark):
         assert n_pairs < worst_exact * (worst_exact - 1) // 2
     finally:
         emb.unpersist()
+
+
+def test_index_change_feed_fold(spark):
+    """Tombstoned delete/update for the persisted indexes
+    (apply_changes_to_ivf_index / apply_changes_to_pq_index): folding
+    a Delta-CDF-vocabulary change batch (deletes, update pre+post
+    pairs, inserts) into a persisted index makes probes see EXACTLY
+    the post-change corpus — pinned against a same-quantizer rebuild
+    from that corpus. Also: replay idempotence, generation scoping
+    (delete then re-insert in a later batch revives the id), and
+    rebuilds clearing the tombstone line."""
+    import os
+    import shutil
+
+    import pytest
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
+    )
+    paths = {n: os.path.join(scratch, f"cf_{n}") for n in
+             ("ivf_a", "ivf_b", "pq_a", "pq_b")}
+    for p in paths.values():
+        shutil.rmtree(p, ignore_errors=True)
+    emb = load_table(spark, SF_CHECK, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 7 != 6)
+
+    # the change batch: deletes (%11==0), updates (%13==1 → reversed
+    # vector, same id), inserts (the held-out %7==6 slice)
+    is_del = (F.col("vec_id") % 11 == 0) & (F.col("vec_id") % 13 != 1)
+    is_upd = F.col("vec_id") % 13 == 1
+    deletes = base.filter(is_del).withColumn("_change_type", F.lit("delete"))
+    upd_pre = base.filter(is_upd).withColumn(
+        "_change_type", F.lit("update_preimage")
+    )
+    upd_post = (
+        base.filter(is_upd)
+        .withColumn("embedding", F.reverse("embedding"))
+        .withColumn("_change_type", F.lit("update_postimage"))
+    )
+    inserts = emb.filter(F.col("vec_id") % 7 == 6).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    changes = (
+        deletes.unionByName(upd_pre).unionByName(upd_post).unionByName(inserts)
+        .localCheckpoint()
+    )
+    # what the corpus looks like after the batch
+    post_corpus = (
+        base.filter(~is_del & ~is_upd)
+        .unionByName(base.filter(is_upd).withColumn("embedding", F.reverse("embedding")))
+        .unionByName(emb.filter(F.col("vec_id") % 7 == 6))
+        .localCheckpoint()
+    )
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").isin(QUERY_IDS[:4])).collect()
+    ]
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    # IVF: fold == same-quantizer rebuild over the post corpus
+    similarity.write_ivf_index(base, paths["ivf_a"], n_centroids=8)
+    similarity.apply_changes_to_ivf_index(
+        spark, paths["ivf_a"], changes, append_id=1
+    )
+    cq = similarity._stored_centroids(spark, paths["ivf_a"])
+    similarity.write_ivf_index(post_corpus, paths["ivf_b"], centroids=cq)
+    got = similarity.ivf_topk_indexed(spark, paths["ivf_a"], queries, k=3)
+    want = similarity.ivf_topk_indexed(spark, paths["ivf_b"], queries, k=3)
+    assert rows(got) == rows(want)
+    # deleted ids never surface, even scanning EVERY list (nprobe=all)
+    # with k covering the whole corpus
+    deep = similarity.ivf_topk_indexed(
+        spark, paths["ivf_a"], queries, k=10_000, nprobe=8
+    )
+    dead_ids = {r.vec_id for r in deletes.collect()}
+    assert not ({r.vec_id for r in deep.collect()} & dead_ids)
+    # replay: identical
+    similarity.apply_changes_to_ivf_index(
+        spark, paths["ivf_a"], changes, append_id=1
+    )
+    assert rows(similarity.ivf_topk_indexed(spark, paths["ivf_a"], queries, k=3)) == rows(got)
+    # generation scoping: a later batch re-inserts one deleted id —
+    # the new copy survives the old tombstone
+    revive_id = min(dead_ids)
+    revive = (
+        base.filter(F.col("vec_id") == revive_id)
+        .withColumn("_change_type", F.lit("insert"))
+    )
+    similarity.apply_changes_to_ivf_index(
+        spark, paths["ivf_a"], revive, append_id=2
+    )
+    deep2 = similarity.ivf_topk_indexed(
+        spark, paths["ivf_a"], queries, k=10_000, nprobe=8,
+        exclude_query_ids=False,
+    )
+    per_query = [r.vec_id for r in deep2.collect() if r.query_id == queries[0][0]]
+    assert revive_id in {r.vec_id for r in deep2.collect()}
+    # and exactly ONCE per query: the old tombstone kills only the old
+    # generation's copy, never duplicates the revived one
+    assert per_query.count(revive_id) == 1
+
+    # PQ: same contract through the stored codebooks
+    similarity.write_pq_index(base, paths["pq_a"])
+    similarity.apply_changes_to_pq_index(
+        spark, paths["pq_a"], changes, append_id=1
+    )
+    books = similarity._stored_codebooks(spark, paths["pq_a"])
+    similarity.write_pq_index(post_corpus, paths["pq_b"], codebooks=books)
+    got_pq = similarity.pq_topk_indexed(
+        spark, paths["pq_a"], queries, post_corpus, k=3
+    )
+    want_pq = similarity.pq_topk_indexed(
+        spark, paths["pq_b"], queries, post_corpus, k=3
+    )
+    assert rows(got_pq) == rows(want_pq)
+    similarity.apply_changes_to_pq_index(
+        spark, paths["pq_a"], changes, append_id=1
+    )
+    assert rows(
+        similarity.pq_topk_indexed(spark, paths["pq_a"], queries, post_corpus, k=3)
+    ) == rows(got_pq)
+
+    # a REBUILD clears the tombstone line (else stale tombstones would
+    # kill the fresh base's append_id=0 rows)
+    assert os.path.isdir(os.path.join(paths["ivf_a"], "tombstones"))
+    similarity.write_ivf_index(emb, paths["ivf_a"], n_centroids=8)
+    assert not os.path.isdir(os.path.join(paths["ivf_a"], "tombstones"))
+    full = similarity.ivf_topk_indexed(
+        spark, paths["ivf_a"], queries, k=10_000, nprobe=8,
+        exclude_query_ids=False,
+    )
+    assert {r.vec_id for r in full.collect()} >= dead_ids
+
+    # tombstone batches must not claim the base generation
+    with pytest.raises(ValueError):
+        similarity.tombstone_index(spark, paths["pq_a"], [1, 2], append_id=0)
+    for p in paths.values():
+        shutil.rmtree(p, ignore_errors=True)
