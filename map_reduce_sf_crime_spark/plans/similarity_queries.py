@@ -45,7 +45,18 @@ ANN_METHODS = {
     "pq_indexed": 80,
     "ivf_appended": 60,
     "pq_appended": 80,
+    "ivf_folded": 60,
+    "pq_folded": 80,
 }
+
+#: The change-feed fold legs poison the base build with IMPOSTORS —
+#: for each query q, these two vec_ids carry an exact copy of q's
+#: vector (cosine 1.0) in the doctored base corpus — then the folded
+#: change batch tombstones the impostors' stored copies and appends
+#: their true vectors back. A fold or tombstone failure leaves ≥2
+#: cosine-1.0 impostors in every query's top-3, recall ≤ 33 %, and
+#: BOTH floors (60/80) turn the driver red.
+_FOLD_IMPOSTORS = {q: (10 + 2 * q, 11 + 2 * q) for q in QUERY_IDS}
 
 
 _DIM_CHECKED: set[str] = set()
@@ -79,6 +90,54 @@ def _ann_index_dir(sf_dir: str, emb: DataFrame) -> str:
         similarity.append_ivf_index(batch, f"{base}/ivf_app", 1)
         similarity.write_pq_index(older, f"{base}/pq_app")
         similarity.append_pq_index(batch, f"{base}/pq_app", 1)
+        # the CHANGE-FEED form: base build on a POISONED corpus where
+        # each query's two impostor ids (_FOLD_IMPOSTORS) carry an
+        # exact copy of the query vector, then one read_changes-shaped
+        # batch (update pre+post images) folds through
+        # apply_changes_to_*_index — tombstoning the impostors and
+        # appending the true vectors. Probing the folded index must
+        # recall the TRUE neighbors: a dead tombstone filter or a
+        # dropped append leaves cosine-1.0 impostors on top of every
+        # query and fails both floors.
+        qvecs = {
+            int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in emb.filter(
+                F.col("vec_id").isin(list(_FOLD_IMPOSTORS))
+            )
+            .select("vec_id", "embedding")
+            .collect()
+        }
+        imp_expr = F.col("embedding")
+        for q, imps in _FOLD_IMPOSTORS.items():
+            imp_expr = F.when(
+                F.col("vec_id").isin(list(imps)),
+                F.array(*[F.lit(v) for v in qvecs[q]]).cast("array<float>"),
+            ).otherwise(imp_expr)
+        doctored = emb.withColumn("embedding", imp_expr)
+        similarity.write_ivf_index(doctored, f"{base}/ivf_fold")
+        similarity.write_pq_index(doctored, f"{base}/pq_fold")
+        all_imps = [i for imps in _FOLD_IMPOSTORS.values() for i in imps]
+        changes = (
+            doctored.filter(F.col("vec_id").isin(all_imps))
+            .select(
+                "vec_id",
+                "embedding",
+                F.lit("update_preimage").alias("_change_type"),
+            )
+            .unionByName(
+                emb.filter(F.col("vec_id").isin(all_imps)).select(
+                    "vec_id",
+                    "embedding",
+                    F.lit("update_postimage").alias("_change_type"),
+                )
+            )
+        )
+        similarity.apply_changes_to_ivf_index(
+            emb.sparkSession, f"{base}/ivf_fold", changes, 1
+        )
+        similarity.apply_changes_to_pq_index(
+            emb.sparkSession, f"{base}/pq_fold", changes, 1
+        )
         _INDEX_DIRS[sf_dir] = base
     return _INDEX_DIRS[sf_dir]
 
@@ -246,7 +305,20 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks, batch-sized assignment/encode, the batch's own
     ``append_id`` partitions. Equality with a same-quantizer one-shot
     rebuild is pytest-pinned; the gate asserts the recall bound holds
-    through the incremental path."""
+    through the incremental path.
+
+    The ``ivf_folded`` / ``pq_folded`` legs (round 5) gate the
+    CHANGE-FEED maintenance loop — the delete/update half the append
+    legs can't see. The base index is built on a poisoned corpus
+    (each query's two ``_FOLD_IMPOSTORS`` ids carry an exact copy of
+    the query vector), and one ``read_changes``-vocabulary batch
+    folds through ``apply_changes_to_{{ivf,pq}}_index``: impostor
+    pre-images become generation-scoped tombstones, true post-images
+    append. The legs are adversarial by construction: if tombstones
+    are dropped or ignored at probe time, every query's top-3 is
+    flooded by cosine-1.0 impostors, recall ≤ 33 %, and both floors
+    (60/80) turn the driver red — so the gate watches that deletes
+    REALLY die and updates REALLY land in the serving path."""
     emb = _emb(spark, sf_dir)
     exact = (
         similarity.knn_bruteforce(emb, QUERY_IDS, K)
@@ -276,6 +348,12 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "pq_appended": similarity.pq_topk_indexed(
             spark, f"{idx}/pq_app", queries, emb, K
+        ),
+        "ivf_folded": similarity.ivf_topk_indexed(
+            spark, f"{idx}/ivf_fold", queries, K
+        ),
+        "pq_folded": similarity.pq_topk_indexed(
+            spark, f"{idx}/pq_fold", queries, emb, K
         ),
     }
     total = len(QUERY_IDS) * K

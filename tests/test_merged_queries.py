@@ -21,6 +21,59 @@ def test_ann_recall_bounds_all_pass(spark):
     assert all(r.ok == 1 for r in rows), rows
 
 
+def test_ann_fold_leg_is_adversarial(spark):
+    """The ivf_folded/pq_folded gate legs must have TEETH: the base
+    build is poisoned with cosine-1.0 impostor copies of every query
+    vector, and only the change-feed fold's tombstones remove them.
+    Pin that a broken tombstone path (simulated by stripping the
+    tombstone partition from a copy of the index) floods top-k with
+    impostors and drops recall below BOTH gate floors — i.e. the leg
+    really turns the driver red on a fold regression."""
+    import os
+    import shutil
+
+    from map_reduce_sf_crime_spark.operators import similarity
+    from map_reduce_sf_crime_spark.plans import similarity_queries as sq
+    from map_reduce_sf_crime_spark.sources.parquet import load_table
+
+    emb = sq._emb(spark, SF_SMOKE)
+    idx = sq._ann_index_dir(SF_SMOKE, emb)
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").isin(sq.QUERY_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.knn_bruteforce(emb, sq.QUERY_IDS, sq.K)
+        .select("query_id", "vec_id")
+        .collect()
+    }
+    imps = {i for pair in sq._FOLD_IMPOSTORS.values() for i in pair}
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        "fold_no_tombstones",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    shutil.copytree(f"{idx}/ivf_fold", scratch)
+    shutil.rmtree(os.path.join(scratch, "tombstones"))
+    got = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_topk_indexed(spark, scratch, queries, sq.K)
+        .select("query_id", "vec_id")
+        .collect()
+    }
+    recall = len(got & exact) / len(exact)
+    flooded = sum(1 for (_, v) in got if v in imps)
+    # two exact-copy impostors per query → at most one true neighbor
+    # of three survives per query
+    assert recall <= 0.4, f"poison has no teeth: recall {recall}"
+    assert flooded >= 2 * len(sq.QUERY_IDS) - 2, (recall, flooded)
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
 def test_dedup_exact_flags_kept_equals_distinct_hashes(spark):
     from map_reduce_sf_crime_spark.sources.parquet import load_table
 
