@@ -472,6 +472,7 @@ def write_signature_catalog(
     bands: int = 8,
     n_buckets: int = 16,
     mode: str = "overwrite",
+    gen: int = 0,
 ) -> None:
     """Persist the CATALOG side of incremental near-dedup once — the
     production layout :func:`incremental_lsh_flags`'s docstring
@@ -497,20 +498,40 @@ def write_signature_catalog(
     error — incoming hashes simply never collide with stored ones and
     every doc silently reports zero matches. Readers and appenders
     verify the stamp and raise instead (tests/test_dedup.py).
+
+    Every row is stamped with ``gen`` (the batch generation, 0 for
+    the base build): together with the ``{buckets_table}_dead``
+    tombstone table this gives the catalog DELETE/UPDATE support
+    under the same generation-scoping rule as the persisted ANN
+    indexes — see :func:`apply_changes_to_signature_catalog`. A
+    rebuild (overwrite) truncates the generation line and drops the
+    tombstones with it.
     """
     from ..sources.lakehouse import write_bucketed
 
     spark = docs.sparkSession
     if mode == "append":
         _check_catalog_meta(spark, buckets_table, n, n_hashes, bands)
+    else:
+        # truncate the generation line FIRST: stale tombstones left
+        # behind a crash mid-rebuild would kill the fresh gen-0 rows
+        from ..sources.lakehouse import drop_table_and_orphan as _drop
+
+        _drop(spark, f"{buckets_table}_dead")
     base = shingle_sets(docs, n).cache()
     try:
         write_bucketed(
-            _banded_buckets(base, n_hashes, bands), buckets_table, "key", n_buckets,
+            _banded_buckets(base, n_hashes, bands).withColumn(
+                "gen", F.lit(gen).cast("int")
+            ),
+            buckets_table, "key", n_buckets,
             mode=mode,
         )
         write_bucketed(
-            base.select("doc_id", "sh", "n_sh"), shingles_table, "doc_id", n_buckets,
+            base.select("doc_id", "sh", "n_sh").withColumn(
+                "gen", F.lit(gen).cast("int")
+            ),
+            shingles_table, "doc_id", n_buckets,
             mode=mode,
         )
     finally:
@@ -556,6 +577,7 @@ def append_signature_catalog(
     n_hashes: int = 16,
     bands: int = 8,
     n_buckets: int = 16,
+    gen: int = 0,
 ) -> None:
     """The daily loop's closing step: after a batch is flagged
     (:func:`incremental_lsh_flags_cataloged`), APPEND its signatures
@@ -577,7 +599,95 @@ def append_signature_catalog(
     Storage-side, re-compact or rebuild the catalog to reclaim."""
     write_signature_catalog(
         docs, buckets_table, shingles_table, n, n_hashes, bands, n_buckets,
-        mode="append",
+        mode="append", gen=gen,
+    )
+
+
+#: read_changes vocabulary → catalog fold sides (the dedup twin of
+#: operators/similarity's index fold).
+_CAT_DEAD_TYPES = ("delete", "update_preimage")
+_CAT_LIVE_TYPES = ("insert", "update_postimage")
+
+
+def apply_changes_to_signature_catalog(
+    spark,
+    changes: DataFrame,
+    buckets_table: str,
+    shingles_table: str,
+    gen: int,
+    n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 8,
+    n_buckets: int = 16,
+) -> None:
+    """Fold a lakehouse change feed (``sources.lakehouse.read_changes``
+    vocabulary over a ``(doc_id, text, ...)`` table) into the
+    persisted dedup signature catalog — the dedup twin of
+    ``apply_changes_to_ivf_index``. Without this, a deleted document
+    keeps flagging tomorrow's crawl as duplicates of text that no
+    longer exists, and an updated document matches on its STALE
+    shingles.
+
+    - deletes + update pre-images land as ``(doc_id, dead_as_of=gen)``
+      rows in the ``{buckets_table}_dead`` tombstone table: probe
+      time drops catalog rows whose ``gen`` predates the tombstone
+      (one broadcast join against the churn-sized max-generation set
+      — the bucketed probe plan is untouched);
+    - inserts + update post-images append their signatures under this
+      ``gen`` (:func:`append_signature_catalog`), so an update's own
+      re-insert — and any later re-insert — survives the tombstone:
+      delete + re-add compose without rewriting the base, exactly the
+      ANN index's generation-scoping rule.
+
+    Replay tolerance matches the append path's documented contract:
+    re-running the fold duplicates storage rows (tombstones AND
+    signatures) but cannot change flag results — the dead set is a
+    max-aggregate and the verify tail counts DISTINCT catalog docs.
+    Cost is churn-sized on both legs; a rebuild clears the tombstone
+    line. Equivalence with a from-scratch rebuild on the post-change
+    corpus is pinned in tests/test_dedup.py."""
+    if gen <= 0:
+        raise ValueError(f"gen must be > 0 (got {gen}); 0 is the base build")
+    _check_catalog_meta(spark, buckets_table, n, n_hashes, bands)
+    dead = (
+        changes.filter(F.col("_change_type").isin(*_CAT_DEAD_TYPES))
+        .select("doc_id")
+        .distinct()
+        .withColumn("dead_as_of", F.lit(gen).cast("int"))
+    )
+    if dead.take(1):
+        dead.coalesce(1).write.mode("append").format("parquet").saveAsTable(
+            f"{buckets_table}_dead"
+        )
+    live = changes.filter(
+        F.col("_change_type").isin(*_CAT_LIVE_TYPES)
+    ).select("doc_id", "text")
+    if live.take(1):
+        append_signature_catalog(
+            live, buckets_table, shingles_table, n, n_hashes, bands,
+            n_buckets, gen=gen,
+        )
+
+
+def _filter_catalog_dead(spark, buckets_table: str, rows: DataFrame) -> DataFrame:
+    """Generation-scoped tombstone filter for catalog reads: drop
+    rows whose ``doc_id`` is dead as of a generation AFTER the row's
+    own ``gen``. No-op when no tombstone table exists. The dead set
+    is churn-sized by construction, hence the broadcast."""
+    if not spark.catalog.tableExists(f"{buckets_table}_dead"):
+        return rows
+    dead = (
+        spark.table(f"{buckets_table}_dead")
+        .groupBy("doc_id")
+        .agg(F.max("dead_as_of").alias("_dead_as_of"))
+    )
+    return (
+        rows.join(F.broadcast(dead), "doc_id", "left")
+        .filter(
+            F.col("_dead_as_of").isNull()
+            | (F.col("gen") >= F.col("_dead_as_of"))
+        )
+        .drop("_dead_as_of")
     )
 
 
@@ -603,12 +713,20 @@ def incremental_lsh_flags_cataloged(
     _check_catalog_meta(spark, buckets_table, n, n_hashes, bands)
     base_i = shingle_sets(batch, n).transform(plan_cache)
     inc_b = _banded_buckets(base_i, n_hashes, bands).alias("i")
-    cat_b = spark.table(buckets_table).alias("c")
+    # both catalog reads pass the generation-scoped tombstone filter:
+    # buckets so dead docs never form candidates, shingles so a
+    # REVIVED doc verifies against its live image only (stale
+    # pre-image shingle rows would corrupt the intersection)
+    cat_b = _filter_catalog_dead(
+        spark, buckets_table, spark.table(buckets_table)
+    ).alias("c")
     cands = _candidate_pairs(inc_b, cat_b, threshold)
     ti = base_i.select(
         F.col("doc_id"), F.col("sh").alias("sh_i"), F.col("n_sh").alias("ni")
     )
-    tc = spark.table(shingles_table).select(
+    tc = _filter_catalog_dead(
+        spark, buckets_table, spark.table(shingles_table)
+    ).select(
         F.col("doc_id").alias("cat_id"),
         F.col("sh").alias("sh_c"),
         F.col("n_sh").alias("nc"),

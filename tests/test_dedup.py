@@ -400,3 +400,97 @@ def test_catalog_meta_stamp_guards_parameter_mismatch(spark):
         )
     for t in ("meta_sig_buckets", "meta_sig_buckets_meta", "meta_sig_shingles"):
         spark.sql(f"drop table if exists {t}")
+
+
+def test_catalog_change_feed_fold(spark):
+    """Change-feed fold for the persisted signature catalog
+    (apply_changes_to_signature_catalog): deletes/update-preimages
+    tombstone the stored signatures generation-scoped, inserts/
+    update-postimages append under the fold's gen — so the probe
+    equals a from-scratch rebuild on the post-change corpus. Pins all
+    four directions of staleness: a DELETED doc stops flagging new
+    near-dups, an UPDATED doc stops matching on its stale shingles
+    and starts matching on the new ones, an INSERTED doc matches, and
+    a doc deleted-then-REVIVED in a later gen matches again. Plus:
+    replaying an old fold after a revival cannot re-kill it
+    (generation scoping), and the tombstone filter preserves the
+    bucketed probe plan."""
+    import os
+    import shutil
+
+    t_dup = "alpha beta gamma delta epsilon zeta"
+    t_far = "one two three four five six"
+    t_new = "seven eight nine ten eleven twelve"
+    t_uni = "unique words nothing matches here ever"
+    docs = spark.createDataFrame(
+        [(1, t_dup), (2, t_dup + " eta theta"), (3, t_far)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(101, t_dup), (102, t_far), (103, t_uni)],
+        "doc_id long, text string",
+    )
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    bt, st, bt2, st2 = "cf_sig_b", "cf_sig_s", "cf_sig_b2", "cf_sig_s2"
+    for t in (bt, st, bt2, st2, f"{bt}_dead", f"{bt}_meta", f"{bt2}_meta"):
+        spark.sql(f"drop table if exists {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+
+    def flags(b=bt, s=st):
+        return {
+            r.doc_id: (r.n_cat_matches, r.best_jaccard, r.is_dup)
+            for r in dedup.incremental_lsh_flags_cataloged(
+                spark, batch, b, s, threshold=0.8
+            ).collect()
+        }
+
+    dedup.write_signature_catalog(docs, bt, st)
+    before = flags()
+    assert before[101][2] == 1 and before[102][2] == 1 and before[103][2] == 0
+
+    # gen 1: delete doc 1, rewrite doc 3's text, insert doc 4 (≈103)
+    changes = spark.createDataFrame(
+        [
+            (1, t_dup, "delete"),
+            (3, t_far, "update_preimage"),
+            (3, t_new, "update_postimage"),
+            (4, t_uni + " almost", "insert"),
+        ],
+        "doc_id long, text string, _change_type string",
+    )
+    dedup.apply_changes_to_signature_catalog(spark, changes, bt, st, gen=1)
+    after = flags()
+    # oracle: a fresh catalog over the post-change corpus
+    post = spark.createDataFrame(
+        [(2, t_dup + " eta theta"), (3, t_new), (4, t_uni + " almost")],
+        "doc_id long, text string",
+    )
+    dedup.write_signature_catalog(post, bt2, st2)
+    assert after == flags(bt2, st2)
+    assert after[101][2] == 0      # its only ≥0.8 match was deleted
+    assert after[102][2] == 0      # update killed the stale shingles
+    assert after[103][2] == 1      # the inserted doc matches
+
+    # gen 2: revive doc 1 verbatim — must match again
+    revive = spark.createDataFrame(
+        [(1, t_dup, "insert")], "doc_id long, text string, _change_type string"
+    )
+    dedup.apply_changes_to_signature_catalog(spark, revive, bt, st, gen=2)
+    revived = flags()
+    assert revived[101] == before[101]
+
+    # replaying the OLD gen-1 fold cannot re-kill the gen-2 revival,
+    # and the fold is idempotent on flags
+    dedup.apply_changes_to_signature_catalog(spark, changes, bt, st, gen=1)
+    assert flags() == revived
+
+    # tombstone filtering must not cost the bucketed probe layout
+    plan = (
+        dedup.incremental_lsh_flags_cataloged(spark, batch, bt, st)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    scan_lines = [l for l in plan.splitlines() if bt in l and "_dead" not in l]
+    assert scan_lines and "SelectedBucketsCount" in "\n".join(scan_lines)
+
+    for t in (bt, st, bt2, st2, f"{bt}_dead", f"{bt}_meta", f"{bt2}_meta"):
+        spark.sql(f"drop table if exists {t}")

@@ -201,15 +201,142 @@ def stream_throughput_probe(spark, seconds: int = 25) -> None:
         )
 
 
+def churn_probe(spark, n: int) -> None:
+    """Change-feed churn-proportionality probe (round 5): the claim
+    under test is the one CF1 and the index fold make in their
+    docstrings — incremental cost tracks CHURN, never table size.
+
+    Builds a pt-partitioned lakehouse fact at 1× and n× rows
+    (10k rows/partition), applies the SAME fixed-size churn to it
+    (two merges rewriting one partition, archive=True), then times:
+
+    - ``read_changes`` between the two commits — should be ~flat
+      across table sizes (only the touched partition is reconstructed
+      on either side);
+    - the brute-force alternative (full-outer join of the two
+      ``read_as_of`` snapshots over ALL partitions) — grows with the
+      table, the contrast that shows the pruning is real;
+    - the ANN maintenance loop: a persisted IVF index over the same
+      row count, with a fixed 2k-event change batch folded via
+      ``apply_changes_to_ivf_index`` and probed — fold time is
+      batch-sized (one narrow assignment map + two churn-sized
+      writes), probe overhead one broadcast tombstone join.
+    """
+    import shutil
+    import time as _t
+
+    from pyspark.sql import functions as SF
+
+    from map_reduce_sf_crime_spark.operators import similarity
+    from map_reduce_sf_crime_spark.sources.lakehouse import (
+        merge_upsert,
+        read_as_of,
+        read_changes,
+        write_partitioned,
+    )
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
+    )
+    for scale in (1, n):
+        rows_n = 200_000 * scale
+        path = os.path.join(scratch, f"churn_x{scale}")
+        shutil.rmtree(path, ignore_errors=True)
+        base = spark.range(rows_n).select(
+            SF.col("id"),
+            (SF.col("id") / 10_000).cast("int").alias("pt"),
+            SF.repeat(SF.md5(SF.col("id").cast("string")), 8).alias("payload"),
+            SF.lit(0).alias("v"),
+        )
+        write_partitioned(base, path, ["pt"])
+        # fixed churn regardless of scale: 5k updates inside pt=0
+        churn = base.filter(SF.col("id") < 5_000)
+        merge_upsert(
+            spark, path, churn.withColumn("v", SF.lit(1)).localCheckpoint(),
+            key_cols=["id"], partition_cols=["pt"], archive=True,
+        )
+        merge_upsert(
+            spark, path, churn.withColumn("v", SF.lit(2)).localCheckpoint(),
+            key_cols=["id"], partition_cols=["pt"], archive=True,
+        )
+        t0 = _t.perf_counter()
+        feed = read_changes(spark, path, 0, 1, ["id"])
+        n_events = feed.count()
+        t_feed = _t.perf_counter() - t0
+        # brute-force contrast: same answer, no partition pruning
+        t0 = _t.perf_counter()
+        a, b = read_as_of(spark, path, 0).alias("a"), read_as_of(
+            spark, path, 1
+        ).alias("b")
+        n_brute = (
+            a.join(b, SF.col("a.id") == SF.col("b.id"), "full_outer")
+            .filter(
+                ~SF.col("a.v").eqNullSafe(SF.col("b.v"))
+                | SF.col("a.id").isNull()
+                | SF.col("b.id").isNull()
+            )
+            .count()
+        )
+        t_brute = _t.perf_counter() - t0
+        print(
+            f"x{scale} read_changes[{rows_n} rows, 5k churn]: "
+            f"{t_feed:.2f}s ({n_events} events) vs brute snapshot "
+            f"diff {t_brute:.2f}s ({n_brute} changed keys)"
+        )
+
+        # ANN fold leg: index over rows_n vectors, 2k-event fold
+        emb = spark.range(rows_n).select(
+            SF.col("id").alias("vec_id"),
+            SF.array(
+                *[SF.sin(SF.col("id") * SF.lit(float(k + 1))) for k in range(16)]
+            ).cast("array<float>").alias("embedding"),
+        )
+        ipath = os.path.join(scratch, f"churn_ivf_x{scale}")
+        shutil.rmtree(ipath, ignore_errors=True)
+        t0 = _t.perf_counter()
+        similarity.write_ivf_index(emb, ipath)
+        t_build = _t.perf_counter() - t0
+        batch = emb.filter(SF.col("vec_id") < 2_000)
+        changes = (
+            batch.filter(SF.col("vec_id") < 1_000)
+            .withColumn("_change_type", SF.lit("delete"))
+            .unionByName(
+                batch.filter(SF.col("vec_id") >= 1_000)
+                .withColumn("embedding", SF.reverse("embedding"))
+                .withColumn("_change_type", SF.lit("update_postimage"))
+            )
+            .unionByName(
+                batch.filter(SF.col("vec_id") >= 1_000).withColumn(
+                    "_change_type", SF.lit("update_preimage")
+                )
+            )
+        )
+        t0 = _t.perf_counter()
+        similarity.apply_changes_to_ivf_index(spark, ipath, changes, 1)
+        t_fold = _t.perf_counter() - t0
+        queries = [(r["vec_id"], list(r["embedding"]))
+                   for r in emb.filter(SF.col("vec_id").isin(5000, 6000)).collect()]
+        t0 = _t.perf_counter()
+        similarity.ivf_topk_indexed(spark, ipath, queries, 3).count()
+        t_probe = _t.perf_counter() - t0
+        print(
+            f"x{scale} ivf_fold[{rows_n} vecs, 2k-event batch]: "
+            f"build {t_build:.2f}s, fold {t_fold:.2f}s, "
+            f"tombstone-filtered probe {t_probe:.2f}s"
+        )
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]]
-    if "hot" in args or "stream" in args:
+    if "hot" in args or "stream" in args or "churn" in args:
         n = next((int(a) for a in args if a.isdigit()), 10)
         spark = get_spark("scale_probe")
         if "hot" in args:
             hot_cluster_probe(spark, n)
         if "stream" in args:
             stream_throughput_probe(spark)
+        if "churn" in args:
+            churn_probe(spark, n)
         spark.stop()
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
