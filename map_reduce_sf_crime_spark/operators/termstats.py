@@ -187,3 +187,201 @@ def token_doc_freq_sql(top_k: int = 50) -> str:
     order by df desc, tf desc, token asc
     limit {top_k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Persisted term stats + change-feed maintenance (the TF1 catalog).
+#
+# The corpus-wide (token, df, tf) aggregate is the third persisted
+# artifact a training pipeline keeps warm next to the ANN indexes and
+# the dedup signature catalog — and like them it must never be
+# recomputed from 100 TB of text because one day's crawl changed.
+# Layout: an APPEND-ONLY DELTA LEDGER, hash-bucketed on token —
+# every batch (the base build is just gen 0) appends one aggregated
+# delta row per token it touches, so reading the live stats is a
+# bucket-local groupBy-sum with NO shuffle, and folding a change
+# batch costs exactly one batch-sized tokenize + aggregate + append.
+# The signed-delta form is what makes DELETES and UPDATES first-class:
+# a removed document's counts are subtracted, not tombstoned, because
+# term stats are additive (unlike signature sets, which need the
+# generation-scoped tombstones dedup uses).
+# ---------------------------------------------------------------------------
+
+#: read_changes vocabulary → which sign a row's token counts
+#: contribute to the ledger.
+_TS_DEAD_TYPES = ("delete", "update_preimage")
+_TS_LIVE_TYPES = ("insert", "update_postimage")
+
+_TS_SCHEMA_HINT = "token string, d_df long, d_tf long, d_docs long, gen int"
+
+
+def _term_deltas(docs: DataFrame, sign: int) -> DataFrame:
+    """Signed per-token delta rows for a doc set: (token, d_df, d_tf,
+    d_docs=0) per token, plus ONE null-token row carrying the signed
+    doc count (the ledger's n_docs accumulator — kept in-table so the
+    stats stay one self-contained artifact). Shape: the per-(doc,
+    token) collapse bounds the shuffle at one row per distinct pair,
+    and hot tokens are absorbed map-side exactly as in the live
+    wordcount."""
+    dt = (
+        docs.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    per_tok = dt.groupBy("token").agg(
+        (F.lit(sign) * F.count(F.lit(1))).cast("long").alias("d_df"),
+        (F.lit(sign) * F.sum("k")).cast("long").alias("d_tf"),
+    ).withColumn("d_docs", F.lit(0).cast("long"))
+    n_docs = docs.agg(
+        (F.lit(sign) * F.count(F.lit(1))).cast("long").alias("d_docs")
+    ).select(
+        F.lit(None).cast("string").alias("token"),
+        F.lit(0).cast("long").alias("d_df"),
+        F.lit(0).cast("long").alias("d_tf"),
+        "d_docs",
+    )
+    return per_tok.unionByName(n_docs)
+
+
+def write_term_stats(docs: DataFrame, table: str, n_buckets: int = 16) -> None:
+    """Build the persisted term-stats ledger from scratch: the whole
+    corpus's counts land as generation 0. One full tokenize — the
+    cost every later fold exists to avoid paying again."""
+    from ..sources.lakehouse import drop_table_and_orphan, write_bucketed
+
+    spark = docs.sparkSession
+    drop_table_and_orphan(spark, table)
+    write_bucketed(
+        _term_deltas(docs, 1).withColumn("gen", F.lit(0).cast("int")),
+        table, "token", n_buckets,
+    )
+
+
+def apply_changes_to_term_stats(
+    spark, changes: DataFrame, table: str, gen: int
+) -> None:
+    """Fold a lakehouse change feed (``sources.lakehouse.read_changes``
+    vocabulary over a ``(doc_id, text, ...)`` table) into the term
+    stats: deletes and update pre-images subtract their token counts,
+    inserts and post-images add theirs, netted into ONE aggregated
+    delta row per touched token and appended under this ``gen``. An
+    update therefore shifts only the tokens whose counts actually
+    changed. Cost is batch-sized end-to-end; the ledger is never
+    read.
+
+    REPLAY: a re-run of the same (batch, gen) appends byte-identical
+    rows, and readers collapse exact duplicate rows per gen before
+    summing — so crash-and-re-run cannot double-count, the same
+    contract as the lakehouse sinks. ``gen`` must uniquely identify
+    the batch (the append_id rule); reusing a gen for a DIFFERENT
+    batch is the caller's corruption. Fold equivalence with a
+    from-scratch rebuild on the post-change corpus is pinned in
+    tests/test_text_functions.py."""
+    if gen <= 0:
+        raise ValueError(f"gen must be > 0 (got {gen}); 0 is the base build")
+    from ..sources.lakehouse import _bucket_spec, write_bucketed
+
+    n_buckets, bcols, _, _ = _bucket_spec(spark, table)
+    if bcols != ["token"]:
+        raise ValueError(f"{table} is not a term-stats ledger (buckets {bcols})")
+    dead = changes.filter(F.col("_change_type").isin(*_TS_DEAD_TYPES)).select(
+        "doc_id", "text"
+    )
+    live = changes.filter(F.col("_change_type").isin(*_TS_LIVE_TYPES)).select(
+        "doc_id", "text"
+    )
+    delta = (
+        _term_deltas(live, 1)
+        .unionByName(_term_deltas(dead, -1))
+        .groupBy("token")
+        .agg(
+            F.sum("d_df").alias("d_df"),
+            F.sum("d_tf").alias("d_tf"),
+            F.sum("d_docs").alias("d_docs"),
+        )
+        .filter(
+            (F.col("d_df") != 0) | (F.col("d_tf") != 0) | (F.col("d_docs") != 0)
+        )
+        .withColumn("gen", F.lit(gen).cast("int"))
+    )
+    write_bucketed(delta, table, "token", n_buckets, mode="append")
+
+
+def _ledger(spark, table: str) -> DataFrame:
+    # full-row distinct = replay collapse: within one gen there is one
+    # row per token by construction, so the only exact-duplicate rows
+    # a ledger can hold are a crashed fold's re-appended copies. The
+    # bucketed scan satisfies the distinct's clustering — no shuffle.
+    return spark.table(table).distinct()
+
+
+def term_stats_cataloged(spark, table: str) -> DataFrame:
+    """Live (token, df, tf) totals from the ledger: bucket-local
+    groupBy-sum, tokens whose documents all died drop out."""
+    led = _ledger(spark, table)
+    return (
+        led.filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.sum("d_df").alias("df"), F.sum("d_tf").alias("tf"))
+        .filter(F.col("df") > 0)
+    )
+
+
+def token_doc_freq_cataloged(spark, table: str, top_k: int = 50) -> DataFrame:
+    """:func:`token_doc_freq` served FROM the persisted ledger —
+    byte-identical output for the corpus the ledger currently
+    describes (same df_ppm integer discipline, same tie-break), so the
+    live form's DuckDB oracle transfers unchanged to the maintained
+    artifact."""
+    led = _ledger(spark, table)
+    stats = (
+        led.filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.sum("d_df").alias("df"), F.sum("d_tf").alias("tf"))
+        .filter(F.col("df") > 0)
+    )
+    total = led.agg(F.sum("d_docs").alias("n_docs"))
+    return (
+        stats.crossJoin(F.broadcast(total))
+        .withColumn(
+            "df_ppm",
+            F.floor(F.col("df") * 1000000.0 / F.col("n_docs")).cast("long"),
+        )
+        .drop("n_docs")
+        .orderBy(F.desc("df"), F.desc("tf"), F.asc("token"))
+        .limit(top_k)
+    )
+
+
+def compact_term_stats(spark, table: str) -> None:
+    """Collapse an accumulated ledger back to a single generation-0
+    base (live totals only, dead tokens dropped) — the maintenance
+    rewrite that keeps read amplification bounded after many folds.
+    Vocabulary-sized, never corpus-sized. NOTE: compaction truncates
+    the replay window — a pre-compaction fold re-run afterwards would
+    re-append its delta as new rows (the same line-truncation rule as
+    a catalog or index rebuild)."""
+    from ..sources.lakehouse import _bucket_spec, write_bucketed
+
+    n_buckets, _, _, _ = _bucket_spec(spark, table)
+    led = _ledger(spark, table)
+    base = (
+        led.filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.sum("d_df").alias("d_df"), F.sum("d_tf").alias("d_tf"))
+        .filter((F.col("d_df") != 0) | (F.col("d_tf") != 0))
+        .withColumn("d_docs", F.lit(0).cast("long"))
+        .unionByName(
+            led.agg(F.sum("d_docs").alias("d_docs")).select(
+                F.lit(None).cast("string").alias("token"),
+                F.lit(0).cast("long").alias("d_df"),
+                F.lit(0).cast("long").alias("d_tf"),
+                "d_docs",
+            )
+        )
+        .withColumn("gen", F.lit(0).cast("int"))
+        .localCheckpoint()  # the write overwrites the table it reads
+    )
+    write_bucketed(base, table, "token", n_buckets)

@@ -51,19 +51,93 @@ group by source
 PACK_BUDGET = 2048
 
 
+#: sf_dir → ledger table name (built once per process): the persisted
+#: term-stats artifact the df_cat/tf_cat gate columns are served from.
+_TS_LEDGERS: dict[str, str] = {}
+
+
+def _ts_ledger(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per corpus) the persisted term-stats
+    ledger — DOCTORED on purpose, then repaired through ONE change-feed
+    fold, so the gate columns watch the maintenance path, not a fresh
+    build: the base is the corpus minus a held-out slice, with junk
+    phantom docs added and one slice's text corrupted; the fold
+    deletes the phantoms, updates the corrupted docs back to their
+    true text, and inserts the held-out slice. Only if subtraction,
+    netting, and addition are all exactly right does the ledger
+    describe the live corpus — and hash-match the oracle."""
+    if sf_dir not in _TS_LEDGERS:
+        import re
+
+        tbl = "tdf_ledger_" + re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.strip("/").rsplit("/", 1)[-1])
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        held_out = F.col("doc_id") % 5 == 4
+        corrupt = ~held_out & (F.col("doc_id") % 17 == 5)
+        doctored = docs.filter(~held_out).withColumn(
+            "text",
+            F.when(corrupt, F.concat(F.col("text"), F.lit(" zzzdriftzzz")))
+            .otherwise(F.col("text")),
+        )
+        junk = docs.filter(F.col("doc_id") % 17 == 3).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat(F.lit("junkphantom "), F.col("text")).alias("text"),
+        )
+        termstats.write_term_stats(doctored.unionByName(junk), tbl)
+        changes = (
+            junk.withColumn("_change_type", F.lit("delete"))
+            .unionByName(
+                doctored.filter(corrupt).withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+            )
+            .unionByName(
+                docs.filter(corrupt).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+            .unionByName(
+                docs.filter(held_out).withColumn("_change_type", F.lit("insert"))
+            )
+        )
+        termstats.apply_changes_to_term_stats(spark, changes, tbl, gen=1)
+        _TS_LEDGERS[sf_dir] = tbl
+    return _TS_LEDGERS[sf_dir]
+
+
 @register(
     "token_doc_freq",
-    termstats.token_doc_freq_sql(50),
-    survey_ids=("TF1",),
+    f"""
+    select token, df, tf, df_ppm, df as df_cat, tf as tf_cat
+    from ({termstats.token_doc_freq_sql(50)}) t
+    """,
+    survey_ids=("TF1", "TS1"),
 )
 def token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-global term stats (TF1): top-50 tokens by document
     frequency with collection term frequency — the discovery pass
     behind boilerplate removal / stopword induction / IDF weighting.
-    See operators/termstats.py for the wordcount-at-scale shape."""
-    return termstats.token_doc_freq(
+    See operators/termstats.py for the wordcount-at-scale shape.
+
+    The ``df_cat``/``tf_cat`` columns (round 5, TS1) are the SAME
+    stats served from the persisted term-stats LEDGER after a
+    change-feed fold repaired a doctored base build (phantom-doc
+    deletes, text-rewrite updates, held-out inserts — see
+    :func:`_ts_ledger`): the oracle emits df/tf twice, so any
+    subtraction or netting error in the maintained artifact
+    hash-mismatches the driver gate. The ledger read is a
+    bucket-local groupBy-sum (no shuffle — pinned in
+    tests/test_text_functions.py)."""
+    live = termstats.token_doc_freq(
         fan_out(load_table(spark, sf_dir, "documents")), 50
     )
+    cat = termstats.term_stats_cataloged(
+        spark, _ts_ledger(spark, sf_dir)
+    ).select(
+        "token",
+        F.col("df").alias("df_cat"),
+        F.col("tf").alias("tf_cat"),
+    )
+    return live.join(cat, "token")
 
 
 #: Per-source quota for the SM2 leg of corpus_sample (keep the N

@@ -259,3 +259,82 @@ def test_unigram_commonness_semantics(spark):
     assert out[1].mean_tf_ppm > out[3].mean_tf_ppm
     # n_toks is the raw token count (repeats included)
     assert out[1].n_toks == 6
+
+
+def test_term_stats_ledger_fold(spark):
+    """Persisted term-stats ledger (TF1 catalog): base build + N
+    change-feed folds must serve token_doc_freq byte-identically to
+    the live recompute over the post-change corpus — deletes
+    subtract, updates shift only changed tokens, inserts add, doc
+    count tracks. Plus: replaying a fold cannot double-count
+    (full-row distinct collapse), compaction preserves the totals
+    while dropping dead tokens, and both the read and the fold ride
+    the token-bucketed layout."""
+    from map_reduce_sf_crime_spark.operators import termstats
+    from map_reduce_sf_crime_spark.sources.parquet import load_table
+
+    from .conftest import SF_CHECK
+
+    docs = load_table(spark, SF_CHECK, "documents").select("doc_id", "text")
+    spark.sql("drop table if exists ts_ledger")
+    tbl = "ts_ledger"
+
+    base_pred = F.col("doc_id") % 5 != 4
+    termstats.write_term_stats(docs.filter(base_pred), tbl)
+
+    # fold: delete %10==0 of the base, rewrite %10==1's text
+    # (reversed words → same tf per token? no — different shingle
+    # order but same token multiset; so ALSO drop the last word to
+    # really change counts), insert the held-out %5==4 slice
+    upd_post = docs.filter(base_pred & (F.col("doc_id") % 10 == 1)).withColumn(
+        "text", F.concat_ws(" ", F.slice(F.split("text", r"\s+"), 1, 5))
+    )
+    changes = (
+        docs.filter(base_pred & (F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 10 != 1))
+        .withColumn("_change_type", F.lit("delete"))
+        .unionByName(
+            docs.filter(base_pred & (F.col("doc_id") % 10 == 1)).withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+        )
+        .unionByName(upd_post.withColumn("_change_type", F.lit("update_postimage")))
+        .unionByName(
+            docs.filter(~base_pred).withColumn("_change_type", F.lit("insert"))
+        )
+        .localCheckpoint()
+    )
+    termstats.apply_changes_to_term_stats(spark, changes, tbl, gen=1)
+
+    post_corpus = (
+        docs.filter(base_pred & (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 1))
+        .unionByName(upd_post)
+        .unionByName(docs.filter(~base_pred))
+        .localCheckpoint()
+    )
+
+    def rows(df):
+        return [tuple(r) for r in df.collect()]
+
+    got = rows(termstats.token_doc_freq_cataloged(spark, tbl, 50))
+    want = rows(termstats.token_doc_freq(post_corpus, 50))
+    assert got == want
+
+    # replayed fold: byte-identical rows collapse, totals unchanged
+    termstats.apply_changes_to_term_stats(spark, changes, tbl, gen=1)
+    assert rows(termstats.token_doc_freq_cataloged(spark, tbl, 50)) == want
+
+    # totals survive compaction; dead tokens physically drop
+    termstats.compact_term_stats(spark, tbl)
+    assert rows(termstats.token_doc_freq_cataloged(spark, tbl, 50)) == want
+    n_gens = spark.table(tbl).select("gen").distinct().count()
+    assert n_gens == 1
+
+    # layout: the cataloged read's ledger scan rides the bucket spec
+    plan = (
+        termstats.token_doc_freq_cataloged(spark, tbl, 50)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    scan_lines = [l for l in plan.splitlines() if tbl in l]
+    assert scan_lines and "SelectedBucketsCount" in "\n".join(scan_lines)
+
+    spark.sql("drop table if exists ts_ledger")
