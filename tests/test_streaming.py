@@ -296,3 +296,112 @@ def test_active_view_partition_prunes(spark, tmp_path):
         for r in view.select(F.input_file_name()).distinct().collect()
     }
     assert files == {"-4", "4", "5"}
+
+
+def test_lakehouse_cdf_streaming_source(spark, tmp_path):
+    """The lakehouse_cdf Python streaming data source: committed
+    merges surface as micro-batches of Delta-CDF-vocabulary events,
+    byte-equal to the batch read_changes over the same commit range;
+    a checkpointed restart resumes from the stored offset and emits
+    ONLY the commits that landed since. (The pure-Python manifest
+    fold's parity with the JVM-side one is exactly what the
+    read_changes comparison pins.)"""
+    from map_reduce_sf_crime_spark.sources.lakehouse import (
+        merge_upsert,
+        read_changes,
+        write_partitioned,
+    )
+    from map_reduce_sf_crime_spark.streaming.cdf_source import (
+        LakehouseChangeFeed,
+    )
+
+    path = str(tmp_path / "cdf_src_fact")
+    base = spark.range(40).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("int").alias("pt"),
+        (F.col("id") * 10).cast("long").alias("v"),
+    )
+    write_partitioned(base, path, ["pt"])
+    # c0: seed commit (the feed's base snapshot)
+    merge_upsert(
+        spark, path,
+        base.filter(F.col("id") < 4).withColumn("v", F.col("v") + 1)
+        .localCheckpoint(),
+        key_cols=["id"], partition_cols=["pt"], archive=True,
+    )
+    # c1: updates in pt 0/1 + two inserts; c2: delete three keys
+    merge_upsert(
+        spark, path,
+        base.filter(F.col("id").isin(0, 5)).withColumn("v", F.lit(999))
+        .unionByName(
+            spark.createDataFrame(
+                [(100, 0, 7), (101, 1, 8)], "id long, pt int, v long"
+            )
+        ).localCheckpoint(),
+        key_cols=["id"], partition_cols=["pt"], archive=True,
+    )
+    merge_upsert(
+        spark, path,
+        spark.createDataFrame(
+            [(2, 2, 0, True), (100, 0, 0, True), (7, 3, 0, True)],
+            "id long, pt int, v long, is_del boolean",
+        ),
+        key_cols=["id"], partition_cols=["pt"], delete_col="is_del",
+        archive=True,
+    )
+
+    spark.dataSource.register(LakehouseChangeFeed)
+    ckpt = str(tmp_path / "cdf_ckpt")
+
+    def drain(qname):
+        rows, cols = [], []
+
+        def _sink(batch_df, _bid):
+            cols[:] = batch_df.columns
+            rows.extend(batch_df.collect())
+
+        q = (
+            spark.readStream.format("lakehouse_cdf")
+            .option("path", path)
+            .option("keyCols", "id")
+            .option("startingCid", 0)
+            .load()
+            .writeStream.foreachBatch(_sink)
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return cols, rows
+
+    def canon_rows(cols, rows):
+        order = sorted(cols)
+        return sorted(tuple(r[c] for c in order) for r in rows)
+
+    def canon(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    cols1, rows1 = drain("cdf_out1")
+    want1 = read_changes(spark, path, 0, 2, ["id"])
+    assert sorted(cols1) == sorted(want1.columns)
+    assert canon_rows(cols1, rows1) == canon(want1)
+    # all four classifications genuinely exercised
+    assert {r["_change_type"] for r in rows1} == {
+        "insert", "delete", "update_preimage", "update_postimage"
+    }
+
+    # c3 lands after the first drain; the checkpointed restart must
+    # emit exactly (2, 3] — not re-emit history
+    merge_upsert(
+        spark, path,
+        base.filter(F.col("id") == 9).withColumn("v", F.lit(-1))
+        .localCheckpoint(),
+        key_cols=["id"], partition_cols=["pt"], archive=True,
+    )
+    cols2, rows2 = drain("cdf_out2")
+    want2 = read_changes(spark, path, 2, 3, ["id"])
+    assert rows2, "restart batch must be non-empty"
+    assert canon_rows(cols2, rows2) == canon(want2)
