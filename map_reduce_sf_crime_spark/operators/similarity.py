@@ -712,6 +712,98 @@ def apply_changes_to_pq_index(
         append_pq_index(live, path, append_id)
 
 
+def compact_ivf_index(spark, path: str) -> None:
+    """Maintenance rewrite for a persisted IVF index that has
+    accumulated change-feed folds: physically remove tombstoned rows
+    and consolidate the per-batch small files, after which probes
+    drop the broadcast tombstone join entirely.
+
+    Correctness-by-layout: the rewrite PRESERVES each row's
+    ``(centroid_id, append_id)`` partition — rows keep their
+    generation — so the stale tombstone set stays exactly correct
+    against the compacted lists (it re-kills rows that no longer
+    exist, a no-op) and there is NO crash window in which a probe
+    mis-reads: every interleaving of the swap/clear steps serves
+    either the old or the new bytes under the same filter semantics.
+    The swap is a rename pair; a crash in the gap leaves the index
+    momentarily unreadable, and :func:`recover_index_compaction`
+    finishes (or discards) the rewrite — each residue state is
+    pinned in tests/test_similarity.py. Single maintainer assumed
+    (the probe side is read-only; concurrent compactions are the
+    caller's corruption, same as the lakehouse writers without the
+    lease).
+
+    Cost: one pruned scan + write of the LIVE rows, no assignment
+    recompute (lists already carry vectors and centroid ids), no
+    shuffle — the hive layout keeps file-to-partition locality, and
+    input coalescing (maxPartitionBytes) is what merges a week of
+    small ``append_id`` files into few outputs."""
+    _compact_index_dir(spark, path, "lists", ("centroid_id", "append_id"))
+
+
+def compact_pq_index(spark, path: str) -> None:
+    """PQ twin of :func:`compact_ivf_index` over the ``codes`` table
+    (partitioned by ``append_id`` only); same layout-preserving
+    contract, no re-encode."""
+    _compact_index_dir(spark, path, "codes", ("append_id",))
+
+
+def _compact_index_dir(
+    spark, path: str, sub: str, part_cols: tuple[str, ...]
+) -> None:
+    from ..sources.lakehouse import _hfs
+
+    root = path.rstrip("/")
+    recover_index_compaction(spark, path, sub)
+    fs, jvm = _hfs(spark, root)
+    P = jvm.org.apache.hadoop.fs.Path
+    rows = _filter_tombstones(spark, root, spark.read.parquet(f"{root}/{sub}"))
+    rows.write.mode("overwrite").partitionBy(*part_cols).parquet(
+        f"{root}/{sub}.compact"
+    )
+    if not fs.rename(P(f"{root}/{sub}"), P(f"{root}/{sub}.old")):
+        raise IOError(f"compact: rename {sub} -> {sub}.old failed")
+    if not fs.rename(P(f"{root}/{sub}.compact"), P(f"{root}/{sub}")):
+        raise IOError(f"compact: rename {sub}.compact -> {sub} failed")
+    _clear_tombstones(spark, root)
+    fs.delete(P(f"{root}/{sub}.old"), True)
+
+
+def recover_index_compaction(spark, path: str, sub: str) -> str:
+    """Resolve any crash residue of :func:`compact_ivf_index` /
+    :func:`compact_pq_index` — idempotent, also runs as the
+    compactors' own pre-clean. Returns what it did."""
+    from ..sources.lakehouse import _hfs
+
+    root = path.rstrip("/")
+    fs, jvm = _hfs(spark, root)
+    P = jvm.org.apache.hadoop.fs.Path
+    live, old, cmp_ = (
+        fs.exists(P(f"{root}/{sub}")),
+        fs.exists(P(f"{root}/{sub}.old")),
+        fs.exists(P(f"{root}/{sub}.compact")),
+    )
+    if live and not old:
+        if cmp_:  # crashed mid/post write, before any rename
+            fs.delete(P(f"{root}/{sub}.compact"), True)
+            return "discarded partial rewrite"
+        return "clean"
+    if not live and old and cmp_:  # crashed between the two renames
+        if not fs.rename(P(f"{root}/{sub}.compact"), P(f"{root}/{sub}")):
+            raise IOError(f"recover: rename {sub}.compact -> {sub} failed")
+        _clear_tombstones(spark, root)
+        fs.delete(P(f"{root}/{sub}.old"), True)
+        return "finished swap"
+    if live and old:  # crashed before cleanup
+        _clear_tombstones(spark, root)
+        fs.delete(P(f"{root}/{sub}.old"), True)
+        return "finished cleanup"
+    raise RuntimeError(
+        f"unrecoverable index state at {root}/{sub}: "
+        f"live={live} old={old} compact={cmp_}"
+    )
+
+
 def ivf_topk_indexed(
     spark,
     path: str,

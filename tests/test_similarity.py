@@ -756,3 +756,76 @@ def test_index_change_feed_fold(spark):
         similarity.tombstone_index(spark, paths["pq_a"], [1, 2], append_id=0)
     for p in paths.values():
         shutil.rmtree(p, ignore_errors=True)
+
+
+def test_index_compaction_purges_tombstones(spark):
+    """compact_ivf_index / compact_pq_index: after change-feed folds,
+    compaction physically removes tombstoned rows and drops the
+    tombstone set, with probes bit-identical before and after (the
+    layout-preserving rewrite keeps every row's generation, so even
+    STALE tombstones stay correct — no crash window can mis-serve).
+    Also pins every recover_index_compaction residue state."""
+    import os
+    import shutil
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch", "cmp_idx",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    ivf, pq = os.path.join(scratch, "ivf"), os.path.join(scratch, "pq")
+    emb = load_table(spark, SF_CHECK, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 3 != 2)
+    batch = emb.filter(F.col("vec_id") % 3 == 2)
+    deletes = (
+        base.filter(F.col("vec_id") % 11 == 0)
+        .withColumn("_change_type", F.lit("delete"))
+    )
+    changes = deletes.unionByName(
+        batch.withColumn("_change_type", F.lit("insert"))
+    ).localCheckpoint()
+    dead_ids = {r.vec_id for r in deletes.collect()}
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").isin([1, 4, 7])).collect()
+    ]
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    similarity.write_ivf_index(base, ivf, n_centroids=8)
+    similarity.apply_changes_to_ivf_index(spark, ivf, changes, append_id=1)
+    similarity.write_pq_index(base, pq)
+    similarity.apply_changes_to_pq_index(spark, pq, changes, append_id=1)
+
+    before_ivf = rows(similarity.ivf_topk_indexed(spark, ivf, queries, k=3))
+    before_pq = rows(similarity.pq_topk_indexed(spark, pq, queries, emb, k=3))
+
+    similarity.compact_ivf_index(spark, ivf)
+    similarity.compact_pq_index(spark, pq)
+    assert not os.path.exists(os.path.join(ivf, "tombstones"))
+    assert not os.path.exists(os.path.join(pq, "tombstones"))
+    assert rows(similarity.ivf_topk_indexed(spark, ivf, queries, k=3)) == before_ivf
+    assert rows(similarity.pq_topk_indexed(spark, pq, queries, emb, k=3)) == before_pq
+    # deleted rows are physically gone: a full-depth scan of every
+    # list never surfaces them even with no tombstone filter left
+    deep = similarity.ivf_topk_indexed(spark, ivf, queries, k=10_000, nprobe=8)
+    assert not ({r.vec_id for r in deep.collect()} & dead_ids)
+
+    # crash residues. (a) partial rewrite, no rename yet → discarded
+    shutil.copytree(os.path.join(ivf, "lists"), os.path.join(ivf, "lists.compact"))
+    assert "discarded" in similarity.recover_index_compaction(spark, ivf, "lists")
+    assert not os.path.exists(os.path.join(ivf, "lists.compact"))
+    # (b) between the renames: live missing, old + compact present
+    shutil.copytree(os.path.join(ivf, "lists"), os.path.join(ivf, "lists.compact"))
+    os.rename(os.path.join(ivf, "lists"), os.path.join(ivf, "lists.old"))
+    assert "finished swap" in similarity.recover_index_compaction(spark, ivf, "lists")
+    assert rows(similarity.ivf_topk_indexed(spark, ivf, queries, k=3)) == before_ivf
+    # (c) before cleanup: live + old both present
+    shutil.copytree(os.path.join(ivf, "lists"), os.path.join(ivf, "lists.old"))
+    assert "cleanup" in similarity.recover_index_compaction(spark, ivf, "lists")
+    assert not os.path.exists(os.path.join(ivf, "lists.old"))
+    assert rows(similarity.ivf_topk_indexed(spark, ivf, queries, k=3)) == before_ivf
+    # idempotent on a clean index
+    assert similarity.recover_index_compaction(spark, ivf, "lists") == "clean"
+    shutil.rmtree(scratch, ignore_errors=True)
