@@ -503,7 +503,8 @@ def write_ivf_index(
         "centroid_id long, embedding array<double>",
     )
     cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    _clear_tombstones(spark, path)
+    # no tombstone clear needed: the STATIC lists overwrite below
+    # truncates the dir, embedded _tombstones included
     # one pass: the assignment kernel carries the vector through, so
     # the lists write needs no second corpus scan or vec_id join
     lists = ivf_assignments(
@@ -573,7 +574,7 @@ def append_ivf_index(batch: DataFrame, path: str, append_id: int) -> None:
     )
 
 
-_TOMBSTONES = "tombstones"
+_TOMBSTONES = "_tombstones"
 #: read_changes vocabulary → which side of the index fold each event
 #: lands on (pre-images and deletes kill the stored copy; post-images
 #: and inserts are the batch to append).
@@ -581,15 +582,23 @@ _DEAD_TYPES = ("delete", "update_preimage")
 _LIVE_TYPES = ("insert", "update_postimage")
 
 
-def tombstone_index(spark, path: str, vec_ids, append_id: int) -> None:
+def tombstone_index(
+    spark, path: str, vec_ids, append_id: int, sub: str = "lists"
+) -> None:
     """Mark corpus vectors DEAD for every index generation before
     ``append_id`` — the delete/update half of the persisted ANN
     serving loop (IVF lists and PQ codes share the ``append_id``
     partition convention, so one tombstone layout serves both).
 
-    A tombstone row lands under ``{path}/tombstones/append_id=N`` and
-    kills matching ``vec_id`` rows with ``append_id < N`` at probe
-    time. GENERATION SCOPING is the point: the same batch's own
+    A tombstone row lands under ``{path}/{sub}/_tombstones/append_id=N``
+    (``sub`` = the data dir it governs: ``lists`` for IVF, ``codes``
+    for PQ; the underscore prefix hides it from the parquet scans of
+    the enclosing dir) and kills matching ``vec_id`` rows with
+    ``append_id < N`` at probe time. Living INSIDE the data dir is
+    load-bearing: a rebuild's static overwrite and a compaction's
+    rename-swap replace data and tombstones in ONE atomic directory
+    operation, so no crash ordering can pair fresh rows with stale
+    tombstones. GENERATION SCOPING is the point: the same batch's own
     re-insert (an update's post-image appended under the same id) and
     any later re-insert survive their own tombstone, so delete +
     re-add compose without ever rewriting the base lists. Replay is
@@ -615,23 +624,27 @@ def tombstone_index(spark, path: str, vec_ids, append_id: int) -> None:
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("append_id")
-        .parquet(f"{path.rstrip('/')}/{_TOMBSTONES}")
+        .parquet(f"{path.rstrip('/')}/{sub}/{_TOMBSTONES}")
     )
 
 
-def _clear_tombstones(spark, path: str) -> None:
-    """A rebuild truncates the generation line: stale tombstones
-    (as-of some old append_id) would otherwise kill the fresh base's
-    ``append_id=0`` rows."""
+def _clear_tombstones(spark, path: str, sub: str) -> None:
+    """Explicitly truncate the generation line (rebuilds get this for
+    free: the static overwrite of the data dir removes its embedded
+    ``_tombstones`` with it)."""
     from ..sources.lakehouse import _hfs
 
     fs, jvm = _hfs(spark, path)
-    tp = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{_TOMBSTONES}")
+    tp = jvm.org.apache.hadoop.fs.Path(
+        f"{path.rstrip('/')}/{sub}/{_TOMBSTONES}"
+    )
     if fs.exists(tp):
         fs.delete(tp, True)
 
 
-def _filter_tombstones(spark, path: str, rows: DataFrame) -> DataFrame:
+def _filter_tombstones(
+    spark, path: str, rows: DataFrame, sub: str = "lists"
+) -> DataFrame:
     """Probe-side tombstone filter: drop index rows whose ``vec_id``
     is dead as of a generation AFTER the row's own ``append_id``.
     No-op when the index has none. One broadcast left join against
@@ -640,7 +653,7 @@ def _filter_tombstones(spark, path: str, rows: DataFrame) -> DataFrame:
     from ..sources.lakehouse import _hfs
 
     fs, jvm = _hfs(spark, path)
-    tpath = f"{path.rstrip('/')}/{_TOMBSTONES}"
+    tpath = f"{path.rstrip('/')}/{sub}/{_TOMBSTONES}"
     if not fs.exists(jvm.org.apache.hadoop.fs.Path(tpath)):
         return rows
     dead = (
@@ -689,7 +702,7 @@ def apply_changes_to_ivf_index(
     the table."""
     dead, live = _split_changes(changes, id_col, emb_col)
     if dead.take(1):
-        tombstone_index(spark, path, dead, append_id)
+        tombstone_index(spark, path, dead, append_id, sub="lists")
     if live.take(1):
         append_ivf_index(live, path, append_id)
 
@@ -707,45 +720,45 @@ def apply_changes_to_pq_index(
     codebooks via :func:`append_pq_index`."""
     dead, live = _split_changes(changes, id_col, emb_col)
     if dead.take(1):
-        tombstone_index(spark, path, dead, append_id)
+        tombstone_index(spark, path, dead, append_id, sub="codes")
     if live.take(1):
         append_pq_index(live, path, append_id)
 
 
 def compact_ivf_index(spark, path: str) -> None:
     """Maintenance rewrite for a persisted IVF index that has
-    accumulated change-feed folds: physically remove tombstoned rows
-    and consolidate the per-batch small files, after which probes
-    drop the broadcast tombstone join entirely.
+    accumulated change-feed folds: fold every ``append_id``
+    generation back into the base (``append_id=0``), physically
+    removing tombstoned rows — after which probes drop the broadcast
+    tombstone join, and the partition-directory count collapses back
+    to one per centroid (a year of daily folds otherwise leaves 365
+    ``append_id`` dirs under every touched centroid).
 
-    Correctness-by-layout: the rewrite PRESERVES each row's
-    ``(centroid_id, append_id)`` partition — rows keep their
-    generation — so the stale tombstone set stays exactly correct
-    against the compacted lists (it re-kills rows that no longer
-    exist, a no-op) and there is NO crash window in which a probe
-    mis-reads: every interleaving of the swap/clear steps serves
-    either the old or the new bytes under the same filter semantics.
-    The swap is a rename pair; a crash in the gap leaves the index
-    momentarily unreadable, and :func:`recover_index_compaction`
-    finishes (or discards) the rewrite — each residue state is
-    pinned in tests/test_similarity.py. Single maintainer assumed
-    (the probe side is read-only; concurrent compactions are the
-    caller's corruption, same as the lakehouse writers without the
-    lease).
+    Atomicity: tombstones live INSIDE ``lists/`` (``_tombstones``,
+    hidden from parquet scans), so the rename swap replaces data and
+    tombstones in one directory operation — no interleaving of crash
+    and probe can pair the merged gen-0 rows with stale tombstones.
+    A crash in the rename gap leaves the index momentarily unreadable
+    (never wrong), and :func:`recover_index_compaction` finishes or
+    discards the rewrite; every residue state is pinned in
+    tests/test_similarity.py. Single maintainer assumed (probes are
+    read-only and safe throughout; concurrent compactions are the
+    caller's corruption, same as lakehouse writers without the lease).
 
-    Cost: one pruned scan + write of the LIVE rows, no assignment
-    recompute (lists already carry vectors and centroid ids), no
-    shuffle — the hive layout keeps file-to-partition locality, and
-    input coalescing (maxPartitionBytes) is what merges a week of
-    small ``append_id`` files into few outputs."""
-    _compact_index_dir(spark, path, "lists", ("centroid_id", "append_id"))
+    Like every line-truncating rewrite here (catalog rebuilds,
+    ``compact_term_stats``), compaction closes the REPLAY window:
+    re-running a pre-compaction fold afterwards would re-append its
+    batch as duplicates. Cost: one scan + write of the LIVE rows — no
+    assignment recompute, no shuffle (hive layout keeps
+    file-to-partition locality; input coalescing merges the small
+    per-fold files)."""
+    _compact_index_dir(spark, path, "lists", ("centroid_id",))
 
 
 def compact_pq_index(spark, path: str) -> None:
-    """PQ twin of :func:`compact_ivf_index` over the ``codes`` table
-    (partitioned by ``append_id`` only); same layout-preserving
-    contract, no re-encode."""
-    _compact_index_dir(spark, path, "codes", ("append_id",))
+    """PQ twin of :func:`compact_ivf_index` over the ``codes`` table;
+    same atomic-swap contract, no re-encode."""
+    _compact_index_dir(spark, path, "codes", ())
 
 
 def _compact_index_dir(
@@ -757,15 +770,19 @@ def _compact_index_dir(
     recover_index_compaction(spark, path, sub)
     fs, jvm = _hfs(spark, root)
     P = jvm.org.apache.hadoop.fs.Path
-    rows = _filter_tombstones(spark, root, spark.read.parquet(f"{root}/{sub}"))
-    rows.write.mode("overwrite").partitionBy(*part_cols).parquet(
+    rows = _filter_tombstones(
+        spark, root, spark.read.parquet(f"{root}/{sub}"), sub
+    ).withColumn("append_id", F.lit(0))
+    # the .compact dir carries merged gen-0 rows and NO _tombstones —
+    # the swap below retires both the old rows and the old tombstones
+    # in one rename
+    rows.write.mode("overwrite").partitionBy(*part_cols, "append_id").parquet(
         f"{root}/{sub}.compact"
     )
     if not fs.rename(P(f"{root}/{sub}"), P(f"{root}/{sub}.old")):
         raise IOError(f"compact: rename {sub} -> {sub}.old failed")
     if not fs.rename(P(f"{root}/{sub}.compact"), P(f"{root}/{sub}")):
         raise IOError(f"compact: rename {sub}.compact -> {sub} failed")
-    _clear_tombstones(spark, root)
     fs.delete(P(f"{root}/{sub}.old"), True)
 
 
@@ -791,11 +808,9 @@ def recover_index_compaction(spark, path: str, sub: str) -> str:
     if not live and old and cmp_:  # crashed between the two renames
         if not fs.rename(P(f"{root}/{sub}.compact"), P(f"{root}/{sub}")):
             raise IOError(f"recover: rename {sub}.compact -> {sub} failed")
-        _clear_tombstones(spark, root)
         fs.delete(P(f"{root}/{sub}.old"), True)
         return "finished swap"
     if live and old:  # crashed before cleanup
-        _clear_tombstones(spark, root)
         fs.delete(P(f"{root}/{sub}.old"), True)
         return "finished cleanup"
     raise RuntimeError(
@@ -845,6 +860,7 @@ def ivf_topk_indexed(
         spark.read.parquet(f"{path}/lists").filter(
             F.col("centroid_id").isin(probe_cids)
         ),
+        sub="lists",
     )
     self_filter = (
         (F.col("vec_id") != F.col("query_id"))
@@ -1214,7 +1230,8 @@ def write_pq_index(
     spark.createDataFrame(
         rows, "block int, code int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
-    _clear_tombstones(spark, path)
+    # tombstones live inside codes/ — the static overwrite below
+    # truncates them with it
     # STATIC overwrite pinned (see write_ivf_index): a rebuild must
     # truncate prior append_id partitions, even under a session-level
     # dynamic default
@@ -1296,7 +1313,9 @@ def pq_topk_indexed(
     qx = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
     dtabs = _pq_dtabs(books, qx)
     scored = _adc_scan(
-        _filter_tombstones(spark, path, spark.read.parquet(f"{path}/codes")),
+        _filter_tombstones(
+            spark, path, spark.read.parquet(f"{path}/codes"), sub="codes"
+        ),
         qids,
         dtabs,
         shortlist * k,

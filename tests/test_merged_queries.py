@@ -58,7 +58,7 @@ def test_ann_fold_leg_is_adversarial(spark):
     )
     shutil.rmtree(scratch, ignore_errors=True)
     shutil.copytree(f"{idx}/ivf_fold", scratch)
-    shutil.rmtree(os.path.join(scratch, "tombstones"))
+    shutil.rmtree(os.path.join(scratch, "lists", "_tombstones"))
     got = {
         (r.query_id, r.vec_id)
         for r in similarity.ivf_topk_indexed(spark, scratch, queries, sq.K)

@@ -742,9 +742,9 @@ def test_index_change_feed_fold(spark):
 
     # a REBUILD clears the tombstone line (else stale tombstones would
     # kill the fresh base's append_id=0 rows)
-    assert os.path.isdir(os.path.join(paths["ivf_a"], "tombstones"))
+    assert os.path.isdir(os.path.join(paths["ivf_a"], "lists", "_tombstones"))
     similarity.write_ivf_index(emb, paths["ivf_a"], n_centroids=8)
-    assert not os.path.isdir(os.path.join(paths["ivf_a"], "tombstones"))
+    assert not os.path.isdir(os.path.join(paths["ivf_a"], "lists", "_tombstones"))
     full = similarity.ivf_topk_indexed(
         spark, paths["ivf_a"], queries, k=10_000, nprobe=8,
         exclude_query_ids=False,
@@ -803,8 +803,18 @@ def test_index_compaction_purges_tombstones(spark):
 
     similarity.compact_ivf_index(spark, ivf)
     similarity.compact_pq_index(spark, pq)
-    assert not os.path.exists(os.path.join(ivf, "tombstones"))
-    assert not os.path.exists(os.path.join(pq, "tombstones"))
+    assert not os.path.exists(os.path.join(ivf, "lists", "_tombstones"))
+    assert not os.path.exists(os.path.join(pq, "codes", "_tombstones"))
+    # every generation folded back into the base layout
+    gens = {
+        d for root_, dirs, _ in os.walk(os.path.join(ivf, "lists"))
+        for d in dirs if d.startswith("append_id=")
+    }
+    assert gens == {"append_id=0"}, gens
+    assert sorted(
+        d for d in os.listdir(os.path.join(pq, "codes"))
+        if d.startswith("append_id=")
+    ) == ["append_id=0"]
     assert rows(similarity.ivf_topk_indexed(spark, ivf, queries, k=3)) == before_ivf
     assert rows(similarity.pq_topk_indexed(spark, pq, queries, emb, k=3)) == before_pq
     # deleted rows are physically gone: a full-depth scan of every

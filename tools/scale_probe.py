@@ -326,9 +326,94 @@ def churn_probe(spark, n: int) -> None:
         )
 
 
+def index_compaction_probe(spark, n: int) -> None:
+    """A week of change-feed folds vs one compaction: probe latency
+    and file count on a persisted IVF index after 7 daily folds
+    (tombstones + 7 append generations per touched centroid), then
+    after compact_ivf_index. The claim under test: fold cost is the
+    daily price, compaction reclaims the accumulated read
+    amplification, and probe results are identical throughout."""
+    import glob
+    import shutil
+    import time as _t
+
+    from pyspark.sql import functions as SF
+
+    from map_reduce_sf_crime_spark.operators import similarity
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
+    )
+    rows_n = 200_000 * n
+    emb = spark.range(rows_n).select(
+        SF.col("id").alias("vec_id"),
+        SF.array(
+            *[SF.sin(SF.col("id") * SF.lit(float(k + 1))) for k in range(16)]
+        ).cast("array<float>").alias("embedding"),
+    )
+    ipath = os.path.join(scratch, f"cmp_probe_ivf_x{n}")
+    shutil.rmtree(ipath, ignore_errors=True)
+    similarity.write_ivf_index(emb, ipath)
+    t0 = _t.perf_counter()
+    for day in range(1, 8):
+        lo = day * 2_000
+        batch = emb.filter(
+            (SF.col("vec_id") >= lo) & (SF.col("vec_id") < lo + 2_000)
+        )
+        changes = (
+            batch.filter(SF.col("vec_id") % 2 == 0)
+            .withColumn("_change_type", SF.lit("delete"))
+            .unionByName(
+                batch.filter(SF.col("vec_id") % 2 == 1)
+                .withColumn("embedding", SF.reverse("embedding"))
+                .withColumn("_change_type", SF.lit("update_postimage"))
+            )
+            .unionByName(
+                batch.filter(SF.col("vec_id") % 2 == 1).withColumn(
+                    "_change_type", SF.lit("update_preimage")
+                )
+            )
+        )
+        similarity.apply_changes_to_ivf_index(spark, ipath, changes, day)
+    t_folds = _t.perf_counter() - t0
+    queries = [(r["vec_id"], list(r["embedding"]))
+               for r in emb.filter(SF.col("vec_id").isin(100_000, 150_000)).collect()]
+
+    def probe():
+        best = 1e9
+        for _ in range(3):
+            t0 = _t.perf_counter()
+            similarity.ivf_topk_indexed(spark, ipath, queries, 5).count()
+            best = min(best, _t.perf_counter() - t0)
+        return best
+
+    def nfiles():
+        return len(glob.glob(os.path.join(ipath, "lists", "**", "*.parquet"),
+                             recursive=True))
+
+    pre_rows = sorted(
+        map(tuple, similarity.ivf_topk_indexed(spark, ipath, queries, 5).collect())
+    )
+    t_frag, f_frag = probe(), nfiles()
+    t0 = _t.perf_counter()
+    similarity.compact_ivf_index(spark, ipath)
+    t_cmp = _t.perf_counter() - t0
+    t_after, f_after = probe(), nfiles()
+    post_rows = sorted(
+        map(tuple, similarity.ivf_topk_indexed(spark, ipath, queries, 5).collect())
+    )
+    assert pre_rows == post_rows, "compaction changed probe results"
+    print(
+        f"x{n} ivf_week[{rows_n} vecs, 7x2k-event folds in {t_folds:.1f}s]: "
+        f"probe fragmented {t_frag:.2f}s ({f_frag} files) -> compact "
+        f"{t_cmp:.1f}s -> probe {t_after:.2f}s ({f_after} files), "
+        "results identical"
+    )
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]]
-    if "hot" in args or "stream" in args or "churn" in args:
+    if "hot" in args or "stream" in args or "churn" in args or "compactidx" in args:
         n = next((int(a) for a in args if a.isdigit()), 10)
         spark = get_spark("scale_probe")
         if "hot" in args:
@@ -337,6 +422,8 @@ def main() -> None:
             stream_throughput_probe(spark)
         if "churn" in args:
             churn_probe(spark, n)
+        if "compactidx" in args:
+            index_compaction_probe(spark, n)
         spark.stop()
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
