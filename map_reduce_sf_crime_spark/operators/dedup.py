@@ -649,6 +649,9 @@ def apply_changes_to_signature_catalog(
     if gen <= 0:
         raise ValueError(f"gen must be > 0 (got {gen}); 0 is the base build")
     _check_catalog_meta(spark, buckets_table, n, n_hashes, bands)
+    # one materialization of the (join-shaped) feed for the two
+    # probes + two writes below
+    changes = changes.localCheckpoint()
     dead = (
         changes.filter(F.col("_change_type").isin(*_CAT_DEAD_TYPES))
         .select("doc_id")

@@ -628,20 +628,6 @@ def tombstone_index(
     )
 
 
-def _clear_tombstones(spark, path: str, sub: str) -> None:
-    """Explicitly truncate the generation line (rebuilds get this for
-    free: the static overwrite of the data dir removes its embedded
-    ``_tombstones`` with it)."""
-    from ..sources.lakehouse import _hfs
-
-    fs, jvm = _hfs(spark, path)
-    tp = jvm.org.apache.hadoop.fs.Path(
-        f"{path.rstrip('/')}/{sub}/{_TOMBSTONES}"
-    )
-    if fs.exists(tp):
-        fs.delete(tp, True)
-
-
 def _filter_tombstones(
     spark, path: str, rows: DataFrame, sub: str = "lists"
 ) -> DataFrame:
@@ -699,7 +685,10 @@ def apply_changes_to_ivf_index(
     legs (one narrow assignment map + two batch-sized writes); the
     base lists are never re-read or rewritten — the index twin of the
     feed's own contract that incremental work reads the churn, not
-    the table."""
+    the table. The feed is localCheckpoint-ed first: its plan is a
+    snapshot join, and the two probes + two writes below would
+    otherwise re-run it four times."""
+    changes = changes.localCheckpoint()
     dead, live = _split_changes(changes, id_col, emb_col)
     if dead.take(1):
         tombstone_index(spark, path, dead, append_id, sub="lists")
@@ -718,6 +707,7 @@ def apply_changes_to_pq_index(
     """PQ twin of :func:`apply_changes_to_ivf_index`: same fold, same
     replay contract, with the live half encoded by the index's stored
     codebooks via :func:`append_pq_index`."""
+    changes = changes.localCheckpoint()
     dead, live = _split_changes(changes, id_col, emb_col)
     if dead.take(1):
         tombstone_index(spark, path, dead, append_id, sub="codes")

@@ -286,6 +286,9 @@ def apply_changes_to_term_stats(
     n_buckets, bcols, _, _ = _bucket_spec(spark, table)
     if bcols != ["token"]:
         raise ValueError(f"{table} is not a term-stats ledger (buckets {bcols})")
+    # the live and dead legs both read the feed; materialize its
+    # (join-shaped) plan once
+    changes = changes.localCheckpoint()
     dead = changes.filter(F.col("_change_type").isin(*_TS_DEAD_TYPES)).select(
         "doc_id", "text"
     )

@@ -49,14 +49,35 @@ ANN_METHODS = {
     "pq_folded": 80,
 }
 
-#: The change-feed fold legs poison the base build with IMPOSTORS —
-#: for each query q, these two vec_ids carry an exact copy of q's
-#: vector (cosine 1.0) in the doctored base corpus — then the folded
-#: change batch tombstones the impostors' stored copies and appends
-#: their true vectors back. A fold or tombstone failure leaves ≥2
-#: cosine-1.0 impostors in every query's top-3, recall ≤ 33 %, and
-#: BOTH floors (60/80) turn the driver red.
-_FOLD_IMPOSTORS = {q: (10 + 2 * q, 11 + 2 * q) for q in QUERY_IDS}
+#: The change-feed fold legs poison the base build with PHANTOMS —
+#: for each query q, two vec_ids far outside the corpus whose
+#: embedding is an exact copy of q's vector (cosine 1.0). The folded
+#: change batch DELETES the phantoms (tombstones; there is no
+#: re-insert that could rescue them) and inserts a small held-out
+#: corpus slice, so the folded index serves exactly the live corpus.
+#: A fold or tombstone failure leaves ≥2 cosine-1.0 phantoms in every
+#: query's top-3 — and because the phantoms' ONLY vectors are the
+#: poison itself, no exact re-rank can rescue the result (the round-5
+#: review caught that corpus-member impostors restored by the fold
+#: were invisible to the PQ leg, whose shortlist re-ranks against
+#: true embeddings): recall ≤ 33 % and both floors (60/80) turn the
+#: driver red. The probe passes the phantom-augmented frame as the
+#: PQ re-rank side for exactly this reason.
+_FOLD_IMPOSTORS = {
+    q: (9_000_000 + 2 * q, 9_000_001 + 2 * q) for q in QUERY_IDS
+}
+
+
+def _fold_phantoms(spark: SparkSession, queries) -> DataFrame:
+    """(vec_id, embedding) phantom rows from the collected query
+    vectors — the same construction at build and probe time."""
+    qvecs = dict(queries)
+    rows = [
+        (int(pid), [float(x) for x in qvecs[q]])
+        for q, pids in _FOLD_IMPOSTORS.items()
+        for pid in pids
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
 _DIM_CHECKED: set[str] = set()
@@ -90,53 +111,41 @@ def _ann_index_dir(sf_dir: str, emb: DataFrame) -> str:
         similarity.append_ivf_index(batch, f"{base}/ivf_app", 1)
         similarity.write_pq_index(older, f"{base}/pq_app")
         similarity.append_pq_index(batch, f"{base}/pq_app", 1)
-        # the CHANGE-FEED form: base build on a POISONED corpus where
-        # each query's two impostor ids (_FOLD_IMPOSTORS) carry an
-        # exact copy of the query vector, then one read_changes-shaped
-        # batch (update pre+post images) folds through
-        # apply_changes_to_*_index — tombstoning the impostors and
-        # appending the true vectors. Probing the folded index must
-        # recall the TRUE neighbors: a dead tombstone filter or a
-        # dropped append leaves cosine-1.0 impostors on top of every
-        # query and fails both floors.
-        qvecs = {
-            int(r["vec_id"]): [float(x) for x in r["embedding"]]
-            for r in emb.filter(
-                F.col("vec_id").isin(list(_FOLD_IMPOSTORS))
-            )
+        # the CHANGE-FEED form: base build on a POISONED corpus —
+        # the live corpus minus a held-out slice, plus each query's
+        # two cosine-1.0 PHANTOM copies (_FOLD_IMPOSTORS) — then one
+        # read_changes-shaped batch folds through
+        # apply_changes_to_*_index: phantom DELETEs (tombstones) and
+        # held-out INSERTs (appends). Probing the folded index must
+        # recall the TRUE neighbors: a dead tombstone filter leaves
+        # phantoms on top of every query and fails both floors (see
+        # _FOLD_IMPOSTORS for why deletes, not updates, are the poison).
+        spark = emb.sparkSession
+        qrows = [
+            (int(r["vec_id"]), list(r["embedding"]))
+            for r in emb.filter(F.col("vec_id").isin(QUERY_IDS))
             .select("vec_id", "embedding")
             .collect()
-        }
-        imp_expr = F.col("embedding")
-        for q, imps in _FOLD_IMPOSTORS.items():
-            imp_expr = F.when(
-                F.col("vec_id").isin(list(imps)),
-                F.array(*[F.lit(v) for v in qvecs[q]]).cast("array<float>"),
-            ).otherwise(imp_expr)
-        doctored = emb.withColumn("embedding", imp_expr)
-        similarity.write_ivf_index(doctored, f"{base}/ivf_fold")
-        similarity.write_pq_index(doctored, f"{base}/pq_fold")
-        all_imps = [i for imps in _FOLD_IMPOSTORS.values() for i in imps]
+        ]
+        phantoms = _fold_phantoms(spark, qrows)
+        eslim = emb.select("vec_id", "embedding")
+        held = F.col("vec_id") % 97 == 13
+        poisoned = eslim.filter(~held).unionByName(phantoms)
+        similarity.write_ivf_index(poisoned, f"{base}/ivf_fold")
+        similarity.write_pq_index(poisoned, f"{base}/pq_fold")
         changes = (
-            doctored.filter(F.col("vec_id").isin(all_imps))
-            .select(
-                "vec_id",
-                "embedding",
-                F.lit("update_preimage").alias("_change_type"),
-            )
+            phantoms.withColumn("_change_type", F.lit("delete"))
             .unionByName(
-                emb.filter(F.col("vec_id").isin(all_imps)).select(
-                    "vec_id",
-                    "embedding",
-                    F.lit("update_postimage").alias("_change_type"),
+                eslim.filter(held).withColumn(
+                    "_change_type", F.lit("insert")
                 )
             )
         )
         similarity.apply_changes_to_ivf_index(
-            emb.sparkSession, f"{base}/ivf_fold", changes, 1
+            spark, f"{base}/ivf_fold", changes, 1
         )
         similarity.apply_changes_to_pq_index(
-            emb.sparkSession, f"{base}/pq_fold", changes, 1
+            spark, f"{base}/pq_fold", changes, 1
         )
         _INDEX_DIRS[sf_dir] = base
     return _INDEX_DIRS[sf_dir]
@@ -308,17 +317,20 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the incremental path.
 
     The ``ivf_folded`` / ``pq_folded`` legs (round 5) gate the
-    CHANGE-FEED maintenance loop — the delete/update half the append
-    legs can't see. The base index is built on a poisoned corpus
-    (each query's two ``_FOLD_IMPOSTORS`` ids carry an exact copy of
-    the query vector), and one ``read_changes``-vocabulary batch
-    folds through ``apply_changes_to_{{ivf,pq}}_index``: impostor
-    pre-images become generation-scoped tombstones, true post-images
-    append. The legs are adversarial by construction: if tombstones
-    are dropped or ignored at probe time, every query's top-3 is
-    flooded by cosine-1.0 impostors, recall ≤ 33 %, and both floors
-    (60/80) turn the driver red — so the gate watches that deletes
-    REALLY die and updates REALLY land in the serving path."""
+    CHANGE-FEED maintenance loop — the delete half the append legs
+    can't see. The base index is built on a poisoned corpus (each
+    query gets two cosine-1.0 PHANTOM copies under out-of-corpus
+    ids, and a small corpus slice is held out), and one
+    ``read_changes``-vocabulary batch folds through
+    ``apply_changes_to_{{ivf,pq}}_index``: phantom deletes become
+    generation-scoped tombstones, held-out inserts append. The legs
+    are adversarial by construction: if tombstones are dropped or
+    ignored at probe time, every query's top-3 floods with phantoms
+    — which exist ONLY as the poison, so the IVF leg's stored-vector
+    re-rank and the PQ leg's exact re-rank (fed the phantom-augmented
+    frame) both rank them at 1.0 — recall ≤ 33 % and both floors
+    (60/80) turn the driver red. The gate thereby watches that
+    deletes REALLY die in both serving paths."""
     emb = _emb(spark, sf_dir)
     exact = (
         similarity.knn_bruteforce(emb, QUERY_IDS, K)
@@ -352,8 +364,18 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf_folded": similarity.ivf_topk_indexed(
             spark, f"{idx}/ivf_fold", queries, K
         ),
+        # re-rank frame = corpus ∪ phantoms: a phantom code that a
+        # broken tombstone path lets through re-ranks at cosine 1.0
+        # and floods top-k — passing bare emb would let the exact
+        # re-rank silently drop it and rescue the leg
         "pq_folded": similarity.pq_topk_indexed(
-            spark, f"{idx}/pq_fold", queries, emb, K
+            spark,
+            f"{idx}/pq_fold",
+            queries,
+            emb.select("vec_id", "embedding").unionByName(
+                _fold_phantoms(spark, queries)
+            ),
+            K,
         ),
     }
     total = len(QUERY_IDS) * K

@@ -280,7 +280,16 @@ def acquire_lease(
                 "refusing to interleave. Wait for it to finish, or "
                 "break_lease() if you KNOW the writer is dead."
             )
-        fs.delete(jp, False)  # stale — break and retry the create once
+        # stale — break ATOMICALLY via rename: of N racers that all
+        # judged the same lease expired, exactly one rename of that
+        # inode succeeds (a plain delete would also remove a FRESH
+        # lease the first winner just re-created, letting two racers
+        # both "win"). Losers re-enter the create path and refuse on
+        # the winner's live lease.
+        safe = "".join(c for c in token if c.isalnum())[:32] or "x"
+        bp = jvm.org.apache.hadoop.fs.Path(f"{lease}.broken.{safe}")
+        if fs.rename(jp, bp):
+            fs.delete(bp, False)
     raise ConcurrentWriterError(
         f"lost the lease-takeover race on {path} to another writer"
     )
@@ -622,11 +631,7 @@ def read_as_of(spark: SparkSession, path: str, cid: int) -> DataFrame:
     and archived locations alike."""
     ids, meta, _legacy = _manifest_meta(spark, path, strict=True)
     _require_committed(ids, meta, cid, path, "read_as_of")
-    groups = _snapshot_groups(spark, path, cid, ids, meta)
-    out = None
-    for base_root, files in groups.items():
-        df = spark.read.option("basePath", base_root).parquet(*files)
-        out = df if out is None else out.unionByName(df)
+    out = _read_groups(spark, _snapshot_groups(spark, path, cid, ids, meta))
     if out is None:
         raise ValueError(
             f"read_as_of: commit {cid} describes an empty table"
@@ -931,6 +936,46 @@ def merge_upsert(
     cost is proportional to the rewritten partitions and bounded by
     ``vacuum_commits`` retention.
     """
+    # single-writer lease from the SNAPSHOT READ through the commit:
+    # the merged frame is built (and localCheckpoint-materialized)
+    # from the table's current bytes, so acquiring the lease any
+    # later leaves a lost-update window — writer B could snapshot,
+    # writer A merge-and-release, then B lease-and-overwrite A's
+    # committed rows from its stale snapshot. A concurrent merge
+    # raises ConcurrentWriterError instead of interleaving (two
+    # writers could otherwise also each "recover" the other's
+    # unfinished intent). Released on success AND on in-process
+    # failure — the unfinished intent, not the lease, is the crash
+    # evidence, and an immediate re-run is the documented recovery;
+    # only a hard crash leaves the lease, where the TTL protects the
+    # torn table until the writer is provably dead.
+    token = acquire_lease(spark, path) if manifest else None
+    ok = False
+    try:
+        _merge_upsert_locked(
+            spark, path, changes, key_cols, partition_cols, delete_col,
+            manifest, archive,
+        )
+        ok = True
+    finally:
+        if token is not None:
+            try:
+                release_lease(spark, path, token)
+            except ConcurrentWriterError:
+                if ok:  # broken-lease alarm must not mask the real error
+                    raise
+
+
+def _merge_upsert_locked(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str],
+    delete_col: str | None,
+    manifest: bool,
+    archive: bool,
+) -> None:
     current = spark.read.parquet(path)
     part_keys = changes.select(*partition_cols).distinct().collect()
     pred = None
@@ -994,55 +1039,36 @@ def merge_upsert(
                 "parquet directory — drop or rewrite the table "
                 "explicitly instead"
             )
-    # single-writer lease around the manifest bracket: a concurrent
-    # merge raises ConcurrentWriterError instead of interleaving (two
-    # writers could otherwise each "recover" the other's unfinished
-    # intent). Released on success AND on in-process failure — the
-    # unfinished intent, not the lease, is the crash evidence, and an
-    # immediate re-run is the documented recovery; only a hard crash
-    # leaves the lease, where the TTL protects the torn table until
-    # the writer is provably dead.
-    token = acquire_lease(spark, path) if manifest else None
-    ok = False
-    try:
-        cid = (
-            begin_commit(spark, path, partition_cols, keys)
-            if manifest
-            else None
+    cid = (
+        begin_commit(spark, path, partition_cols, keys)
+        if manifest
+        else None
+    )
+    if manifest and archive:
+        # retention for time travel (read_as_of): the replaced
+        # files — exactly the intent's pre inventory — are copied
+        # under the commit's .archive dir before the overwrite
+        # deletes them
+        intent = _read_json(
+            spark,
+            f"{path.rstrip('/')}/{_COMMITS_DIR}/{cid:06d}.intent.json",
         )
-        if manifest and archive:
-            # retention for time travel (read_as_of): the replaced
-            # files — exactly the intent's pre inventory — are copied
-            # under the commit's .archive dir before the overwrite
-            # deletes them
-            intent = _read_json(
-                spark,
-                f"{path.rstrip('/')}/{_COMMITS_DIR}/{cid:06d}.intent.json",
-            )
-            _archive_pre_images(spark, path, cid, intent["pre"])
-        (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*partition_cols)
-            .parquet(path)
-        )
-        fs, jvm = _hfs(spark, path)
-        for key in keys:
-            if key not in present:
-                sub = _partition_subpath(spark, partition_cols, key)
-                p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{sub}")
-                if fs.exists(p):
-                    fs.delete(p, True)
-        if manifest:
-            finish_commit(spark, path, cid)
-        ok = True
-    finally:
-        if token is not None:
-            try:
-                release_lease(spark, path, token)
-            except ConcurrentWriterError:
-                if ok:  # broken-lease alarm must not mask the real error
-                    raise
+        _archive_pre_images(spark, path, cid, intent["pre"])
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    fs, jvm = _hfs(spark, path)
+    for key in keys:
+        if key not in present:
+            sub = _partition_subpath(spark, partition_cols, key)
+            p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{sub}")
+            if fs.exists(p):
+                fs.delete(p, True)
+    if manifest:
+        finish_commit(spark, path, cid)
 
 
 def compact_partitioned(
@@ -1077,6 +1103,37 @@ def compact_partitioned(
     re-run touches only what the crash left torn). Returns the list
     of compacted partition-key tuples.
     """
+    # lease from the snapshot read through the commit — same
+    # lost-update reasoning as merge_upsert: the file-count scan and
+    # the checkpointed rewrite must observe a table no other writer
+    # mutates in between (a compaction interleaving with a merge is
+    # the same hazard)
+    token = acquire_lease(spark, path) if manifest else None
+    ok = False
+    try:
+        out = _compact_partitioned_locked(
+            spark, path, partition_cols, target_rows_per_file,
+            max_files_per_partition, manifest,
+        )
+        ok = True
+        return out
+    finally:
+        if token is not None:
+            try:
+                release_lease(spark, path, token)
+            except ConcurrentWriterError:
+                if ok:
+                    raise
+
+
+def _compact_partitioned_locked(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    target_rows_per_file: int,
+    max_files_per_partition: int,
+    manifest: bool,
+) -> list[tuple]:
     current = spark.read.parquet(path)
     counts = (
         current.withColumn("_f", F.input_file_name())
@@ -1166,32 +1223,19 @@ def compact_partitioned(
     skeys = [
         tuple(row[f"_s_{pc}"] for pc in partition_cols) for row in counts
     ]
-    # same single-writer lease discipline as merge_upsert (a
-    # compaction interleaving with a merge is the same hazard)
-    token = acquire_lease(spark, path) if manifest else None
-    ok = False
-    try:
-        cid = (
-            begin_commit(spark, path, partition_cols, skeys)
-            if manifest
-            else None
-        )
-        (
-            touched.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*partition_cols)
-            .parquet(path)
-        )
-        if manifest:
-            finish_commit(spark, path, cid)
-        ok = True
-    finally:
-        if token is not None:
-            try:
-                release_lease(spark, path, token)
-            except ConcurrentWriterError:
-                if ok:
-                    raise
+    cid = (
+        begin_commit(spark, path, partition_cols, skeys)
+        if manifest
+        else None
+    )
+    (
+        touched.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    if manifest:
+        finish_commit(spark, path, cid)
     return keys
 
 

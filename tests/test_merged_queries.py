@@ -23,18 +23,20 @@ def test_ann_recall_bounds_all_pass(spark):
 
 def test_ann_fold_leg_is_adversarial(spark):
     """The ivf_folded/pq_folded gate legs must have TEETH: the base
-    build is poisoned with cosine-1.0 impostor copies of every query
-    vector, and only the change-feed fold's tombstones remove them.
-    Pin that a broken tombstone path (simulated by stripping the
-    tombstone partition from a copy of the index) floods top-k with
-    impostors and drops recall below BOTH gate floors — i.e. the leg
-    really turns the driver red on a fold regression."""
+    build is poisoned with cosine-1.0 PHANTOM copies of every query
+    vector (out-of-corpus ids whose only existence is the poison),
+    and only the change-feed fold's tombstones remove them. Pin that
+    a broken tombstone path (simulated by stripping the tombstone
+    partition from a copy of each index) floods top-k with phantoms
+    and drops recall below BOTH gate floors in BOTH serving paths —
+    the PQ leg included, whose exact re-rank would rescue any poison
+    that still had a clean true vector (the round-5 review's
+    finding)."""
     import os
     import shutil
 
     from map_reduce_sf_crime_spark.operators import similarity
     from map_reduce_sf_crime_spark.plans import similarity_queries as sq
-    from map_reduce_sf_crime_spark.sources.parquet import load_table
 
     emb = sq._emb(spark, SF_SMOKE)
     idx = sq._ann_index_dir(SF_SMOKE, emb)
@@ -51,26 +53,48 @@ def test_ann_fold_leg_is_adversarial(spark):
         .collect()
     }
     imps = {i for pair in sq._FOLD_IMPOSTORS.values() for i in pair}
+    emb_aug = emb.select("vec_id", "embedding").unionByName(
+        sq._fold_phantoms(spark, queries)
+    )
     scratch = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scratch",
         "fold_no_tombstones",
     )
-    shutil.rmtree(scratch, ignore_errors=True)
-    shutil.copytree(f"{idx}/ivf_fold", scratch)
-    shutil.rmtree(os.path.join(scratch, "lists", "_tombstones"))
-    got = {
-        (r.query_id, r.vec_id)
-        for r in similarity.ivf_topk_indexed(spark, scratch, queries, sq.K)
-        .select("query_id", "vec_id")
-        .collect()
-    }
-    recall = len(got & exact) / len(exact)
-    flooded = sum(1 for (_, v) in got if v in imps)
-    # two exact-copy impostors per query → at most one true neighbor
-    # of three survives per query
-    assert recall <= 0.4, f"poison has no teeth: recall {recall}"
-    assert flooded >= 2 * len(sq.QUERY_IDS) - 2, (recall, flooded)
+
+    def broken_probe(sub_idx, tomb_sub, probe):
+        dst = os.path.join(scratch, sub_idx)
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(f"{idx}/{sub_idx}", dst)
+        shutil.rmtree(os.path.join(dst, *tomb_sub))
+        return {
+            (r.query_id, r.vec_id)
+            for r in probe(dst).select("query_id", "vec_id").collect()
+        }
+
+    for sub_idx, tomb_sub, probe in [
+        (
+            "ivf_fold",
+            ("lists", "_tombstones"),
+            lambda p: similarity.ivf_topk_indexed(spark, p, queries, sq.K),
+        ),
+        (
+            "pq_fold",
+            ("codes", "_tombstones"),
+            lambda p: similarity.pq_topk_indexed(
+                spark, p, queries, emb_aug, sq.K
+            ),
+        ),
+    ]:
+        got = broken_probe(sub_idx, tomb_sub, probe)
+        recall = len(got & exact) / len(exact)
+        flooded = sum(1 for (_, v) in got if v in imps)
+        # two exact-copy phantoms per query → at most one true
+        # neighbor of three survives per query
+        assert recall <= 0.4, f"{sub_idx} poison has no teeth: {recall}"
+        assert flooded >= 2 * len(sq.QUERY_IDS) - 2, (
+            sub_idx, recall, flooded,
+        )
     shutil.rmtree(scratch, ignore_errors=True)
 
 
