@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.caching import plan_cache
 from ..functions.calendar import N_WEEK_BUCKETS
 from ..operators.star import timeperiod, timeperiod_sql
 from ..operators.weekly import weekly_summary, weekly_summary_sql
@@ -135,34 +136,70 @@ _MERGE_DEL_CAT = "5-LOW"
 @register(
     "lakehouse_roundtrip",
     f"""
+    with daily as (
+      select month(d) as month, d, category, district, count(*) as crimes
+      from {INCIDENTS_SQL} t
+      group by month(d), d, category, district
+    ),
+    m2 as (select * from daily where month = 2)
     select category,
-           cast(sum(case when category = '{_MERGE_UPD_CAT}' then 2 else 1 end)
-                as bigint) as n
-    from {INCIDENTS_SQL} t
-    where month(d) = 2 and category <> '{_MERGE_DEL_CAT}'
+           cast(sum(crimes * case when category = '{_MERGE_UPD_CAT}'
+                                  then 4 else 1 end) as bigint) as n,
+           cast(sum(crimes * case when category = '{_MERGE_UPD_CAT}'
+                                  then 2 else 1 end) as bigint) as n_asof0,
+           cast(case when category = '{_MERGE_UPD_CAT}'
+                     then 2 * count(*) else 0 end as bigint) as cf_upd_events,
+           cast((select count(*) from m2
+                 where category = '{_MERGE_DEL_CAT}') as bigint)
+               as cf_del_events
+    from m2
+    where category <> '{_MERGE_DEL_CAT}'
     group by category
     """,
-    survey_ids=("K3", "K4", "CDC1"),
+    survey_ids=("K3", "K4", "CDC1", "TT1", "CF1"),
 )
 def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB form of K3/K4 truncate-and-reload PLUS a CDC merge,
-    under the gate: the daily fact is written as hive-partitioned
-    parquet (``month=`` directories, atomic overwrite —
-    dimensions.ktr:611-650 at table granularity), then a change batch
-    (update: {_MERGE_UPD_CAT} counts doubled; delete: {_MERGE_DEL_CAT}
-    rows dropped — month 2 only) is MERGEd copy-on-write: only the
-    month=2 partition is read and rewritten
-    (sources/lakehouse.py::merge_upsert; partition-granular rewrite is
-    plan- and mtime-asserted in tests/test_lakehouse.py). The merged
-    table is read back through a partition-pruned scan and
-    hash-matched against the oracle's post-merge expectation."""
+    """The 100 TB form of K3/K4 truncate-and-reload PLUS the CDC loop,
+    under the gate — now including TIME TRAVEL and the CHANGE FEED
+    (round 5; pytest-only before). The daily fact lands as
+    hive-partitioned parquet (``month=`` dirs, atomic overwrite —
+    dimensions.ktr:611-650 at table granularity), then TWO archived
+    merges commit against it, touching only month 2:
+
+    - commit 0: {_MERGE_UPD_CAT} counts doubled;
+    - commit 1: {_MERGE_UPD_CAT} doubled AGAIN and {_MERGE_DEL_CAT}
+      deleted, in one combined batch (update + delete through the
+      same partition-granular copy-on-write).
+
+    Four hash-checked columns per surviving category:
+
+    - ``n`` — the current table (partition-pruned scan): 4× for the
+      updated category, delete applied;
+    - ``n_asof0`` — ``read_as_of(path, 0)``: the snapshot BETWEEN the
+      merges (2×, delete not yet applied), reconstructed from commit
+      1's archived pre-images — a stale archive or a mis-fold
+      hash-mismatches;
+    - ``cf_upd_events`` — ``read_changes(0, 1)`` update events per
+      category: exactly 2 per daily row of the updated category and
+      ZERO for every other category in the same rewritten partition —
+      the unchanged-rows-are-silent half of the CDF contract;
+    - ``cf_del_events`` — the feed's delete-event total (the dropped
+      category's daily rowcount), constant across rows.
+
+    The scratch table is wiped per call so commit ids are
+    deterministic (0, 1) for the time-travel addressing."""
+    import shutil
+
     from ..sources.lakehouse import (
         merge_upsert,
+        read_as_of,
+        read_changes,
         read_partitioned,
         write_partitioned,
     )
 
     path = _scratch(sf_dir, "lakehouse_fact")
+    shutil.rmtree(path, ignore_errors=True)
     daily = (
         incidents(spark, sf_dir)
         .groupBy(
@@ -171,28 +208,58 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("crimes"))
     )
     write_partitioned(daily, path, ["month"])
+    keys = ["d", "category", "district"]
     m2 = read_partitioned(spark, path).filter(F.col("month") == 2)
-    changes = (
+    merge_upsert(
+        spark, path,
         m2.filter(F.col("category") == _MERGE_UPD_CAT)
+        .withColumn("crimes", F.col("crimes") * 2)
+        .localCheckpoint(),
+        key_cols=keys, partition_cols=["month"], archive=True,
+    )
+    cur2 = read_partitioned(spark, path).filter(F.col("month") == 2)
+    changes = (
+        cur2.filter(F.col("category") == _MERGE_UPD_CAT)
         .withColumn("crimes", F.col("crimes") * 2)
         .withColumn("_delete", F.lit(False))
         .unionByName(
-            m2.filter(F.col("category") == _MERGE_DEL_CAT).withColumn(
+            cur2.filter(F.col("category") == _MERGE_DEL_CAT).withColumn(
                 "_delete", F.lit(True)
             )
         )
+        .localCheckpoint()
     )
     merge_upsert(
-        spark,
-        path,
-        changes,
-        key_cols=["d", "category", "district"],
-        partition_cols=["month"],
-        delete_col="_delete",
+        spark, path, changes,
+        key_cols=keys, partition_cols=["month"], delete_col="_delete",
+        archive=True,
     )
     back = read_partitioned(spark, path).filter(F.col("month") == 2)
-    return back.groupBy("category").agg(
+    final = back.groupBy("category").agg(
         F.sum("crimes").cast("long").alias("n")
+    )
+    asof0 = (
+        read_as_of(spark, path, 0)
+        .filter(F.col("month") == 2)
+        .groupBy("category")
+        .agg(F.sum("crimes").cast("long").alias("n_asof0"))
+    )
+    feed = read_changes(spark, path, 0, 1, keys).transform(plan_cache)
+    upd_ev = (
+        feed.filter(
+            F.col("_change_type").isin("update_preimage", "update_postimage")
+        )
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf_upd_events"))
+    )
+    del_ev = feed.filter(F.col("_change_type") == "delete").agg(
+        F.count(F.lit(1)).cast("long").alias("cf_del_events")
+    )
+    return (
+        final.join(asof0, "category")
+        .join(upd_ev, "category", "left")
+        .fillna(0, subset=["cf_upd_events"])
+        .crossJoin(F.broadcast(del_ev))
     )
 
 
