@@ -405,3 +405,108 @@ def test_lakehouse_cdf_streaming_source(spark, tmp_path):
     want2 = read_changes(spark, path, 2, 3, ["id"])
     assert rows2, "restart batch must be non-empty"
     assert canon_rows(cols2, rows2) == canon(want2)
+
+
+def test_cdf_stream_drives_index_fold(spark, tmp_path):
+    """The full incremental-serving loop, END TO END and streaming:
+    lakehouse merges → lakehouse_cdf micro-batches → foreachBatch
+    folds each batch into a persisted IVF index
+    (apply_changes_to_ivf_index, gen = epoch id) → probes equal a
+    same-quantizer rebuild from the live table. This is the
+    production wiring the pieces individually pin: checkpointed
+    exactly-once offsets upstream, replay-idempotent folds
+    downstream."""
+    from map_reduce_sf_crime_spark.operators import similarity
+    from map_reduce_sf_crime_spark.sources.lakehouse import (
+        merge_upsert,
+        read_partitioned,
+        write_partitioned,
+    )
+    from map_reduce_sf_crime_spark.streaming.cdf_source import (
+        LakehouseChangeFeed,
+    )
+
+    path = str(tmp_path / "emb_fact")
+    ipath = str(tmp_path / "ivf_serving")
+    emb0 = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 4).cast("int").alias("pt"),
+        F.array(
+            *[F.sin(F.col("id") * F.lit(float(k + 1))) for k in range(8)]
+        ).cast("array<float>").alias("embedding"),
+    )
+    write_partitioned(emb0, path, ["pt"])
+    # c0: seed commit — the snapshot the serving index is built from
+    merge_upsert(
+        spark, path,
+        emb0.filter(F.col("vec_id") < 2).localCheckpoint(),
+        key_cols=["vec_id"], partition_cols=["pt"], archive=True,
+    )
+    similarity.write_ivf_index(
+        read_partitioned(spark, path).select("vec_id", "embedding"),
+        ipath, n_centroids=8,
+    )
+    # c1: delete a slice; c2: rewrite some vectors + insert new ids
+    merge_upsert(
+        spark, path,
+        emb0.filter(F.col("vec_id") % 13 == 0)
+        .withColumn("_del", F.lit(True)).localCheckpoint(),
+        key_cols=["vec_id"], partition_cols=["pt"], delete_col="_del",
+        archive=True,
+    )
+    merge_upsert(
+        spark, path,
+        emb0.filter((F.col("vec_id") % 13 == 1))
+        .withColumn("embedding", F.reverse("embedding"))
+        .unionByName(
+            emb0.filter(F.col("vec_id") < 20).select(
+                (F.col("vec_id") + 1000).alias("vec_id"), "pt", "embedding"
+            )
+        ).localCheckpoint(),
+        key_cols=["vec_id"], partition_cols=["pt"], archive=True,
+    )
+
+    spark.dataSource.register(LakehouseChangeFeed)
+
+    def fold(batch_df, epoch_id):
+        if batch_df.take(1):
+            similarity.apply_changes_to_ivf_index(
+                spark, ipath, batch_df, append_id=int(epoch_id) + 1
+            )
+
+    q = (
+        spark.readStream.format("lakehouse_cdf")
+        .option("path", path)
+        .option("keyCols", "vec_id")
+        .option("startingCid", 0)
+        .load()
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "fold_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb0.filter(F.col("vec_id").isin(5, 50, 200)).collect()
+    ]
+    got = sorted(
+        map(tuple, similarity.ivf_topk_indexed(spark, ipath, queries, k=3).collect())
+    )
+    # oracle: a fresh index over the live table under the SAME quantizer
+    cq = similarity._stored_centroids(spark, ipath)
+    rpath = str(tmp_path / "ivf_rebuild")
+    similarity.write_ivf_index(
+        read_partitioned(spark, path).select("vec_id", "embedding"),
+        rpath, centroids=cq,
+    )
+    want = sorted(
+        map(tuple, similarity.ivf_topk_indexed(spark, rpath, queries, k=3).collect())
+    )
+    assert got == want
+    # the folded index must also hide every deleted id at full depth
+    dead = {r.vec_id for r in emb0.filter(F.col("vec_id") % 13 == 0).collect()}
+    deep = similarity.ivf_topk_indexed(spark, ipath, queries, k=10_000, nprobe=8)
+    assert not ({r.vec_id for r in deep.collect()} & dead)
