@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import lang_id_col, tokens_col, tokens_sql
-from ..operators import dedup, packing, sampling, termstats, textops
+from ..operators import dedup, export, packing, sampling, termstats, textops
 from ..operators.textops import LANG_ID_SQL, quality_scores_sql
 from ..sources.parquet import fan_out, load_table
 from ..functions.caching import plan_cache
@@ -146,25 +146,33 @@ def token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: dropped per source).
 CAP_PER_SOURCE = 15
 
+#: Shard count for the EX1 assignment leg — small enough that the
+#: sf0.01 fixture (500 docs) gives ~63-doc blocks, big enough that
+#: block/remainder boundary arithmetic is non-trivial.
+N_SHARDS = 8
+
 
 @register(
     "corpus_sample",
-    sampling.global_shuffle_pos_sql(
-        f"""
-        select s.doc_id, s.lang, s.kept, w.mix_weight_ppm, c.cap_kept
-        from ({sampling.stratified_sample_sql()}) s
-        join ({sampling.MIX_WEIGHT_SQL}) w using (lang)
-        join (
-          select doc_id,
-                 cast(row_number() over (
-                        partition by source
-                        order by n_chars desc nulls last, doc_id
-                      ) <= {CAP_PER_SOURCE} as int) as cap_kept
-          from documents
-        ) c using (doc_id)
-        """
+    export.shard_assignments_sql(
+        sampling.global_shuffle_pos_sql(
+            f"""
+            select s.doc_id, s.lang, s.kept, w.mix_weight_ppm, c.cap_kept
+            from ({sampling.stratified_sample_sql()}) s
+            join ({sampling.MIX_WEIGHT_SQL}) w using (lang)
+            join (
+              select doc_id,
+                     cast(row_number() over (
+                            partition by source
+                            order by n_chars desc nulls last, doc_id
+                          ) <= {CAP_PER_SOURCE} as int) as cap_kept
+              from documents
+            ) c using (doc_id)
+            """
+        ),
+        N_SHARDS,
     ),
-    survey_ids=("SM1", "SH1", "MX1", "SM2"),
+    survey_ids=("SM1", "SH1", "MX1", "SM2", "EX1"),
 )
 def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (SM1), temperature-balanced
@@ -184,7 +192,16 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight, are never read), where a computed quality score — which
     per_group_cap_flags handles identically, pinned in
     tests/test_corpus_order.py — would force a full text scan. See
-    operators/sampling.py."""
+    operators/sampling.py.
+
+    Round 5 adds the EX1 training-shard assignment columns
+    (``shard_id``/``shard_n_docs`` — operators/export.py): shards
+    are contiguous blocks of the shuffle order, the layout
+    ``write_training_shards`` materializes as one pos-sorted file
+    per shard; the physical sink (one file per dir, in-file order,
+    manifest-vs-data equality, gapless block partition of the pos
+    range) is pinned in tests/test_corpus_order.py, while the gate
+    hash-checks the block arithmetic against the window twin."""
     docs = load_table(spark, sf_dir, "documents")
     flags = sampling.stratified_sample_flags(docs).join(
         F.broadcast(sampling.temperature_mix_weights(docs)), "lang"
@@ -197,7 +214,10 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo=0.0,
         hi=1024.0,
     ).select("doc_id", F.col("kept").alias("cap_kept"))
-    return sampling.with_global_shuffle_pos(flags).join(capped, "doc_id")
+    return export.shard_assignments(
+        sampling.with_global_shuffle_pos(flags).join(capped, "doc_id"),
+        N_SHARDS,
+    )
 
 
 #: sized to the fixture corpus (docs average ~54 tokens, max ~100) so

@@ -337,3 +337,73 @@ def test_per_group_cap_rejects_bad_args(spark):
         sampling.per_group_cap_flags(df, -1)
     with pytest.raises(ValueError):
         sampling.per_group_cap_flags(df, 5, lo=1.0, hi=0.0)
+
+
+def test_training_shard_export_physical(spark):
+    """EX1 physical sink (write_training_shards): one pos-sorted file
+    per shard directory, shards partition a gapless 0..total-1 pos
+    range into the exact contiguous blocks the block rule declares,
+    every doc lands in exactly one shard, in-file row order is
+    strictly increasing pos (a trainer's sequential read IS the
+    training order), the manifest matches the data, a re-export is
+    row-identical, and a torn export (a shard dir dropped after the
+    manifest was written) fails verify_training_shards loudly."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from map_reduce_sf_crime_spark.operators import export
+
+    n_shards = 8
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    ordered = sampling.with_global_shuffle_pos(docs)
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch", "train_shards",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    export.write_training_shards(ordered, out, n_shards, "shuffle_pos")
+
+    total = docs.count()
+    block = -(-total // n_shards)
+    manifest = {
+        r.shard_id: (r.n_docs, r.min_pos, r.max_pos)
+        for r in export.verify_training_shards(
+            spark, out, "shuffle_pos"
+        ).collect()
+    }
+    assert set(manifest) == set(range(n_shards))
+    assert sum(n for n, _, _ in manifest.values()) == total
+
+    want_order = [
+        r.doc_id for r in ordered.orderBy("shuffle_pos").collect()
+    ]
+    seen = []
+    for k in range(n_shards):
+        files = glob.glob(os.path.join(out, f"shard_id={k}", "*.parquet"))
+        assert len(files) == 1, (k, files)  # one task, one file
+        t = pq.read_table(files[0])
+        pos = t.column("shuffle_pos").to_pylist()
+        assert pos == sorted(pos)  # sequential read == training order
+        lo, hi = k * block, min((k + 1) * block, total) - 1
+        assert (pos[0], pos[-1]) == (lo, hi)
+        assert manifest[k] == (len(pos), lo, hi)
+        seen.extend(t.column("doc_id").to_pylist())
+    assert seen == want_order  # the export IS the global order
+
+    # deterministic re-export
+    export.write_training_shards(ordered, out, n_shards, "shuffle_pos")
+    again = []
+    for k in range(n_shards):
+        f = glob.glob(os.path.join(out, f"shard_id={k}", "*.parquet"))[0]
+        again.extend(pq.read_table(f).column("doc_id").to_pylist())
+    assert again == want_order
+
+    # torn export detection
+    shutil.rmtree(os.path.join(out, "shard_id=3"))
+    with pytest.raises(ValueError, match="manifest"):
+        export.verify_training_shards(spark, out, "shuffle_pos")
+    shutil.rmtree(out, ignore_errors=True)
