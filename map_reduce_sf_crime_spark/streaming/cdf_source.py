@@ -271,6 +271,16 @@ class LakehouseChangeFeed(DataSource):
       emits changes strictly AFTER it. Default: the latest committed
       id when the stream starts (new changes only — Delta CDF's
       ``startingVersion`` semantics for the "now" case).
+    - ``maxCommitsPerTrigger`` (optional): admission control — cap
+      each micro-batch at this many commits, so a long backlog (a
+      weekend of merges, a historical replay) drains as bounded
+      batches instead of one giant diff. Best-effort like Delta's
+      ``maxFilesPerTrigger``: the cap counts from the reader's view
+      of progress (advanced at planning and commit time), so the
+      first batch after a restart may exceed it; with
+      ``Trigger.AvailableNow`` (which falls back to single-batch for
+      Python sources) only ONE capped batch runs per start — drain a
+      backlog with repeated runs or a continuous trigger.
 
     Register once per session::
 
@@ -343,22 +353,30 @@ class LakehouseChangeFeed(DataSource):
         if not key_cols:
             raise ValueError("lakehouse_cdf: option 'keyCols' is required")
         starting = self.options.get("startingcid")
+        max_commits = self.options.get("maxcommitspertrigger")
         return _CDFStreamReader(
             self._root(),
             key_cols,
             schema,
             int(starting) if starting is not None else None,
+            int(max_commits) if max_commits is not None else None,
         )
 
 
 class _CDFStreamReader(DataSourceStreamReader):
-    def __init__(self, root, key_cols, schema, starting_cid):
+    def __init__(self, root, key_cols, schema, starting_cid, max_commits=None):
         self._root = root
         self._key_cols = key_cols
         self._fields = [f.name for f in schema.fields]
         self._part_types = {
             f.name: f.dataType.simpleString() for f in schema.fields
         }
+        if max_commits is not None and max_commits <= 0:
+            raise ValueError(
+                f"lakehouse_cdf: maxCommitsPerTrigger must be > 0 "
+                f"(got {max_commits})"
+            )
+        self._max_commits = max_commits
         if starting_cid is not None:
             if starting_cid not in _committed_ids(root):
                 raise ValueError(
@@ -368,15 +386,26 @@ class _CDFStreamReader(DataSourceStreamReader):
             self._start = starting_cid
         else:
             self._start = _committed_ids(root)[-1]
+        # progress watermark for the admission cap; checkpointed starts
+        # re-sync it at partitions() time, so the cap is best-effort
+        # for the first post-restart batch only
+        self._seen = self._start
 
     def initialOffset(self) -> dict:
         return {"cid": self._start}
 
     def latestOffset(self) -> dict:
-        return {"cid": _committed_ids(self._root)[-1]}
+        latest = _committed_ids(self._root)[-1]
+        if self._max_commits is None:
+            return {"cid": latest}
+        return {"cid": min(latest, self._seen + self._max_commits)}
+
+    def commit(self, end: dict) -> None:
+        self._seen = max(self._seen, int(end["cid"]))
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         a, b = int(start["cid"]), int(end["cid"])
+        self._seen = max(self._seen, b)
         ids, meta = _manifest_meta(self._root)
         part_cols = meta[ids[-1]][0]["partition_cols"]
         touched: set[str] = set()
@@ -403,9 +432,6 @@ class _CDFStreamReader(DataSourceStreamReader):
         # zero-work batch (e.g. a merge whose change frame was empty):
         # the engine still plans it, so hand it one no-op partition
         return parts or [InputPartition({"sub": None})]
-
-    def commit(self, end: dict) -> None:
-        pass  # retention is vacuum policy, not the reader's
 
     # -- executor side ------------------------------------------------
 

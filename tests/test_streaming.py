@@ -510,3 +510,75 @@ def test_cdf_stream_drives_index_fold(spark, tmp_path):
     dead = {r.vec_id for r in emb0.filter(F.col("vec_id") % 13 == 0).collect()}
     deep = similarity.ivf_topk_indexed(spark, ipath, queries, k=10_000, nprobe=8)
     assert not ({r.vec_id for r in deep.collect()} & dead)
+
+
+def test_cdf_source_admission_control(spark, tmp_path):
+    """maxCommitsPerTrigger caps each micro-batch's commit span: a
+    3-commit backlog with cap=1 drains as three checkpointed runs,
+    each advancing exactly one commit and together reproducing the
+    full-range read_changes — bounded batches for long backlogs
+    instead of one giant diff."""
+    from map_reduce_sf_crime_spark.sources.lakehouse import (
+        merge_upsert,
+        read_changes,
+        write_partitioned,
+    )
+    from map_reduce_sf_crime_spark.streaming.cdf_source import (
+        LakehouseChangeFeed,
+    )
+
+    path = str(tmp_path / "cap_fact")
+    base = spark.range(30).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("int").alias("pt"),
+        F.lit(0).cast("long").alias("v"),
+    )
+    write_partitioned(base, path, ["pt"])
+    for gen in range(4):  # c0 seed + c1..c3 backlog
+        merge_upsert(
+            spark, path,
+            base.filter(F.col("id") % 7 == gen)
+            .withColumn("v", F.lit(gen + 1)).localCheckpoint(),
+            key_cols=["id"], partition_cols=["pt"], archive=True,
+        )
+
+    spark.dataSource.register(LakehouseChangeFeed)
+    ckpt = str(tmp_path / "cap_ckpt")
+    batches = []
+
+    def drain_once():
+        rows = []
+        q = (
+            spark.readStream.format("lakehouse_cdf")
+            .option("path", path)
+            .option("keyCols", "id")
+            .option("startingCid", 0)
+            .option("maxCommitsPerTrigger", 1)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _b: rows.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return rows
+
+    for _ in range(3):
+        batches.append(drain_once())
+
+    def canon(rows):
+        return sorted(
+            tuple(r[c] for c in sorted(["id", "pt", "v", "_change_type"]))
+            for r in rows
+        )
+
+    # each capped run advanced exactly one commit
+    for i, rows in enumerate(batches):
+        want = read_changes(spark, path, i, i + 1, ["id"])
+        assert canon(rows) == canon(want.collect()), f"batch {i}"
+    # and the union is the whole backlog
+    whole = read_changes(spark, path, 0, 3, ["id"])
+    assert canon([r for b in batches for r in b]) == canon(whole.collect())
