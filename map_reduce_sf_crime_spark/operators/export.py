@@ -85,8 +85,12 @@ def write_training_shards(
     pos-sorted parquet file each, plus the ``_manifest`` summary.
     Overwrite semantics (an export is a whole artifact — re-export
     replaces it; the write is the plain truncate-reload this engine's
-    K4 lineage started from, at shard granularity)."""
-    sharded = shard_assignments(df, n_shards, pos_col)
+    K4 lineage started from, at shard granularity). The input is
+    localCheckpoint-ed first: the count, the shard write, and the
+    manifest aggregate would otherwise each re-run the whole upstream
+    pipeline — and the manifest MUST summarize the same materialized
+    rows the data write consumed, not an independent re-execution."""
+    sharded = shard_assignments(df.localCheckpoint(), n_shards, pos_col)
     (
         sharded.drop("shard_n_docs")
         .repartition(n_shards, "shard_id")

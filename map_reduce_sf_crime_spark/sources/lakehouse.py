@@ -280,16 +280,33 @@ def acquire_lease(
                 "refusing to interleave. Wait for it to finish, or "
                 "break_lease() if you KNOW the writer is dead."
             )
-        # stale — break ATOMICALLY via rename: of N racers that all
-        # judged the same lease expired, exactly one rename of that
-        # inode succeeds (a plain delete would also remove a FRESH
-        # lease the first winner just re-created, letting two racers
-        # both "win"). Losers re-enter the create path and refuse on
-        # the winner's live lease.
+        # stale — break via rename, then VERIFY the captured file is
+        # the incarnation this writer judged expired. rename is
+        # atomic per call but binds to the PATH, not the inode: a
+        # delayed racer could otherwise capture the takeover winner's
+        # freshly re-created lease (observed expired → winner breaks,
+        # re-creates, starts writing → loser's rename grabs the NEW
+        # file) and two writers would both believe they won. The
+        # mtime check detects the wrong incarnation — stale vs fresh
+        # differ by > ttl by construction — and the loser restores
+        # the live lease and refuses loudly.
         safe = "".join(c for c in token if c.isalnum())[:32] or "x"
         bp = jvm.org.apache.hadoop.fs.Path(f"{lease}.broken.{safe}")
         if fs.rename(jp, bp):
-            fs.delete(bp, False)
+            if fs.getFileStatus(bp).getModificationTime() == st.getModificationTime():
+                fs.delete(bp, False)
+            else:
+                restored = fs.rename(bp, jp)
+                if not restored:
+                    fs.delete(bp, False)
+                raise ConcurrentWriterError(
+                    f"lost the lease-takeover race on {path}: captured "
+                    "another writer's fresh lease mid-break"
+                    + ("" if restored else
+                       " and could NOT restore it — that writer will "
+                       "see a broken lease at release; run "
+                       "table_state() before trusting the table")
+                )
     raise ConcurrentWriterError(
         f"lost the lease-takeover race on {path} to another writer"
     )

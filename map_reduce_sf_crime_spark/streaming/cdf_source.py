@@ -395,10 +395,18 @@ class _CDFStreamReader(DataSourceStreamReader):
         return {"cid": self._start}
 
     def latestOffset(self) -> dict:
-        latest = _committed_ids(self._root)[-1]
+        ids = _committed_ids(self._root)
         if self._max_commits is None:
-            return {"cid": latest}
-        return {"cid": min(latest, self._seen + self._max_commits)}
+            return {"cid": ids[-1]}
+        # walk the COMMITTED id list, never id arithmetic: commit ids
+        # can have gaps (a torn intent whose recovery re-ran as the
+        # next id), and an endpoint landing on an uncommitted id
+        # would diff against a half-overwritten state the batch
+        # reader by contract refuses
+        ahead = [i for i in ids if i > self._seen]
+        if not ahead:
+            return {"cid": self._seen}
+        return {"cid": ahead[min(self._max_commits, len(ahead)) - 1]}
 
     def commit(self, end: dict) -> None:
         self._seen = max(self._seen, int(end["cid"]))

@@ -582,3 +582,47 @@ def test_cdf_source_admission_control(spark, tmp_path):
     # and the union is the whole backlog
     whole = read_changes(spark, path, 0, 3, ["id"])
     assert canon([r for b in batches for r in b]) == canon(whole.collect())
+
+
+def test_cdf_capped_offset_skips_torn_commit_ids(spark, tmp_path):
+    """Commit ids can have gaps: a torn intent (crash before
+    finish_commit) whose recovery re-ran lands as the NEXT id. The
+    admission cap must pick batch endpoints by walking the COMMITTED
+    id list — id arithmetic would land an offset on the torn id and
+    diff against a half-overwritten state the batch reader refuses."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from map_reduce_sf_crime_spark.sources.lakehouse import (
+        begin_commit,
+        merge_upsert,
+        write_partitioned,
+    )
+    from map_reduce_sf_crime_spark.streaming.cdf_source import (
+        LakehouseChangeFeed,
+        _CDFStreamReader,
+    )
+
+    path = str(tmp_path / "torn_fact")
+    base = spark.range(20).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("int").alias("pt"),
+        F.lit(0).cast("long").alias("v"),
+    )
+    write_partitioned(base, path, ["pt"])
+    churn = base.filter(F.col("id") < 3).withColumn("v", F.lit(1))
+    merge_upsert(spark, path, churn.localCheckpoint(),
+                 key_cols=["id"], partition_cols=["pt"], archive=True)  # c0
+    # torn intent c1: begin without finish (simulated crash)
+    begin_commit(spark, path, ["pt"], [("0",), ("1",)])
+    # recovery re-run commits as c2
+    merge_upsert(spark, path,
+                 churn.withColumn("v", F.lit(2)).localCheckpoint(),
+                 key_cols=["id"], partition_cols=["pt"], archive=True)
+
+    ds = LakehouseChangeFeed({"path": path, "keycols": "id"})
+    schema = _parse_datatype_string(ds.schema())
+    r = _CDFStreamReader(path, ["id"], schema, starting_cid=0, max_commits=1)
+    # one-committed-id step from 0 must be 2 (skipping torn id 1)
+    assert r.latestOffset() == {"cid": 2}
+    r.commit({"cid": 2})
+    assert r.latestOffset() == {"cid": 2}  # nothing further
