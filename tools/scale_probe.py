@@ -284,6 +284,40 @@ def churn_probe(spark, n: int) -> None:
             f"diff {t_brute:.2f}s ({n_brute} changed keys)"
         )
 
+        # the STREAMED form of the same diff: drain commit (0,1] via
+        # the lakehouse_cdf source (executor-local pandas diffs of
+        # touched partitions) — should track the batch reader, flat
+        # across table sizes
+        from map_reduce_sf_crime_spark.streaming.cdf_source import (
+            LakehouseChangeFeed,
+        )
+
+        spark.dataSource.register(LakehouseChangeFeed)
+        ckpt = os.path.join(scratch, f"churn_ckpt_x{scale}")
+        shutil.rmtree(ckpt, ignore_errors=True)  # fresh drain per run
+        got = []
+        t0 = _t.perf_counter()
+        q = (
+            spark.readStream.format("lakehouse_cdf")
+            .option("path", path)
+            .option("keyCols", "id")
+            .option("startingCid", 0)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _b: got.append(df.count())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+        t_stream = _t.perf_counter() - t0
+        print(
+            f"x{scale} lakehouse_cdf drain[same churn]: "
+            f"{t_stream:.2f}s ({sum(got)} events incl. stream startup)"
+        )
+
         # ANN fold leg: index over rows_n vectors, 2k-event fold
         emb = spark.range(rows_n).select(
             SF.col("id").alias("vec_id"),
