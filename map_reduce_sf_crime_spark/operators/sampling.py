@@ -37,14 +37,19 @@ def stratified_sample_flags(
     rates: dict[str, int] = MIXTURE_RATES,
     default: int = DEFAULT_RATE,
     seed: str = SAMPLE_SEED,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Per-doc sampling decision: (doc_id, lang, kept)."""
+    """Per-doc sampling decision: (doc_id, lang, kept). ``carry``
+    names extra input columns to pass through — a composed pipeline
+    (corpus_sample) keeps its downstream inputs on the SAME projection
+    instead of re-scanning the corpus and joining on doc_id later."""
     h = F.pmod(
         hash64_col(F.col("doc_id").cast("string"), seed=seed), F.lit(1000)
     )
     return docs.select(
         "doc_id",
         "lang",
+        *carry,
         (h < _rate_col(rates, default)).cast("int").alias("kept"),
     )
 
@@ -236,6 +241,8 @@ def per_group_cap_flags(
     lo: float = 0.0,
     hi: float = 1.0,
     buckets: int = CAP_BUCKETS,
+    carry: tuple[str, ...] = (),
+    flag_name: str = "kept",
 ) -> DataFrame:
     """Per-group quota cap — "keep at most ``cap`` documents per
     source/domain, preferring the highest-scoring ones" (the
@@ -273,11 +280,20 @@ def per_group_cap_flags(
     score order, and the within-bucket tie-break (``doc_id`` asc)
     matches the naive window's. NULL scores sort below ``lo`` (kept
     only after every scored row). One corpus exchange total — the
-    ``(group, bucket)`` join both phases share."""
+    ``(group, bucket)`` join both phases share.
+
+    ``carry`` passes extra input columns through unchanged (so a
+    composed pipeline never re-joins on doc_id to recover them);
+    ``flag_name`` renames the emitted keep flag when the caller
+    already carries a column named ``kept``."""
     if cap < 0:
         raise ValueError(f"cap must be >= 0, got {cap}")
     if not hi > lo:
         raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    reserved = {"doc_id", "_g", "_b", "_s", "_r", "_n", "_quota", "_prior"}
+    bad = [c for c in carry if c in reserved or c in (group_col, flag_name)]
+    if bad:
+        raise ValueError(f"carry columns collide with internals: {bad}")
     width = (hi - lo) / buckets
     # NULL → bucket -1: below every real score, still cappable
     b = F.when(F.col("_s").isNull(), F.lit(-1)).otherwise(
@@ -290,7 +306,10 @@ def per_group_cap_flags(
         )
     )
     rows = docs.select(
-        "doc_id", F.col(group_col).alias("_g"), F.col(score_col).alias("_s")
+        "doc_id",
+        F.col(group_col).alias("_g"),
+        F.col(score_col).alias("_s"),
+        *carry,
     ).withColumn("_b", b)
     counts = rows.groupBy("_g", "_b").agg(F.count(F.lit(1)).alias("_n"))
     # prior = rows in STRICTLY better buckets of the same group; the
@@ -322,6 +341,7 @@ def per_group_cap_flags(
         F.col("r._g").alias("_g"),
         F.col("r._b").alias("_b"),
         F.col("r._s").alias("_s"),
+        *[F.col(f"r.{c}").alias(c) for c in carry],
         F.col("d._quota").alias("_quota"),
     )
     # ONE pass decides everything: the in-bucket rank (every window
@@ -337,7 +357,8 @@ def per_group_cap_flags(
     return tagged.withColumn("_r", F.row_number().over(win)).select(
         "doc_id",
         F.col("_g").alias(group_col),
-        (F.col("_r") <= F.col("_quota")).cast("int").alias("kept"),
+        *carry,
+        (F.col("_r") <= F.col("_quota")).cast("int").alias(flag_name),
     )
 
 

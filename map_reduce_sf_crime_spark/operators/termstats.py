@@ -21,7 +21,9 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens_col, tokens_sql
 
 
-def token_doc_freq(docs: DataFrame, top_k: int = 50) -> DataFrame:
+def token_doc_freq(
+    docs: DataFrame, top_k: int = 50, count_docs: DataFrame | None = None
+) -> DataFrame:
     """Top-``top_k`` tokens by document frequency:
     (token, df, tf, df_ppm) — df = #docs containing it, tf = total
     count, df_ppm = documents-per-million containing it.
@@ -36,7 +38,11 @@ def token_doc_freq(docs: DataFrame, top_k: int = 50) -> DataFrame:
     quantization (operators/quantize.py).
 
     The corpus total rides in as a broadcast one-row cross join —
-    one plan, no driver round-trip."""
+    one plan, no driver round-trip. ``count_docs``: optional frame to
+    count for that total instead of ``docs`` — callers that hand in a
+    ``fan_out``-repartitioned ``docs`` (tokenizing is the CPU-heavy
+    leg) pass the un-fanned original so the count branch stays a bare
+    column-pruned scan instead of paying the repartition exchange."""
     tok = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
     )
@@ -44,7 +50,9 @@ def token_doc_freq(docs: DataFrame, top_k: int = 50) -> DataFrame:
         F.countDistinct("doc_id").alias("df"),
         F.count(F.lit(1)).alias("tf"),
     )
-    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    total = (docs if count_docs is None else count_docs).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
     return (
         stats.crossJoin(F.broadcast(total))
         .withColumn(
@@ -57,7 +65,9 @@ def token_doc_freq(docs: DataFrame, top_k: int = 50) -> DataFrame:
     )
 
 
-def unigram_commonness(docs: DataFrame, min_df: int = 2) -> DataFrame:
+def unigram_commonness(
+    docs: DataFrame, min_df: int = 2, base: DataFrame | None = None
+) -> DataFrame:
     """Corpus-adaptive document quality score — the APPLICATION of the
     TF1 term statistics: score each document by how "common" its
     tokens are in this corpus (the cheap, model-free stand-in for the
@@ -84,7 +94,15 @@ def unigram_commonness(docs: DataFrame, min_df: int = 2) -> DataFrame:
     side carries one row per distinct token. Zipfian join keys are
     exactly what AQE skew-split handles (enabled in session.py); the
     final aggregate is map-side combined on doc_id. Empty/token-less
-    docs are preserved with zeroed stats via the left join back."""
+    docs are preserved with zeroed stats via the left join back.
+
+    ``base``: optional one-row-per-doc frame to left-join the stats
+    onto instead of ``docs.select("doc_id")`` — a caller that already
+    holds a per-doc projection (text_profile's row-local columns)
+    passes it here so the plan joins ONCE instead of re-scanning the
+    corpus for a doc_id spine and joining that spine back in a second
+    join. Must carry ``doc_id`` exactly once per doc; its other
+    columns pass through unchanged ahead of the three stat columns."""
     from ..functions.caching import plan_cache
 
     tok = docs.select(
@@ -124,15 +142,14 @@ def unigram_commonness(docs: DataFrame, min_df: int = 2) -> DataFrame:
             ).alias("oov_frac"),
         )
     )
-    return (
-        docs.select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_toks", F.lit(0)).cast("long").alias("n_toks"),
-            F.coalesce("mean_tf_ppm", F.lit(0.0)).alias("mean_tf_ppm"),
-            F.coalesce("oov_frac", F.lit(0.0)).alias("oov_frac"),
-        )
+    spine = docs.select("doc_id") if base is None else base
+    carried = [c for c in spine.columns if c != "doc_id"]
+    return spine.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        *carried,
+        F.coalesce("n_toks", F.lit(0)).cast("long").alias("n_toks"),
+        F.coalesce("mean_tf_ppm", F.lit(0.0)).alias("mean_tf_ppm"),
+        F.coalesce("oov_frac", F.lit(0.0)).alias("oov_frac"),
     )
 
 

@@ -127,9 +127,8 @@ def token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-mismatches the driver gate. The ledger read is a
     bucket-local groupBy-sum (no shuffle — pinned in
     tests/test_text_functions.py)."""
-    live = termstats.token_doc_freq(
-        fan_out(load_table(spark, sf_dir, "documents")), 50
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    live = termstats.token_doc_freq(fan_out(docs), 50, count_docs=docs)
     cat = termstats.term_stats_cataloged(
         spark, _ts_ledger(spark, sf_dir)
     ).select(
@@ -203,19 +202,33 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     range) is pinned in tests/test_corpus_order.py, while the gate
     hash-checks the block arithmetic against the window twin."""
     docs = load_table(spark, sf_dir, "documents")
-    flags = sampling.stratified_sample_flags(docs).join(
-        F.broadcast(sampling.temperature_mix_weights(docs)), "lang"
-    )
+    # ONE carried pipeline — the sample flag, broadcast mix weight,
+    # cap flag, shuffle position, and shard assignment all ride the
+    # same projection (carry=/flag_name=), so the plan has zero
+    # doc_id-keyed joins: its only data-sized exchanges are the cap's
+    # (group, bucket) shuffle and the shuffle-order bucketing (the
+    # round-5 pre-carry form paid a corpus SortMergeJoin + a second
+    # documents scan to reunite two branches)
+    flags = sampling.stratified_sample_flags(
+        docs, carry=("source", "n_chars")
+    ).join(F.broadcast(sampling.temperature_mix_weights(docs)), "lang")
+    # cache the carried frame at both fan points: the shuffle-pos
+    # offsets branch and the shard count branch would otherwise each
+    # re-execute the cap window / the whole pipeline (the fan-out
+    # branches were row-local scans before the carry restructure;
+    # caching keeps them scan-cheap now that they carry real work)
     capped = sampling.per_group_cap_flags(
-        docs,
+        flags,
         CAP_PER_SOURCE,
         group_col="source",
         score_col="n_chars",
         lo=0.0,
         hi=1024.0,
-    ).select("doc_id", F.col("kept").alias("cap_kept"))
+        carry=("lang", "kept", "mix_weight_ppm"),
+        flag_name="cap_kept",
+    ).drop("source").transform(plan_cache)
     return export.shard_assignments(
-        sampling.with_global_shuffle_pos(flags).join(capped, "doc_id"),
+        sampling.with_global_shuffle_pos(capped).transform(plan_cache),
         N_SHARDS,
     )
 

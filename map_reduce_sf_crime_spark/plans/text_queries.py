@@ -91,10 +91,9 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     # min_df sized to the synthetic corpus's 31-token vocabulary
     # (min df 25 of 500 docs): the production default of 2 makes
-    # oov_frac identically zero here, i.e. a dead gate column
-    return textops.text_profile(docs).join(
-        termstats.unigram_commonness(docs, min_df=50).select(
-            "doc_id", "mean_tf_ppm", "oov_frac"
-        ),
-        "doc_id",
-    )
+    # oov_frac identically zero here, i.e. a dead gate column.
+    # The row-local profile IS the commonness join's spine (base=):
+    # one left join total, no second corpus scan for a doc_id spine
+    return termstats.unigram_commonness(
+        docs, min_df=50, base=textops.text_profile(docs)
+    ).drop("n_toks")
