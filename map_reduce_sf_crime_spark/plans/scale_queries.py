@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import dataquality
 from ..operators.asof import asof_join, asof_join_sql
 from ..operators.rangejoin import range_join, range_join_sql
 from ..sources.parquet import load_events, load_table
@@ -212,21 +213,23 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_daily_profile",
-    """
-    select strftime(cast(ts as date), '%Y-%m-%d') as day,
-           count(*) as n,
-           count(distinct user_id) as n_users,
-           round(median(value), 4) as median_value,
-           array_to_string(list_sort(list_distinct(list(event_type))), ',')
-             as types,
-           cast(coalesce(sum(cast(json_extract_string(props, '$.k') as bigint)), 0)
-                as bigint) as sum_props_k,
-           cast(count(*) filter (json_extract_string(props, '$.k') is null)
-                as bigint) as n_props_missing
-    from events
-    group by 1
-    """,
-    survey_ids=("SC4", "JS1"),
+    dataquality.volume_anomaly_sql(
+        """
+        select strftime(cast(ts as date), '%Y-%m-%d') as day,
+               count(*) as n,
+               count(distinct user_id) as n_users,
+               round(median(value), 4) as median_value,
+               array_to_string(list_sort(list_distinct(list(event_type))), ',')
+                 as types,
+               cast(coalesce(sum(cast(json_extract_string(props, '$.k') as bigint)), 0)
+                    as bigint) as sum_props_k,
+               cast(count(*) filter (json_extract_string(props, '$.k') is null)
+                    as bigint) as n_props_missing
+        from events
+        group by 1
+        """
+    ),
+    survey_ids=("SC4", "JS1", "DQ4"),
 )
 def events_daily_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.4's "not present in reference, built-in in Spark"
@@ -237,7 +240,15 @@ def events_daily_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the semi-structured surface (JS1): ``get_json_object`` extraction
     from the JSON ``props`` column aggregated per day — extraction is
     a row-local codegen expression on the scan side of the shuffle,
-    with missing keys surfacing as NULLs counted separately."""
+    with missing keys surfacing as NULLs counted separately.
+
+    Round 5 adds the DQ4 ingest-anomaly leg
+    (operators/dataquality.volume_anomaly): each day's event volume
+    z-scored against its 7 trailing days, hash-checked against the
+    identical DuckDB window — the "did yesterday's crawl silently
+    halve?" tripwire a daily-ingest pipeline alarms on. The window
+    runs over the per-day AGGREGATE (30 rows here, years × 365 in
+    production) — dim-sized by construction."""
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     # day/types rendered as strings: driver canon can't sort array
@@ -265,6 +276,7 @@ def events_daily_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_props_k",
             "n_props_missing",
         )
+        .transform(dataquality.volume_anomaly)
     )
 
 
