@@ -50,6 +50,74 @@ def with_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+def _pgm_raster(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a P5 PGM header and return ``(w, h, raster)`` with the
+    exact-length/CRLF discipline documented in :func:`decode_image`."""
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    sep = payload[i : i + 1]
+    i += 1  # the spec's single whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError(f"16-bit PGM not supported (maxval={maxval})")
+    n = w * h
+    # CRLF-written headers ("255\r\n"): the spec's single
+    # whitespace is the '\r'; consume its paired '\n' ONLY when
+    # the remaining length says there is one extra byte — a bare
+    # '\r' separator followed by a real first pixel of value 0x0A
+    # ('\n') is a valid file and must not lose that pixel, and a
+    # greedy whitespace skip could likewise eat whitespace-valued
+    # pixels. Then require an EXACT raster length so any other
+    # header drift fails loudly instead of returning a shifted
+    # mean.
+    if (
+        sep == b"\r"
+        and payload[i : i + 1] == b"\n"
+        and len(payload) - i == n + 1
+    ):
+        i += 1
+    if len(payload) - i != n:
+        raise ValueError(
+            f"PGM raster size mismatch: header declares {n} bytes, "
+            f"{len(payload) - i} remain after the header"
+        )
+    return w, h, payload[i : i + n]
+
+
+def _bmp_info(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """Validate a BI_RGB BMP header; returns
+    ``(pix_off, w, abs_h, bpp, row_bytes, stride)``."""
+    import struct
+
+    if len(payload) < 54:
+        raise ValueError("BMP truncated before BITMAPINFOHEADER")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0:
+        raise ValueError(
+            f"only BI_RGB (uncompressed) BMP supported, got {compression}"
+        )
+    if bpp not in (8, 24):
+        raise ValueError(f"only 8/24-bit BMP supported, got {bpp}")
+    row_bytes = (w * bpp) // 8
+    stride = (row_bytes + 3) & ~3  # rows pad to 4-byte boundaries
+    return pix_off, w, abs(h), bpp, row_bytes, stride
+
+
 def decode_image(payload: bytes) -> dict:
     """Real (stdlib-only) image decoder for the two uncompressed
     formats a header+pixel parse can handle without codec libraries:
@@ -73,51 +141,9 @@ def decode_image(payload: bytes) -> dict:
     Decode is pinned against independently-computed fixtures in
     tests/test_multimodal.py.
     """
-    import struct
-
     if payload[:2] == b"P5":
-        # netpbm header: 3 ints after the magic, '#' comments legal
-        fields: list[int] = []
-        i = 2
-        while len(fields) < 3:
-            while i < len(payload) and payload[i : i + 1].isspace():
-                i += 1
-            if payload[i : i + 1] == b"#":
-                while i < len(payload) and payload[i : i + 1] != b"\n":
-                    i += 1
-                continue
-            j = i
-            while j < len(payload) and not payload[j : j + 1].isspace():
-                j += 1
-            fields.append(int(payload[i:j]))
-            i = j
-        sep = payload[i : i + 1]
-        i += 1  # the spec's single whitespace byte after maxval
-        w, h, maxval = fields
-        if maxval > 255:
-            raise ValueError(f"16-bit PGM not supported (maxval={maxval})")
+        w, h, pixels = _pgm_raster(payload)
         n = w * h
-        # CRLF-written headers ("255\r\n"): the spec's single
-        # whitespace is the '\r'; consume its paired '\n' ONLY when
-        # the remaining length says there is one extra byte — a bare
-        # '\r' separator followed by a real first pixel of value 0x0A
-        # ('\n') is a valid file and must not lose that pixel, and a
-        # greedy whitespace skip could likewise eat whitespace-valued
-        # pixels. Then require an EXACT raster length so any other
-        # header drift fails loudly instead of returning a shifted
-        # mean.
-        if (
-            sep == b"\r"
-            and payload[i : i + 1] == b"\n"
-            and len(payload) - i == n + 1
-        ):
-            i += 1
-        if len(payload) - i != n:
-            raise ValueError(
-                f"PGM raster size mismatch: header declares {n} bytes, "
-                f"{len(payload) - i} remain after the header"
-            )
-        pixels = payload[i : i + n]
         return {
             "n_frames": 1,
             "mean_byte": (sum(pixels) / n) if n else 0.0,
@@ -126,19 +152,7 @@ def decode_image(payload: bytes) -> dict:
             "format": "pgm",
         }
     if payload[:2] == b"BM":
-        if len(payload) < 54:
-            raise ValueError("BMP truncated before BITMAPINFOHEADER")
-        (pix_off,) = struct.unpack_from("<I", payload, 10)
-        w, h = struct.unpack_from("<ii", payload, 18)
-        (bpp,) = struct.unpack_from("<H", payload, 28)
-        (compression,) = struct.unpack_from("<I", payload, 30)
-        if compression != 0:
-            raise ValueError(f"only BI_RGB (uncompressed) BMP supported, got {compression}")
-        if bpp not in (8, 24):
-            raise ValueError(f"only 8/24-bit BMP supported, got {bpp}")
-        abs_h = abs(h)
-        row_bytes = (w * bpp) // 8
-        stride = (row_bytes + 3) & ~3  # rows pad to 4-byte boundaries
+        pix_off, w, abs_h, bpp, row_bytes, stride = _bmp_info(payload)
         total, count = 0, 0
         for r in range(abs_h):
             start = pix_off + r * stride
@@ -301,6 +315,163 @@ def resize_sql(target_bytes: int = 256) -> str:
            octet_length(encode(resized))::int as n_bytes
     from r
     """
+
+
+# --------------------------------------- perceptual-hash image dedup
+
+#: dHash grid: 8 rows × 9 columns → 8×8 adjacent-column comparisons
+#: = 64 bits (Krawetz's difference hash, public: hackerfactor.com,
+#: "Kind of Like That", 2013 — the standard cheap perceptual hash).
+DHASH_ROWS, DHASH_COLS = 8, 9
+
+
+def decode_pixels(payload: bytes) -> list[list[int]]:
+    """Grayscale pixel grid (row-major ``h`` lists of ``w`` ints) from
+    the same stdlib formats :func:`decode_image` handles: P5 PGM
+    directly; BMP rows bottom-up-corrected, 24-bit reduced by integer
+    ``(b + g + r) // 3`` so the result is bit-deterministic with no
+    float luma. The codec seam stays injectable exactly like
+    ``extract_features``'s — a production deployment plugs
+    PIL into :func:`image_dhash` (any callable payload→grid)."""
+    if payload[:2] == b"P5":
+        w, h, raster = _pgm_raster(payload)
+        return [list(raster[r * w : (r + 1) * w]) for r in range(h)]
+    if payload[:2] == b"BM":
+        import struct
+
+        pix_off, w, abs_h, bpp, row_bytes, stride = _bmp_info(payload)
+        (height,) = struct.unpack_from("<i", payload, 22)
+        rows = []
+        for r in range(abs_h):
+            start = pix_off + r * stride
+            row = payload[start : start + row_bytes]
+            if len(row) != row_bytes:
+                raise ValueError(f"BMP truncated at row {r}")
+            if bpp == 8:
+                rows.append(list(row))
+            else:
+                rows.append(
+                    [
+                        (row[3 * c] + row[3 * c + 1] + row[3 * c + 2]) // 3
+                        for c in range(w)
+                    ]
+                )
+        if height > 0:  # positive height = bottom-up storage
+            rows.reverse()
+        return rows
+    raise ValueError(
+        "unsupported image format (stdlib pixel decoder handles P5 PGM "
+        "and uncompressed BMP; plug a codec-backed grid decoder into "
+        "image_dhash for JPEG/PNG/...)"
+    )
+
+
+def fake_pixels(payload: bytes) -> list[list[int]]:
+    """Deterministic stand-in grid for the text-derived payloads: the
+    byte stream box-averaged straight into the 8×9 dHash grid (the
+    shape a real decoder's image would be downsampled to anyway)."""
+    n = len(payload)
+    cells = DHASH_ROWS * DHASH_COLS
+    grid = []
+    for r in range(DHASH_ROWS):
+        row = []
+        for c in range(DHASH_COLS):
+            k = r * DHASH_COLS + c
+            lo, hi = k * n // cells, (k + 1) * n // cells
+            chunk = payload[lo:hi]
+            row.append(sum(chunk) // len(chunk) if chunk else 0)
+        grid.append(row)
+    return grid
+
+
+def dhash64(grid: list[list[int]]) -> int:
+    """64-bit difference hash of a grayscale grid: integer box-average
+    down to 8×9, then bit (r, c) = cell[r][c] < cell[r][c+1] — row
+    gradients survive brightness/contrast shifts and mild noise, so
+    near-duplicate images land within a small Hamming distance.
+    Integer arithmetic end to end (sums and floor divisions) — the
+    hash is a pure function of the pixel grid, replay-stable across
+    hosts. Returned as a SIGNED 64-bit int (two's complement) so it
+    lands in a Spark LongType without overflow."""
+    h, w = len(grid), len(grid[0]) if grid else 0
+    if h == 0 or w == 0:
+        return 0
+    cell = [[0] * DHASH_COLS for _ in range(DHASH_ROWS)]
+    for r in range(DHASH_ROWS):
+        r_lo, r_hi = r * h // DHASH_ROWS, max((r + 1) * h // DHASH_ROWS, r * h // DHASH_ROWS + 1)
+        r_hi = min(r_hi, h)
+        for c in range(DHASH_COLS):
+            c_lo = c * w // DHASH_COLS
+            c_hi = min(max((c + 1) * w // DHASH_COLS, c_lo + 1), w)
+            if c_lo >= w:
+                c_lo = w - 1
+            total = cnt = 0
+            for rr in range(r_lo, r_hi):
+                row = grid[rr]
+                for cc in range(c_lo, c_hi):
+                    total += row[cc]
+                    cnt += 1
+            cell[r][c] = total // cnt if cnt else 0
+    bits = 0
+    for r in range(DHASH_ROWS):
+        for c in range(DHASH_COLS - 1):
+            bits = (bits << 1) | (1 if cell[r][c] < cell[r][c + 1] else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def image_dhash(
+    media: DataFrame,
+    decoder: Callable[[bytes], list[list[int]]] = fake_pixels,
+) -> DataFrame:
+    """Per-image perceptual hash: ``(doc_id, dhash)`` via Arrow-batched
+    ``mapInPandas`` (same plumbing contract as ``extract_features``;
+    ``decoder`` maps payload → grayscale grid — :func:`decode_pixels`
+    for real PGM/BMP bytes, :func:`fake_pixels` for the text-derived
+    testdata)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "dhash": [
+                        dhash64(decoder(p)) for p in pdf["payload"]
+                    ],
+                }
+            ).astype({"dhash": "int64"})
+
+    return media.select("doc_id", "payload").mapInPandas(_batches, schema)
+
+
+def image_near_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    decoder: Callable[[bytes], list[list[int]]] = fake_pixels,
+) -> DataFrame:
+    """Image near-duplicate pairs: dHash fingerprints blocked through
+    the generic 4×16-bit banded Hamming join (exact for distance ≤ 3
+    by pigeonhole — operators/dedup.hamming_near_pairs), then
+    verified with ``bit_count(xor)``. The multimodal twin of
+    ``simhash_near_pairs``: same candidate-bounded 100 TB shape (no
+    all-pairs anywhere; the only data-sized shuffle keys on the band
+    buckets), with the Python work confined to the one Arrow-batched
+    hashing pass — pair generation and verification never leave the
+    JVM. Output feeds ``dedup.dup_clusters`` unchanged for
+    image-cluster canonicalization."""
+    from .dedup import hamming_near_pairs
+
+    from ..functions.caching import plan_cache
+
+    hashes = image_dhash(media, decoder).transform(plan_cache)
+    return hamming_near_pairs(
+        hashes, "dhash", bits=64, bands=4, max_hamming=max_hamming
+    )
 
 
 #: SQL twin of with_payload+extract_features with the fake decoder.

@@ -170,3 +170,152 @@ def test_pgm_crlf_header_and_size_mismatch(spark):
     trailing = b"P5\n4 3\n255\n" + pixels + b"\x41"
     with pytest.raises(ValueError, match="size mismatch"):
         multimodal.decode_image(trailing)
+
+
+# ---------------------------------------- perceptual-hash image dedup
+
+
+def test_decode_pixels_pgm_and_bmp():
+    """Pixel grids from both stdlib formats: PGM row-major, BMP
+    bottom-up reversed to top-down with integer (b+g+r)//3 luma."""
+    pixels = bytes(range(12))  # 4x3
+    grid = multimodal.decode_pixels(_make_pgm(4, 3, pixels))
+    assert grid == [[0, 1, 2, 3], [4, 5, 6, 7], [8, 9, 10, 11]]
+    # bottom-up BMP: storage rows [bottom, top] must come back
+    # [top, bottom]; luma = integer mean of the BGR triple
+    rows_rgb = [bytes([30, 60, 90, 12, 24, 36]), bytes([3, 6, 9, 9, 18, 27])]
+    grid = multimodal.decode_pixels(_make_bmp24(2, 2, rows_rgb))
+    assert grid == [[6, 18], [60, 24]]
+    with pytest.raises(ValueError, match="unsupported image format"):
+        multimodal.decode_pixels(b"\x89PNG....")
+
+
+def test_dhash_closed_forms_and_invariance():
+    """Hand-derivable hashes: strictly increasing rows set all 64 bits
+    (signed -1), decreasing rows none (0); the hash is invariant to
+    brightness shift and contrast scaling (order-preserving maps)."""
+    inc = [[c * 10 for c in range(9)] for _ in range(8)]
+    dec = [[90 - c * 10 for c in range(9)] for _ in range(8)]
+    assert multimodal.dhash64(inc) == -1  # 64 ones, two's complement
+    assert multimodal.dhash64(dec) == 0
+    import random
+
+    rng = random.Random(7)
+    grid = [[rng.randrange(200) for _ in range(18)] for _ in range(16)]
+    base = multimodal.dhash64(grid)
+    shifted = [[p + 30 for p in row] for row in grid]
+    scaled = [[p * 2 for p in row] for row in grid]
+    # brightness shift is EXACTLY invariant (floor((s + k*n)/n) =
+    # floor(s/n) + k); contrast scaling is invariant up to
+    # floor-division tie flips on near-equal neighbor cells — a few
+    # bits, i.e. still well inside the near-dup Hamming ball
+    assert multimodal.dhash64(shifted) == base
+    mask = (1 << 64) - 1
+    assert bin((multimodal.dhash64(scaled) ^ base) & mask).count("1") <= 3
+    # degenerate inputs don't crash and are stable
+    assert multimodal.dhash64([]) == 0
+    assert multimodal.dhash64([[5]]) == 0  # single cell: no gradient
+
+
+def test_fake_pixels_shape_and_determinism():
+    g = multimodal.fake_pixels(b"hello world, a payload of some length")
+    assert len(g) == 8 and all(len(r) == 9 for r in g)
+    assert g == multimodal.fake_pixels(
+        b"hello world, a payload of some length"
+    )
+    assert multimodal.fake_pixels(b"") == [[0] * 9 for _ in range(8)]
+
+
+def test_image_near_pairs_exact_vs_bruteforce(spark):
+    """The banded Hamming join finds EXACTLY the brute-force
+    Hamming<=3 pair set over real decoded PGM images — near-dups are
+    perturbed copies (a few pixels nudged), far images independent."""
+    import random
+
+    rng = random.Random(42)
+    imgs = []
+    for i in range(30):
+        px = bytes(rng.randrange(256) for _ in range(16 * 16))
+        imgs.append((i, _make_pgm(16, 16, px)))
+        if i % 3 == 0:  # a near-dup twin: nudge 3 pixels by +/-2
+            arr = bytearray(px)
+            for _ in range(3):
+                j = rng.randrange(len(arr))
+                arr[j] = max(0, min(255, arr[j] + rng.choice((-2, 2))))
+            imgs.append((100 + i, _make_pgm(16, 16, bytes(arr))))
+    media = spark.createDataFrame(imgs, "doc_id long, payload binary")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in multimodal.image_near_pairs(
+            media, max_hamming=3, decoder=multimodal.decode_pixels
+        ).collect()
+    }
+    hashes = {
+        i: multimodal.dhash64(multimodal.decode_pixels(p)) for i, p in imgs
+    }
+    mask = (1 << 64) - 1
+    want = set()
+    ids = sorted(hashes)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            d = bin((hashes[a] ^ hashes[b]) & mask).count("1")
+            if d <= 3:
+                want.add((a, b, d))
+    assert got == want
+    assert want, "fixture produced no near pairs — perturb less"
+    # twins should dominate the pair set
+    twin_pairs = {(a, b) for a, b, _ in want if b == a + 100}
+    assert len(twin_pairs) >= 5
+
+
+def test_image_near_pairs_feeds_clusters(spark):
+    """Composability: the pair frame drives dedup.dup_clusters
+    unchanged — three perturbed copies of one image collapse to one
+    cluster keyed by the min doc_id."""
+    from map_reduce_sf_crime_spark.operators import dedup
+
+    base = bytes((i * 7) % 256 for i in range(16 * 16))
+    variants = []
+    for k in range(3):
+        arr = bytearray(base)
+        arr[k] = min(255, arr[k] + 1)
+        variants.append((10 + k, _make_pgm(16, 16, bytes(arr))))
+    media = spark.createDataFrame(
+        variants + [(99, _make_pgm(16, 16, bytes(reversed(base))))],
+        "doc_id long, payload binary",
+    )
+    pairs = multimodal.image_near_pairs(
+        media, max_hamming=3, decoder=multimodal.decode_pixels
+    )
+    clusters = dedup.dup_clusters(pairs).collect()
+    assert {r.doc_id: r.cluster_id for r in clusters} == {
+        10: 10,
+        11: 10,
+        12: 10,
+    }
+
+
+def test_hamming_near_pairs_validation(spark):
+    from map_reduce_sf_crime_spark.operators import dedup
+
+    hashes = spark.createDataFrame([(1, 5)], "doc_id long, h long")
+    with pytest.raises(ValueError, match="not divisible"):
+        dedup.hamming_near_pairs(hashes, "h", bits=64, bands=5)
+    with pytest.raises(ValueError, match="only exact"):
+        dedup.hamming_near_pairs(hashes, "h", bands=4, max_hamming=4)
+
+
+def test_hamming_near_pairs_sign_bit(spark):
+    """A 64-bit hash with the sign bit set must band correctly
+    (shiftrightunsigned): two hashes differing only in bit 63 are
+    Hamming 1 and MUST be found."""
+    from map_reduce_sf_crime_spark.operators import dedup
+
+    a = -(1 << 63)  # only bit 63 set
+    b = -(1 << 63) | 1  # bits 63 and 0
+    hashes = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, h long"
+    )
+    got = dedup.hamming_near_pairs(hashes, "h").collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in got] == [(1, 2, 1)]
