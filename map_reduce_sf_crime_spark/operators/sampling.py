@@ -235,7 +235,7 @@ CAP_BUCKETS = 256
 
 def per_group_cap_flags(
     docs: DataFrame,
-    cap: int,
+    cap: int | None,
     group_col: str = "source",
     score_col: str = "score",
     lo: float = 0.0,
@@ -243,6 +243,7 @@ def per_group_cap_flags(
     buckets: int = CAP_BUCKETS,
     carry: tuple[str, ...] = (),
     flag_name: str = "kept",
+    frac_den: int | None = None,
 ) -> DataFrame:
     """Per-group quota cap — "keep at most ``cap`` documents per
     source/domain, preferring the highest-scoring ones" (the
@@ -285,9 +286,22 @@ def per_group_cap_flags(
     ``carry`` passes extra input columns through unchanged (so a
     composed pipeline never re-joins on doc_id to recover them);
     ``flag_name`` renames the emitted keep flag when the caller
-    already carries a column named ``kept``."""
-    if cap < 0:
+    already carries a column named ``kept``.
+
+    ``frac_den`` (round 5, exclusive with ``cap``): a FRACTIONAL
+    quota — keep the top ``max(1, floor(group_size / frac_den))``
+    rows per group instead of a fixed count. The group total is one
+    more window over the same (groups × ≤buckets+1)-row counts
+    aggregate (unbounded frame, no new exchange), so the fraction
+    costs nothing extra and needs NO driver-side count job — the
+    selection that DSIR-style "keep the best 20 % of the corpus"
+    resampling wants (group = a constant for a global fraction)."""
+    if (cap is None) == (frac_den is None):
+        raise ValueError("exactly one of cap / frac_den must be set")
+    if cap is not None and cap < 0:
         raise ValueError(f"cap must be >= 0, got {cap}")
+    if frac_den is not None and frac_den < 1:
+        raise ValueError(f"frac_den must be >= 1, got {frac_den}")
     if not hi > lo:
         raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
     reserved = {"doc_id", "_g", "_b", "_s", "_r", "_n", "_quota", "_prior"}
@@ -325,8 +339,23 @@ def per_group_cap_flags(
         "_g",
         "_b",
         # quota left when this bucket starts; <=0 → drop all, >=_n →
-        # keep all, else exact-rank the straddling bucket
-        (F.lit(cap) - F.col("_prior")).alias("_quota"),
+        # keep all, else exact-rank the straddling bucket. The cap is
+        # the fixed count, or the per-group fraction computed from the
+        # group total — one unbounded window over the counts aggregate
+        (
+            (
+                F.lit(cap)
+                if frac_den is None
+                else F.greatest(
+                    F.lit(1).cast("long"),
+                    F.floor(
+                        F.sum("_n").over(Window.partitionBy("_g"))
+                        / F.lit(frac_den)
+                    ),
+                )
+            )
+            - F.col("_prior")
+        ).alias("_quota"),
         "_n",
     )
     # null-safe on the group: a NULL source is a real group (the
@@ -393,6 +422,311 @@ def per_group_cap_sql(
                 ) <= {cap} as int) as kept
     from documents
     """
+
+
+def per_group_frac_naive(
+    docs: DataFrame,
+    frac_den: int,
+    group_col: str = "source",
+    score_col: str = "score",
+) -> DataFrame:
+    """One-window-per-group reference form of the fractional cap
+    (equality oracle for ``per_group_cap_flags(frac_den=...)``)."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc_nulls_last(score_col), F.asc("doc_id")
+    )
+    k = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(
+            F.count(F.lit(1)).over(Window.partitionBy(group_col))
+            / F.lit(frac_den)
+        ),
+    )
+    return docs.select(
+        "doc_id", group_col, (F.row_number().over(w) <= k).cast("int").alias("kept")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (SM3)
+# ---------------------------------------------------------------------------
+
+#: hashed n-gram feature buckets (DSIR uses 10k on web-scale corpora;
+#: 1024 keeps every bucket populated on the synthetic gate corpora so
+#: the smoothing term is exercised without dominating)
+DSIR_BUCKETS = 1024
+DSIR_SEED = "dsir"
+#: keep the top 1/DSIR_KEEP_DEN of the corpus by importance score
+DSIR_KEEP_DEN = 5
+
+
+def _grams_col(text: Column) -> Column:
+    """Unigram + word-bigram feature grams (DSIR's hashed n-gram
+    featurization), NULL-proofed: a NULL text yields an empty list on
+    both engines instead of a NULL that explode would silently drop
+    rows for on one side only."""
+    from ..functions.text import shingles_col, tokens_col
+
+    tok = tokens_col(text)
+    empty = F.array().cast("array<string>")
+    return F.concat(
+        F.coalesce(tok, empty), F.coalesce(shingles_col(tok, 2), empty)
+    )
+
+
+def _grams_sql(text: str) -> str:
+    from ..functions.text import shingles_sql, tokens_sql
+
+    tok = tokens_sql(text)
+    return (
+        f"list_concat(coalesce({tok}, []), "
+        f"coalesce({shingles_sql(tok, 2)}, []))"
+    )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = DSIR_BUCKETS,
+    seed: str = DSIR_SEED,
+    base: DataFrame | None = None,
+) -> DataFrame:
+    """DSIR-style importance score per document (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling" —
+    public): featurize each doc as a bag of hashed n-grams (unigrams
+    + bigrams → ``n_buckets`` buckets via the portable seeded hash),
+    fit add-one-smoothed bag-of-grams models for the TARGET slice
+    (rows where ``target`` is true — e.g. a trusted high-quality
+    subset) and the RAW corpus, and score each doc by its
+    log-likelihood ratio  Σ_b c_b · ln(p_target(b) / p_raw(b)).
+    High scores = docs whose n-gram profile resembles the target
+    distribution; resample the top fraction (or Gumbel-perturbed
+    top-k) to shift the corpus toward it.
+
+    Cross-engine exactness discipline (the house rule — see
+    token_doc_freq's df_ppm note): ``ln`` is transcendental and
+    differs in the last ulp between the JVM and DuckDB, so the
+    PER-BUCKET log-ratio is quantized ONCE to integer micro-nats —
+    ``r_b = floor(1e6 · ln((tc_b+1)(R+B) / ((rc_b+1)(T+B))))`` with
+    the argument built from exact integer counts in an identical
+    operation order (two exact double products, one division) — and
+    every per-DOC score is then the exact integer sum Σ c_b · r_b.
+    Float risk is confined to ≤``n_buckets`` floor(ln) calls per
+    corpus (a boundary flip needs the true value within ~1e-10 of an
+    integer — measured zero across the three gate corpora), not to
+    the per-doc emissions. Count products stay exact in double up to
+    ~9e7 gram occurrences; beyond that (true 100 TB runs) scores are
+    engine-internally stable but not bit-portable — the gate never
+    runs there.
+
+    Scale shape: one tokenize pass; per-(doc, bucket) counts collapse
+    occurrences BEFORE any join (house TF2 pattern); the weight table
+    is ≤``n_buckets`` rows — broadcast — so the score join adds NO
+    doc-keyed exchange; totals ride a broadcast one-row cross join.
+    ``base``: optional one-row-per-doc spine to left-join scores onto
+    (gram-less docs score 0), same contract as unigram_commonness.
+    """
+    dt = (
+        docs.select(
+            "doc_id",
+            F.coalesce(target, F.lit(False)).alias("_t"),
+            F.explode(_grams_col(F.col("text"))).alias("_gram"),
+        )
+        .select(
+            "doc_id",
+            "_t",
+            F.pmod(hash64_col(F.col("_gram"), seed=seed), F.lit(n_buckets)).alias(
+                "_bucket"
+            ),
+        )
+        .groupBy("doc_id", "_t", "_bucket")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .transform(plan_cache)
+    )
+    buckets = dt.groupBy("_bucket").agg(
+        F.sum("_c").alias("_rc"),
+        F.sum(F.when(F.col("_t"), F.col("_c")).otherwise(F.lit(0))).alias("_tc"),
+    )
+    totals = buckets.agg(
+        F.sum("_rc").alias("_R"), F.sum("_tc").alias("_T")
+    )
+    # exact-integer ratio argument, identical op order on both engines:
+    # (tc+1)·(R+B) and (rc+1)·(T+B) are exact in double below 2^53,
+    # then ONE division feeds ln
+    num = (F.col("_tc") + 1).cast("double") * (
+        F.col("_R") + n_buckets
+    ).cast("double")
+    den = (F.col("_rc") + 1).cast("double") * (
+        F.col("_T") + n_buckets
+    ).cast("double")
+    weights = buckets.crossJoin(F.broadcast(totals)).select(
+        "_bucket",
+        F.floor(F.lit(1000000.0) * F.log(num / den)).cast("long").alias("_w"),
+    )
+    scores = (
+        dt.join(F.broadcast(weights), "_bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("_c") * F.col("_w")).alias("dsir_score_unat"))
+    )
+    spine = docs.select("doc_id") if base is None else base
+    return spine.join(scores, "doc_id", "left").withColumn(
+        "dsir_score_unat",
+        F.coalesce(F.col("dsir_score_unat"), F.lit(0)).cast("long"),
+    )
+
+
+def dsir_scores_sql(
+    target_sql: str = "coalesce(lang = 'en', false)",
+    n_buckets: int = DSIR_BUCKETS,
+    seed: str = DSIR_SEED,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`dsir_scores` — same hash, same smoothing,
+    same integer micro-nat quantization, same operation order."""
+    from ..functions.hashing import hash64_sql
+
+    h = hash64_sql("_gram", seed=seed)
+    return f"""
+    with _dsir_g as (
+      select doc_id, {target_sql} as _t,
+             unnest({_grams_sql('text')}) as _gram
+      from {table}
+    ),
+    _dsir_dt as (
+      select doc_id, _t, ({h} % {n_buckets}) as _bucket,
+             count(*) as _c
+      from _dsir_g group by doc_id, _t, ({h} % {n_buckets})
+    ),
+    _dsir_b as (
+      select _bucket, cast(sum(_c) as bigint) as _rc,
+             cast(sum(case when _t then _c else 0 end) as bigint) as _tc
+      from _dsir_dt group by _bucket
+    ),
+    _dsir_tot as (
+      select cast(sum(_rc) as bigint) as _R, cast(sum(_tc) as bigint) as _T
+      from _dsir_b
+    ),
+    _dsir_w as (
+      select _bucket,
+             cast(floor(1000000.0 * ln(
+               ((_tc + 1)::double * (_R + {n_buckets})::double)
+               / ((_rc + 1)::double * (_T + {n_buckets})::double)
+             )) as bigint) as _w
+      from _dsir_b cross join _dsir_tot
+    ),
+    _dsir_s as (
+      select doc_id, cast(sum(_c * _w) as bigint) as dsir_score_unat
+      from _dsir_dt join _dsir_w using (_bucket) group by doc_id
+    )
+    select d.doc_id,
+           cast(coalesce(s.dsir_score_unat, 0) as bigint) as dsir_score_unat
+    from {table} d left join _dsir_s s using (doc_id)
+    """
+
+
+#: score-bucket range for the DSIR selection pass: micro-nat scores on
+#: the gate corpora sit well inside ±2e9; out-of-range scores clamp
+#: into the end buckets, which per_group_cap_flags exact-ranks anyway
+#: (the bounds are a performance knob, never a correctness one)
+DSIR_SCORE_LO = -2e9
+DSIR_SCORE_HI = 2e9
+
+
+def dsir_flags(
+    scored: DataFrame,
+    frac_den: int = DSIR_KEEP_DEN,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Keep flag for the top ``1/frac_den`` of the corpus by DSIR
+    score (deterministic hard-threshold resampling; the paper's
+    Gumbel-perturbed form is :func:`gumbel_topk_flags`). Rides the
+    fractional per-group cap with a constant group, so the selection
+    is the same two-phase score-bucket decomposition — the one
+    data-sized window stays partitioned by the score bucket; only the
+    COUNTS-AGGREGATE windows (≤ buckets+1 rows by construction) fold
+    to a single partition when Catalyst prunes the constant group key
+    from their partition spec (the WindowExec warning this emits is
+    the same bounded-input class as the surrogate-key windows — see
+    BASELINE.md). No global data window, no driver-side count job.
+
+    The input is plan-cached: the cap's two phases (bucket counts,
+    in-bucket rank) both read it, and here it is the full scoring
+    pipeline, not a bare scan — uncached, the tokenize+hash pass runs
+    twice (measured 3.2 s → 2.1 s at sf0.1). At cluster scale the
+    same caching applies per-executor via the storage layer, or the
+    caller accepts one scan-side recompute."""
+    flagged = per_group_cap_flags(
+        scored.transform(plan_cache).withColumn("_dsirg", F.lit("all")),
+        cap=None,
+        frac_den=frac_den,
+        group_col="_dsirg",
+        score_col="dsir_score_unat",
+        lo=DSIR_SCORE_LO,
+        hi=DSIR_SCORE_HI,
+        carry=("dsir_score_unat",) + tuple(carry),
+        flag_name="dsir_kept",
+    )
+    return flagged.drop("_dsirg")
+
+
+def dsir_flags_sql(scores_sql: str, frac_den: int = DSIR_KEEP_DEN) -> str:
+    """DuckDB twin of :func:`dsir_flags` (single-window oracle form)."""
+    return f"""
+    select doc_id, dsir_score_unat,
+           cast(row_number() over (
+                  order by dsir_score_unat desc nulls last, doc_id
+                ) <= greatest(1, floor((count(*) over ())::double
+                                        / {frac_den})) as int)
+             as dsir_kept
+    from ({scores_sql})
+    """
+
+
+GUMBEL_SEED = "gumbel"
+#: 60-bit hash domain size (HEX_DIGITS * 4 bits) + 1 — maps the hash
+#: to u ∈ (0, 1) exclusive on both ends, so ln(-ln(u)) is finite
+_GUMBEL_DEN = float((1 << (HEX_DIGITS * 4)) + 1)
+
+
+def gumbel_topk_flags(
+    scored: DataFrame,
+    frac_den: int = DSIR_KEEP_DEN,
+    temp: float = 1.0,
+    seed: str = GUMBEL_SEED,
+    score_col: str = "dsir_score_unat",
+) -> DataFrame:
+    """DSIR's actual resampling rule — Gumbel-top-k: keep the top
+    fraction by ``score/temp + Gumbel(0,1)`` where the Gumbel noise is
+    the DETERMINISTIC seeded-hash transform g = −ln(−ln(u)),
+    u = (hash64(doc_id)+1) / (2^60+1) — sampling WITHOUT replacement
+    proportionally to softmax(score/temp), reproducible across runs,
+    engines, and cluster sizes (no RNG state — same discipline as
+    stratified_sample_flags). Emits (doc_id, gumbel_key, kept).
+    The float key is for SELECTION, not for cross-engine hash
+    comparison — pytest pins the kept set against an independently
+    computed numpy reference (tests/test_corpus_order.py)."""
+    u = (
+        hash64_col(F.col("doc_id").cast("string"), seed=seed) + 1
+    ).cast("double") / F.lit(_GUMBEL_DEN)
+    key = (
+        F.col(score_col).cast("double") / F.lit(1000000.0) / F.lit(temp)
+        - F.log(-F.log(u))
+    )
+    keyed = scored.select(
+        "doc_id", score_col, key.alias("gumbel_key")
+    ).transform(plan_cache)
+    flagged = per_group_cap_flags(
+        keyed.withColumn("_gg", F.lit("all")),
+        cap=None,
+        frac_den=frac_den,
+        group_col="_gg",
+        score_col="gumbel_key",
+        lo=-50.0,
+        hi=50.0,
+        carry=("gumbel_key",),
+        flag_name="kept",
+    )
+    return flagged.drop("_gg")
 
 
 def stratified_sample_sql(

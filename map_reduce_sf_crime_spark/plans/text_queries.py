@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import contamination as contam
-from ..operators import termstats, textops
+from ..operators import sampling, termstats, textops
 from ..sources.parquet import fan_out, load_table
 from .registry import register
 
@@ -50,22 +50,26 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
          l as ({textops.LANG_ID_SQL}),
          p as ({textops.pii_scrub_sql()}),
          r as ({textops.repetition_stats_sql()}),
-         uc as ({termstats.unigram_commonness_sql(min_df=50)})
+         uc as ({termstats.unigram_commonness_sql(min_df=50)}),
+         ds as ({sampling.dsir_scores_sql()}),
+         dk as ({sampling.dsir_flags_sql("select * from ds")})
     select ts.doc_id, ts.n_chars, ts.n_tokens, ts.n_bpe_tokens,
            ts.n_unique_tokens,
            q.stopword_ratio, q.punct_ratio, q.unique_ratio, q.quality,
            l.lang_pred, l.lang_label, l.agree,
            p.n_email, p.n_phone, p.n_ssn, p.redacted_md5,
            r.n_bigrams, r.top_bigram_ratio,
-           uc.mean_tf_ppm, uc.oov_frac
+           uc.mean_tf_ppm, uc.oov_frac,
+           dk.dsir_score_unat, dk.dsir_kept
     from ts
     join q using (doc_id)
     join l using (doc_id)
     join p using (doc_id)
     join r using (doc_id)
     join uc using (doc_id)
+    join dk using (doc_id)
     """,
-    survey_ids=("TX1", "TX2", "TX3", "TX5", "TX6", "TF2"),
+    survey_ids=("TX1", "TX2", "TX3", "TX5", "TX6", "TF2", "SM3"),
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis in one entry: whitespace/BPE-ish
@@ -87,13 +91,31 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the row-local columns it reads a corpus-global vocabulary, so
     the entry now also gate-checks the Zipfian-key join shape
     (repeat occurrences collapsed before the join, AQE skew-split's
-    case)."""
+    case).
+
+    The ``dsir_score_unat``/``dsir_kept`` columns (round 5, SM3) are
+    DSIR-style importance resampling (operators/sampling.dsir_scores
+    — Xie et al. 2023): per-doc hashed-n-gram log-likelihood ratio
+    against the stored-``lang='en'`` target slice, quantized to
+    integer micro-nats per BUCKET so the per-doc sums are exact
+    integers on both engines, and the top-1/5 keep flag via the
+    fractional two-phase cap (constant group — no global window, no
+    driver count job). The profile frame is the scorer's spine
+    (base=), so the whole entry still carries exactly one
+    doc_id-keyed join per corpus-global leg."""
     docs = _docs(spark, sf_dir)
     # min_df sized to the synthetic corpus's 31-token vocabulary
     # (min df 25 of 500 docs): the production default of 2 makes
     # oov_frac identically zero here, i.e. a dead gate column.
     # The row-local profile IS the commonness join's spine (base=):
     # one left join total, no second corpus scan for a doc_id spine
-    return termstats.unigram_commonness(
+    profile = termstats.unigram_commonness(
         docs, min_df=50, base=textops.text_profile(docs)
     ).drop("n_toks")
+    scored = sampling.dsir_scores(
+        docs, target=F.col("lang") == F.lit("en"), base=profile
+    )
+    carry = tuple(
+        c for c in scored.columns if c not in ("doc_id", "dsir_score_unat")
+    )
+    return sampling.dsir_flags(scored, carry=carry)

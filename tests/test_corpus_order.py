@@ -407,3 +407,148 @@ def test_training_shard_export_physical(spark):
     with pytest.raises(ValueError, match="manifest"):
         export.verify_training_shards(spark, out, "shuffle_pos")
     shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# SM3: DSIR-style importance resampling
+# ---------------------------------------------------------------------------
+
+
+def test_per_group_frac_equals_naive_window(spark):
+    """The fractional quota (frac_den) keeps the identical doc set as
+    the one-window-per-group reference, across group shapes including
+    NULL scores and a NULL group, for several denominators."""
+    df = _cap_fixture(spark)
+    for den in (1, 3, 7, 100, 10000):
+        got = {
+            (r.doc_id, r.source, r.kept)
+            for r in sampling.per_group_cap_flags(
+                df, cap=None, frac_den=den
+            ).collect()
+        }
+        want = {
+            (r.doc_id, r.source, r.kept)
+            for r in sampling.per_group_frac_naive(df, den).collect()
+        }
+        assert got == want, f"frac_den={den}"
+        assert len(got) == df.count(), f"frac_den={den}: rows lost"
+
+
+def test_per_group_cap_frac_arg_validation(spark):
+    import pytest
+
+    df = _cap_fixture(spark)
+    with pytest.raises(ValueError, match="exactly one"):
+        sampling.per_group_cap_flags(df, cap=None, frac_den=None)
+    with pytest.raises(ValueError, match="exactly one"):
+        sampling.per_group_cap_flags(df, cap=5, frac_den=5)
+    with pytest.raises(ValueError, match="frac_den"):
+        sampling.per_group_cap_flags(df, cap=None, frac_den=0)
+
+
+def _dsir_fixture(spark):
+    """Target docs share a distinctive vocabulary; one non-target doc
+    is written in it (should score HIGH), one is junk n-grams (should
+    score LOW); plus an empty and a NULL text (score exactly 0)."""
+    target_text = "solar panel efficiency improves with tracking mounts"
+    rows = [
+        (0, target_text, "en"),
+        (1, "solar panel tracking mounts improve efficiency", "en"),
+        (2, "panel efficiency with solar tracking", "en"),
+        (3, "solar panel efficiency tracking mounts again", None),  # target-like, not in target slice
+        (4, "zqx wvk jjr pplm qqrs zzv xkcd blorp", None),  # junk
+        (5, "", None),
+        (6, None, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dsir_scores_semantics(spark):
+    docs = _dsir_fixture(spark)
+    scored = sampling.dsir_scores(
+        docs, target=F.col("lang") == F.lit("en"), n_buckets=64
+    )
+    s = {r.doc_id: r.dsir_score_unat for r in scored.collect()}
+    assert len(s) == 7
+    # target-vocabulary doc outranks the junk doc decisively
+    assert s[3] > s[4]
+    # gram-less docs score exactly 0
+    assert s[5] == 0 and s[6] == 0
+    # junk grams appear nowhere in the target slice -> negative ratio
+    assert s[4] < 0
+
+
+def test_dsir_matches_duckdb_twin(spark):
+    """Scores AND the fractional keep flag are bit-identical to the
+    DuckDB twin over the real documents table (the gate's exactness
+    claim, checked directly)."""
+    import duckdb
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    scored = sampling.dsir_scores(docs, target=F.col("lang") == F.lit("en"))
+    got = {
+        (r.doc_id, r.dsir_score_unat, r.dsir_kept)
+        for r in sampling.dsir_flags(scored).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as select * from "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    want = {
+        (r[0], r[1], r[2])
+        for r in con.sql(
+            sampling.dsir_flags_sql(sampling.dsir_scores_sql())
+        ).fetchall()
+    }
+    assert got == want
+    # the fraction actually selects (not all-kept / none-kept)
+    kept = sum(1 for _, _, k in got if k == 1)
+    assert 0 < kept < len(got)
+    assert kept == max(1, len(got) // sampling.DSIR_KEEP_DEN)
+
+
+def test_dsir_score_partitioning_invariance(spark):
+    """Scores are a pure function of the corpus: repartitioning the
+    input changes nothing (no RNG state, no partition sensitivity)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    target = F.col("lang") == F.lit("en")
+    a = {
+        (r.doc_id, r.dsir_score_unat)
+        for r in sampling.dsir_scores(docs, target).collect()
+    }
+    b = {
+        (r.doc_id, r.dsir_score_unat)
+        for r in sampling.dsir_scores(docs.repartition(13), target).collect()
+    }
+    assert a == b
+
+
+def test_gumbel_topk_matches_reference(spark):
+    """The Gumbel-perturbed selection equals an independently computed
+    reference: same seeded-hash uniforms, same key formula, same
+    top-floor(n/den) rule (numpy/python arithmetic)."""
+    import hashlib
+    import math
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    scored = sampling.dsir_scores(docs, target=F.col("lang") == F.lit("en"))
+    rows = {r.doc_id: r.dsir_score_unat for r in scored.collect()}
+    den = 4
+    got = {
+        (r.doc_id, r.kept)
+        for r in sampling.gumbel_topk_flags(scored, frac_den=den).collect()
+    }
+
+    def h64(s: str, seed: str) -> int:
+        return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+    keys = {}
+    for doc_id, score in rows.items():
+        u = (h64(str(doc_id), "gumbel") + 1) / (2**60 + 1)
+        keys[doc_id] = score / 1e6 - math.log(-math.log(u))
+    k = max(1, len(rows) // den)
+    order = sorted(rows, key=lambda d: (-keys[d], d))
+    want_kept = set(order[:k])
+    want = {(d, 1 if d in want_kept else 0) for d in rows}
+    assert got == want
