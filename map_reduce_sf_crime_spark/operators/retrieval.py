@@ -1,0 +1,235 @@
+"""BM25 ranked keyword retrieval over the corpus — the query-time
+counterpart of the TF1 term statistics (find the documents most
+relevant to a keyword query), and the standard lexical scorer for
+training-data curation ("pull the docs most similar to this seed
+prompt set") next to the embedding tier's semantic top-k.
+
+Scoring is Robertson/Sparck-Jones BM25 (public):
+
+    score(d, q) = Σ_{t ∈ q} idf(t) · tf(t,d)·(k1+1)
+                              / (tf(t,d) + k1·(1 − b + b·dl(d)/avgdl))
+    idf(t)      = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+
+Cross-engine exactness discipline (the df_ppm/DSIR rule): ``ln`` is
+the ONLY non-correctly-rounded operation in the formula, so idf is
+quantized ONCE per query term to integer micro-nats — ≤ |query
+vocabulary| floor(ln) calls per run. Everything downstream is IEEE
+correctly-rounded arithmetic over identical inputs in an identical
+operation order, so the per-(doc, term) contribution
+``floor(idf_unat · tf_norm)`` is bit-identical on Spark and DuckDB
+(no transcendental involved — a float boundary hit is impossible, not
+just unlikely), and per-(query, doc) scores are EXACT INTEGER sums —
+order-free, no float-fold gymnastics.
+
+Scale shape (the part that matters at 100 TB):
+
+- the corpus is tokenized ONCE; the exploded token stream is
+  immediately semi-joined against the BROADCAST query vocabulary, so
+  everything past the scan is postings-sized (docs × matched terms),
+  not corpus-sized;
+- per-(doc, term) tf collapses occurrences before any further join
+  (the house TF2 pattern);
+- df/idf live in a query-vocabulary-sized frame (broadcast), corpus
+  totals (N, Σdl) ride a broadcast one-row cross join;
+- the final top-k is a window partitioned by query_id — bounded by
+  the query count, the same per-query shape as knn_bruteforce.
+
+No reference counterpart (SURVEY §2.11 TF3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.caching import plan_cache
+from ..functions.text import tokens_col, tokens_sql
+
+#: canonical BM25 constants. Both literals parse to the identical
+#: IEEE double in the JVM and DuckDB (correctly-rounded decimal
+#: parsing on both), so spelling them in generated SQL is exact.
+K1 = 1.2
+B = 0.75
+
+
+_ASCII_FOLD = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
+
+def _query_terms(queries: dict[int, str]) -> list[tuple[int, str]]:
+    """Distinct whitespace terms per query, ASCII-case-folded exactly
+    like the corpus tokenizer (functions/text.ascii_lower_col — full
+    Unicode lowercasing is engine-dependent, so neither side does
+    it). qtf is clamped to 1 — the common simplification; a repeated
+    query word does not double-count. Deterministic order."""
+    out = []
+    for qid, text in sorted(queries.items()):
+        seen = set()
+        for tok in text.translate(_ASCII_FOLD).split():
+            if tok and tok not in seen:
+                seen.add(tok)
+                out.append((qid, tok))
+    return out
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: dict[int, str],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25, as
+    ``(query_id, doc_id, rank, score_unat, n_terms_hit)`` —
+    ``score_unat`` the exact-integer micro-nat score described in the
+    module docstring. Documents matching none of a query's terms are
+    (correctly) absent. Ties break on doc_id ascending."""
+    spark = docs.sparkSession
+    qt = _query_terms(queries)
+    if not qt:
+        raise ValueError("queries must contain at least one token")
+    qterms = spark.createDataFrame(qt, "query_id int, token string")
+    vocab = sorted({t for _, t in qt})
+
+    toks = docs.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).alias("_dl"),
+        F.explode(tokens_col(F.col("text"))).alias("token"),
+    )
+    # postings-sized from here on: only query-vocabulary tokens pass
+    posting = (
+        toks.filter(F.col("token").isin(vocab))
+        .groupBy("doc_id", "_dl", "token")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .transform(plan_cache)
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("_N"),
+        F.coalesce(
+            F.sum(F.size(tokens_col(F.col("text")))), F.lit(0)
+        ).alias("_R"),
+    )
+    # idf per matched term, quantized to integer micro-nats — the one
+    # transcendental, vocabulary-sized
+    dfreq = posting.groupBy("token").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    weights = dfreq.crossJoin(F.broadcast(stats)).select(
+        "token",
+        "_N",
+        "_R",
+        F.floor(
+            F.lit(1000000.0)
+            * F.log(
+                F.lit(1.0)
+                + (F.col("_N").cast("double") - F.col("_df").cast("double") + F.lit(0.5))
+                / (F.col("_df").cast("double") + F.lit(0.5))
+            )
+        )
+        .cast("long")
+        .alias("_idf_unat"),
+    )
+    # per-(doc, term) contribution: pure correctly-rounded arithmetic
+    # over identical inputs — floor is bit-safe (no transcendental).
+    # dl/avgdl is computed as (dl·N)/R: two exact-int casts, one
+    # multiply, one divide — the canonical op order the SQL twin
+    # mirrors token for token.
+    tf = F.col("_tf").cast("double")
+    dl_ratio = (
+        F.col("_dl").cast("double") * F.col("_N").cast("double")
+    ) / F.col("_R").cast("double")
+    tf_norm = (tf * F.lit(k1 + 1.0)) / (
+        tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_ratio)
+    )
+    contribs = posting.join(F.broadcast(weights), "token").select(
+        "doc_id",
+        "token",
+        F.floor(F.col("_idf_unat").cast("double") * tf_norm)
+        .cast("long")
+        .alias("_c"),
+    )
+    scored = (
+        contribs.join(F.broadcast(qterms), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("_c").alias("score_unat"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_unat"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "score_unat", "n_terms_hit")
+    )
+
+
+def bm25_topk_sql(
+    queries: dict[int, str],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` — same tokenization, same
+    micro-nat idf quantization, same operation order in the
+    contribution arithmetic."""
+    qt = _query_terms(queries)
+    if not qt:
+        raise ValueError("queries must contain at least one token")
+    qrows = ", ".join(f"({qid}, '{t}')" for qid, t in qt)
+    vocab = ", ".join(f"'{t}'" for t in sorted({t for _, t in qt}))
+    return f"""
+    with _q(query_id, token) as (values {qrows}),
+    _tok as (
+      select doc_id, len({tokens_sql('text')}) as _dl,
+             unnest({tokens_sql('text')}) as token
+      from {table}
+    ),
+    _post as (
+      select doc_id, _dl, token, cast(count(*) as bigint) as _tf
+      from _tok where token in ({vocab})
+      group by doc_id, _dl, token
+    ),
+    _stats as (
+      select cast(count(*) as bigint) as _N,
+             cast(coalesce(sum(len({tokens_sql('text')})), 0) as bigint) as _R
+      from {table}
+    ),
+    _w as (
+      select token, _N, _R,
+             cast(floor(1000000.0 * ln(
+               1.0 + (_N::double - _df::double + 0.5) / (_df::double + 0.5)
+             )) as bigint) as _idf_unat
+      from (select token, cast(count(*) as bigint) as _df
+            from _post group by token)
+      cross join _stats
+    ),
+    _c as (
+      select p.doc_id, p.token,
+             cast(floor(w._idf_unat::double *
+               ((p._tf::double * {k1 + 1.0!r}) /
+                (p._tf::double + {k1!r} * ({1.0 - b!r} + {b!r} *
+                  ((p._dl::double * w._N::double) / w._R::double))))
+             ) as bigint) as _c
+      from _post p join _w w using (token)
+    ),
+    _s as (
+      select q.query_id, c.doc_id,
+             cast(sum(c._c) as bigint) as score_unat,
+             cast(count(*) as bigint) as n_terms_hit
+      from _c c join _q q using (token)
+      group by q.query_id, c.doc_id
+    )
+    select query_id, doc_id, rank, score_unat, n_terms_hit
+    from (
+      select *, cast(row_number() over (
+                  partition by query_id
+                  order by score_unat desc, doc_id
+                ) as int) as rank
+      from _s
+    ) where rank <= {k}
+    """

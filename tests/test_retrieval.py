@@ -1,0 +1,106 @@
+"""BM25 ranked retrieval (TF3): relevance semantics on a controlled
+fixture, exact-integer score discipline, and bit-equality with the
+DuckDB twin over the real documents table."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from map_reduce_sf_crime_spark.operators import retrieval
+from map_reduce_sf_crime_spark.sources.parquet import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _fixture(spark):
+    rows = [
+        # doc 0: both query terms, repeated, short -> top hit
+        (0, "solar panel solar panel solar"),
+        # doc 1: both terms once, longer
+        (1, "solar panel installed on the roof of the long building"),
+        # doc 2: one term only
+        (2, "panel of judges convened for the annual review session"),
+        # doc 3: no query terms -> absent from results
+        (3, "completely unrelated text about gardening and soil"),
+        # doc 4: same tf as doc 1 but much longer -> length-normalized below it
+        (4, "solar panel " + "filler " * 40),
+        (5, ""),
+        (6, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_relevance_semantics(spark):
+    docs = _fixture(spark)
+    out = retrieval.bm25_topk(docs, {7: "Solar PANEL"}, k=10).collect()
+    by_rank = {r.rank: r for r in out}
+    ids = [by_rank[i].doc_id for i in sorted(by_rank)]
+    # docs without any query term never appear
+    assert set(ids) <= {0, 1, 2, 4}
+    # term-dense short doc first; both-terms docs beat the one-term doc
+    assert ids[0] == 0
+    assert ids.index(1) < ids.index(2)
+    # length normalization: same tf, longer doc ranks below
+    assert ids.index(1) < ids.index(4)
+    # ranks contiguous from 1, n_terms_hit correct
+    assert sorted(by_rank) == list(range(1, len(ids) + 1))
+    hits = {r.doc_id: r.n_terms_hit for r in out}
+    assert hits[0] == 2 and hits[1] == 2 and hits[2] == 1
+
+
+def test_bm25_k_truncates_and_ties_break_on_doc_id(spark):
+    docs = spark.createDataFrame(
+        [(i, "alpha beta") for i in range(10)], "doc_id long, text string"
+    )
+    out = retrieval.bm25_topk(docs, {0: "alpha"}, k=3).collect()
+    # identical docs -> identical integer scores -> doc_id ascending
+    assert [(r.rank, r.doc_id) for r in sorted(out, key=lambda r: r.rank)] == [
+        (1, 0),
+        (2, 1),
+        (3, 2),
+    ]
+    assert len({r.score_unat for r in out}) == 1
+
+
+def test_bm25_idf_downweights_ubiquitous_terms(spark):
+    # 'the' is in every doc (idf ~ ln(1 + 0.5/(N+0.5)) ~ 0); 'zebra' rare
+    rows = [(i, "the common filler line") for i in range(20)]
+    rows.append((20, "the zebra"))
+    rows.append((21, "the the the the the the"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = retrieval.bm25_topk(docs, {0: "the zebra"}, k=3).collect()
+    top = min(out, key=lambda r: r.rank)
+    assert top.doc_id == 20
+    # doc 21 spams the zero-idf term and must not beat the zebra doc
+    spam = [r for r in out if r.doc_id == 21]
+    assert not spam or spam[0].score_unat < top.score_unat
+
+
+def test_bm25_rejects_empty_queries(spark):
+    docs = _fixture(spark)
+    with pytest.raises(ValueError):
+        retrieval.bm25_topk(docs, {0: "   "})
+
+
+def test_bm25_matches_duckdb_twin(spark):
+    """Every emitted column is bit-identical to the DuckDB twin on the
+    real documents table — the integer-score discipline, checked."""
+    queries = {0: "spark window merge", 1: "dup table", 2: "query the"}
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = {
+        tuple(r)
+        for r in retrieval.bm25_topk(docs, queries, k=12)
+        .select("query_id", "doc_id", "rank", "score_unat", "n_terms_hit")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as select * from "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    want = {tuple(r) for r in con.sql(retrieval.bm25_topk_sql(queries, k=12)).fetchall()}
+    assert got == want
+    # all three queries returned a full k (the corpus is big enough)
+    for q in queries:
+        assert sum(1 for t in got if t[0] == q) == 12
