@@ -1,0 +1,193 @@
+"""Learned byte-pair-encoding tokenization (Sennrich et al. 2016,
+public) — the real subword tokenizer the pipeline's token counts
+stand in for (textops' ``n_bpe_tokens`` is a REGEX approximation;
+this trains actual merges and encodes the corpus with them), and the
+front end of the tokenize → chunk → pack → shard export chain a
+training run consumes.
+
+Split of labor at 100 TB (the same pattern as PQ codebook training):
+
+- **Statistics are distributed.** The trainer's only corpus-wide
+  input is the WORD-FREQUENCY table — a map-side-combined wordcount
+  whose output is vocabulary-sized, not corpus-sized. The driver
+  collects the top ``vocab_cap`` words by frequency (TakeOrdered —
+  never a global sort) under a loud cap; training merges on a
+  truncated frequency table is standard practice (subword-nmt/
+  HuggingFace trainers operate on word-count tables, and the
+  frequency tail it drops cannot win a merge argmax anyway, see
+  ``train_bpe``).
+- **The merge loop is driver-side on that tiny table** — pure
+  integer counting over ≤ ``vocab_cap`` symbol sequences, exactly
+  the bounded-sample discipline of IVF/PQ codebook training.
+- **Encoding is one Arrow-batched pass.** Applying ranked merges is
+  per-word greedy rank-lookup — inherently imperative (every real
+  tokenizer is native code), so it runs as a ``pandas_udf`` with the
+  broadcast merge table: Python confined to one batched map, no
+  shuffle, composing with chunk/pack/export unchanged.
+
+No reference counterpart (SURVEY §2.11 TOK1).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_col
+
+#: end-of-word marker (the paper's </w>): distinguishes "est" inside
+#: a word from "est</w>" ending one, and makes per-word detokenization
+#: a pure concat+strip.
+EOW = "</w>"
+
+#: loud ceiling for the driver-side word-frequency collect — far
+#: beyond any real tokenizer's training table (GPT-2's BPE trained on
+#: a similar-order type count), far below driver OOM.
+MAX_VOCAB_COLLECT = 1_000_000
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distributed word-frequency table ``(word, freq)`` — the ONLY
+    corpus-scale input BPE training needs (map-side combined; hot
+    words collapse in the combiner)."""
+    return (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int = 200,
+    vocab_cap: int = 50_000,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus word-frequency
+    table. Deterministic: argmax ties break on the pair itself
+    (lexicographic), and the input table is truncated to the top
+    ``vocab_cap`` words by ``(freq desc, word asc)`` — a TakeOrdered,
+    never a global sort. Truncation is sound in the regime it's used
+    in (a rank-``vocab_cap`` word's frequency bounds the error of any
+    dropped pair count; with a Zipfian tail the dropped mass is
+    negligible — the standard trainer trade-off, documented rather
+    than hidden). Raises loudly past ``MAX_VOCAB_COLLECT``."""
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    if vocab_cap > MAX_VOCAB_COLLECT:
+        raise ValueError(
+            f"vocab_cap {vocab_cap} exceeds MAX_VOCAB_COLLECT "
+            f"{MAX_VOCAB_COLLECT}: refusing a driver-side collect that "
+            "large; train on a capped table — the frequency tail cannot "
+            "win a merge argmax"
+        )
+    rows = (
+        word_frequencies(docs, text_col)
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(vocab_cap)
+        .collect()
+    )
+    # symbol sequences per word type, weighted by frequency
+    seqs: list[tuple[list[str], int]] = [
+        (list(r["word"]) + [EOW], int(r["freq"])) for r in rows
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, freq in seqs:
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        # deterministic tie-break: highest count, then LEXICOGRAPHICALLY
+        # SMALLEST pair
+        top = max(counts.values())
+        best_pair = min(p for p, c in counts.items() if c == top)
+        if top < 2:
+            break  # nothing repeats: further merges are noise
+        merges.append(best_pair)
+        a, b = best_pair
+        ab = a + b
+        for k, (sym, freq) in enumerate(seqs):
+            i, out = 0, []
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            seqs[k] = (out, freq)
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy BPE application: repeatedly merge the lowest-rank
+    adjacent pair (the standard apply loop — identical semantics to
+    replaying the merges in training order)."""
+    sym = list(word) + [EOW]
+    while len(sym) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Append ``out_col``: the document's learned-BPE token sequence
+    (array<string>; join on '' and strip EOW markers to detokenize).
+    One Arrow-batched ``pandas_udf`` over the broadcast merge ranks —
+    no shuffle, NULL text → NULL tokens."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    fold = _ASCII_FOLD
+
+    @pandas_udf("array<string>")
+    def encode(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def enc(text):
+            if text is None:
+                return None
+            out: list[str] = []
+            for w in text.translate(fold).split():
+                if not w:
+                    continue
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = _encode_word(w, ranks)
+                out.extend(got)
+            return out
+
+        return texts.map(enc)
+
+    return docs.withColumn(out_col, encode(F.col(text_col)))
+
+
+_ASCII_FOLD = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
+
+def detokenize_col(bpe_tokens: Column) -> Column:
+    """Inverse of :func:`bpe_encode` as a column expression: concat
+    the subwords and turn each end-of-word marker back into a single
+    space (exactly the whitespace-tokenizer's view of the text)."""
+    return F.rtrim(
+        F.replace(
+            F.array_join(bpe_tokens, ""), F.lit(EOW), F.lit(" ")
+        )
+    )
