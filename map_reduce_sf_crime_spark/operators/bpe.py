@@ -30,6 +30,8 @@ No reference counterpart (SURVEY §2.11 TOK1).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -82,15 +84,28 @@ def train_bpe(
             "large; train on a capped table — the frequency tail cannot "
             "win a merge argmax"
         )
+    words = _collect_word_table(docs, vocab_cap, text_col)
+    return _merges_from_words(words, n_merges)
+
+
+def _collect_word_table(
+    docs: DataFrame, vocab_cap: int, text_col: str
+) -> list[tuple[str, int]]:
     rows = (
         word_frequencies(docs, text_col)
         .orderBy(F.desc("freq"), F.asc("word"))
         .limit(vocab_cap)
         .collect()
     )
+    return [(r["word"], int(r["freq"])) for r in rows]
+
+
+def _merges_from_words(
+    words: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
     # symbol sequences per word type, weighted by frequency
     seqs: list[tuple[list[str], int]] = [
-        (list(r["word"]) + [EOW], int(r["freq"])) for r in rows
+        (list(w) + [EOW], f) for w, f in words
     ]
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -191,3 +206,97 @@ def detokenize_col(bpe_tokens: Column) -> Column:
             F.array_join(bpe_tokens, ""), F.lit(EOW), F.lit(" ")
         )
     )
+
+
+#: reserved id 0: unknown symbol (characters never seen in training)
+UNK = "<unk>"
+
+
+@dataclass(frozen=True)
+class BpeModel:
+    """A trained tokenizer as data: the ranked merges plus a STABLE
+    id table — ``vocab[0] == UNK``, then the training alphabet
+    (sorted) + EOW, then each merge's product in merge order (first
+    occurrence wins if two merge paths produce the same string).
+    Serialize the two tuples to persist the model; ids are a pure
+    function of them."""
+
+    merges: tuple[tuple[str, str], ...]
+    vocab: tuple[str, ...]
+
+    def ids(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for i, s in enumerate(self.vocab):
+            out.setdefault(s, i)
+        return out
+
+
+def train_bpe_model(
+    docs: DataFrame,
+    n_merges: int = 200,
+    vocab_cap: int = 50_000,
+    text_col: str = "text",
+) -> BpeModel:
+    """Train merges AND derive the trainer-ready id table in one
+    word-frequency collect (same bounds and determinism as
+    :func:`train_bpe`)."""
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    if vocab_cap > MAX_VOCAB_COLLECT:
+        raise ValueError(
+            f"vocab_cap {vocab_cap} exceeds MAX_VOCAB_COLLECT "
+            f"{MAX_VOCAB_COLLECT}"
+        )
+    words = _collect_word_table(docs, vocab_cap, text_col)
+    merges = _merges_from_words(words, n_merges)
+    alphabet = sorted({ch for w, _ in words for ch in w})
+    vocab = (
+        (UNK,)
+        + tuple(alphabet)
+        + (EOW,)
+        + tuple(a + b for a, b in merges)
+    )
+    return BpeModel(merges=tuple(merges), vocab=vocab)
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    model: BpeModel,
+    text_col: str = "text",
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Append ``out_col``: the document as an ``array<int>`` of
+    vocabulary ids — what a training run actually consumes (compose
+    with chunking/packing/`write_training_shards` for trainer-ready
+    shards). Unknown symbols (characters outside the training
+    alphabet) map to id 0 (= ``UNK``); NULL text → NULL. Same
+    one-Arrow-pass shape as :func:`bpe_encode`."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {pair: i for i, pair in enumerate(model.merges)}
+    ids = model.ids()
+    fold = _ASCII_FOLD
+    unk = ids[UNK]
+
+    @pandas_udf("array<int>")
+    def encode(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[int]] = {}
+
+        def enc(text):
+            if text is None:
+                return None
+            out: list[int] = []
+            for w in text.translate(fold).split():
+                if not w:
+                    continue
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = [
+                        ids.get(s, unk) for s in _encode_word(w, ranks)
+                    ]
+                out.extend(got)
+            return out
+
+        return texts.map(enc)
+
+    return docs.withColumn(out_col, encode(F.col(text_col)))

@@ -103,3 +103,52 @@ def test_bpe_feeds_packing_pipeline(spark):
     assert per_doc.join(want, "doc_id").filter(
         F.col("s") != F.col("w")
     ).count() == 0
+
+
+def test_bpe_model_ids_are_stable_and_unk_safe(spark):
+    docs = _paper_fixture(spark)
+    model = bpe.train_bpe_model(docs, n_merges=5)
+    assert model.vocab[0] == bpe.UNK
+    assert model.merges == tuple(bpe.train_bpe(docs, n_merges=5))
+    # string and id encodings correspond symbol-for-symbol via vocab
+    probe = spark.createDataFrame(
+        [(0, "lowest"), (1, "ωe")], "doc_id long, text string"
+    )
+    toks = {r.doc_id: r.bpe_tokens for r in bpe.bpe_encode(probe, model.merges).collect()}
+    ids = {r.doc_id: r.token_ids for r in bpe.bpe_encode_ids(probe, model).collect()}
+    lookup = model.ids()
+    assert ids[0] == [lookup[s] for s in toks[0]]
+    # the greek char is outside the training alphabet -> UNK id 0,
+    # while in-alphabet symbols keep their real ids
+    assert ids[1][0] == 0 and 0 not in ids[0]
+
+
+def test_bpe_ids_feed_trainer_shards(spark, tmp_path):
+    """The full trainer-ready chain: learned ids -> deterministic
+    shuffle order -> physical shard export -> verified read-back."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from map_reduce_sf_crime_spark.operators import export, sampling
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(200)
+    model = bpe.train_bpe_model(docs, n_merges=40)
+    ids = bpe.bpe_encode_ids(docs, model).select("doc_id", "token_ids")
+    ordered = sampling.with_global_shuffle_pos(ids)
+    out = str(tmp_path / "shards")
+    export.write_training_shards(ordered, out, 4, "shuffle_pos")
+    manifest = export.verify_training_shards(spark, out, "shuffle_pos")
+    assert manifest.count() == 4
+    seen = 0
+    for k in range(4):
+        f = glob.glob(os.path.join(out, f"shard_id={k}", "*.parquet"))
+        assert len(f) == 1
+        t = pq.read_table(f[0])
+        arrs = t.column("token_ids").to_pylist()
+        assert all(a is not None and len(a) > 0 for a in arrs)
+        vmax = len(model.vocab)
+        assert all(0 <= i < vmax for a in arrs for i in a)
+        seen += len(arrs)
+    assert seen == 200
