@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, packing, textops
+from ..operators import dedup, langmodel, packing, textops
 from ..sources.parquet import fan_out, load_table
 from .registry import register
 
@@ -67,10 +67,12 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 from ({textops.fingerprints_sql()})),
          ds as ({textops.dup_span_sql()}),
          dx as ({dedup.duplicate_span_stats_sql(n=8)}),
-         cc as ({packing.cdc_chunk_count_sql()})
+         cc as ({packing.cdc_chunk_count_sql()}),
+         lm as ({langmodel.bigram_lm_scores_sql("lang = 'en'")})
     select d.doc_id, mh.minhash_sig, sh.simhash, fp.fingerprint, fp.n_grams,
            ds.n_span_grams, ds.dup_span_frac,
-           dx.n_dup_grams, dx.dup_token_frac, cc.n_cdc_chunks
+           dx.n_dup_grams, dx.dup_token_frac, cc.n_cdc_chunks,
+           lm.lm_n_trans, lm.lm_logp_unat
     from documents d
     left join mh using (doc_id)
     left join sh using (doc_id)
@@ -78,8 +80,9 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join ds using (doc_id)
     left join dx using (doc_id)
     left join cc using (doc_id)
+    join lm using (doc_id)
     """,
-    survey_ids=("DD3", "DD4", "TX4", "DS1", "DD7", "CH2"),
+    survey_ids=("DD3", "DD4", "TX4", "DS1", "DD7", "CH2", "QL1"),
 )
 def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document signature catalog in one entry: 16-hash MinHash
@@ -96,8 +99,11 @@ def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     form: every 8-token window hashed, corpus-frequency ≥ 2 flags a
     span, overlapping spans merged so a run of k duplicated tokens
     counts k, not k·8; gate-promoted round 5 beside the simpler
-    positional form). One doc-keyed join of per-doc projections —
-    co-partitioned on the doc key at scale."""
+    positional form), and the bigram-LM log-likelihood under the
+    stored-lang target slice (QL1, operators/langmodel — stupid
+    backoff, integer micro-nat weights; this entry is gate-only, so
+    the legs cost no bench time). One doc-keyed join of per-doc
+    projections — co-partitioned on the doc key at scale."""
     docs = _docs(spark, sf_dir)
     mh = dedup.minhash_signatures(docs, n=3, n_hashes=16).select(
         "doc_id",
@@ -116,7 +122,7 @@ def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_dup_grams", "dup_token_frac"
     )
     cc = packing.cdc_chunk_counts(docs)
-    return (
+    joined = (
         docs.select("doc_id")
         .join(mh, "doc_id", "left")
         .join(sh, "doc_id", "left")
@@ -124,6 +130,11 @@ def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ds, "doc_id", "left")
         .join(dx, "doc_id", "left")
         .join(cc, "doc_id", "left")
+    )
+    # QL1 (round 5): bigram-LM log-likelihood under the stored-lang
+    # target slice — the signature frame is the scorer's spine (base=)
+    return langmodel.bigram_lm_scores(
+        docs, target=F.col("lang") == F.lit("en"), base=joined
     )
 
 
