@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, langmodel, packing, textops
+from ..operators import dedup, langmodel, packing, retrieval, textops
 from ..sources.parquet import fan_out, load_table
 from .registry import register
 
@@ -53,6 +53,13 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_pairs_exact(_docs(spark, sf_dir), n=3, threshold=0.5)
 
 
+#: BM25 gate leg: one fixed keyword query over the corpus vocabulary
+#: (frequent + rare terms so idf separation is non-trivial), top-k
+#: deep enough that rank boundaries exercise tie-breaks.
+BM25_QUERY = {0: "spark window merge dup"}
+BM25_K = 25
+
+
 @register(
     "doc_signatures",
     # arrays string-serialized: the driver's pandas canonicalizer
@@ -68,11 +75,13 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
          ds as ({textops.dup_span_sql()}),
          dx as ({dedup.duplicate_span_stats_sql(n=8)}),
          cc as ({packing.cdc_chunk_count_sql()}),
-         lm as ({langmodel.bigram_lm_scores_sql("lang = 'en'")})
+         lm as ({langmodel.bigram_lm_scores_sql("lang = 'en'")}),
+         bm as ({retrieval.bm25_topk_sql(BM25_QUERY, k=BM25_K)})
     select d.doc_id, mh.minhash_sig, sh.simhash, fp.fingerprint, fp.n_grams,
            ds.n_span_grams, ds.dup_span_frac,
            dx.n_dup_grams, dx.dup_token_frac, cc.n_cdc_chunks,
-           lm.lm_n_trans, lm.lm_logp_unat
+           lm.lm_n_trans, lm.lm_logp_unat,
+           bm.rank as bm25_rank, bm.score_unat as bm25_score_unat
     from documents d
     left join mh using (doc_id)
     left join sh using (doc_id)
@@ -81,8 +90,9 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join dx using (doc_id)
     left join cc using (doc_id)
     join lm using (doc_id)
+    left join bm using (doc_id)
     """,
-    survey_ids=("DD3", "DD4", "TX4", "DS1", "DD7", "CH2", "QL1"),
+    survey_ids=("DD3", "DD4", "TX4", "DS1", "DD7", "CH2", "QL1", "TF3"),
 )
 def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document signature catalog in one entry: 16-hash MinHash
@@ -133,9 +143,17 @@ def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # QL1 (round 5): bigram-LM log-likelihood under the stored-lang
     # target slice — the signature frame is the scorer's spine (base=)
-    return langmodel.bigram_lm_scores(
+    scored = langmodel.bigram_lm_scores(
         docs, target=F.col("lang") == F.lit("en"), base=joined
     )
+    # TF3 (round 5): the fixed keyword query's BM25 rank/score per doc
+    # (null outside the top-k) — gates the retrieval tier end-to-end
+    bm = retrieval.bm25_topk(docs, BM25_QUERY, k=BM25_K).select(
+        "doc_id",
+        F.col("rank").alias("bm25_rank"),
+        F.col("score_unat").alias("bm25_score_unat"),
+    )
+    return scored.join(bm, "doc_id", "left")
 
 
 @register(
