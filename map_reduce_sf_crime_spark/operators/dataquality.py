@@ -476,3 +476,130 @@ def snapshot_drift(
         "mean_num_a",
         "mean_num_b",
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ5: privacy risk audit — k-anonymity / l-diversity
+# ---------------------------------------------------------------------------
+
+
+def k_anonymity_flags(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-row re-identification risk under k-anonymity (Sweeney 2002,
+    public; l-diversity per Machanavajjhala et al. 2007 when
+    ``sensitive_col`` is given): rows whose quasi-identifier
+    combination is shared by fewer than ``k`` rows are flagged —
+    the redaction/suppression worklist a privacy pass consumes next
+    to the TX5 PII scrub. Returns
+    ``(id_col, class_size[, class_l_div], at_risk)``.
+
+    NULL quasi values form their own equivalence class (SQL GROUP BY
+    semantics — a NULL zip is still a linkable value pattern).
+
+    Scale shape: ONE groupBy on the quasi columns (map-side combined;
+    the class table is at most |quasi-value combinations| rows) and
+    one join back on those columns — broadcast when the class table
+    is small, AQE-planned otherwise. No window, no collect."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must name at least one column")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    aggs = [F.count(F.lit(1)).alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col)).alias("class_l_div")
+        )
+    classes = df.groupBy(*quasi_cols).agg(*aggs)
+    # null-safe join back: a NULL quasi value IS an equivalence class
+    # (the groupBy formed it) — a plain equi-join would silently drop
+    # those rows, the exact class the audit most wants to see
+    rows = df.select(id_col, *quasi_cols).alias("r")
+    cls = classes.alias("c")
+    cond = None
+    for q in quasi_cols:
+        leg = F.col(f"r.{q}").eqNullSafe(F.col(f"c.{q}"))
+        cond = leg if cond is None else (cond & leg)
+    joined = rows.join(cls, cond)
+    out = [
+        F.col(f"r.{id_col}").alias(id_col),
+        F.col("class_size"),
+        (F.col("class_size") < k).cast("int").alias("at_risk"),
+    ]
+    if sensitive_col is not None:
+        out.insert(2, F.col("class_l_div"))
+    return joined.select(*out)
+
+
+def k_anonymity_summary(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """Corpus-level privacy posture, one row:
+    ``(k, n_rows, n_classes, n_small_classes, n_rows_at_risk,
+    min_class_size[, min_l_div])`` — ``n_rows_at_risk`` is the
+    suppression cost of enforcing k-anonymity by dropping risky rows;
+    ``min_class_size`` is the k the corpus ACTUALLY satisfies."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must name at least one column")
+    aggs = [F.count(F.lit(1)).alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col)).alias("class_l_div")
+        )
+    classes = df.groupBy(*quasi_cols).agg(*aggs)
+    small = F.col("class_size") < k
+    outer = [
+        F.lit(k).cast("int").alias("k"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(small.cast("long")).cast("long").alias("n_small_classes"),
+        F.sum(F.when(small, F.col("class_size")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.min("class_size").cast("long").alias("min_class_size"),
+    ]
+    if sensitive_col is not None:
+        outer.append(F.min("class_l_div").cast("long").alias("min_l_div"))
+    return classes.agg(*outer)
+
+
+def k_anonymity_summary_sql(
+    quasi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`k_anonymity_summary`."""
+    qcols = ", ".join(quasi_cols)
+    ldiv = (
+        f", count(distinct {sensitive_col}) as class_l_div"
+        if sensitive_col
+        else ""
+    )
+    ldiv_out = (
+        ", cast(min(class_l_div) as bigint) as min_l_div"
+        if sensitive_col
+        else ""
+    )
+    return f"""
+    with _classes as (
+      select {qcols}, count(*) as class_size{ldiv}
+      from {table} group by {qcols}
+    )
+    select cast({k} as int) as k,
+           cast(sum(class_size) as bigint) as n_rows,
+           cast(count(*) as bigint) as n_classes,
+           cast(sum(case when class_size < {k} then 1 else 0 end) as bigint)
+             as n_small_classes,
+           cast(sum(case when class_size < {k} then class_size else 0 end)
+                as bigint) as n_rows_at_risk,
+           cast(min(class_size) as bigint) as min_class_size{ldiv_out}
+    from _classes
+    """

@@ -660,3 +660,27 @@ def test_dsir_ledger_fold_equals_live(spark):
         sampling.dsir_scores_cataloged(spark, docs, "dsir_notledger")
     spark.sql("drop table if exists dsir_notledger")
     spark.sql(f"drop table if exists {tbl}")
+
+
+def test_dsir_ledger_read_rides_bucket_layout(spark):
+    """The cataloged read's ledger scan must ride the bucket spec
+    (distinct + groupBy(_bucket) collapse bucket-locally, no
+    token...bucket-keyed exchange on the ledger side) — the TS1
+    layout pin applied to SM3."""
+    from pyspark.sql import functions as SF
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    tbl = "dsir_ledger_layout"
+    spark.sql(f"drop table if exists {tbl}")
+    sampling.write_dsir_stats(
+        docs, SF.col("lang") == SF.lit("en"), tbl, n_buckets=128
+    )
+    plan = (
+        sampling.dsir_scores_cataloged(spark, docs, tbl)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    scan_lines = [l for l in plan.splitlines() if tbl in l]
+    assert scan_lines and "SelectedBucketsCount" in "\n".join(scan_lines)
+    spark.sql(f"drop table if exists {tbl}")

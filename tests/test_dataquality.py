@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from map_reduce_sf_crime_spark.operators import dataquality as dq
 from map_reduce_sf_crime_spark.sources.parquet import load_table
 
-from .conftest import SF_CHECK
+from .conftest import SF_CHECK, SF_SMOKE
 
 SCRATCH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -367,3 +367,72 @@ def test_snapshot_drift(spark):
     assert drift["lang"].n_distinct_b == drift["lang"].n_distinct_a + 1
     assert drift["source"].n_distinct_b == drift["source"].n_distinct_a + 1
     assert drift["source"].distinct_ratio > 1.0
+
+
+def test_k_anonymity_flags_and_summary(spark):
+    """DQ5 privacy audit: known equivalence classes (incl. a NULL
+    quasi value as its own class), per-row flags consistent with the
+    summary, l-diversity floor, arg validation."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    rows = (
+        [(i, "en", "srcA", f"s{i}") for i in range(6)]         # size 6, l=6
+        + [(10, "en", "srcB", "x"), (11, "en", "srcB", "x")]    # size 2, l=1
+        + [(20, "de", None, "y")]                               # NULL class, size 1
+        + [(30, "fr", "srcC", "z"), (31, "fr", "srcC", "z"),
+           (32, "fr", "srcC", "w")]                             # size 3, l=2
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, sens string"
+    )
+    flags = {
+        r.doc_id: (r.class_size, r.class_l_div, r.at_risk)
+        for r in dq.k_anonymity_flags(
+            df, ["lang", "source"], k=3, sensitive_col="sens"
+        ).collect()
+    }
+    assert len(flags) == len(rows)
+    assert flags[0] == (6, 6, 0)
+    assert flags[10] == (2, 1, 1)
+    assert flags[20] == (1, 1, 1)  # NULL source is a real class
+    assert flags[30] == (3, 2, 0)
+    s = dq.k_anonymity_summary(
+        df, ["lang", "source"], k=3, sensitive_col="sens"
+    ).collect()[0]
+    assert (
+        s.k, s.n_rows, s.n_classes, s.n_small_classes,
+        s.n_rows_at_risk, s.min_class_size, s.min_l_div,
+    ) == (3, 12, 4, 2, 3, 1, 1)
+    # rows_at_risk == number of flagged rows
+    assert s.n_rows_at_risk == sum(1 for _, _, r in flags.values() if r)
+    with pytest.raises(ValueError, match="quasi_cols"):
+        dq.k_anonymity_summary(df, [])
+    with pytest.raises(ValueError, match="k must"):
+        dq.k_anonymity_flags(df, ["lang"], k=0)
+
+
+def test_k_anonymity_matches_duckdb_twin(spark):
+    """Summary bit-equality with the DuckDB twin on the real
+    documents table, quasi = (lang, source)."""
+    import duckdb
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = tuple(
+        dq.k_anonymity_summary(
+            docs, ["lang", "source"], k=5, sensitive_col="n_chars"
+        ).collect()[0]
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as select * from "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    want = con.sql(
+        dq.k_anonymity_summary_sql(
+            ["lang", "source"], k=5, sensitive_col="n_chars"
+        )
+    ).fetchall()[0]
+    assert got == tuple(want)
+    # the synthetic corpus genuinely straddles k=5 (some classes small)
+    assert 0 < got[3] < got[2]
