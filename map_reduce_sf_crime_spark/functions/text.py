@@ -6,6 +6,8 @@ SQL twins.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -48,6 +50,25 @@ def ascii_lower_sql(text: str) -> str:
 def tokens_col(text: Column) -> Column:
     """Whitespace tokens, ASCII-case-folded; empty strings filtered."""
     return F.filter(F.split(ascii_lower_col(text), r"\s+"), lambda t: t != "")
+
+
+#: Python-side mirror of :func:`ascii_lower_col` — ONE definition so
+#: driver/UDF-side folding can never drift from the column expression.
+PY_ASCII_FOLD = str.maketrans(_UPPER, _LOWER)
+
+#: Java's regex \s is EXACTLY [ \t\n\x0B\f\r] — NOT Python's
+#: Unicode-aware \s (which also splits on NBSP, NEL, line/paragraph
+#: separators...). Python-side tokenization must use this class or a
+#: word like 'foo bar' tokenizes differently in a pandas_udf than
+#: in the corpus scan.
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def py_tokens(text: str) -> list[str]:
+    """Python-side mirror of :func:`tokens_col`: identical fold,
+    identical whitespace class, empties dropped. The ONLY correct way
+    to tokenize inside a UDF or on the driver."""
+    return [t for t in _JAVA_WS.split(text.translate(PY_ASCII_FOLD)) if t]
 
 
 def tokens_sql(text: str) -> str:

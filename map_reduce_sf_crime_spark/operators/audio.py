@@ -70,6 +70,10 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         i += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAVE missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError(
+            f"WAVE fmt chunk truncated ({len(fmt)} bytes < 16)"
+        )
     audio_fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
     if audio_fmt != 1 or bits != 16:
         raise ValueError(
@@ -83,6 +87,27 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return int(rate), samples.astype(np.float64)
 
 
+def _band_edges(frame_len: int, n_bands: int) -> list[int]:
+    """Log-spaced band edges over the positive spectrum (skip DC),
+    rounded then forced STRICTLY increasing — truncation-based
+    uniquing silently collapsed the low edges at the default
+    parameters (``geomspace(2, 512, 17).astype(int)`` starts
+    ``[2, 2, ...]``) and degraded the whole design to a linear
+    fallback; the monotonic fix-up keeps every low band intact where
+    real audio concentrates its energy."""
+    edges: list[int] = []
+    prev = 1
+    for v in np.geomspace(2, frame_len // 2, n_bands + 1):
+        e = max(int(round(v)), prev + 1)
+        edges.append(e)
+        prev = e
+    if edges[-1] > frame_len // 2 + 1:
+        raise ValueError(
+            f"frame_len {frame_len} too small for {n_bands} bands"
+        )
+    return edges
+
+
 def fingerprint_samples(samples: np.ndarray) -> list[int]:
     """Per-frame 16-bit sub-fingerprints (Haitsma–Kalker bit rule over
     log-spaced FFT band energies). Deterministic; clips shorter than
@@ -90,12 +115,7 @@ def fingerprint_samples(samples: np.ndarray) -> list[int]:
     n = len(samples)
     if n < FRAME_LEN + HOP:
         return []
-    # log-spaced band edges over the positive spectrum (skip DC)
-    edges = np.unique(
-        np.geomspace(2, FRAME_LEN // 2, N_BANDS + 1).astype(int)
-    )
-    if len(edges) < N_BANDS + 1:  # tiny FRAME_LEN fallback: linear
-        edges = np.linspace(2, FRAME_LEN // 2, N_BANDS + 1).astype(int)
+    edges = _band_edges(FRAME_LEN, N_BANDS)
     window = np.hanning(FRAME_LEN)
     prev = None
     out: list[int] = []
@@ -166,12 +186,17 @@ def audio_near_pairs(
     the same offset, the output-bound regime of the simhash/dhash
     tiers. Alignment is index-based (clips compared from their
     starts) — offset-search is a documented non-goal, matching the
-    lookup-table usage in Haitsma & Kalker."""
+    lookup-table usage in Haitsma & Kalker. The exploded frame is
+    plan-cached: it feeds BOTH sides of the self-join, and uncached
+    the upstream Arrow decode+FFT pass would execute once per side
+    (the image twin guards its banded self-join the same way)."""
+    from ..functions.caching import plan_cache
+
     ex = fps.select(
         "doc_id",
         "n_frames",
         F.posexplode("fp").alias("frame_idx", "sub_fp"),
-    )
+    ).transform(plan_cache)
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (

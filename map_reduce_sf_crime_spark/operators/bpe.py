@@ -38,10 +38,15 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens_col
 
-#: end-of-word marker (the paper's </w>): distinguishes "est" inside
-#: a word from "est</w>" ending one, and makes per-word detokenization
-#: a pure concat+strip.
-EOW = "</w>"
+#: end-of-word marker (the paper's </w>, here a NEWLINE): it
+#: distinguishes "est" inside a word from "est"+EOW ending one and
+#: makes detokenization a pure concat+replace. A whitespace character
+#: is PROVABLY collision-free — the tokenizer splits on whitespace,
+#: so no token can ever contain it — where the paper's literal
+#: "</w>" string can be reassembled by merges learned from
+#: HTML-bearing corpora ('a</w>b' in text would detokenize to 'a b'
+#: and conflate a vocab id with the marker's).
+EOW = "\n"
 
 #: loud ceiling for the driver-side word-frequency collect — far
 #: beyond any real tokenizer's training table (GPT-2's BPE trained on
@@ -164,11 +169,18 @@ def bpe_encode(
     """Append ``out_col``: the document's learned-BPE token sequence
     (array<string>; join on '' and strip EOW markers to detokenize).
     One Arrow-batched ``pandas_udf`` over the broadcast merge ranks —
-    no shuffle, NULL text → NULL tokens."""
+    no shuffle, NULL text → NULL tokens. Word splitting is
+    ``functions.text.py_tokens`` — the Python mirror of the corpus
+    tokenizer's exact fold AND whitespace class (Python's bare
+    ``str.split()`` also splits on Unicode whitespace like NBSP,
+    which the training-side ``tokens_col`` does not — the words would
+    silently diverge from the frequency table the merges were
+    learned on)."""
     from pyspark.sql.functions import pandas_udf
 
+    from ..functions.text import py_tokens
+
     ranks = {pair: i for i, pair in enumerate(merges)}
-    fold = _ASCII_FOLD
 
     @pandas_udf("array<string>")
     def encode(texts: pd.Series) -> pd.Series:
@@ -178,9 +190,7 @@ def bpe_encode(
             if text is None:
                 return None
             out: list[str] = []
-            for w in text.translate(fold).split():
-                if not w:
-                    continue
+            for w in py_tokens(text):
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = _encode_word(w, ranks)
@@ -190,11 +200,6 @@ def bpe_encode(
         return texts.map(enc)
 
     return docs.withColumn(out_col, encode(F.col(text_col)))
-
-
-_ASCII_FOLD = str.maketrans(
-    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
-)
 
 
 def detokenize_col(bpe_tokens: Column) -> Column:
@@ -273,9 +278,10 @@ def bpe_encode_ids(
     one-Arrow-pass shape as :func:`bpe_encode`."""
     from pyspark.sql.functions import pandas_udf
 
+    from ..functions.text import py_tokens
+
     ranks = {pair: i for i, pair in enumerate(model.merges)}
     ids = model.ids()
-    fold = _ASCII_FOLD
     unk = ids[UNK]
 
     @pandas_udf("array<int>")
@@ -286,9 +292,7 @@ def bpe_encode_ids(
             if text is None:
                 return None
             out: list[int] = []
-            for w in text.translate(fold).split():
-                if not w:
-                    continue
+            for w in py_tokens(text):
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = [

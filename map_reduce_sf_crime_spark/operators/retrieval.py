@@ -52,25 +52,30 @@ K1 = 1.2
 B = 0.75
 
 
-_ASCII_FOLD = str.maketrans(
-    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
-)
-
-
 def _query_terms(queries: dict[int, str]) -> list[tuple[int, str]]:
-    """Distinct whitespace terms per query, ASCII-case-folded exactly
-    like the corpus tokenizer (functions/text.ascii_lower_col — full
-    Unicode lowercasing is engine-dependent, so neither side does
-    it). qtf is clamped to 1 — the common simplification; a repeated
-    query word does not double-count. Deterministic order."""
+    """Distinct terms per query via ``functions.text.py_tokens`` —
+    the exact fold AND whitespace class of the corpus tokenizer (one
+    shared definition, so query terms can never tokenize differently
+    from the documents they search). qtf is clamped to 1 — the common
+    simplification; a repeated query word does not double-count.
+    Deterministic order."""
+    from ..functions.text import py_tokens
+
     out = []
     for qid, text in sorted(queries.items()):
         seen = set()
-        for tok in text.translate(_ASCII_FOLD).split():
-            if tok and tok not in seen:
+        for tok in py_tokens(text):
+            if tok not in seen:
                 seen.add(tok)
                 out.append((qid, tok))
     return out
+
+
+def _sql_str(s: str) -> str:
+    """SQL string literal with quotes escaped — a query term
+    containing an apostrophe must not break (or inject into) the
+    generated oracle SQL."""
+    return "'" + s.replace("'", "''") + "'"
 
 
 def bm25_topk(
@@ -92,10 +97,18 @@ def bm25_topk(
     qterms = spark.createDataFrame(qt, "query_id int, token string")
     vocab = sorted({t for _, t in qt})
 
-    toks = docs.select(
+    # tokenize ONCE: both the postings branch and the corpus-totals
+    # branch read this cached token-array projection — without the
+    # cache boundary, CollapseProject inlines the regex split into
+    # every consumer and the corpus pays 2-3 full tokenize passes
+    # (the only corpus-scale CPU in this operator)
+    tokd = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("_toks")
+    ).transform(plan_cache)
+    toks = tokd.select(
         "doc_id",
-        F.size(tokens_col(F.col("text"))).alias("_dl"),
-        F.explode(tokens_col(F.col("text"))).alias("token"),
+        F.size("_toks").alias("_dl"),
+        F.explode("_toks").alias("token"),
     )
     # postings-sized from here on: only query-vocabulary tokens pass
     posting = (
@@ -104,11 +117,9 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).alias("_tf"))
         .transform(plan_cache)
     )
-    stats = docs.agg(
+    stats = tokd.agg(
         F.count(F.lit(1)).alias("_N"),
-        F.coalesce(
-            F.sum(F.size(tokens_col(F.col("text")))), F.lit(0)
-        ).alias("_R"),
+        F.coalesce(F.sum(F.size("_toks")), F.lit(0)).alias("_R"),
     )
     # idf per matched term, quantized to integer micro-nats — the one
     # transcendental, vocabulary-sized
@@ -180,8 +191,8 @@ def bm25_topk_sql(
     qt = _query_terms(queries)
     if not qt:
         raise ValueError("queries must contain at least one token")
-    qrows = ", ".join(f"({qid}, '{t}')" for qid, t in qt)
-    vocab = ", ".join(f"'{t}'" for t in sorted({t for _, t in qt}))
+    qrows = ", ".join(f"({qid}, {_sql_str(t)})" for qid, t in qt)
+    vocab = ", ".join(_sql_str(t) for t in sorted({t for _, t in qt}))
     return f"""
     with _q(query_id, token) as (values {qrows}),
     _tok as (

@@ -125,3 +125,29 @@ def test_clip_fingerprints_decoder_seam(spark):
     out = {r.doc_id: r for r in audio.clip_fingerprints(media, decoder=fake).collect()}
     assert out[0].sample_rate == 4000 and out[0].n_frames == len(out[0].fp) > 0
     assert out[0].fp == out[1].fp  # same length -> same fake signal
+
+
+def test_band_edges_are_log_spaced_and_strictly_increasing():
+    """Regression: integer truncation used to collapse the low edges
+    at the default parameters, silently degrading the log-band design
+    to a linear fallback."""
+    edges = audio._band_edges(audio.FRAME_LEN, audio.N_BANDS)
+    assert len(edges) == audio.N_BANDS + 1
+    assert all(b > a for a, b in zip(edges, edges[1:]))
+    # genuinely log-ish: the top band is much wider than the bottom
+    assert (edges[-1] - edges[-2]) > 8 * (edges[1] - edges[0])
+    with pytest.raises(ValueError, match="too small"):
+        audio._band_edges(16, 16)
+
+
+def test_decode_wav_truncated_fmt_raises_valueerror():
+    body = struct.pack("<HH", 1, 1)  # 4-byte fmt stub
+    data = b"\x00" * 32
+    payload = (
+        b"RIFF" + struct.pack("<I", 24 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(body)) + body
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    assert len(payload) >= 44  # past the container sanity guard
+    with pytest.raises(ValueError, match="fmt chunk truncated"):
+        audio.decode_wav(payload)

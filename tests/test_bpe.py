@@ -92,8 +92,19 @@ def test_bpe_feeds_packing_pipeline(spark):
     (a doc's BPE sequence chunks like any token array)."""
     docs = load_table(spark, SF_SMOKE, "documents").limit(50)
     merges = bpe.train_bpe(docs, n_merges=30)
+    # EOW is a newline (whitespace, collision-proof) — map it to a
+    # visible marker so the re-joined stream is whitespace-tokenizable
+    # with one symbol per BPE token
     enc = bpe.bpe_encode(docs, merges).select(
-        "doc_id", "source", F.array_join("bpe_tokens", " ").alias("text")
+        "doc_id",
+        "source",
+        F.array_join(
+            F.transform(
+                "bpe_tokens",
+                lambda s: F.replace(s, F.lit(bpe.EOW), F.lit("¶")),
+            ),
+            " ",
+        ).alias("text"),
     )
     from map_reduce_sf_crime_spark.operators import packing
 
@@ -152,3 +163,37 @@ def test_bpe_ids_feed_trainer_shards(spark, tmp_path):
         assert all(0 <= i < vmax for a in arrs for i in a)
         seen += len(arrs)
     assert seen == 200
+
+
+def test_bpe_tokenizer_matches_corpus_whitespace_class(spark):
+    """Regression: Python's bare str.split() also splits on Unicode
+    whitespace (NBSP...) where the corpus tokenizer's Java \\s+ does
+    not — training and encoding must see the SAME words."""
+    text = "foo bar foo bar baz"
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    merges = bpe.train_bpe(docs, n_merges=10)
+    enc = bpe.bpe_encode(docs, merges)
+    rt = enc.select(
+        bpe.detokenize_col(F.col("bpe_tokens")).alias("rt"),
+        F.array_join(tokens_col(F.col("text")), " ").alias("want"),
+        F.size(
+            F.filter("bpe_tokens", lambda s: s.endswith(bpe.EOW))
+        ).alias("n_words"),
+    ).collect()[0]
+    # round-trip reproduces the corpus tokenizer's view: 3 words, the
+    # NBSP word intact (not split into 'foo' and 'bar')
+    assert rt.rt == rt.want
+    assert rt.n_words == 3
+
+
+def test_bpe_eow_marker_cannot_collide_with_text(spark):
+    """EOW is whitespace, so no token can contain it — text bearing
+    the PAPER's literal '</w>' marker round-trips unharmed."""
+    docs = spark.createDataFrame(
+        [(0, "a</w>b a</w>b x</w> x</w>")], "doc_id long, text string"
+    )
+    merges = bpe.train_bpe(docs, n_merges=20)
+    out = bpe.bpe_encode(docs, merges).select(
+        bpe.detokenize_col(F.col("bpe_tokens")).alias("rt")
+    ).collect()[0]
+    assert out.rt == "a</w>b a</w>b x</w> x</w>"

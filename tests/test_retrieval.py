@@ -104,3 +104,32 @@ def test_bm25_matches_duckdb_twin(spark):
     # all three queries returned a full k (the corpus is big enough)
     for q in queries:
         assert sum(1 for t in got if t[0] == q) == 12
+
+
+def test_bm25_sql_twin_escapes_quotes(spark):
+    """Regression: a query term with an apostrophe must not break the
+    generated oracle SQL — both engines tokenize and score it the
+    same way."""
+    docs = spark.createDataFrame(
+        [
+            (0, "don't stop believing"),
+            (1, "don't don't don't"),
+            (2, "stop right there"),
+            (3, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = {0: "Don't stop"}
+    got = {
+        tuple(r)
+        for r in retrieval.bm25_topk(docs, queries, k=10)
+        .select("query_id", "doc_id", "rank", "score_unat", "n_terms_hit")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = {
+        tuple(r) for r in con.sql(retrieval.bm25_topk_sql(queries, k=10)).fetchall()
+    }
+    assert got == want
+    assert {t[1] for t in got} == {0, 1, 2}
