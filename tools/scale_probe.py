@@ -27,6 +27,7 @@ from map_reduce_sf_crime_spark.session import get_spark
 BASE = "/root/testdata/sf0.1"
 PROBES = [
     "dedup_exact_flags",
+    "doc_signatures",
     "text_profile",
     "embedding_profile",
     "knn_bruteforce",
