@@ -121,6 +121,21 @@ def bm25_topk(
         F.count(F.lit(1)).alias("_N"),
         F.coalesce(F.sum(F.size("_toks")), F.lit(0)).alias("_R"),
     )
+    return _score_postings(posting, stats, qterms, k, k1, b)
+
+
+def _score_postings(
+    posting: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared BM25 scoring tail over a matched-postings frame
+    ``(doc_id, _dl, token, _tf)`` + a one-row totals frame
+    ``(_N, _R)`` — the live and indexed forms differ only in where
+    the postings come from."""
     # idf per matched term, quantized to integer micro-nats — the one
     # transcendental, vocabulary-sized
     dfreq = posting.groupBy("token").agg(
@@ -176,6 +191,78 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "rank", "score_unat", "n_terms_hit")
     )
+
+
+def write_postings_index(
+    docs: DataFrame, table: str, table_buckets: int = 16
+) -> None:
+    """Persist the FULL inverted index — ``(token, doc_id, tf, dl)``
+    hash-bucketed on token — plus the corpus totals in a tiny
+    ``{table}_stats`` side table: the build-once/query-many form of
+    BM25 serving (the lexical mirror of write_ivf_index). One
+    tokenize pass; the expensive corpus-wide work is paid here, and
+    every later query reads ONLY its terms' buckets."""
+    from ..sources.lakehouse import drop_table_and_orphan, write_bucketed
+
+    spark = docs.sparkSession
+    drop_table_and_orphan(spark, table)
+    drop_table_and_orphan(spark, f"{table}_stats")
+    tokd = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("_toks")
+    ).transform(plan_cache)
+    posting = (
+        tokd.select(
+            "doc_id",
+            F.size("_toks").alias("dl"),
+            F.explode("_toks").alias("token"),
+        )
+        .groupBy("token", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    write_bucketed(posting, table, "token", table_buckets)
+    tokd.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.size("_toks")), F.lit(0)).alias("total_tokens"),
+    ).write.mode("overwrite").format("parquet").saveAsTable(f"{table}_stats")
+
+
+def bm25_topk_indexed(
+    spark,
+    table: str,
+    queries: dict[int, str],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Serve BM25 from the PERSISTED postings index: the query-term
+    IN-filter prunes the token-bucketed table to the query terms'
+    buckets (SelectedBucketsCount — plan-pinned in
+    tests/test_retrieval.py), so query cost tracks the matched
+    postings, never the corpus; corpus totals come from the one-row
+    stats table. Bit-identical to :func:`bm25_topk` on the indexed
+    corpus (pytest-pinned) — same scoring tail, same integer
+    micro-nat discipline."""
+    qt = _query_terms(queries)
+    if not qt:
+        raise ValueError("queries must contain at least one token")
+    qterms = spark.createDataFrame(qt, "query_id int, token string")
+    vocab = sorted({t for _, t in qt})
+    posting = (
+        spark.table(table)
+        .filter(F.col("token").isin(vocab))
+        .select(
+            "doc_id",
+            F.col("dl").alias("_dl"),
+            "token",
+            F.col("tf").alias("_tf"),
+        )
+        .transform(plan_cache)
+    )
+    stats = spark.table(f"{table}_stats").select(
+        F.col("n_docs").alias("_N"),
+        F.col("total_tokens").alias("_R"),
+    )
+    return _score_postings(posting, stats, qterms, k, k1, b)
 
 
 def bm25_topk_sql(
@@ -244,3 +331,47 @@ def bm25_topk_sql(
       from _s
     ) where rank <= {k}
     """
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Hybrid-search fusion by Reciprocal Rank Fusion (Cormack,
+    Clarke & Buettcher 2009, public — the standard way to combine a
+    lexical and a semantic ranking without score calibration):
+    ``rrf(d) = Σ_lists 1/(c + rank_list(d))``, docs missing from one
+    list simply contribute nothing for it. Inputs are any two
+    ``(query_id, doc_id, rank)`` frames (bm25_topk and an ANN top-k
+    renamed to doc_id, typically); output
+    ``(query_id, doc_id, rank, rrf_score_nano)`` top-``k`` per query.
+
+    Exactness: each contribution is ``floor(1e9 / (c + rank))`` — a
+    correctly-rounded division of exact integers, no transcendental —
+    so fused scores are exact integer sums, deterministic across
+    engines and runs; ties break on doc_id. Scale: a union of two
+    already-top-k-sized frames, one tiny groupBy, one
+    query-partitioned window — nothing corpus-sized."""
+    if c < 1:
+        raise ValueError(f"c must be >= 1, got {c}")
+    contrib = F.floor(
+        F.lit(1000000000.0) / (F.lit(c).cast("double") + F.col("rank").cast("double"))
+    ).cast("long")
+    both = ranked_a.select("query_id", "doc_id", "rank").unionByName(
+        ranked_b.select("query_id", "doc_id", "rank")
+    )
+    fused = (
+        both.select("query_id", "doc_id", contrib.alias("_c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_c").alias("rrf_score_nano"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score_nano"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "rrf_score_nano")
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from map_reduce_sf_crime_spark.operators import retrieval
 from map_reduce_sf_crime_spark.sources.parquet import load_table
@@ -133,3 +134,91 @@ def test_bm25_sql_twin_escapes_quotes(spark):
     }
     assert got == want
     assert {t[1] for t in got} == {0, 1, 2}
+
+
+def test_bm25_indexed_equals_live_and_prunes_buckets(spark):
+    """The persisted postings index serves bit-identical results to
+    the live scorer, and the query-term filter actually prunes the
+    token-bucketed scan (SelectedBucketsCount in the plan)."""
+    tbl = "bm25_postings_test"
+    spark.sql(f"drop table if exists {tbl}")
+    spark.sql(f"drop table if exists {tbl}_stats")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    retrieval.write_postings_index(docs, tbl)
+    queries = {0: "spark window merge", 1: "dup table"}
+    live = {
+        tuple(r)
+        for r in retrieval.bm25_topk(docs, queries, k=15).collect()
+    }
+    served = retrieval.bm25_topk_indexed(spark, tbl, queries, k=15)
+    got = {tuple(r) for r in served.collect()}
+    assert got == live and got
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if tbl in l]
+    assert scan_lines and "SelectedBucketsCount" in "\n".join(scan_lines)
+    spark.sql(f"drop table if exists {tbl}")
+    spark.sql(f"drop table if exists {tbl}_stats")
+
+
+def test_rrf_fuse_matches_python_mirror(spark):
+    """RRF fusion equals the definition computed in python: exact
+    integer nano-contributions, missing-list docs contribute nothing,
+    ties break on doc_id."""
+    import math
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3), (1, 20, 1)],
+        "query_id int, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [(0, 12, 1), (0, 13, 2), (1, 20, 1), (1, 21, 2)],
+        "query_id int, doc_id long, rank int",
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.rank, r.rrf_score_nano)
+        for r in retrieval.rrf_fuse(a, b, k=10).collect()
+    }
+    contribs = {}
+    for df in (a, b):
+        for r in df.collect():
+            key = (r.query_id, r.doc_id)
+            contribs[key] = contribs.get(key, 0) + math.floor(1e9 / (60 + r.rank))
+    want = {}
+    for qid in (0, 1):
+        qdocs = sorted(
+            (d for (q, d) in contribs if q == qid),
+            key=lambda d: (-contribs[(qid, d)], d),
+        )
+        for i, d in enumerate(qdocs):
+            want[(qid, d)] = (i + 1, contribs[(qid, d)])
+    assert got == want
+    # doc 12 (in both lists) outranks doc 10 (rank-1 in one list only)
+    assert got[(0, 12)][0] == 1 and got[(0, 12)][1] > got[(0, 10)][1]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="c must"):
+        retrieval.rrf_fuse(a, b, c=0)
+
+
+def test_rrf_hybrid_bm25_plus_semantic(spark):
+    """End-to-end hybrid: fuse the BM25 lexical ranking with a
+    semantic ranking (knn over embeddings, vec_id treated as doc_id)
+    — the fused top-k is dominated by docs both tiers agree on."""
+    from map_reduce_sf_crime_spark.operators import similarity
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    lex = retrieval.bm25_topk(docs, {0: "spark window merge"}, k=20)
+    sem = (
+        similarity.knn_bruteforce(emb, [0], k=20)
+        .select(
+            F.lit(0).cast("int").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            F.col("rk").cast("int").alias("rank"),
+        )
+    )
+    fused = retrieval.rrf_fuse(lex, sem, k=10).collect()
+    assert len(fused) == 10
+    assert [r.rank for r in sorted(fused, key=lambda r: r.rank)] == list(
+        range(1, 11)
+    )
