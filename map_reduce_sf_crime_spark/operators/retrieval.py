@@ -247,6 +247,12 @@ def bm25_topk_indexed(
         raise ValueError("queries must contain at least one token")
     qterms = spark.createDataFrame(qt, "query_id int, token string")
     vocab = sorted({t for _, t in qt})
+    # deliberately NOT plan-cached: the scoring tail reads this twice
+    # (df aggregate + contribution join), but both reads are
+    # bucket-PRUNED scans of a persisted table — cheap IO — while a
+    # cache here would accumulate one tracked entry per query for the
+    # life of a serving session (releases only happen at registry
+    # build boundaries, which a direct serving loop never crosses)
     posting = (
         spark.table(table)
         .filter(F.col("token").isin(vocab))
@@ -256,7 +262,6 @@ def bm25_topk_indexed(
             "token",
             F.col("tf").alias("_tf"),
         )
-        .transform(plan_cache)
     )
     stats = spark.table(f"{table}_stats").select(
         F.col("n_docs").alias("_N"),
@@ -348,17 +353,30 @@ def rrf_fuse(
     renamed to doc_id, typically); output
     ``(query_id, doc_id, rank, rrf_score_nano)`` top-``k`` per query.
 
-    Exactness: each contribution is ``floor(1e9 / (c + rank))`` — a
-    correctly-rounded division of exact integers, no transcendental —
-    so fused scores are exact integer sums, deterministic across
-    engines and runs; ties break on doc_id. Scale: a union of two
-    already-top-k-sized frames, one tiny groupBy, one
+    Exactness: each contribution is ``1_000_000_000 div (c + rank)``
+    — TRUE integer division (Spark ``div`` / DuckDB ``//`` / Python
+    ``//``), not floor-of-double (whose rounding can land one above
+    the integer quotient once c+rank nears 1e8) — so fused scores are
+    exact integer sums, deterministic across engines and runs; ties
+    break on doc_id. Ranks are validated declaratively: a NULL, zero,
+    or negative rank raises at execution instead of silently
+    corrupting the fusion (a NULL contribution would be dropped by
+    sum, scoring a both-lists doc as if it appeared once). Scale: a
+    union of two already-top-k-sized frames, one tiny groupBy, one
     query-partitioned window — nothing corpus-sized."""
     if c < 1:
         raise ValueError(f"c must be >= 1, got {c}")
-    contrib = F.floor(
-        F.lit(1000000000.0) / (F.lit(c).cast("double") + F.col("rank").cast("double"))
-    ).cast("long")
+    contrib = F.when(
+        F.col("rank") >= 1,
+        F.expr(f"1000000000L div ({c}L + cast(rank as long))"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("rrf_fuse: rank must be >= 1, got "),
+                F.coalesce(F.col("rank").cast("string"), F.lit("NULL")),
+            )
+        ).cast("long")
+    )
     both = ranked_a.select("query_id", "doc_id", "rank").unionByName(
         ranked_b.select("query_id", "doc_id", "rank")
     )

@@ -143,16 +143,19 @@ def heavy_hitters(
     for the sketch to prune anything)."""
     if threshold < 1:
         raise ValueError(f"threshold must be >= 1, got {threshold}")
-    summaries = mg_summaries(df, col, k)
-    # the collect is k × n_partitions rows — bounded by construction
-    # (a pre-count would cost a second full sketch pass); the check
-    # keeps a pathological k/partition combination loud
-    rows = summaries.collect()
-    if len(rows) > MAX_SUMMARY_ROWS:
+    # materialize the summaries DISTRIBUTED first (localCheckpoint:
+    # one sketch pass, rows stay on executors), so the size check runs
+    # BEFORE anything reaches the driver — a pathological k × partition
+    # combination refuses loudly instead of OOMing the driver on the
+    # very collect the guard exists to police
+    summaries = mg_summaries(df, col, k).localCheckpoint()
+    n_rows = summaries.count()
+    if n_rows > MAX_SUMMARY_ROWS:
         raise ValueError(
-            f"heavy_hitters: {len(rows)} summary rows exceed "
+            f"heavy_hitters: {n_rows} summary rows exceed "
             f"{MAX_SUMMARY_ROWS}; lower k or coalesce input partitions"
         )
+    rows = summaries.collect()
     counters, dec = _merge_summaries(
         [(r["value"], r["count"], r["decremented"]) for r in rows], k
     )

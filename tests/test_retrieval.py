@@ -182,7 +182,7 @@ def test_rrf_fuse_matches_python_mirror(spark):
     for df in (a, b):
         for r in df.collect():
             key = (r.query_id, r.doc_id)
-            contribs[key] = contribs.get(key, 0) + math.floor(1e9 / (60 + r.rank))
+            contribs[key] = contribs.get(key, 0) + 1_000_000_000 // (60 + r.rank)
     want = {}
     for qid in (0, 1):
         qdocs = sorted(
@@ -198,6 +198,17 @@ def test_rrf_fuse_matches_python_mirror(spark):
 
     with _pytest.raises(ValueError, match="c must"):
         retrieval.rrf_fuse(a, b, c=0)
+    # invalid ranks raise at execution instead of silently corrupting
+    bad = spark.createDataFrame(
+        [(0, 10, 0)], "query_id int, doc_id long, rank int"
+    )
+    with _pytest.raises(Exception, match="rank must be >= 1"):
+        retrieval.rrf_fuse(a, bad).collect()
+    nullr = spark.createDataFrame(
+        [(0, 10, None)], "query_id int, doc_id long, rank int"
+    )
+    with _pytest.raises(Exception, match="rank must be >= 1"):
+        retrieval.rrf_fuse(a, nullr).collect()
 
 
 def test_rrf_hybrid_bm25_plus_semantic(spark):
