@@ -193,37 +193,107 @@ def _score_postings(
     )
 
 
+#: read_changes vocabulary → sign, shared with the TS1/SM3 ledgers
+_PX_DEAD_TYPES = ("delete", "update_preimage")
+_PX_LIVE_TYPES = ("insert", "update_postimage")
+
+
+def _posting_deltas(docs: DataFrame, sign: int) -> DataFrame:
+    """Signed posting rows ``(token, doc_id, dl, tf)`` for a doc set —
+    one tokenize pass, per-(doc, token) occurrences collapsed."""
+    tokd = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("_toks")
+    ).transform(plan_cache)
+    return tokd.select(
+        "doc_id",
+        F.size("_toks").alias("dl"),
+        F.explode("_toks").alias("token"),
+    ).groupBy("token", "doc_id", "dl").agg(
+        (F.lit(sign) * F.count(F.lit(1))).cast("long").alias("tf")
+    )
+
+
+def _stats_row(docs: DataFrame, sign: int, gen: int) -> DataFrame:
+    return docs.select(tokens_col(F.col("text")).alias("_toks")).agg(
+        (F.lit(sign) * F.count(F.lit(1))).cast("long").alias("n_docs"),
+        (F.lit(sign) * F.coalesce(F.sum(F.size("_toks")), F.lit(0)))
+        .cast("long")
+        .alias("total_tokens"),
+    ).withColumn("gen", F.lit(gen).cast("int"))
+
+
 def write_postings_index(
     docs: DataFrame, table: str, table_buckets: int = 16
 ) -> None:
-    """Persist the FULL inverted index — ``(token, doc_id, tf, dl)``
-    hash-bucketed on token — plus the corpus totals in a tiny
+    """Persist the FULL inverted index — signed posting rows
+    ``(token, doc_id, dl, tf, gen)`` hash-bucketed on token (gen 0 =
+    the base build) — plus per-generation corpus totals in a tiny
     ``{table}_stats`` side table: the build-once/query-many form of
     BM25 serving (the lexical mirror of write_ivf_index). One
-    tokenize pass; the expensive corpus-wide work is paid here, and
-    every later query reads ONLY its terms' buckets."""
+    tokenize pass; the expensive corpus-wide work is paid here, every
+    later query reads ONLY its terms' buckets, and
+    :func:`apply_changes_to_postings_index` folds daily change-feed
+    batches in at batch cost (postings are per-(token, doc) additive
+    under signed deltas — the TS1/SM3 ledger discipline)."""
     from ..sources.lakehouse import drop_table_and_orphan, write_bucketed
 
     spark = docs.sparkSession
     drop_table_and_orphan(spark, table)
     drop_table_and_orphan(spark, f"{table}_stats")
-    tokd = docs.select(
-        "doc_id", tokens_col(F.col("text")).alias("_toks")
-    ).transform(plan_cache)
-    posting = (
-        tokd.select(
-            "doc_id",
-            F.size("_toks").alias("dl"),
-            F.explode("_toks").alias("token"),
-        )
-        .groupBy("token", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    write_bucketed(
+        _posting_deltas(docs, 1).withColumn("gen", F.lit(0).cast("int")),
+        table,
+        "token",
+        table_buckets,
     )
-    write_bucketed(posting, table, "token", table_buckets)
-    tokd.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.coalesce(F.sum(F.size("_toks")), F.lit(0)).alias("total_tokens"),
-    ).write.mode("overwrite").format("parquet").saveAsTable(f"{table}_stats")
+    _stats_row(docs, 1, 0).write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table}_stats"
+    )
+
+
+def apply_changes_to_postings_index(
+    spark, changes: DataFrame, table: str, gen: int
+) -> None:
+    """Fold one change-feed batch (``read_changes`` vocabulary over a
+    ``(doc_id, text, …)`` table) into the postings index: deletes and
+    update pre-images append NEGATIVE posting rows, inserts and
+    post-images positive ones, netted per (token, doc) before the
+    append; the stats table gains one signed totals row under the
+    same ``gen``. Cost is batch-sized end-to-end — the index is never
+    read. Replays collapse (full-row distinct per gen at read, the
+    TS1 rule); ``gen`` must uniquely identify the batch."""
+    if gen <= 0:
+        raise ValueError(f"gen must be > 0 (got {gen}); 0 is the base build")
+    from ..sources.lakehouse import _bucket_spec, write_bucketed
+
+    table_buckets, bcols, _, _ = _bucket_spec(spark, table)
+    if bcols != ["token"]:
+        raise ValueError(
+            f"{table} is not a postings index (buckets {bcols})"
+        )
+    changes = changes.localCheckpoint()
+    dead = changes.filter(F.col("_change_type").isin(*_PX_DEAD_TYPES)).select(
+        "doc_id", "text"
+    )
+    live = changes.filter(F.col("_change_type").isin(*_PX_LIVE_TYPES)).select(
+        "doc_id", "text"
+    )
+    delta = (
+        _posting_deltas(live, 1)
+        .unionByName(_posting_deltas(dead, -1))
+        .groupBy("token", "doc_id", "dl")
+        .agg(F.sum("tf").alias("tf"))
+        .filter(F.col("tf") != 0)
+        .withColumn("gen", F.lit(gen).cast("int"))
+    )
+    write_bucketed(delta, table, "token", table_buckets, mode="append")
+    stats = _stats_row(live, 1, gen).unionByName(_stats_row(dead, -1, gen))
+    stats.groupBy("gen").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_tokens").alias("total_tokens"),
+    ).select("n_docs", "total_tokens", "gen").write.mode("append").format(
+        "parquet"
+    ).saveAsTable(f"{table}_stats")
 
 
 def bm25_topk_indexed(
@@ -252,20 +322,27 @@ def bm25_topk_indexed(
     # bucket-PRUNED scans of a persisted table — cheap IO — while a
     # cache here would accumulate one tracked entry per query for the
     # life of a serving session (releases only happen at registry
-    # build boundaries, which a direct serving loop never crosses)
+    # build boundaries, which a direct serving loop never crosses).
+    # The ledger read nets signed generations per (token, doc) —
+    # distinct = replay collapse, the net = bucket-local (both ride
+    # the token bucket spec); a doc deleted by a fold nets to tf <= 0
+    # and drops here.
     posting = (
         spark.table(table)
         .filter(F.col("token").isin(vocab))
-        .select(
-            "doc_id",
-            F.col("dl").alias("_dl"),
-            "token",
-            F.col("tf").alias("_tf"),
-        )
+        .distinct()
+        .groupBy("token", "doc_id", "dl")
+        .agg(F.sum("tf").alias("_tf"))
+        .filter(F.col("_tf") > 0)
+        .select("doc_id", F.col("dl").alias("_dl"), "token", "_tf")
     )
-    stats = spark.table(f"{table}_stats").select(
-        F.col("n_docs").alias("_N"),
-        F.col("total_tokens").alias("_R"),
+    stats = (
+        spark.table(f"{table}_stats")
+        .distinct()
+        .agg(
+            F.sum("n_docs").alias("_N"),
+            F.sum("total_tokens").alias("_R"),
+        )
     )
     return _score_postings(posting, stats, qterms, k, k1, b)
 

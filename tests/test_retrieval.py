@@ -233,3 +233,70 @@ def test_rrf_hybrid_bm25_plus_semantic(spark):
     assert [r.rank for r in sorted(fused, key=lambda r: r.rank)] == list(
         range(1, 11)
     )
+
+
+def test_bm25_index_change_feed_fold(spark):
+    """The postings index is a maintained artifact: a DOCTORED base
+    build (held-out docs missing, phantom docs injected, texts
+    corrupted) repaired by ONE change-feed fold serves bit-identically
+    to the live scorer on the true corpus; a replayed fold collapses."""
+    tbl = "bm25_postings_fold"
+    spark.sql(f"drop table if exists {tbl}")
+    spark.sql(f"drop table if exists {tbl}_stats")
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    held = F.col("doc_id") % 5 == 4
+    corrupt = ~held & (F.col("doc_id") % 17 == 5)
+    doctored = docs.filter(~held).withColumn(
+        "text",
+        F.when(corrupt, F.concat(F.col("text"), F.lit(" zzzdriftzzz")))
+        .otherwise(F.col("text")),
+    )
+    junk = docs.filter(F.col("doc_id") % 17 == 3).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        # phantom docs CONTAIN the query terms, so a dead fold leaves
+        # them polluting the top-k
+        F.concat(F.lit("spark window merge dup "), F.col("text")).alias("text"),
+    )
+    retrieval.write_postings_index(doctored.unionByName(junk), tbl)
+    changes = (
+        junk.withColumn("_change_type", F.lit("delete"))
+        .unionByName(
+            doctored.filter(corrupt).withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+        )
+        .unionByName(
+            docs.filter(corrupt).withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+        )
+        .unionByName(
+            docs.filter(held).withColumn("_change_type", F.lit("insert"))
+        )
+        .localCheckpoint()
+    )
+    retrieval.apply_changes_to_postings_index(spark, changes, tbl, gen=1)
+    queries = {0: "spark window merge dup", 1: "query the"}
+    live = {
+        tuple(r) for r in retrieval.bm25_topk(docs, queries, k=15).collect()
+    }
+    got = {
+        tuple(r)
+        for r in retrieval.bm25_topk_indexed(spark, tbl, queries, k=15).collect()
+    }
+    assert got == live and got
+    # no phantom survives the fold
+    assert all(t[1] < 10_000_000 for t in got)
+    # replayed fold: byte-identical rows collapse
+    retrieval.apply_changes_to_postings_index(spark, changes, tbl, gen=1)
+    again = {
+        tuple(r)
+        for r in retrieval.bm25_topk_indexed(spark, tbl, queries, k=15).collect()
+    }
+    assert again == live
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="gen must"):
+        retrieval.apply_changes_to_postings_index(spark, changes, tbl, gen=0)
+    spark.sql(f"drop table if exists {tbl}")
+    spark.sql(f"drop table if exists {tbl}_stats")
