@@ -605,8 +605,8 @@ def append_signature_catalog(
 
 #: read_changes vocabulary → catalog fold sides (the dedup twin of
 #: operators/similarity's index fold).
-_CAT_DEAD_TYPES = ("delete", "update_preimage")
-_CAT_LIVE_TYPES = ("insert", "update_postimage")
+from ..sources.lakehouse import CDF_DEAD_TYPES as _CAT_DEAD_TYPES
+from ..sources.lakehouse import CDF_LIVE_TYPES as _CAT_LIVE_TYPES
 
 
 def apply_changes_to_signature_catalog(

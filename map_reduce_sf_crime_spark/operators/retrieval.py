@@ -193,62 +193,85 @@ def _score_postings(
     )
 
 
-#: read_changes vocabulary → sign, shared with the TS1/SM3 ledgers
-_PX_DEAD_TYPES = ("delete", "update_preimage")
-_PX_LIVE_TYPES = ("insert", "update_postimage")
+#: Corpus-total sentinel rows live IN the ledger under a WHITESPACE
+#: token — the tokenizer splits on whitespace, so no real token can
+#: ever collide (the BPE EOW argument), the totals ride the SAME
+#: atomic append as the postings (no torn two-table fold — the TS1
+#: null-token-row design), and the stats read is a bucket-pruned
+#: equality filter. doc_id routes the two totals.
+STATS_TOKEN = "\n"
+_STATS_N_DOCS = 0  # sentinel doc_id carrying the signed doc count
+_STATS_TOTAL_TOKENS = 1  # sentinel doc_id carrying signed Σ dl
 
 
-def _posting_deltas(docs: DataFrame, sign: int) -> DataFrame:
-    """Signed posting rows ``(token, doc_id, dl, tf)`` for a doc set —
-    one tokenize pass, per-(doc, token) occurrences collapsed."""
+def _index_rows(docs: DataFrame, sign: int) -> tuple[DataFrame, DataFrame]:
+    """(signed index rows ``(token, doc_id, dl, tf)`` — postings ∪
+    the two totals sentinels — , the cached token projection to
+    unpersist after the write). ONE tokenize pass feeds postings AND
+    totals: the cache boundary is explicit and caller-released, so a
+    long-lived maintenance session leaks nothing."""
     tokd = docs.select(
         "doc_id", tokens_col(F.col("text")).alias("_toks")
     ).transform(plan_cache)
-    return tokd.select(
+    postings = tokd.select(
         "doc_id",
         F.size("_toks").alias("dl"),
         F.explode("_toks").alias("token"),
     ).groupBy("token", "doc_id", "dl").agg(
         (F.lit(sign) * F.count(F.lit(1))).cast("long").alias("tf")
     )
-
-
-def _stats_row(docs: DataFrame, sign: int, gen: int) -> DataFrame:
-    return docs.select(tokens_col(F.col("text")).alias("_toks")).agg(
-        (F.lit(sign) * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    sentinels = tokd.agg(
+        (F.lit(sign) * F.count(F.lit(1))).cast("long").alias("_n"),
         (F.lit(sign) * F.coalesce(F.sum(F.size("_toks")), F.lit(0)))
         .cast("long")
-        .alias("total_tokens"),
-    ).withColumn("gen", F.lit(gen).cast("int"))
+        .alias("_r"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(STATS_TOKEN).alias("token"),
+                    F.lit(_STATS_N_DOCS).cast("long").alias("doc_id"),
+                    F.lit(0).alias("dl"),
+                    F.col("_n").alias("tf"),
+                ),
+                F.struct(
+                    F.lit(STATS_TOKEN).alias("token"),
+                    F.lit(_STATS_TOTAL_TOKENS).cast("long").alias("doc_id"),
+                    F.lit(0).alias("dl"),
+                    F.col("_r").alias("tf"),
+                ),
+            )
+        ).alias("_s")
+    ).select("_s.*")
+    return postings.unionByName(sentinels), tokd
 
 
 def write_postings_index(
     docs: DataFrame, table: str, table_buckets: int = 16
 ) -> None:
-    """Persist the FULL inverted index — signed posting rows
-    ``(token, doc_id, dl, tf, gen)`` hash-bucketed on token (gen 0 =
-    the base build) — plus per-generation corpus totals in a tiny
-    ``{table}_stats`` side table: the build-once/query-many form of
-    BM25 serving (the lexical mirror of write_ivf_index). One
-    tokenize pass; the expensive corpus-wide work is paid here, every
-    later query reads ONLY its terms' buckets, and
-    :func:`apply_changes_to_postings_index` folds daily change-feed
-    batches in at batch cost (postings are per-(token, doc) additive
-    under signed deltas — the TS1/SM3 ledger discipline)."""
+    """Persist the FULL inverted index — signed rows
+    ``(token, doc_id, dl, tf, gen)`` hash-bucketed on token, gen 0 =
+    the base build, corpus totals as in-ledger sentinel rows (see
+    ``STATS_TOKEN``) — the build-once/query-many form of BM25 serving
+    (the lexical mirror of write_ivf_index). One tokenize pass, ONE
+    atomic table append; every later query reads only its terms'
+    buckets, and :func:`apply_changes_to_postings_index` folds daily
+    change-feed batches at batch cost (postings are per-(token, doc)
+    additive under signed deltas — the TS1/SM3 ledger discipline)."""
     from ..sources.lakehouse import drop_table_and_orphan, write_bucketed
 
     spark = docs.sparkSession
     drop_table_and_orphan(spark, table)
-    drop_table_and_orphan(spark, f"{table}_stats")
-    write_bucketed(
-        _posting_deltas(docs, 1).withColumn("gen", F.lit(0).cast("int")),
-        table,
-        "token",
-        table_buckets,
-    )
-    _stats_row(docs, 1, 0).write.mode("overwrite").format("parquet").saveAsTable(
-        f"{table}_stats"
-    )
+    rows, tokd = _index_rows(docs, 1)
+    try:
+        write_bucketed(
+            rows.withColumn("gen", F.lit(0).cast("int")),
+            table,
+            "token",
+            table_buckets,
+        )
+    finally:
+        tokd.unpersist()
 
 
 def apply_changes_to_postings_index(
@@ -256,15 +279,21 @@ def apply_changes_to_postings_index(
 ) -> None:
     """Fold one change-feed batch (``read_changes`` vocabulary over a
     ``(doc_id, text, …)`` table) into the postings index: deletes and
-    update pre-images append NEGATIVE posting rows, inserts and
-    post-images positive ones, netted per (token, doc) before the
-    append; the stats table gains one signed totals row under the
-    same ``gen``. Cost is batch-sized end-to-end — the index is never
-    read. Replays collapse (full-row distinct per gen at read, the
-    TS1 rule); ``gen`` must uniquely identify the batch."""
+    update pre-images append NEGATIVE rows, inserts and post-images
+    positive ones, netted per (token, doc) — including the totals
+    sentinels, which net in the same aggregate and land in the SAME
+    atomic append (no torn postings-vs-stats window). Cost is
+    batch-sized end-to-end — the index is never read. Replays
+    collapse (full-row distinct per gen at read, the TS1 rule);
+    ``gen`` must uniquely identify the batch."""
     if gen <= 0:
         raise ValueError(f"gen must be > 0 (got {gen}); 0 is the base build")
-    from ..sources.lakehouse import _bucket_spec, write_bucketed
+    from ..sources.lakehouse import (
+        CDF_DEAD_TYPES,
+        CDF_LIVE_TYPES,
+        _bucket_spec,
+        write_bucketed,
+    )
 
     table_buckets, bcols, _, _ = _bucket_spec(spark, table)
     if bcols != ["token"]:
@@ -272,28 +301,26 @@ def apply_changes_to_postings_index(
             f"{table} is not a postings index (buckets {bcols})"
         )
     changes = changes.localCheckpoint()
-    dead = changes.filter(F.col("_change_type").isin(*_PX_DEAD_TYPES)).select(
+    dead = changes.filter(F.col("_change_type").isin(*CDF_DEAD_TYPES)).select(
         "doc_id", "text"
     )
-    live = changes.filter(F.col("_change_type").isin(*_PX_LIVE_TYPES)).select(
+    live = changes.filter(F.col("_change_type").isin(*CDF_LIVE_TYPES)).select(
         "doc_id", "text"
     )
+    live_rows, tokd_live = _index_rows(live, 1)
+    dead_rows, tokd_dead = _index_rows(dead, -1)
     delta = (
-        _posting_deltas(live, 1)
-        .unionByName(_posting_deltas(dead, -1))
+        live_rows.unionByName(dead_rows)
         .groupBy("token", "doc_id", "dl")
         .agg(F.sum("tf").alias("tf"))
         .filter(F.col("tf") != 0)
         .withColumn("gen", F.lit(gen).cast("int"))
     )
-    write_bucketed(delta, table, "token", table_buckets, mode="append")
-    stats = _stats_row(live, 1, gen).unionByName(_stats_row(dead, -1, gen))
-    stats.groupBy("gen").agg(
-        F.sum("n_docs").alias("n_docs"),
-        F.sum("total_tokens").alias("total_tokens"),
-    ).select("n_docs", "total_tokens", "gen").write.mode("append").format(
-        "parquet"
-    ).saveAsTable(f"{table}_stats")
+    try:
+        write_bucketed(delta, table, "token", table_buckets, mode="append")
+    finally:
+        tokd_live.unpersist()
+        tokd_dead.unpersist()
 
 
 def bm25_topk_indexed(
@@ -336,12 +363,22 @@ def bm25_topk_indexed(
         .filter(F.col("_tf") > 0)
         .select("doc_id", F.col("dl").alias("_dl"), "token", "_tf")
     )
+    # corpus totals from the in-ledger sentinel rows: a bucket-pruned
+    # EQUALITY filter (STATS_TOKEN is whitespace — no real token can
+    # reach its bucket key), netted across generations like postings
     stats = (
-        spark.table(f"{table}_stats")
+        spark.table(table)
+        .filter(F.col("token") == STATS_TOKEN)
         .distinct()
         .agg(
-            F.sum("n_docs").alias("_N"),
-            F.sum("total_tokens").alias("_R"),
+            F.sum(
+                F.when(F.col("doc_id") == _STATS_N_DOCS, F.col("tf")).otherwise(0)
+            ).alias("_N"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") == _STATS_TOTAL_TOKENS, F.col("tf")
+                ).otherwise(0)
+            ).alias("_R"),
         )
     )
     return _score_postings(posting, stats, qterms, k, k1, b)

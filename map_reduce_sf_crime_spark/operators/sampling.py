@@ -735,8 +735,8 @@ def gumbel_topk_flags(
 # signed-delta ledger nets change-feed batches with no tombstones)
 # ---------------------------------------------------------------------------
 
-_DSIR_DEAD_TYPES = ("delete", "update_preimage")
-_DSIR_LIVE_TYPES = ("insert", "update_postimage")
+from ..sources.lakehouse import CDF_DEAD_TYPES as _DSIR_DEAD_TYPES
+from ..sources.lakehouse import CDF_LIVE_TYPES as _DSIR_LIVE_TYPES
 
 #: stamp row key: carries the FEATURE bucket count (the smoothing
 #: constant B) in d_rc so readers can't mis-smooth a ledger built

@@ -578,8 +578,8 @@ _TOMBSTONES = "_tombstones"
 #: read_changes vocabulary → which side of the index fold each event
 #: lands on (pre-images and deletes kill the stored copy; post-images
 #: and inserts are the batch to append).
-_DEAD_TYPES = ("delete", "update_preimage")
-_LIVE_TYPES = ("insert", "update_postimage")
+from ..sources.lakehouse import CDF_DEAD_TYPES as _DEAD_TYPES
+from ..sources.lakehouse import CDF_LIVE_TYPES as _LIVE_TYPES
 
 
 def tombstone_index(

@@ -226,8 +226,8 @@ def token_doc_freq_sql(top_k: int = 50) -> str:
 
 #: read_changes vocabulary → which sign a row's token counts
 #: contribute to the ledger.
-_TS_DEAD_TYPES = ("delete", "update_preimage")
-_TS_LIVE_TYPES = ("insert", "update_postimage")
+from ..sources.lakehouse import CDF_DEAD_TYPES as _TS_DEAD_TYPES
+from ..sources.lakehouse import CDF_LIVE_TYPES as _TS_LIVE_TYPES
 
 _TS_SCHEMA_HINT = "token string, d_df long, d_tf long, d_docs long, gen int"
 

@@ -775,6 +775,14 @@ def _read_groups(
     return out
 
 
+#: The public Delta-CDF change-type vocabulary read_changes emits —
+#: THE single definition every fold consumer imports (term stats,
+#: DSIR stats, signature catalog, ANN indexes, postings index), so
+#: the dead/live split can never drift between them.
+CDF_DEAD_TYPES = ("delete", "update_preimage")
+CDF_LIVE_TYPES = ("insert", "update_postimage")
+
+
 def read_changes(
     spark: SparkSession,
     path: str,
