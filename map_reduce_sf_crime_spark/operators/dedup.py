@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import hash64_col, hash64_sql, minhash_sql
 from ..functions.text import shingles_col, shingles_sql, tokens_col, tokens_sql
 from ..functions.caching import plan_cache
+from ..sources.lakehouse import CDF_DEAD_TYPES, CDF_LIVE_TYPES
 
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # 4 × 8-bit bands ⇒ exact blocking for hamming ≤ 3
@@ -605,8 +606,6 @@ def append_signature_catalog(
 
 #: read_changes vocabulary → catalog fold sides (the dedup twin of
 #: operators/similarity's index fold).
-from ..sources.lakehouse import CDF_DEAD_TYPES as _CAT_DEAD_TYPES
-from ..sources.lakehouse import CDF_LIVE_TYPES as _CAT_LIVE_TYPES
 
 
 def apply_changes_to_signature_catalog(
@@ -653,7 +652,7 @@ def apply_changes_to_signature_catalog(
     # probes + two writes below
     changes = changes.localCheckpoint()
     dead = (
-        changes.filter(F.col("_change_type").isin(*_CAT_DEAD_TYPES))
+        changes.filter(F.col("_change_type").isin(*CDF_DEAD_TYPES))
         .select("doc_id")
         .distinct()
         .withColumn("dead_as_of", F.lit(gen).cast("int"))
@@ -663,7 +662,7 @@ def apply_changes_to_signature_catalog(
             f"{buckets_table}_dead"
         )
     live = changes.filter(
-        F.col("_change_type").isin(*_CAT_LIVE_TYPES)
+        F.col("_change_type").isin(*CDF_LIVE_TYPES)
     ).select("doc_id", "text")
     if live.take(1):
         append_signature_catalog(

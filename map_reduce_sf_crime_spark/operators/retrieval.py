@@ -208,11 +208,14 @@ def _index_rows(docs: DataFrame, sign: int) -> tuple[DataFrame, DataFrame]:
     """(signed index rows ``(token, doc_id, dl, tf)`` — postings ∪
     the two totals sentinels — , the cached token projection to
     unpersist after the write). ONE tokenize pass feeds postings AND
-    totals: the cache boundary is explicit and caller-released, so a
-    long-lived maintenance session leaks nothing."""
+    totals. The cache is a bare ``.cache()`` (NOT the tracked
+    plan_cache): the caller's try/finally unpersist is its whole
+    lifecycle, so a long-lived maintenance session accumulates
+    neither blocks nor tracking entries — caching.py's own guidance
+    for narrow-scope caches."""
     tokd = docs.select(
         "doc_id", tokens_col(F.col("text")).alias("_toks")
-    ).transform(plan_cache)
+    ).cache()
     postings = tokd.select(
         "doc_id",
         F.size("_toks").alias("dl"),
@@ -262,6 +265,10 @@ def write_postings_index(
 
     spark = docs.sparkSession
     drop_table_and_orphan(spark, table)
+    # migrate cleanly over the retired two-table layout: a stale
+    # side table must not keep serving the OLD corpus's totals to
+    # anything still reading it
+    drop_table_and_orphan(spark, f"{table}_stats")
     rows, tokd = _index_rows(docs, 1)
     try:
         write_bucketed(
@@ -300,6 +307,20 @@ def apply_changes_to_postings_index(
         raise ValueError(
             f"{table} is not a postings index (buckets {bcols})"
         )
+    # refuse to fold into an old-layout/foreign table: without base
+    # sentinels the delta-only totals would serve wrong idf silently
+    # (the check is one bucket-pruned scan of the sentinel bucket)
+    if (
+        spark.table(table)
+        .filter(F.col("token") == STATS_TOKEN)
+        .limit(1)
+        .count()
+        == 0
+    ):
+        raise ValueError(
+            f"{table} has no totals sentinels — not a (current-layout) "
+            "postings index; rebuild with write_postings_index"
+        )
     changes = changes.localCheckpoint()
     dead = changes.filter(F.col("_change_type").isin(*CDF_DEAD_TYPES)).select(
         "doc_id", "text"
@@ -335,10 +356,13 @@ def bm25_topk_indexed(
     IN-filter prunes the token-bucketed table to the query terms'
     buckets (SelectedBucketsCount — plan-pinned in
     tests/test_retrieval.py), so query cost tracks the matched
-    postings, never the corpus; corpus totals come from the one-row
-    stats table. Bit-identical to :func:`bm25_topk` on the indexed
-    corpus (pytest-pinned) — same scoring tail, same integer
-    micro-nat discipline."""
+    postings, never the corpus; corpus totals come from the
+    in-ledger ``STATS_TOKEN`` sentinel rows (their read is itself a
+    bucket-pruned equality filter), and a table WITHOUT sentinels —
+    e.g. not actually a postings index — raises at execution instead
+    of silently serving NULL-scored rows. Bit-identical to
+    :func:`bm25_topk` on the indexed corpus (pytest-pinned) — same
+    scoring tail, same integer micro-nat discipline."""
     qt = _query_terms(queries)
     if not qt:
         raise ValueError("queries must contain at least one token")
@@ -365,21 +389,38 @@ def bm25_topk_indexed(
     )
     # corpus totals from the in-ledger sentinel rows: a bucket-pruned
     # EQUALITY filter (STATS_TOKEN is whitespace — no real token can
-    # reach its bucket key), netted across generations like postings
+    # reach its bucket key), netted across generations like postings.
+    # Spark's sum over ZERO rows is NULL — a table with no sentinels
+    # (not a current-layout postings index) must raise, not serve
+    # NULL-scored rows ranked by doc_id
+    def _loud(col: str, alias: str):
+        return (
+            F.when(
+                F.col(col).isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"bm25_topk_indexed: no totals sentinels in "
+                        f"{table} — not a (current-layout) postings index"
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.col(col))
+            .alias(alias)
+        )
+
     stats = (
         spark.table(table)
         .filter(F.col("token") == STATS_TOKEN)
         .distinct()
         .agg(
             F.sum(
-                F.when(F.col("doc_id") == _STATS_N_DOCS, F.col("tf")).otherwise(0)
-            ).alias("_N"),
+                F.when(F.col("doc_id") == _STATS_N_DOCS, F.col("tf"))
+            ).alias("_n0"),
             F.sum(
-                F.when(
-                    F.col("doc_id") == _STATS_TOTAL_TOKENS, F.col("tf")
-                ).otherwise(0)
-            ).alias("_R"),
+                F.when(F.col("doc_id") == _STATS_TOTAL_TOKENS, F.col("tf"))
+            ).alias("_r0"),
         )
+        .select(_loud("_n0", "_N"), _loud("_r0", "_R"))
     )
     return _score_postings(posting, stats, qterms, k, k1, b)
 

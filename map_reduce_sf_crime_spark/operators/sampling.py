@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import HEX_DIGITS, hash64_col, hash64_sql
 from ..functions.caching import plan_cache
+from ..sources.lakehouse import CDF_DEAD_TYPES, CDF_LIVE_TYPES
 
 #: per-mille keep rates by language stratum; default applies to any
 #: stratum not listed (forward-compatible with new corpus languages)
@@ -735,8 +736,6 @@ def gumbel_topk_flags(
 # signed-delta ledger nets change-feed batches with no tombstones)
 # ---------------------------------------------------------------------------
 
-from ..sources.lakehouse import CDF_DEAD_TYPES as _DSIR_DEAD_TYPES
-from ..sources.lakehouse import CDF_LIVE_TYPES as _DSIR_LIVE_TYPES
 
 #: stamp row key: carries the FEATURE bucket count (the smoothing
 #: constant B) in d_rc so readers can't mis-smooth a ledger built
@@ -837,8 +836,8 @@ def apply_changes_to_dsir_stats(
 
     table_buckets, n_buckets = _dsir_spec(spark, table)
     changes = changes.localCheckpoint()
-    dead = changes.filter(F.col("_change_type").isin(*_DSIR_DEAD_TYPES))
-    live = changes.filter(F.col("_change_type").isin(*_DSIR_LIVE_TYPES))
+    dead = changes.filter(F.col("_change_type").isin(*CDF_DEAD_TYPES))
+    live = changes.filter(F.col("_change_type").isin(*CDF_LIVE_TYPES))
     delta = (
         _dsir_deltas(live, target, 1, n_buckets)
         .unionByName(_dsir_deltas(dead, target, -1, n_buckets))

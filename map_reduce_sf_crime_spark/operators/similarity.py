@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..functions.caching import plan_cache
 from ..functions.hashing import hash64_col, hash64_sql
 from ..functions.vectors import cosine_col, cosine_sql
+from ..sources.lakehouse import CDF_DEAD_TYPES, CDF_LIVE_TYPES
 
 DIM = 64
 # 32 planes in 8 × 4-bit bands: tuned on the fixture's near-orthogonal
@@ -578,8 +579,6 @@ _TOMBSTONES = "_tombstones"
 #: read_changes vocabulary → which side of the index fold each event
 #: lands on (pre-images and deletes kill the stored copy; post-images
 #: and inserts are the batch to append).
-from ..sources.lakehouse import CDF_DEAD_TYPES as _DEAD_TYPES
-from ..sources.lakehouse import CDF_LIVE_TYPES as _LIVE_TYPES
 
 
 def tombstone_index(
@@ -659,10 +658,10 @@ def _filter_tombstones(
 
 def _split_changes(changes: DataFrame, id_col: str, emb_col: str):
     dead = changes.filter(
-        F.col("_change_type").isin(*_DEAD_TYPES)
+        F.col("_change_type").isin(*CDF_DEAD_TYPES)
     ).select(F.col(id_col).alias("vec_id"))
     live = changes.filter(
-        F.col("_change_type").isin(*_LIVE_TYPES)
+        F.col("_change_type").isin(*CDF_LIVE_TYPES)
     ).select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
     return dead, live
 

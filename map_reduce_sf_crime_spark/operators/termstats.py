@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_col, tokens_sql
+from ..sources.lakehouse import CDF_DEAD_TYPES, CDF_LIVE_TYPES
 
 
 def token_doc_freq(
@@ -226,8 +227,6 @@ def token_doc_freq_sql(top_k: int = 50) -> str:
 
 #: read_changes vocabulary → which sign a row's token counts
 #: contribute to the ledger.
-from ..sources.lakehouse import CDF_DEAD_TYPES as _TS_DEAD_TYPES
-from ..sources.lakehouse import CDF_LIVE_TYPES as _TS_LIVE_TYPES
 
 _TS_SCHEMA_HINT = "token string, d_df long, d_tf long, d_docs long, gen int"
 
@@ -306,10 +305,10 @@ def apply_changes_to_term_stats(
     # the live and dead legs both read the feed; materialize its
     # (join-shaped) plan once
     changes = changes.localCheckpoint()
-    dead = changes.filter(F.col("_change_type").isin(*_TS_DEAD_TYPES)).select(
+    dead = changes.filter(F.col("_change_type").isin(*CDF_DEAD_TYPES)).select(
         "doc_id", "text"
     )
-    live = changes.filter(F.col("_change_type").isin(*_TS_LIVE_TYPES)).select(
+    live = changes.filter(F.col("_change_type").isin(*CDF_LIVE_TYPES)).select(
         "doc_id", "text"
     )
     delta = (
