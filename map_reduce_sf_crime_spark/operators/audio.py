@@ -62,6 +62,13 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     while i + 8 <= len(payload):
         cid = payload[i : i + 4]
         (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if cid in (b"fmt ", b"data") and i + 8 + size > len(payload):
+            # Silent truncation would fingerprint partial audio; mirror
+            # the PGM raster-size check and fail loudly instead.
+            raise ValueError(
+                f"WAVE {cid.decode('ascii').strip()} chunk declares "
+                f"{size} bytes but only {len(payload) - i - 8} remain"
+            )
         body = payload[i + 8 : i + 8 + size]
         if cid == b"fmt ":
             fmt = body

@@ -83,6 +83,12 @@ def column_profile(
     unknown = [c for c in cols if c not in by_name]
     if unknown:
         raise ValueError(f"profile columns not in frame: {unknown}")
+    dupes = sorted({c for c in cols if cols.count(c) > 1})
+    if dupes:
+        # A duplicate entry would melt its struct twice, silently
+        # doubling that column's n_rows/n_null while n_distinct stayed
+        # correct — loud refusal over a quietly wrong profile.
+        raise ValueError(f"duplicate profile columns: {dupes}")
     entries = []
     for c in cols:
         dt = by_name[c]

@@ -146,10 +146,16 @@ def bigram_lm_scores(
         .agg(F.count(F.lit(1)).alias("_c"))
     )
     lp = F.coalesce(F.col("_lp2"), F.col("_lp1"), F.col("_lp0"))
+    # uni_w is NOT hint-broadcast: it is vocabulary-sized, and a
+    # web-corpus vocabulary can exceed the broadcast limit — a forced
+    # hint would fail the whole job there. AQE broadcasts it anyway
+    # whenever it measures small (the sf-scale case), and falls back
+    # to a shuffled join when it doesn't — exactly the right behavior
+    # at both scales.
     scored = (
         dt.join(pair_w, "_p", "left")
         .withColumn("_w2", F.split(F.col("_p"), " ").getItem(1))
-        .join(F.broadcast(uni_w), "_w2", "left")
+        .join(uni_w, "_w2", "left")
         .crossJoin(F.broadcast(oov))
         .groupBy("doc_id")
         .agg(

@@ -68,6 +68,12 @@ def _query_terms(queries: dict[int, str]) -> list[tuple[int, str]]:
             if tok not in seen:
                 seen.add(tok)
                 out.append((qid, tok))
+        if not seen:
+            # A whitespace-only query would be silently absent from
+            # the ranking, which a caller can misread as "no matches".
+            raise ValueError(
+                f"query {qid} tokenizes to zero tokens ({text!r})"
+            )
     return out
 
 

@@ -151,3 +151,17 @@ def test_decode_wav_truncated_fmt_raises_valueerror():
     assert len(payload) >= 44  # past the container sanity guard
     with pytest.raises(ValueError, match="fmt chunk truncated"):
         audio.decode_wav(payload)
+
+
+def test_decode_wav_overrun_data_chunk_raises_valueerror():
+    """A data chunk declaring more bytes than the payload carries must
+    raise, not silently fingerprint the truncated audio."""
+    body = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = b"\x00" * 32
+    payload = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(body)) + body
+        + b"data" + struct.pack("<I", len(data) + 64) + data
+    )
+    with pytest.raises(ValueError, match="data chunk declares"):
+        audio.decode_wav(payload)

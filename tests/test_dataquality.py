@@ -436,3 +436,14 @@ def test_k_anonymity_matches_duckdb_twin(spark):
     assert got == tuple(want)
     # the synthetic corpus genuinely straddles k=5 (some classes small)
     assert 0 < got[3] < got[2]
+
+
+def test_column_profile_rejects_duplicate_cols(spark):
+    """A duplicate entry in cols would double that column's
+    n_rows/n_null silently — loud refusal instead."""
+    import pytest as _pytest
+    from map_reduce_sf_crime_spark.operators.dataquality import column_profile
+
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    with _pytest.raises(ValueError, match="duplicate profile columns"):
+        column_profile(df, ["id", "s", "id"])

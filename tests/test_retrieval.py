@@ -300,3 +300,11 @@ def test_bm25_index_change_feed_fold(spark):
         retrieval.apply_changes_to_postings_index(spark, changes, tbl, gen=0)
     spark.sql(f"drop table if exists {tbl}")
     spark.sql(f"drop table if exists {tbl}_stats")
+
+
+def test_bm25_rejects_individually_empty_query(spark):
+    """One whitespace-only query among valid ones raises (it would be
+    silently absent from the output otherwise)."""
+    docs = _fixture(spark)
+    with pytest.raises(ValueError, match="query 1 tokenizes to zero"):
+        retrieval.bm25_topk(docs, {0: "spark", 1: " \t "})
