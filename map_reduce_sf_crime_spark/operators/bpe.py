@@ -105,20 +105,42 @@ def _collect_word_table(
     return [(r["word"], int(r["freq"])) for r in rows]
 
 
+def _pair_counts(sym: list[str]) -> dict[tuple[str, str], int]:
+    """Position-based adjacent-pair multiset of one symbol sequence
+    (overlaps count per position — 'aaa' has (a,a) twice)."""
+    c: dict[tuple[str, str], int] = {}
+    for i in range(len(sym) - 1):
+        p = (sym[i], sym[i + 1])
+        c[p] = c.get(p, 0) + 1
+    return c
+
+
 def _merges_from_words(
     words: list[tuple[str, int]], n_merges: int
 ) -> list[tuple[str, str]]:
+    """Incremental pair-count maintenance (the standard subword-nmt /
+    HF trainer shape): pair counts and a pair → containing-words index
+    are built ONCE, then each merge touches only the words that
+    contain the merged pair — per-merge cost is proportional to the
+    merged pair's occurrences, not the vocabulary. (The naive form
+    recounted every pair of every word type per merge: ~1e10 driver
+    operations at the 1M-type cap with a 32k-merge vocabulary.)
+    Semantics are bit-identical to the full recount — counts are
+    maintained as exact deltas of the same position-based multiset —
+    so the pinned merge sequences in tests/test_bpe.py are the
+    regression guard."""
     # symbol sequences per word type, weighted by frequency
     seqs: list[tuple[list[str], int]] = [
         (list(w) + [EOW], f) for w, f in words
     ]
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for k, (sym, freq) in enumerate(seqs):
+        for p, n in _pair_counts(sym).items():
+            counts[p] = counts.get(p, 0) + n * freq
+            where.setdefault(p, set()).add(k)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        counts: dict[tuple[str, str], int] = {}
-        for sym, freq in seqs:
-            for i in range(len(sym) - 1):
-                p = (sym[i], sym[i + 1])
-                counts[p] = counts.get(p, 0) + freq
         if not counts:
             break
         # deterministic tie-break: highest count, then LEXICOGRAPHICALLY
@@ -130,7 +152,8 @@ def _merges_from_words(
         merges.append(best_pair)
         a, b = best_pair
         ab = a + b
-        for k, (sym, freq) in enumerate(seqs):
+        for k in sorted(where.get(best_pair, ())):
+            sym, freq = seqs[k]
             i, out = 0, []
             while i < len(sym):
                 if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
@@ -139,7 +162,27 @@ def _merges_from_words(
                 else:
                     out.append(sym[i])
                     i += 1
+            old, new = _pair_counts(sym), _pair_counts(out)
+            for p in old.keys() | new.keys():
+                o, n = old.get(p, 0), new.get(p, 0)
+                if n != o:
+                    c = counts.get(p, 0) + (n - o) * freq
+                    if c:
+                        counts[p] = c
+                    else:
+                        counts.pop(p, None)
+                if n == 0 and o > 0:
+                    s = where.get(p)
+                    if s is not None:
+                        s.discard(k)
+                        if not s:
+                            where.pop(p, None)
+                elif n > 0 and o == 0:
+                    where.setdefault(p, set()).add(k)
             seqs[k] = (out, freq)
+        # a merged pair can never re-form: merges only create pairs
+        # involving the new product symbol, never re-adjoin two old ones
+        where.pop(best_pair, None)
     return merges
 
 

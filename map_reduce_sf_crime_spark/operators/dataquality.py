@@ -576,6 +576,37 @@ def k_anonymity_summary(
     return classes.agg(*outer)
 
 
+def k_anonymity_flags_sql(
+    quasi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`k_anonymity_flags` — same NULL-safe
+    join-back semantics (IS NOT DISTINCT FROM mirrors eqNullSafe)."""
+    qcols = ", ".join(quasi_cols)
+    ldiv = (
+        f", cast(count(distinct {sensitive_col}) as bigint) as class_l_div"
+        if sensitive_col
+        else ""
+    )
+    ldiv_out = ", c.class_l_div" if sensitive_col else ""
+    cond = " and ".join(
+        f"r.{q} is not distinct from c.{q}" for q in quasi_cols
+    )
+    return f"""
+    with _classes as (
+      select {qcols}, cast(count(*) as bigint) as class_size{ldiv}
+      from {table} group by {qcols}
+    )
+    select r.{id_col}, c.class_size{ldiv_out},
+           cast(case when c.class_size < {k} then 1 else 0 end as int)
+             as at_risk
+    from {table} r join _classes c on {cond}
+    """
+
+
 def k_anonymity_summary_sql(
     quasi_cols: list[str],
     k: int = 5,

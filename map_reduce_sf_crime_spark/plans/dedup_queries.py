@@ -6,7 +6,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, langmodel, packing, retrieval, textops
+from ..operators import (
+    dataquality,
+    dedup,
+    langmodel,
+    packing,
+    retrieval,
+    similarity,
+    textops,
+)
 from ..sources.parquet import fan_out, load_table
 from .registry import register
 
@@ -59,6 +67,19 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 BM25_QUERY = {0: "spark window merge dup"}
 BM25_K = 25
 
+#: HY1 gate leg: the semantic list fused with BM25 is the exact top-k
+#: cosine ranking around this embedding (vec_id aligns with doc_id in
+#: the fixture corpus — and even where it wouldn't, both engines rank
+#: the identical id stream, so the hash stays meaningful).
+RRF_QUERY_VEC = 0
+
+#: DQ5 gate leg: k-anonymity under the (lang, source) quasi-identifier
+#: pair with n_chars as the sensitive column — k=5 splits the fixture
+#: corpus into flagged singletons/small classes AND safe big ones, so
+#: both branches of the at_risk predicate are hash-checked.
+KANON_QUASI = ["lang", "source"]
+KANON_K = 5
+
 
 @register(
     "doc_signatures",
@@ -76,12 +97,38 @@ BM25_K = 25
          dx as ({dedup.duplicate_span_stats_sql(n=8)}),
          cc as ({packing.cdc_chunk_count_sql()}),
          lm as ({langmodel.bigram_lm_scores_sql("lang = 'en'")}),
-         bm as ({retrieval.bm25_topk_sql(BM25_QUERY, k=BM25_K)})
+         bm as ({retrieval.bm25_topk_sql(BM25_QUERY, k=BM25_K)}),
+         kn as (select vec_id as doc_id, rk as rank
+                from ({similarity.knn_bruteforce_sql([RRF_QUERY_VEC], BM25_K)})),
+         rr0 as (
+           select doc_id,
+                  cast(sum(1000000000 // (60 + rank)) as bigint)
+                    as rrf_score_nano
+           from (select doc_id, rank from bm
+                 union all
+                 select doc_id, rank from kn)
+           group by doc_id
+         ),
+         rr as (
+           select doc_id, rrf_score_nano, rrf_rank from (
+             select doc_id, rrf_score_nano,
+                    cast(row_number() over (
+                      order by rrf_score_nano desc, doc_id
+                    ) as int) as rrf_rank
+             from rr0
+           ) where rrf_rank <= {BM25_K}
+         ),
+         ka as ({dataquality.k_anonymity_flags_sql(
+             KANON_QUASI, k=KANON_K, sensitive_col="n_chars")})
     select d.doc_id, mh.minhash_sig, sh.simhash, fp.fingerprint, fp.n_grams,
            ds.n_span_grams, ds.dup_span_frac,
            dx.n_dup_grams, dx.dup_token_frac, cc.n_cdc_chunks,
            lm.lm_n_trans, lm.lm_logp_unat,
-           bm.rank as bm25_rank, bm.score_unat as bm25_score_unat
+           bm.rank as bm25_rank, bm.score_unat as bm25_score_unat,
+           rr.rrf_rank, rr.rrf_score_nano,
+           ka.class_size as kanon_class_size,
+           ka.class_l_div as kanon_l_div,
+           ka.at_risk as kanon_at_risk
     from documents d
     left join mh using (doc_id)
     left join sh using (doc_id)
@@ -91,8 +138,12 @@ BM25_K = 25
     left join cc using (doc_id)
     join lm using (doc_id)
     left join bm using (doc_id)
+    left join rr using (doc_id)
+    join ka using (doc_id)
     """,
-    survey_ids=("DD3", "DD4", "TX4", "DS1", "DD7", "CH2", "QL1", "TF3"),
+    survey_ids=(
+        "DD3", "DD4", "TX4", "DS1", "DD7", "CH2", "QL1", "TF3", "HY1", "DQ5",
+    ),
 )
 def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document signature catalog in one entry: 16-hash MinHash
@@ -148,12 +199,43 @@ def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # TF3 (round 5): the fixed keyword query's BM25 rank/score per doc
     # (null outside the top-k) — gates the retrieval tier end-to-end
-    bm = retrieval.bm25_topk(docs, BM25_QUERY, k=BM25_K).select(
+    bm_ranked = retrieval.bm25_topk(docs, BM25_QUERY, k=BM25_K)
+    bm = bm_ranked.select(
         "doc_id",
         F.col("rank").alias("bm25_rank"),
         F.col("score_unat").alias("bm25_score_unat"),
     )
-    return scored.join(bm, "doc_id", "left")
+    # HY1 (round 6): RRF fusion of the lexical (BM25) list with the
+    # exact-cosine semantic list around RRF_QUERY_VEC — the hybrid
+    # retrieval shape, integer-division-exact (operators/retrieval.
+    # rrf_fuse). Both lists share query_id 0; top-BM25_K fused.
+    knn = similarity.knn_bruteforce(
+        load_table(spark, sf_dir, "embeddings"), [RRF_QUERY_VEC], BM25_K
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rk").alias("rank"),
+    )
+    rrf = retrieval.rrf_fuse(
+        bm_ranked.select("query_id", "doc_id", "rank"), knn, k=BM25_K
+    ).select("doc_id", F.col("rank").alias("rrf_rank"), "rrf_score_nano")
+    # DQ5 (round 6): per-doc k-anonymity class size / l-diversity /
+    # at-risk flag under the (lang, source) quasi-identifier pair —
+    # one groupBy + one null-safe join back, no window
+    # (operators/dataquality.k_anonymity_flags).
+    ka = dataquality.k_anonymity_flags(
+        docs, KANON_QUASI, k=KANON_K, sensitive_col="n_chars"
+    ).select(
+        "doc_id",
+        F.col("class_size").alias("kanon_class_size"),
+        F.col("class_l_div").alias("kanon_l_div"),
+        F.col("at_risk").alias("kanon_at_risk"),
+    )
+    return (
+        scored.join(bm, "doc_id", "left")
+        .join(rrf, "doc_id", "left")
+        .join(ka, "doc_id")
+    )
 
 
 @register(

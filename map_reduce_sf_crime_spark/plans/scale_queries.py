@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dataquality
+from ..operators import dataquality, sketches
 from ..operators.asof import asof_join, asof_join_sql
 from ..operators.rangejoin import range_join, range_join_sql
 from ..sources.parquet import load_events, load_table
@@ -211,10 +211,27 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DQ1 gate leg: the profiled (column, kind) pairs of the events
+#: table. Every integer-exact statistic of every column is folded
+#: into ONE canonical string (sorted per-column entries, "_" for
+#: NULL), so the whole profile is hash-checked as a constant column
+#: riding each daily row. Floats (null_frac, mean_num) stay out of
+#: the string — they are pytest-checked; min/max_num enter via
+#: floor→bigint, exact on both engines.
+_PROF_COLS = [
+    ("event_id", "num"),
+    ("ts", "other"),
+    ("user_id", "num"),
+    ("event_type", "str"),
+    ("value", "num"),
+    ("props", "str"),
+]
+
+
 @register(
     "events_daily_profile",
-    dataquality.volume_anomaly_sql(
-        """
+    f"""
+    with _v as ({dataquality.volume_anomaly_sql('''
         select strftime(cast(ts as date), '%Y-%m-%d') as day,
                count(*) as n,
                count(distinct user_id) as n_users,
@@ -227,9 +244,26 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                     as bigint) as n_props_missing
         from events
         group by 1
-        """
+        ''')}),
+    _prof as ({dataquality.column_profile_sql("events", _PROF_COLS)}),
+    _entries as (
+      select col || ':' || cast(n_rows as varchar)
+                 || ':' || cast(n_null as varchar)
+                 || ':' || cast(n_distinct as varchar)
+                 || ':' || cast(approx_ok as varchar)
+                 || ':' || coalesce(
+                      cast(cast(floor(min_num) as bigint) as varchar), '_')
+                 || ':' || coalesce(
+                      cast(cast(floor(max_num) as bigint) as varchar), '_')
+                 || ':' || coalesce(min_str, '_')
+                 || ':' || coalesce(max_str, '_') as e
+      from _prof
     ),
-    survey_ids=("SC4", "JS1", "DQ4"),
+    _sig as (select string_agg(e, '|' order by e) as profile_sig
+             from _entries)
+    select _v.*, _sig.profile_sig from _v cross join _sig
+    """,
+    survey_ids=("SC4", "JS1", "DQ4", "DQ1"),
 )
 def events_daily_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.4's "not present in reference, built-in in Spark"
@@ -248,8 +282,40 @@ def events_daily_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical DuckDB window — the "did yesterday's crawl silently
     halve?" tripwire a daily-ingest pipeline alarms on. The window
     runs over the per-day AGGREGATE (30 rows here, years × 365 in
-    production) — dim-sized by construction."""
+    production) — dim-sized by construction.
+
+    Round 6 promotes DQ1 (operators/dataquality.column_profile) into
+    the hard gate: the full-table column profile — every column's row
+    / null / exact-distinct counts, the HLL self-check, floor'd
+    numeric min/max and string min/max — is canonicalized into one
+    sorted ``profile_sig`` string and cross-joined onto every daily
+    row, hash-checked against the DuckDB brute-force profile. The
+    profile itself is the operator's single melted pass (one scan,
+    zero pre-aggregate shuffle); the fold to one row is profile-sized."""
     ev = load_table(spark, sf_dir, "events")
+    prof = dataquality.column_profile(ev, [c for c, _ in _PROF_COLS])
+    sig = prof.select(
+        F.concat_ws(
+            ":",
+            "col",
+            F.col("n_rows").cast("string"),
+            F.col("n_null").cast("string"),
+            F.col("n_distinct").cast("string"),
+            F.col("approx_ok").cast("string"),
+            F.coalesce(
+                F.floor("min_num").cast("long").cast("string"), F.lit("_")
+            ),
+            F.coalesce(
+                F.floor("max_num").cast("long").cast("string"), F.lit("_")
+            ),
+            F.coalesce("min_str", F.lit("_")),
+            F.coalesce("max_str", F.lit("_")),
+        ).alias("e")
+    ).agg(
+        F.concat_ws("|", F.sort_array(F.collect_list("e"))).alias(
+            "profile_sig"
+        )
+    )
     k = F.get_json_object("props", "$.k").cast("long")
     # day/types rendered as strings: driver canon can't sort array
     # cells, and DATE vs TIMESTAMP stringify differently (round 1)
@@ -277,6 +343,7 @@ def events_daily_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_props_missing",
         )
         .transform(dataquality.volume_anomaly)
+        .crossJoin(F.broadcast(sig))
     )
 
 
@@ -353,13 +420,35 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SK2 gate leg: EXACT heavy hitters of user_id via the Misra–Gries
+#: sketch-then-confirm path. k=4096 counters dominate the fixture's
+#: distinct-user counts (150 at sf0.01, 1500 at sf0.1), so the MG
+#: error mass D stays far under the threshold (bound: n/(k+1) ≈ 24 at
+#: sf0.1 < 70) and the candidate superset is tight at every tested SF.
+HH_THRESHOLD = 70
+HH_K = 4096
+
+
 @register(
     "sketch_event_stats",
-    """
-    select event_type, count(*) as n, 1 as users_ok, 1 as median_ok
-    from events group by event_type
+    f"""
+    with hh as (
+      select coalesce(user_id::varchar, '') as value,
+             cast(count(*) as bigint) as n
+      from events group by 1 having count(*) >= {HH_THRESHOLD}
+    ),
+    hs as (
+      select cast(count(*) as bigint) as n_hh_users,
+             cast(coalesce(max(n), 0) as bigint) as hh_max_n,
+             cast(coalesce(sum(n), 0) as bigint) as hh_sum_n
+      from hh
+    )
+    select event_type, count(*) as n, 1 as users_ok, 1 as median_ok,
+           hs.n_hh_users, hs.hh_max_n, hs.hh_sum_n
+    from events cross join hs
+    group by event_type, hs.n_hh_users, hs.hh_max_n, hs.hh_sum_n
     """,
-    survey_ids=("SC6",),
+    survey_ids=("SC6", "SK2"),
 )
 def sketch_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates (SURVEY §2.4 "approx distinct … built-in"):
@@ -371,8 +460,23 @@ def sketch_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     error bounds instead: ``users_ok`` (HLL++ within 3×rsd of the
     exact distinct count) and ``median_ok`` (approx median within 5%
     of the exact median), both computed against exact Spark aggregates
-    and expected all-1 by the oracle."""
+    and expected all-1 by the oracle.
+
+    Round 6 promotes SK2 (operators/sketches.heavy_hitters) into the
+    hard gate: the exact user_id heavy hitters (≥ HH_THRESHOLD events)
+    are computed through the Misra–Gries sketch → candidate superset →
+    IN-filtered confirm pass, summarized to three hash-checked columns
+    (count / max / total of the heavy hitters' exact counts) riding
+    every output row via a broadcast one-row cross join. A sketch that
+    drops a true heavy hitter, or a confirm pass that miscounts,
+    hash-mismatches against DuckDB's brute-force group-by-having."""
     ev = load_events(spark, sf_dir)
+    hh = sketches.heavy_hitters(ev, "user_id", HH_THRESHOLD, k=HH_K)
+    hh_sum = hh.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hh_users"),
+        F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("hh_max_n"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("hh_sum_n"),
+    )
     agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.percentile_approx("value", 0.5, 10_000).alias("approx_median"),
@@ -395,7 +499,7 @@ def sketch_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int")
         .alias("median_ok"),
-    )
+    ).crossJoin(F.broadcast(hh_sum))
 
 
 @register(
