@@ -625,6 +625,164 @@ def dsir_scores_sql(
     """
 
 
+def commonness_dsir_scores(
+    docs: DataFrame,
+    target: Column,
+    min_df: int = 2,
+    n_buckets: int = DSIR_BUCKETS,
+    seed: str = DSIR_SEED,
+    base: DataFrame | None = None,
+) -> DataFrame:
+    """FUSED form of ``termstats.unigram_commonness`` + ``dsir_scores``
+    — bit-identical outputs (pytest-pinned against both unfused
+    operators), one corpus pass instead of two.
+
+    Both legs tokenize the same column: TF2 consumes the unigram
+    stream, SM3 the unigram+bigram gram stream hashed to buckets. The
+    fusion explodes ONE combined struct stream — each token occurrence
+    carries both roles (its string for the vocabulary stats, its gram
+    bucket for the DSIR counts); each bigram occurrence carries only
+    the bucket — and collapses it to ONE per-(doc, token|bucket) count
+    frame. From there the corpus-global side is unchanged (token-keyed
+    vocabulary stats; ≤``n_buckets`` broadcast weight rows), and the
+    per-doc side folds to ONE doc-keyed aggregate and ONE spine join
+    where the unfused composition paid two of each plus a second
+    tokenize+explode of the whole corpus. Exactness is preserved
+    because every fused aggregate is an exact integer sum (order-free)
+    feeding the identical division/round — the house micro-nat/ppm
+    discipline.
+
+    Scale: the explode carries ~2× the token stream (tokens+bigrams —
+    exactly what the two separate passes carried in total), collapsed
+    before any join; the one data-sized shuffle key is doc_id."""
+    from ..functions.text import shingles_col, tokens_col
+
+    empty = F.array().cast("array<string>")
+    tok_arr = F.coalesce(tokens_col(F.col("text")), empty)
+    big_arr = F.coalesce(shingles_col(tok_arr, 2), empty)
+    elems = F.concat(
+        F.transform(
+            tok_arr,
+            lambda t: F.struct(t.alias("_tok"), t.alias("_gram")),
+        ),
+        F.transform(
+            big_arr,
+            lambda g: F.struct(
+                F.lit(None).cast("string").alias("_tok"), g.alias("_gram")
+            ),
+        ),
+    )
+    dt = (
+        docs.select(
+            "doc_id",
+            F.coalesce(target, F.lit(False)).alias("_t"),
+            F.explode(elems).alias("_e"),
+        )
+        .select(
+            "doc_id",
+            "_t",
+            F.col("_e._tok").alias("_tok"),
+            F.pmod(
+                hash64_col(F.col("_e._gram"), seed=seed), F.lit(n_buckets)
+            ).alias("_bucket"),
+        )
+        .groupBy("doc_id", "_t", "_tok", "_bucket")
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .transform(plan_cache)
+    )
+    # TF2 vocabulary stats over the token rows (identical frame to
+    # unigram_commonness's dt: (_tok, _bucket) is 1:1 for token rows)
+    toks = dt.filter(F.col("_tok").isNotNull())
+    stats = (
+        toks.groupBy("_tok")
+        .agg(F.sum("_k").alias("tf"), F.count(F.lit(1)).alias("df"))
+        .transform(plan_cache)
+    )
+    total = stats.agg(F.sum("tf").alias("total_tf"))
+    vocab = stats.crossJoin(F.broadcast(total)).select(
+        "_tok",
+        F.floor(F.col("tf") * 1000000.0 / F.col("total_tf"))
+        .cast("long")
+        .alias("_tf_ppm"),
+        "df",
+    )
+    # SM3 bucket weights over ALL rows (tokens + bigrams = the gram
+    # stream), identical arithmetic and operation order to dsir_scores
+    buckets = dt.groupBy("_bucket").agg(
+        F.sum("_k").alias("_rc"),
+        F.sum(F.when(F.col("_t"), F.col("_k")).otherwise(F.lit(0))).alias(
+            "_tc"
+        ),
+    )
+    totals = buckets.agg(F.sum("_rc").alias("_R"), F.sum("_tc").alias("_T"))
+    num = (F.col("_tc") + 1).cast("double") * (
+        F.col("_R") + n_buckets
+    ).cast("double")
+    den = (F.col("_rc") + 1).cast("double") * (
+        F.col("_T") + n_buckets
+    ).cast("double")
+    weights = buckets.crossJoin(F.broadcast(totals)).select(
+        "_bucket",
+        F.floor(F.lit(1000000.0) * F.log(num / den)).cast("long").alias("_w"),
+    )
+    # ONE contribution stream, ONE doc-keyed aggregate: token rows
+    # carry (ppm, df, weight), bigram rows carry the weight only
+    tokc = (
+        toks.join(vocab, "_tok")
+        .join(F.broadcast(weights), "_bucket")
+        .select(
+            "doc_id", "_k", "_tf_ppm", "df", "_w", F.lit(1).alias("_is_tok")
+        )
+    )
+    bigc = (
+        dt.filter(F.col("_tok").isNull())
+        .join(F.broadcast(weights), "_bucket")
+        .select(
+            "doc_id",
+            "_k",
+            F.lit(None).cast("long").alias("_tf_ppm"),
+            F.lit(None).cast("long").alias("df"),
+            "_w",
+            F.lit(0).alias("_is_tok"),
+        )
+    )
+    ktok = F.when(F.col("_is_tok") == 1, F.col("_k")).otherwise(F.lit(0))
+    per_doc = (
+        tokc.unionByName(bigc)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(ktok).alias("n_toks"),
+            F.round(
+                F.sum(ktok * F.coalesce("_tf_ppm", F.lit(0))) / F.sum(ktok),
+                6,
+            ).alias("mean_tf_ppm"),
+            F.round(
+                F.sum(
+                    F.when(
+                        (F.col("_is_tok") == 1) & (F.col("df") < min_df),
+                        F.col("_k"),
+                    ).otherwise(0)
+                )
+                / F.sum(ktok),
+                6,
+            ).alias("oov_frac"),
+            F.sum(F.col("_k") * F.col("_w")).alias("dsir_score_unat"),
+        )
+    )
+    spine = docs.select("doc_id") if base is None else base
+    carried = [c for c in spine.columns if c != "doc_id"]
+    return spine.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        *carried,
+        F.coalesce("n_toks", F.lit(0)).cast("long").alias("n_toks"),
+        F.coalesce("mean_tf_ppm", F.lit(0.0)).alias("mean_tf_ppm"),
+        F.coalesce("oov_frac", F.lit(0.0)).alias("oov_frac"),
+        F.coalesce("dsir_score_unat", F.lit(0)).cast("long").alias(
+            "dsir_score_unat"
+        ),
+    )
+
+
 #: score-bucket range for the DSIR selection pass: micro-nat scores on
 #: the gate corpora sit well inside ±2e9; out-of-range scores clamp
 #: into the end buckets, which per_group_cap_flags exact-ranks anyway

@@ -107,14 +107,18 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min_df sized to the synthetic corpus's 31-token vocabulary
     # (min df 25 of 500 docs): the production default of 2 makes
     # oov_frac identically zero here, i.e. a dead gate column.
-    # The row-local profile IS the commonness join's spine (base=):
-    # one left join total, no second corpus scan for a doc_id spine
-    profile = termstats.unigram_commonness(
-        docs, min_df=50, base=textops.text_profile(docs)
+    # The row-local profile IS the spine (base=); round 6 fuses the
+    # TF2 commonness and SM3 DSIR legs into ONE tokenize/explode +
+    # ONE doc-keyed aggregate + ONE spine join
+    # (sampling.commonness_dsir_scores — bit-equal to the unfused
+    # composition, pytest-pinned), where the round-5 form paid two of
+    # each on the same corpus.
+    scored = sampling.commonness_dsir_scores(
+        docs,
+        target=F.col("lang") == F.lit("en"),
+        min_df=50,
+        base=textops.text_profile(docs),
     ).drop("n_toks")
-    scored = sampling.dsir_scores(
-        docs, target=F.col("lang") == F.lit("en"), base=profile
-    )
     carry = tuple(
         c for c in scored.columns if c not in ("doc_id", "dsir_score_unat")
     )

@@ -684,3 +684,57 @@ def test_dsir_ledger_read_rides_bucket_layout(spark):
     scan_lines = [l for l in plan.splitlines() if tbl in l]
     assert scan_lines and "SelectedBucketsCount" in "\n".join(scan_lines)
     spark.sql(f"drop table if exists {tbl}")
+
+
+def test_fused_commonness_dsir_equals_unfused(spark):
+    """The round-6 fused TF2+SM3 scorer (one tokenize, one doc-keyed
+    aggregate, one spine join) is bit-identical to composing
+    unigram_commonness and dsir_scores — on the real documents table
+    AND on the edge fixture (empty/NULL text, non-target docs)."""
+    from map_reduce_sf_crime_spark.operators import termstats
+
+    target = F.col("lang") == F.lit("en")
+    for docs in (
+        load_table(spark, SF_SMOKE, "documents"),
+        _dsir_fixture(spark),
+    ):
+        want_c = {
+            (r.doc_id, r.n_toks, r.mean_tf_ppm, r.oov_frac)
+            for r in termstats.unigram_commonness(docs, min_df=50).collect()
+        }
+        want_d = {
+            (r.doc_id, r.dsir_score_unat)
+            for r in sampling.dsir_scores(docs, target).collect()
+        }
+        fused = sampling.commonness_dsir_scores(
+            docs, target, min_df=50
+        ).collect()
+        assert {
+            (r.doc_id, r.n_toks, r.mean_tf_ppm, r.oov_frac) for r in fused
+        } == want_c
+        assert {(r.doc_id, r.dsir_score_unat) for r in fused} == want_d
+
+
+def test_fused_commonness_dsir_plan_shape(spark):
+    """The fused scorer folds the two doc-keyed merges of the unfused
+    composition into one. Plan-text Generate/Exchange counts are
+    inflated by cache-subtree expansion (every InMemoryTableScan
+    prints its cached child plan), so the assertion uses
+    SortMergeJoin — cached subtrees contain none, making the count
+    honest: the fused plan carries at most ONE data-sized merge join
+    (the token-keyed vocabulary join), strictly fewer than unfused."""
+    from map_reduce_sf_crime_spark.operators import termstats
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    t = F.col("lang") == F.lit("en")
+
+    def smj(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("SortMergeJoin")
+
+    fused = sampling.commonness_dsir_scores(docs, t, min_df=50)
+    unfused = sampling.dsir_scores(
+        docs, t, base=termstats.unigram_commonness(docs, min_df=50)
+    )
+    assert smj(fused) <= 1
+    assert smj(fused) < smj(unfused)
