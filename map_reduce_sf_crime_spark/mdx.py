@@ -10,9 +10,12 @@ drill-downs JPivot issues against them share one small grammar:
     FROM [sfcrime] [WHERE <tuple>]
 
 with sets of member tuples, ``.Children`` / ``.Members`` enumeration,
-and the ``sum(crimes)`` measure. This module parses exactly that
-grammar and compiles it onto the engine's star join — no Mondrian, no
-cell cache, just Catalyst: every axis-tuple pair becomes one filtered
+and the ``sum(crimes)`` measure — plus (round 6) the set functions
+JPivot's sort/filter actions emit against the cube
+(``Order(set, expr[, flag])``, ``TopCount(set, n[, expr])``,
+``Filter(set, expr cmp number)``) on the ROWS axis. This module
+parses exactly that grammar and compiles it onto the engine's star
+join — no Mondrian, no cell cache, just Catalyst: every axis-tuple pair becomes one filtered
 aggregation over the shared (cached) denormalized star frame, grouped
 by whatever the tuple enumerates. All-members compile to "no filter",
 so the 100 TB shape is the same broadcast star join + hash aggregate
@@ -90,8 +93,46 @@ class _Member:
 
 
 _TOKEN = re.compile(
-    r"\s*(?:(\[[^\]]*\])|(\{)|(\})|(\()|(\))|(,)|(\.)|([A-Za-z_][A-Za-z0-9_]*))"
+    r"\s*(?:(\[[^\]]*\])|(\{)|(\})|(\()|(\))|(,)|(\.)"
+    r"|(\d+(?:\.\d+)?)|(>=|<=|<>|[<>=])"
+    r"|([A-Za-z_][A-Za-z0-9_]*))"
 )
+
+#: Filter() comparison operators → python column operations
+_CMPS = {">", ">=", "<", "<=", "=", "<>"}
+
+
+@dataclass
+class _SetOp:
+    """One axis set function (the JPivot sort/filter grammar —
+    mondrian.jsp's JPivot stack emits these when the user clicks a
+    column sort arrow or sets a filter):
+
+    - ``order``: flag in asc/desc/basc/bdesc (the B- "break
+      hierarchy" variants equal the plain ones here — the compiled
+      sets are flat member lists, there is no hierarchy to preserve);
+    - ``topcount``: ``count`` members by ``expr`` descending;
+    - ``filter``: keep members where value ``cmp`` ``value``.
+
+    ``expr`` is the numeric-expression tuple — the measure plus
+    optional context members (e.g. ``([Measures].[crimes],
+    [Time].[1995])``)."""
+
+    kind: str  # "order" | "topcount" | "filter"
+    expr: list["_Member"] = field(default_factory=list)
+    flag: str = "asc"  # order
+    count: int = 0  # topcount
+    cmp: str = ""  # filter
+    value: float = 0.0  # filter
+
+
+@dataclass
+class _SetExpr:
+    """A parsed axis set: the member tuples plus any wrapping set
+    functions, applied innermost-first."""
+
+    tuples: list[list["_Member"]]
+    ops: list[_SetOp] = field(default_factory=list)
 
 
 def _tokenize(text: str) -> list[str]:
@@ -158,8 +199,32 @@ class _Parser:
             return members
         return [self.member()]
 
-    # set := [NON EMPTY] ( { tuple, ... } | Crossjoin(set, set) | tuple )
-    def set_(self) -> list[list[_Member]]:
+    # numexpr := member | (member, member, ...) — must contain exactly
+    # one measure; other members are context slicers for the value
+    def numexpr(self) -> list[_Member]:
+        members = self.tuple_()
+        n_meas = sum(1 for m in members if m.measure)
+        if n_meas != 1:
+            raise MdxError(
+                "set-function expression must name exactly one measure"
+            )
+        if any(m.enum_col for m in members):
+            raise MdxError(
+                "set-function expression members cannot enumerate"
+            )
+        return members
+
+    def number(self) -> float:
+        t = self.next()
+        try:
+            return float(t)
+        except ValueError:
+            raise MdxError(f"expected a number, got {t!r}")
+
+    # set := [NON EMPTY] ( { tuple, ... } | Crossjoin(set, set)
+    #        | Order(set, numexpr [, flag]) | TopCount(set, n [, numexpr])
+    #        | Filter(set, numexpr cmp number) | tuple )
+    def set_(self) -> _SetExpr:
         t = self.peek()
         if t is not None and t.lower() == "non":
             # NON EMPTY prunes axis members with no data — already the
@@ -177,7 +242,61 @@ class _Parser:
             self.expect(",")
             b = self.set_()
             self.expect(")")
-            return [ta + tb for ta in a for tb in b]
+            if a.ops or b.ops:
+                raise MdxError(
+                    "set functions must wrap Crossjoin, not its inputs"
+                )
+            return _SetExpr(
+                [ta + tb for ta in a.tuples for tb in b.tuples]
+            )
+        if t is not None and t.lower() == "order":
+            self.next()
+            self.expect("(")
+            inner = self.set_()
+            self.expect(",")
+            expr = self.numexpr()
+            flag = "asc"
+            if self.peek() == ",":
+                self.next()
+                f = self.next().lower()
+                if f not in ("asc", "desc", "basc", "bdesc"):
+                    raise MdxError(f"unknown Order flag {f!r}")
+                flag = f
+            self.expect(")")
+            inner.ops.append(_SetOp(kind="order", expr=expr, flag=flag))
+            return inner
+        if t is not None and t.lower() == "topcount":
+            self.next()
+            self.expect("(")
+            inner = self.set_()
+            self.expect(",")
+            n = self.number()
+            if n != int(n) or n < 1:
+                raise MdxError(f"TopCount count must be a positive int, got {n}")
+            expr: list[_Member] | None = None
+            if self.peek() == ",":
+                self.next()
+                expr = self.numexpr()
+            self.expect(")")
+            inner.ops.append(
+                _SetOp(kind="topcount", expr=expr or [], count=int(n))
+            )
+            return inner
+        if t is not None and t.lower() == "filter":
+            self.next()
+            self.expect("(")
+            inner = self.set_()
+            self.expect(",")
+            expr = self.numexpr()
+            cmp = self.next()
+            if cmp not in _CMPS:
+                raise MdxError(f"unknown comparison {cmp!r}")
+            value = self.number()
+            self.expect(")")
+            inner.ops.append(
+                _SetOp(kind="filter", expr=expr, cmp=cmp, value=value)
+            )
+            return inner
         if t == "{":
             self.next()
             tuples = [self.tuple_()]
@@ -185,8 +304,8 @@ class _Parser:
                 self.next()
                 tuples.append(self.tuple_())
             self.expect("}")
-            return tuples
-        return [self.tuple_()]
+            return _SetExpr(tuples)
+        return _SetExpr([self.tuple_()])
 
 
 def _resolve(segs: list[str], suffix: str | None) -> _Member:
@@ -245,6 +364,10 @@ class MdxQuery:
     rows: list[list[_Member]]
     cube: str
     slicer: list[_Member]
+    #: ROWS-axis set functions (Order/TopCount/Filter), innermost
+    #: first. COLUMNS-axis set functions are rejected at parse — the
+    #: JPivot sort/filter actions act on the row axis of the grid.
+    row_ops: list[_SetOp] = field(default_factory=list)
 
 
 def parse_mdx(text: str) -> MdxQuery:
@@ -260,6 +383,11 @@ def parse_mdx(text: str) -> MdxQuery:
     axes = {first_axis: first_set, second_axis: second_set}
     if set(axes) != {"columns", "rows"}:
         raise MdxError(f"axes must be COLUMNS and ROWS, got {sorted(axes)}")
+    if axes["columns"].ops:
+        raise MdxError(
+            "set functions (Order/TopCount/Filter) are supported on the "
+            "ROWS axis (the JPivot grid sort/filter shape)"
+        )
     p.expect("from")
     cube = p.next()
     if not cube.startswith("["):
@@ -276,7 +404,13 @@ def parse_mdx(text: str) -> MdxQuery:
                 raise MdxError("slicer members cannot enumerate (.Children)")
     if p.peek() is not None:
         raise MdxError(f"trailing tokens at {p.peek()!r}")
-    return MdxQuery(axes["columns"], axes["rows"], cube, slicer)
+    return MdxQuery(
+        axes["columns"].tuples,
+        axes["rows"].tuples,
+        cube,
+        slicer,
+        row_ops=axes["rows"].ops,
+    )
 
 
 def _axis_label(tup: list[_Member]):
@@ -432,6 +566,99 @@ def mdx_cells_many(
             .filter(F.col("crimes").isNotNull())
         )
         out = cells if out is None else out.unionByName(cells)
+    out = out.withColumn("row_ordinal", F.lit(None).cast("int"))
+
+    # ROWS-axis set functions (Order/TopCount/Filter — the JPivot
+    # sort/filter grammar). Semantics: each op's numeric expression is
+    # the measure evaluated PER ROW MEMBER in the context of (the
+    # member's own filters) + (the expression tuple's context members)
+    # + the slicer + the unmentioned-hierarchy defaults — Mondrian's
+    # axis-function context, where the COLUMN axis members do NOT
+    # apply. That value frame is exactly an MDX cell computation with
+    # the expression tuple as the one column, so it reuses this very
+    # function (one recursion level; synthetic queries carry no ops).
+    # Filter/TopCount change axis MEMBERSHIP (cells of removed members
+    # drop); Order attaches ``row_ordinal`` (1-based; B- break-
+    # hierarchy flags equal the plain ones over these flat member
+    # lists; ties break on the member caption — Mondrian leaves tie
+    # order unspecified, this engine pins it deterministic). All
+    # value frames and joins are axis-member-sized — broadcast.
+    ops_tagged = [
+        (tag, query) for tag, query, _ in compiled if query.row_ops
+    ]
+    if ops_tagged:
+        from pyspark.sql import Window
+
+        keep = out.filter(~F.col("tag").isin([t for t, _ in ops_tagged]))
+        pieces = [keep]
+        for tag, query in ops_tagged:
+            members = None  # (row_member[, _ord])
+            for op in query.row_ops:
+                expr = op.expr or [_Member(measure="crimes", caption=["crimes"])]
+                synthetic = MdxQuery(
+                    [expr], query.rows, query.cube, query.slicer
+                )
+                vals = mdx_cells_many(
+                    star,
+                    [(f"{tag}__val", synthetic)],
+                    time_default=time_default,
+                ).select("row_member", F.col("crimes").alias("_val"))
+                cur = (
+                    vals
+                    if members is None
+                    else members.select("row_member").join(vals, "row_member")
+                )
+                if op.kind == "filter":
+                    v = F.col("_val")
+                    cond = {
+                        ">": v > op.value,
+                        ">=": v >= op.value,
+                        "<": v < op.value,
+                        "<=": v <= op.value,
+                        "=": v == op.value,
+                        "<>": v != op.value,
+                    }[op.cmp]
+                    members = cur.filter(cond).select("row_member")
+                elif op.kind == "topcount":
+                    w = Window.orderBy(F.desc("_val"), F.asc("row_member"))
+                    members = (
+                        cur.withColumn("_rk", F.row_number().over(w))
+                        .filter(F.col("_rk") <= op.count)
+                        .select("row_member")
+                    )
+                else:  # order
+                    direction = (
+                        F.desc("_val")
+                        if op.flag in ("desc", "bdesc")
+                        else F.asc("_val")
+                    )
+                    w = Window.orderBy(direction, F.asc("row_member"))
+                    members = cur.select(
+                        "row_member",
+                        F.row_number().over(w).alias("_ord"),
+                    )
+            t_rows = out.filter(F.col("tag") == tag).drop("row_ordinal")
+            if "_ord" in members.columns:
+                joined = t_rows.join(F.broadcast(members), "row_member").select(
+                    "tag",
+                    "row_member",
+                    "col_member",
+                    "crimes",
+                    F.col("_ord").cast("int").alias("row_ordinal"),
+                )
+            else:
+                joined = t_rows.join(F.broadcast(members), "row_member").select(
+                    "tag",
+                    "row_member",
+                    "col_member",
+                    "crimes",
+                    F.lit(None).cast("int").alias("row_ordinal"),
+                )
+            pieces.append(joined)
+        res = pieces[0]
+        for p in pieces[1:]:
+            res = res.unionByName(p)
+        out = res
     return out
 
 

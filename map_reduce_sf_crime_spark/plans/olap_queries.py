@@ -171,6 +171,21 @@ where [Time].[1995]
                       {[Category].[All Categories].Children}) ON ROWS
 from [sfcrime]
 """,
+    # the SORT and TOP-N shapes JPivot's sort arrow / "top" filter
+    # emit against the grid (Order/TopCount — mdx.py round 6): the
+    # sort's observable is the 1-based row ordinal, hash-checked by
+    # folding it into l3 ("sorted#<ordinal>"); TopCount's observable
+    # is membership (exactly the 3 largest districts survive)
+    "sorted": """select {([Measures].[crimes], [Time].[1995])} ON COLUMNS,
+  Order({[District].[All Districts].Children},
+        ([Measures].[crimes], [Time].[1995]), BDESC) ON ROWS
+from [sfcrime]
+""",
+    "top3": """select {([Measures].[crimes], [Time].[1995])} ON COLUMNS,
+  TopCount({[District].[All Districts].Children}, 3,
+           ([Measures].[crimes], [Time].[1995])) ON ROWS
+from [sfcrime]
+""",
 }
 
 _MDX_VERBATIM_SQL = """
@@ -196,6 +211,23 @@ _MDX_VERBATIM_SQL = """
            cast(sum(crimes) as bigint) as crimes
     from ({sj}) s where year = 1995
     group by district, category
+    union all
+    select 'mdx_verbatim' as hierarchy, district as l1,
+           'crimes, 1995' as l2,
+           'sorted#' || cast(row_number() over (
+              order by sum(crimes) desc, district) as varchar) as l3,
+           cast(sum(crimes) as bigint) as crimes
+    from ({sj}) s where year = 1995
+    group by district
+    union all
+    select 'mdx_verbatim' as hierarchy, district as l1,
+           'crimes, 1995' as l2, 'top3' as l3, crimes
+    from (
+      select district, cast(sum(crimes) as bigint) as crimes,
+             row_number() over (order by sum(crimes) desc, district) as rk
+      from ({sj}) s where year = 1995
+      group by district
+    ) where rk <= 3
 """.format(sj=_STAR_JOIN_SQL)
 
 
@@ -306,13 +338,18 @@ def olap_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole MDX leg, not one per query/cell.
     from ..mdx import mdx_cells_many, parse_mdx
 
+    # l3 folds the Order ordinal in ("sorted#<n>"; concat_ws skips the
+    # NULL ordinal of unsorted tags) so the JPivot sort's observable
+    # — the member ORDER — is itself hash-checked by the driver
     cells = mdx_cells_many(
         sj, [(tag, parse_mdx(text)) for tag, text in _MDX_VERBATIM.items()]
     ).select(
         F.lit("mdx_verbatim").alias("hierarchy"),
         F.col("row_member").alias("l1"),
         F.col("col_member").alias("l2"),
-        F.col("tag").alias("l3"),
+        F.concat_ws(
+            "#", F.col("tag"), F.col("row_ordinal").cast("string")
+        ).alias("l3"),
         "crimes",
     )
     return tagged.unionByName(geo).unionByName(cells)

@@ -344,3 +344,143 @@ def test_leaf_preaggregation_path_matches_direct(spark):
         want[("All Districts", col)] = by_month[m]
         want[("All Categories", col)] = by_month[m]
     assert got == want
+
+
+# --------------------------------------------------------------- round 6:
+# the JPivot sort/filter grammar (Order / TopCount / Filter on ROWS)
+
+
+def _district_totals(spark, year: int) -> dict[str, int]:
+    """Independent per-district totals for the fixture year (direct
+    star aggregation, no MDX)."""
+    t = star_tables(incidents(spark, SF_SMOKE))
+    sj = (
+        t["fact"]
+        .join(t["district"].withColumnRenamed("name", "district"), "district_id")
+        .join(t["timeperiod"].select("time_id", "year"), "time_id")
+        .filter(F.col("year") == year)
+        .groupBy("district")
+        .agg(F.sum("crimes").alias("crimes"))
+    )
+    return {r.district: r.crimes for r in sj.collect()}
+
+
+def _cells(spark, q: str):
+    from map_reduce_sf_crime_spark.mdx import mdx_cells_many
+    from map_reduce_sf_crime_spark.plans.olap_queries import _star_join
+
+    return mdx_cells_many(
+        _star_join(spark, SF_SMOKE), [("q", parse_mdx(q))]
+    ).collect()
+
+
+def test_order_bdesc_attaches_ordinals(spark):
+    """The JPivot sort action: Order(children, measure, BDESC) emits
+    1-based row ordinals by value descending, caption-ascending ties —
+    membership unchanged vs the unsorted drill."""
+    year = _fixture_year(spark)
+    q = f"""select {{([Measures].[crimes], [Time].[{year}])}} ON COLUMNS,
+  Order({{[District].[All Districts].Children}},
+        ([Measures].[crimes], [Time].[{year}]), BDESC) ON ROWS
+from [sfcrime]
+"""
+    rows = _cells(spark, q)
+    want = _district_totals(spark, year)
+    assert {r.row_member: r.crimes for r in rows} == want
+    # ordinal order == value desc, caption asc on ties
+    expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = sorted(rows, key=lambda r: r.row_ordinal)
+    assert [r.row_member for r in got] == [d for d, _ in expect]
+    assert [r.row_ordinal for r in got] == list(range(1, len(want) + 1))
+
+
+def test_order_asc_reverses(spark):
+    year = _fixture_year(spark)
+    q = f"""select {{([Measures].[crimes], [Time].[{year}])}} ON COLUMNS,
+  Order({{[District].[All Districts].Children}},
+        ([Measures].[crimes], [Time].[{year}]), ASC) ON ROWS
+from [sfcrime]
+"""
+    rows = sorted(_cells(spark, q), key=lambda r: r.row_ordinal)
+    vals = [r.crimes for r in rows]
+    assert vals == sorted(vals)
+
+
+def test_topcount_keeps_top_n_members(spark):
+    year = _fixture_year(spark)
+    q = f"""select {{([Measures].[crimes], [Time].[{year}])}} ON COLUMNS,
+  TopCount({{[District].[All Districts].Children}}, 3,
+           ([Measures].[crimes], [Time].[{year}])) ON ROWS
+from [sfcrime]
+"""
+    rows = _cells(spark, q)
+    want = _district_totals(spark, year)
+    top3 = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert {r.row_member: r.crimes for r in rows} == dict(top3)
+    assert all(r.row_ordinal is None for r in rows)
+
+
+def test_filter_keeps_matching_members(spark):
+    year = _fixture_year(spark)
+    want = _district_totals(spark, year)
+    cut = sorted(want.values())[len(want) // 2]
+    q = f"""select {{([Measures].[crimes], [Time].[{year}])}} ON COLUMNS,
+  Filter({{[District].[All Districts].Children}},
+         ([Measures].[crimes], [Time].[{year}]) >= {cut}) ON ROWS
+from [sfcrime]
+"""
+    rows = _cells(spark, q)
+    assert {r.row_member: r.crimes for r in rows} == {
+        d: c for d, c in want.items() if c >= cut
+    }
+
+
+def test_composed_filter_then_order(spark):
+    """JPivot composes: Order(Filter(...), ...) — membership from the
+    inner Filter, ordinals from the outer Order."""
+    year = _fixture_year(spark)
+    want = _district_totals(spark, year)
+    cut = sorted(want.values())[len(want) // 2]
+    q = f"""select {{([Measures].[crimes], [Time].[{year}])}} ON COLUMNS,
+  Order(Filter({{[District].[All Districts].Children}},
+               ([Measures].[crimes], [Time].[{year}]) >= {cut}),
+        ([Measures].[crimes], [Time].[{year}]), BDESC) ON ROWS
+from [sfcrime]
+"""
+    rows = sorted(_cells(spark, q), key=lambda r: r.row_ordinal)
+    kept = {d: c for d, c in want.items() if c >= cut}
+    assert [r.row_member for r in rows] == [
+        d for d, _ in sorted(kept.items(), key=lambda kv: (-kv[1], kv[0]))
+    ]
+
+
+def test_set_function_parse_errors():
+    for q, msg in [
+        (
+            "select Order({[District].[All Districts].Children},"
+            " [Measures].[crimes]) ON COLUMNS, {[Measures].[crimes]}"
+            " ON ROWS from [sfcrime]",
+            "ROWS axis",
+        ),
+        (
+            "select {[Measures].[crimes]} ON COLUMNS,"
+            " Order({[District].[All Districts].Children},"
+            " [District].[All Districts]) ON ROWS from [sfcrime]",
+            "exactly one measure",
+        ),
+        (
+            "select {[Measures].[crimes]} ON COLUMNS,"
+            " TopCount({[District].[All Districts].Children}, 0) ON ROWS"
+            " from [sfcrime]",
+            "positive int",
+        ),
+        (
+            "select {[Measures].[crimes]} ON COLUMNS,"
+            " Crossjoin(Order({[District].[All Districts].Children},"
+            " [Measures].[crimes]), {[Category].[All Categories].Children})"
+            " ON ROWS from [sfcrime]",
+            "wrap Crossjoin",
+        ),
+    ]:
+        with pytest.raises(MdxError, match=msg):
+            parse_mdx(q)
