@@ -348,6 +348,59 @@ def break_lease(spark: SparkSession, path: str) -> None:
         fs.delete(jp, False)
 
 
+def _active_intent_conflicts(
+    spark: SparkSession,
+    path: str,
+    subpaths: list[str],
+    ttl_sec: int = LEASE_TTL_SEC,
+    after_cid: int = -1,
+) -> list[tuple[int, set[str]]]:
+    """In-flight (intent without commit, younger than ``ttl_sec``)
+    manifest intents whose declared partition subpaths overlap
+    ``subpaths`` — the optimistic-concurrency conflict check of the
+    partition-scoped writer protocol (the Delta/Iceberg model:
+    conflict on TOUCHED FILES/partitions, not on the table). An
+    intent older than the TTL is a presumed-dead writer and does not
+    block (its torn state stays visible to table_state — exactly the
+    lease-breaking liveness rule); an UNREADABLE fresh intent blocks
+    conservatively (it is mid-write — its keys are unknowable).
+    ``after_cid`` restricts to intents registered after a given id
+    (the writer's own post-hoc overrun check)."""
+    import time
+
+    fs, jvm = _hfs(spark, path)
+    cdir = f"{path.rstrip('/')}/{_COMMITS_DIR}"
+    jd = jvm.org.apache.hadoop.fs.Path(cdir)
+    if not fs.exists(jd):
+        return []
+    sub = set(subpaths)
+    statuses = {st.getPath().getName(): st for st in fs.listStatus(jd)}
+    out: list[tuple[int, set[str]]] = []
+    for name, st in sorted(statuses.items()):
+        if not name.endswith(".intent.json"):
+            continue
+        cid = int(name.split(".")[0])
+        if cid <= after_cid:
+            continue
+        if f"{cid:06d}.commit.json" in statuses and after_cid < 0:
+            # finished — no longer in flight (but the overrun check,
+            # after_cid >= 0, must count finished later intents too:
+            # a committed overlapping rewrite is exactly the
+            # interleave it exists to detect)
+            continue
+        age = time.time() - st.getModificationTime() / 1000.0
+        if age > ttl_sec and after_cid < 0:
+            continue
+        try:
+            intent = _read_json(spark, f"{cdir}/{name}")
+            overlap = sub & set(intent.get("pre", {}).keys())
+        except Exception:  # noqa: BLE001 — torn mid-write intent
+            overlap = {"(unreadable intent)"}
+        if overlap:
+            out.append((cid, overlap))
+    return out
+
+
 def _commit_ids(spark: SparkSession, path: str) -> list[int]:
     fs, jvm = _hfs(spark, path)
     cdir = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{_COMMITS_DIR}")
@@ -366,12 +419,17 @@ def begin_commit(
     path: str,
     partition_cols: list[str],
     keys: list[tuple],
+    extra: dict | None = None,
 ) -> int:
-    """Record rewrite INTENT. Single-writer contract: ids are assigned
-    by listing, not atomically reserved — which is why the writers
-    that call this (merge_upsert, compact_partitioned) first take the
-    table's lease (:func:`acquire_lease`) and a live foreign writer
-    is REFUSED loudly instead of interleaved."""
+    """Record rewrite INTENT. Ids are assigned by listing, not
+    atomically reserved — which is why every writer that calls this
+    does so UNDER the table lease (:func:`acquire_lease`): the
+    table-scoped writers (merge_upsert, compact_partitioned) hold it
+    for their whole operation, the partition-scoped protocol
+    (``merge_upsert(scope="partition")``) holds it just for the
+    conflict check + this registration. ``extra`` merges additional
+    fields into the intent (e.g. the partition-scoped protocol's
+    scope/ttl tags)."""
     ids = _commit_ids(spark, path)
     cid = (ids[-1] + 1) if ids else 0
     _write_json(
@@ -383,6 +441,7 @@ def begin_commit(
             "partition_cols": partition_cols,
             "keys": [list(k) for k in keys],
             "pre": _inventory(spark, path, partition_cols, keys),
+            **(extra or {}),
         },
     )
     return cid
@@ -915,6 +974,7 @@ def merge_upsert(
     delete_col: str | None = None,
     manifest: bool = True,
     archive: bool = False,
+    scope: str = "table",
 ) -> None:
     """MERGE INTO for a plain-parquet lakehouse table — the idiomatic
     open-Spark form without a row-level table format: copy-on-write at
@@ -960,7 +1020,38 @@ def merge_upsert(
     enabling :func:`read_as_of` time travel back past this merge;
     cost is proportional to the rewritten partitions and bounded by
     ``vacuum_commits`` retention.
+
+    ``scope`` (round 6) picks the writer-concurrency protocol:
+
+    - ``"table"`` (default): the single-writer lease is held from the
+      snapshot read through the commit — any concurrent writer raises.
+    - ``"partition"``: the optimistic Delta/Iceberg-shaped protocol —
+      the table lease is held ONLY for a brief registration window
+      (conflict check against in-flight intents + intent write with
+      the touched-partition set), then the snapshot read, merge, and
+      partition-dynamic overwrite run WITHOUT the lease, so merges
+      touching DISJOINT partition sets commit concurrently; an
+      overlapping in-flight intent raises ConcurrentWriterError at
+      registration. Requires ``manifest=True`` (the intent IS the
+      claim). Liveness matches the lease rule: a crashed writer's
+      intent stops blocking after its TTL while its torn state stays
+      visible; a writer that overruns the TTL is detected at its own
+      finish (a later overlapping registration raises instead of
+      committing, leaving the re-run-to-recover torn state).
     """
+    if scope not in ("table", "partition"):
+        raise ValueError(f"scope must be 'table' or 'partition', got {scope!r}")
+    if scope == "partition":
+        if not manifest:
+            raise ValueError(
+                "scope='partition' requires manifest=True — the intent "
+                "manifest is the partition claim"
+            )
+        _merge_upsert_partition_scoped(
+            spark, path, changes, key_cols, partition_cols, delete_col,
+            archive,
+        )
+        return
     # single-writer lease from the SNAPSHOT READ through the commit:
     # the merged frame is built (and localCheckpoint-materialized)
     # from the table's current bytes, so acquiring the lease any
@@ -991,6 +1082,79 @@ def merge_upsert(
                     raise
 
 
+def _merge_upsert_partition_scoped(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str],
+    delete_col: str | None,
+    archive: bool,
+    ttl_sec: int = LEASE_TTL_SEC,
+) -> None:
+    """The partition-scoped concurrent-writer protocol (see
+    :func:`merge_upsert` ``scope="partition"``): register → merge →
+    overwrite → overrun-check → commit. The registration happens
+    BEFORE the snapshot read, so no live writer can claim (or be
+    claimed by) this merge's partitions between the snapshot and the
+    overwrite — the lost-update window the table lease closed is
+    closed per partition instead."""
+    keys = _spelled_keys(changes.select(*partition_cols), partition_cols)
+    subpaths = [_partition_subpath(spark, partition_cols, k) for k in keys]
+    token = acquire_lease(spark, path, ttl_sec)
+    try:
+        conflicts = _active_intent_conflicts(spark, path, subpaths, ttl_sec)
+        if conflicts:
+            claimed = sorted(set().union(*(o for _, o in conflicts)))
+            raise ConcurrentWriterError(
+                f"partition(s) {claimed[:5]} of {path} are claimed by "
+                f"in-flight intent(s) {sorted(c for c, _ in conflicts)}; "
+                "refusing to interleave. Wait for them to finish (or "
+                "expire past the TTL if the writer is dead)."
+            )
+        cid = begin_commit(
+            spark, path, partition_cols, keys,
+            extra={"scope": "partition", "ttl_sec": ttl_sec},
+        )
+    finally:
+        release_lease(spark, path, token)
+    wrote = [False]
+    ok = False
+    try:
+        _merge_upsert_locked(
+            spark, path, changes, key_cols, partition_cols, delete_col,
+            True, archive, pre_registered=(cid, keys), wrote_flag=wrote,
+        )
+        # post-hoc overrun check BEFORE declaring success: a later
+        # registration overlapping our partitions means another writer
+        # judged our intent expired mid-merge (we overran the TTL) and
+        # may have interleaved — leave the unfinished intent as the
+        # torn-state evidence and raise instead of committing
+        late = _active_intent_conflicts(
+            spark, path, subpaths, ttl_sec, after_cid=cid
+        )
+        if late:
+            raise ConcurrentWriterError(
+                f"intent {cid} on {path} overran its TTL: later "
+                f"intent(s) {sorted(c for c, _ in late)} claimed "
+                "overlapping partitions mid-merge — not committing; "
+                "run table_state() and re-run the merge to recover"
+            )
+        finish_commit(spark, path, cid)
+        ok = True
+    finally:
+        if not ok and not wrote[0]:
+            # refused/failed before touching any data: withdraw the
+            # claim so the table stays clean instead of reading torn
+            fs, jvm = _hfs(spark, path)
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{path.rstrip('/')}/{_COMMITS_DIR}/{cid:06d}.intent.json"
+                ),
+                False,
+            )
+
+
 def _merge_upsert_locked(
     spark: SparkSession,
     path: str,
@@ -1000,7 +1164,13 @@ def _merge_upsert_locked(
     delete_col: str | None,
     manifest: bool,
     archive: bool,
+    pre_registered: tuple[int, list[tuple]] | None = None,
+    wrote_flag: list | None = None,
 ) -> None:
+    """``wrote_flag`` (a one-element list) is set True the moment the
+    table's bytes start changing — the partition-scoped caller uses it
+    to decide whether a failure withdraws its intent (nothing touched)
+    or leaves it as torn-state evidence (overwrite started)."""
     current = spark.read.parquet(path)
     part_keys = changes.select(*partition_cols).distinct().collect()
     pred = None
@@ -1037,7 +1207,11 @@ def _merge_upsert_locked(
     )
     # Spark-spelled key strings for everything PATH-shaped (manifest
     # inventories, the empty-partition delete) — see _spelled_keys
-    keys = _spelled_keys(changes.select(*partition_cols), partition_cols)
+    keys = (
+        pre_registered[1]
+        if pre_registered is not None
+        else _spelled_keys(changes.select(*partition_cols), partition_cols)
+    )
     # dynamic overwrite only replaces partitions PRESENT in the
     # output: a change batch whose deletes empty a whole partition
     # yields zero merged rows for it, the overwrite skips the
@@ -1064,11 +1238,30 @@ def _merge_upsert_locked(
                 "parquet directory — drop or rewrite the table "
                 "explicitly instead"
             )
-    cid = (
-        begin_commit(spark, path, partition_cols, keys)
-        if manifest
-        else None
-    )
+    if pre_registered is not None:
+        cid = pre_registered[0]
+    else:
+        if manifest:
+            # table-scoped writers hold the lease, which keeps NEW
+            # partition-scoped registrations out — but an in-flight
+            # partition-scoped merge registered BEFORE this lease was
+            # acquired holds no lease; interleaving with its claimed
+            # partitions must refuse just like a held lease does
+            subpaths = [
+                _partition_subpath(spark, partition_cols, k) for k in keys
+            ]
+            conflicts = _active_intent_conflicts(spark, path, subpaths)
+            if conflicts:
+                raise ConcurrentWriterError(
+                    f"partition(s) claimed by in-flight partition-scoped "
+                    f"intent(s) {sorted(c for c, _ in conflicts)} on "
+                    f"{path}; refusing to interleave"
+                )
+        cid = (
+            begin_commit(spark, path, partition_cols, keys)
+            if manifest
+            else None
+        )
     if manifest and archive:
         # retention for time travel (read_as_of): the replaced
         # files — exactly the intent's pre inventory — are copied
@@ -1079,6 +1272,10 @@ def _merge_upsert_locked(
             f"{path.rstrip('/')}/{_COMMITS_DIR}/{cid:06d}.intent.json",
         )
         _archive_pre_images(spark, path, cid, intent["pre"])
+    if wrote_flag is not None:
+        # from here the table's bytes change: a failure past this
+        # point must leave the intent as torn-state evidence
+        wrote_flag[0] = True
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -1092,7 +1289,7 @@ def _merge_upsert_locked(
             p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{sub}")
             if fs.exists(p):
                 fs.delete(p, True)
-    if manifest:
+    if manifest and pre_registered is None:
         finish_commit(spark, path, cid)
 
 
@@ -1248,6 +1445,21 @@ def _compact_partitioned_locked(
     skeys = [
         tuple(row[f"_s_{pc}"] for pc in partition_cols) for row in counts
     ]
+    if manifest:
+        # compaction holds the table lease, but an in-flight
+        # partition-scoped merge registered before that lease holds no
+        # lease itself — rewriting its claimed partitions would
+        # interleave; refuse exactly like merge_upsert does
+        subpaths = [
+            _partition_subpath(spark, partition_cols, k) for k in skeys
+        ]
+        conflicts = _active_intent_conflicts(spark, path, subpaths)
+        if conflicts:
+            raise ConcurrentWriterError(
+                f"partition(s) claimed by in-flight partition-scoped "
+                f"intent(s) {sorted(c for c, _ in conflicts)} on "
+                f"{path}; refusing to compact over them"
+            )
     cid = (
         begin_commit(spark, path, partition_cols, skeys)
         if manifest

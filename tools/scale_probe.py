@@ -361,6 +361,160 @@ def churn_probe(spark, n: int) -> None:
         )
 
 
+def keystone_probe(spark, n: int) -> None:
+    """Round-6 100× keystone probe (VERDICT r5 #8): the five scale
+    keystones whose 10×/30× curves the earlier rounds recorded, now
+    at ``n``× (intended n=100 ≈ sf10):
+
+    1. bucket-pruned BM25 serve (build at n×, serve min-of-3 — claim:
+       serve tracks the query terms' postings, not the corpus);
+    2. postings fold (fixed 500-doc batch — claim: batch-proportional);
+    3. DSIR ledger fold + cataloged serve (fixed batch — same claim);
+    4. banded image near-pairs (distinct synthetic payloads + planted
+       dups — claim: hashing pass input-linear, pair join output-bound);
+    5. IVF and PQ folded serve (build at n× vectors, fixed 2k-event
+       fold, tombstone-filtered probe — claim: fold batch-sized,
+       serve list-pruned).
+    """
+    import shutil
+    import time as _t
+
+    from pyspark.sql import functions as SF
+
+    from map_reduce_sf_crime_spark.operators import retrieval, sampling, similarity
+    from map_reduce_sf_crime_spark.operators.multimodal import image_near_pairs
+    from map_reduce_sf_crime_spark.sources.parquet import fan_out, load_table
+
+    sf_dir = replicate(n)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    n_docs = docs.count()
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
+    )
+
+    # --- 1+2: BM25 postings index: build, serve, fold
+    queries = {0: "spark window merge dup", 1: "dup table"}
+    t0 = _t.perf_counter()
+    retrieval.write_postings_index(docs, "ks_postings")
+    t_build = _t.perf_counter() - t0
+    serves = []
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        retrieval.bm25_topk_indexed(spark, "ks_postings", queries, k=25).count()
+        serves.append(_t.perf_counter() - t0)
+    batch = (
+        docs.filter(SF.col("doc_id") % 997 == 3)
+        .withColumn("doc_id", SF.col("doc_id") + 100_000_000)
+        .withColumn("_change_type", SF.lit("insert"))
+    )
+    n_batch = batch.count()
+    t0 = _t.perf_counter()
+    retrieval.apply_changes_to_postings_index(spark, batch, "ks_postings", 1)
+    t_fold = _t.perf_counter() - t0
+    print(
+        f"x{n} bm25[{n_docs} docs]: index build {t_build:.2f}s, "
+        f"serve min-of-3 {min(serves):.2f}s, "
+        f"fold[{n_batch}-doc batch] {t_fold:.2f}s"
+    )
+
+    # --- 3: DSIR ledger: build, fold, cataloged serve of a fixed slice
+    target = SF.col("lang") == SF.lit("en")
+    t0 = _t.perf_counter()
+    sampling.write_dsir_stats(docs, target, "ks_dsir")
+    t_build = _t.perf_counter() - t0
+    t0 = _t.perf_counter()
+    sampling.apply_changes_to_dsir_stats(spark, batch, target, "ks_dsir", 1)
+    t_fold = _t.perf_counter() - t0
+    probe_docs = docs.filter(SF.col("doc_id") % 1009 == 5).localCheckpoint()
+    n_probe = probe_docs.count()
+    t0 = _t.perf_counter()
+    sampling.dsir_scores_cataloged(spark, probe_docs, "ks_dsir").count()
+    t_serve = _t.perf_counter() - t0
+    print(
+        f"x{n} dsir_ledger[{n_docs} docs]: build {t_build:.2f}s, "
+        f"fold[{n_batch}-doc batch] {t_fold:.2f}s, "
+        f"cataloged serve[{n_probe} docs] {t_serve:.2f}s"
+    )
+
+    # --- 4: banded image near-pairs over DISTINCT synthetic payloads
+    # (replicated fixtures would give every image n-1 exact twins and
+    # the n² OUTPUT would drown the signal); 1-in-1000 planted dups
+    # keep the verify leg non-trivial while output stays input-linear
+    n_imgs = n_docs
+    seed_id = (
+        SF.when(SF.col("id") % 1000 == 1, SF.col("id") - 1)
+        .otherwise(SF.col("id"))
+        .cast("string")
+    )
+    # NON-repeating pseudo-random payload (8 chained md5 blocks): a
+    # repeated block makes every grid cell average the same pattern
+    # and the dhash space collapses into giant Hamming clusters
+    media = spark.range(n_imgs).select(
+        SF.col("id").alias("doc_id"),
+        SF.encode(
+            SF.concat(
+                *[
+                    SF.md5(SF.concat(seed_id, SF.lit(f"#{k}")))
+                    for k in range(8)
+                ]
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+    t0 = _t.perf_counter()
+    n_pairs = image_near_pairs(media, max_hamming=3).count()
+    t_pairs = _t.perf_counter() - t0
+    print(f"x{n} image_near_pairs[{n_imgs} imgs]: {t_pairs:.2f}s ({n_pairs} pairs)")
+
+    # --- 5: IVF + PQ folded serve at n× vectors
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    n_vecs = emb.count()
+    qrows = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(SF.col("vec_id").isin(0, 1, 2)).collect()
+    ]
+    changes = (
+        emb.filter(SF.col("vec_id") % 499 == 7)
+        .limit(2000)
+        .withColumn("_change_type", SF.lit("delete"))
+        .localCheckpoint()
+    )
+    for kind, write, fold, probe in (
+        (
+            "ivf",
+            similarity.write_ivf_index,
+            similarity.apply_changes_to_ivf_index,
+            lambda p: similarity.ivf_topk_indexed(spark, p, qrows, 3),
+        ),
+        (
+            "pq",
+            similarity.write_pq_index,
+            similarity.apply_changes_to_pq_index,
+            lambda p: similarity.pq_topk_indexed(spark, p, qrows, emb, 3),
+        ),
+    ):
+        path = os.path.join(scratch, f"ks_{kind}")
+        shutil.rmtree(path, ignore_errors=True)
+        t0 = _t.perf_counter()
+        write(emb, path)
+        t_build = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        fold(spark, path, changes, 1)
+        t_fold = _t.perf_counter() - t0
+        serves = []
+        for _ in range(3):
+            t0 = _t.perf_counter()
+            probe(path).count()
+            serves.append(_t.perf_counter() - t0)
+        print(
+            f"x{n} {kind}_folded[{n_vecs} vecs]: build {t_build:.2f}s, "
+            f"fold[2k deletes] {t_fold:.2f}s, serve min-of-3 "
+            f"{min(serves):.2f}s"
+        )
+
+
 def index_compaction_probe(spark, n: int) -> None:
     """A week of change-feed folds vs one compaction: probe latency
     and file count on a persisted IVF index after 7 daily folds
@@ -448,7 +602,8 @@ def index_compaction_probe(spark, n: int) -> None:
 
 def main() -> None:
     args = [a for a in sys.argv[1:]]
-    if "hot" in args or "stream" in args or "churn" in args or "compactidx" in args:
+    modes = ("hot", "stream", "churn", "compactidx", "keystone")
+    if any(m in args for m in modes):
         n = next((int(a) for a in args if a.isdigit()), 10)
         spark = get_spark("scale_probe")
         if "hot" in args:
@@ -459,6 +614,8 @@ def main() -> None:
             churn_probe(spark, n)
         if "compactidx" in args:
             index_compaction_probe(spark, n)
+        if "keystone" in args:
+            keystone_probe(spark, n)
         spark.stop()
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
