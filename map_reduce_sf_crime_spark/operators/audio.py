@@ -151,6 +151,53 @@ FP_SCHEMA = T.StructType(
 )
 
 
+def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    """Format-dispatching decoder for the :func:`clip_fingerprints`
+    seam: RIFF/WAVE decodes via :func:`decode_wav`; compressed
+    containers are RECOGNIZED by magic and raise a format-specific
+    error naming the seam — a FLAC clip must never be silently
+    fingerprinted as garbage PCM, and the error tells the operator
+    exactly which codec to inject (e.g. :func:`soundfile_decode`)."""
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    for magic, fmt in ((b"fLaC", "FLAC"), (b"OggS", "Ogg"), (b"ID3", "MP3")):
+        if payload[: len(magic)] == magic:
+            raise ValueError(
+                f"{fmt} payload needs a codec-backed decoder — inject "
+                "one into clip_fingerprints (soundfile_decode when the "
+                "soundfile library is present)"
+            )
+    if len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0:
+        raise ValueError(
+            "MP3 frame-sync payload needs a codec-backed decoder — "
+            "inject one into clip_fingerprints (soundfile_decode when "
+            "the soundfile library is present)"
+        )
+    raise ValueError("unrecognized audio container (not RIFF/FLAC/Ogg/MP3)")
+
+
+def soundfile_decode(payload: bytes) -> tuple[int, np.ndarray]:
+    """Codec-backed decoder for the same seam: any libsndfile-readable
+    container (FLAC/Ogg/WAV/…) → ``(rate, mono float64 samples)``,
+    mean-downmixed exactly like :func:`decode_wav`. OPTIONAL
+    dependency — raises a clear ImportError when the soundfile
+    library is absent (tests skip-if-absent); WAV parity with
+    decode_wav is the pinned contract when it is present."""
+    import io
+
+    try:
+        import soundfile as sf
+    except ImportError as e:  # pragma: no cover - codec-less container
+        raise ImportError(
+            "soundfile_decode needs the soundfile library (pip install "
+            "soundfile); in a codec-less environment use decode_wav for "
+            "RIFF/WAVE payloads"
+        ) from e
+    data, rate = sf.read(io.BytesIO(payload), dtype="float64")
+    samples = data.mean(axis=1) if data.ndim > 1 else data
+    return int(rate), samples.astype(np.float64)
+
+
 def clip_fingerprints(
     media: DataFrame,
     decoder: Callable[[bytes], tuple[int, np.ndarray]] = decode_wav,

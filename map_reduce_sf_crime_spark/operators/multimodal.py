@@ -175,6 +175,61 @@ def decode_image(payload: bytes) -> dict:
     )
 
 
+def pil_decode(payload: bytes) -> dict:
+    """Codec-backed decoder for the :func:`extract_features` seam:
+    any PIL-supported format (JPEG/PNG/WebP/…) → the same contract as
+    :func:`decode_image` (n_frames, mean over 8-bit grayscale pixels,
+    width/height/format). OPTIONAL dependency — raises a clear
+    ImportError when Pillow is absent (tests skip-if-absent); the
+    Spark-side plumbing (Arrow batching, schema, partitioning) is the
+    seam's and identical for any decoder. Grayscale conversion is
+    PIL's integer ITU-R 601-2 "L" mode — deterministic across hosts."""
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - codec-less container
+        raise ImportError(
+            "pil_decode needs Pillow (pip install Pillow); in a "
+            "codec-less environment use decode_image (PGM/BMP) or "
+            "fake_decode"
+        ) from e
+    img = Image.open(io.BytesIO(payload))
+    fmt = (img.format or "?").lower()
+    n_frames = int(getattr(img, "n_frames", 1))
+    gray = img.convert("L")
+    data = list(gray.getdata())
+    return {
+        "n_frames": n_frames,
+        "mean_byte": (sum(data) / len(data)) if data else 0.0,
+        "width": gray.width,
+        "height": gray.height,
+        "format": fmt,
+    }
+
+
+def pil_pixels(payload: bytes) -> list[list[int]]:
+    """Codec-backed grid decoder for the :func:`image_dhash` seam:
+    any PIL-supported payload → row-major 8-bit grayscale grid, the
+    exact shape :func:`decode_pixels` produces for PGM/BMP — so the
+    downstream dHash/banded-pair pipeline is byte-identical whichever
+    decoder fed it (parity pytest, skip-if-absent)."""
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - codec-less container
+        raise ImportError(
+            "pil_pixels needs Pillow (pip install Pillow); in a "
+            "codec-less environment use decode_pixels (PGM/BMP) or "
+            "fake_pixels"
+        ) from e
+    gray = Image.open(io.BytesIO(payload)).convert("L")
+    w, h = gray.width, gray.height
+    data = list(gray.getdata())
+    return [data[r * w : (r + 1) * w] for r in range(h)]
+
+
 def fake_decode(payload: bytes) -> dict:
     """Deterministic stand-in decoder used by tests and the registry
     query: frame count and mean byte value derived from the payload."""

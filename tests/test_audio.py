@@ -165,3 +165,50 @@ def test_decode_wav_overrun_data_chunk_raises_valueerror():
     )
     with pytest.raises(ValueError, match="data chunk declares"):
         audio.decode_wav(payload)
+
+
+def test_decode_audio_dispatch_and_compressed_raises():
+    """decode_audio routes RIFF to decode_wav and raises a
+    format-NAMING error for compressed containers — a FLAC clip must
+    never be fingerprinted as garbage PCM."""
+    body = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = struct.pack("<4h", 0, 1000, -1000, 0)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(body)) + body
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    rate, samples = audio.decode_audio(wav)
+    assert rate == 8000 and len(samples) == 4
+    for payload, fmt in [
+        (b"fLaC" + b"\x00" * 64, "FLAC"),
+        (b"OggS" + b"\x00" * 64, "Ogg"),
+        (b"ID3\x04" + b"\x00" * 64, "MP3"),
+        (b"\xff\xfb\x90\x00" + b"\x00" * 64, "MP3"),
+    ]:
+        with pytest.raises(ValueError, match=fmt):
+            audio.decode_audio(payload)
+    with pytest.raises(ValueError, match="unrecognized audio container"):
+        audio.decode_audio(b"\x00" * 64)
+
+
+def test_soundfile_decode_wav_parity_when_codec_present():
+    """When the optional soundfile library exists, its decode of a
+    16-bit PCM WAV must match decode_wav sample-for-sample (the seam's
+    parity contract); skipped in codec-less containers."""
+    pytest.importorskip("soundfile")
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    pcm = (rng.uniform(-0.5, 0.5, 2048) * 32768).astype("<i2")
+    body = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + 2 * len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(body)) + body
+        + b"data" + struct.pack("<I", 2 * len(pcm)) + pcm.tobytes()
+    )
+    r1, s1 = audio.decode_wav(wav)
+    r2, s2 = audio.soundfile_decode(wav)
+    assert r1 == r2
+    assert np.allclose(s1, s2, atol=1e-9)
+    assert audio.fingerprint_samples(s1) == audio.fingerprint_samples(s2)

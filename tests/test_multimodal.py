@@ -319,3 +319,61 @@ def test_hamming_near_pairs_sign_bit(spark):
     )
     got = dedup.hamming_near_pairs(hashes, "h").collect()
     assert [(r.doc_a, r.doc_b, r.hamming) for r in got] == [(1, 2, 1)]
+
+
+def test_pil_pixels_dhash_parity_when_codec_present():
+    """When Pillow exists, a lossless PNG of a known grid must decode
+    (pil_pixels) to exactly the grid decode_pixels reads from the
+    equivalent PGM — so the dHash (and every banded pair downstream)
+    is identical whichever decoder fed it. Skipped codec-less."""
+    import pytest as _pytest
+
+    _pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from map_reduce_sf_crime_spark.operators.multimodal import (
+        decode_pixels,
+        dhash64,
+        pil_decode,
+        pil_pixels,
+    )
+
+    w, h = 17, 11
+    grid = [[(3 * r * r + 7 * c * c + r * c) % 256 for c in range(w)] for r in range(h)]
+    img = Image.new("L", (w, h))
+    img.putdata([v for row in grid for v in row])
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    png = buf.getvalue()
+    pgm = b"P5 %d %d 255\n" % (w, h) + bytes(
+        v for row in grid for v in row
+    )
+    assert pil_pixels(png) == decode_pixels(pgm) == grid
+    assert dhash64(pil_pixels(png)) == dhash64(decode_pixels(pgm))
+    meta = pil_decode(png)
+    assert (meta["width"], meta["height"], meta["format"]) == (w, h, "png")
+    assert meta["mean_byte"] == sum(sum(r) for r in grid) / (w * h)
+
+
+def test_pil_seams_raise_clear_importerror_when_absent():
+    """In a codec-less container the PIL seams must raise an
+    ImportError that names the dependency and the stdlib fallback."""
+    import pytest as _pytest
+
+    try:
+        import PIL  # noqa: F401
+
+        _pytest.skip("Pillow present — the absent-path is untestable")
+    except ImportError:
+        pass
+    from map_reduce_sf_crime_spark.operators.multimodal import (
+        pil_decode,
+        pil_pixels,
+    )
+
+    with _pytest.raises(ImportError, match="Pillow"):
+        pil_pixels(b"\x89PNG\r\n\x1a\n")
+    with _pytest.raises(ImportError, match="Pillow"):
+        pil_decode(b"\x89PNG\r\n\x1a\n")
