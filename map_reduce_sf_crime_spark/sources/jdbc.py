@@ -20,17 +20,86 @@ import os
 
 from pyspark.sql import DataFrame
 
+#: Column-type pins matching the reference's MySQL DDL byte for byte
+#: where it matters (starschema.sql:1-21: INT ids/measures,
+#: VARCHAR(100)/VARCHAR(50) names). Passed to Spark's
+#: ``createTableColumnTypes`` — without the pin, MySQLDialect maps
+#: StringType to LONGTEXT and LongType to BIGINT, types a reference
+#: consumer's DDL-diff would flag. Keys the dims/fact tables produce
+#: but the reference DDL does not mention inherit the dialect mapping.
+MYSQL_STAR_COLUMN_TYPES: dict[str, str] = {
+    "timeperiod": "time_id INT, year INT, month INT, week INT, day INT",
+    "category": "category_id INT, name VARCHAR(100)",
+    "district": "district_id INT, name VARCHAR(50)",
+    "fact": "crimes INT, district_id INT, category_id INT, time_id INT",
+}
+
+
+def star_ddl(
+    spark,
+    tables: dict[str, DataFrame],
+    url: str = "jdbc:mysql://warehouse/sfcrime",
+    column_types: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """The column-definition clause Spark would issue per star table
+    against ``url``'s JDBC dialect (resolved through the real
+    ``JdbcDialects`` registry — MySQLDialect for ``jdbc:mysql:``),
+    with the reference DDL's type pins applied. This is the
+    testcontainer-less MySQL parity check: pytest pins the emitted
+    types against starschema.sql's, so a dialect regression (or a
+    schema drift in the dims) fails without needing a MySQL server;
+    the same pins round-trip against live Derby in tests/test_jdbc.py
+    to prove the ``createTableColumnTypes`` path executes."""
+    jvm = spark._jvm
+    dialect = jvm.org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    pins_by_table = (
+        MYSQL_STAR_COLUMN_TYPES if column_types is None else column_types
+    )
+    out = {}
+    for name, df in tables.items():
+        pins = {}
+        for part in pins_by_table.get(name, "").split(","):
+            part = part.strip()
+            if part:
+                col, typ = part.split(None, 1)
+                pins[col] = typ
+        jschema = df._jdf.schema()
+        cols = []
+        for i in range(jschema.length()):
+            jf = jschema.apply(i)
+            if jf.name() in pins:
+                typ = pins[jf.name()]
+            else:
+                jopt = dialect.getJDBCType(jf.dataType())
+                if not jopt.isDefined():
+                    jopt = (
+                        jvm.org.apache.spark.sql.execution.datasources
+                        .jdbc.JdbcUtils.getCommonJDBCType(jf.dataType())
+                    )
+                typ = jopt.get().databaseTypeDefinition()
+            null = "" if jf.nullable() else " NOT NULL"
+            cols.append(f"{jf.name()} {typ}{null}")
+        out[name] = ", ".join(cols)
+    return out
+
 
 def write_star(
     tables: dict[str, DataFrame],
     out_dir: str | None = None,
     jdbc_url: str | None = None,
     jdbc_props: dict[str, str] | None = None,
+    column_types: dict[str, str] | None = None,
 ) -> None:
-    """Persist the four star tables (K3 truncate-before-load ≡ overwrite)."""
+    """Persist the four star tables (K3 truncate-before-load ≡
+    overwrite). ``column_types``: per-table ``createTableColumnTypes``
+    pins (e.g. :data:`MYSQL_STAR_COLUMN_TYPES`) so the created
+    warehouse tables carry the reference DDL's exact column types."""
     for name, df in tables.items():
         if jdbc_url is not None:
-            df.write.jdbc(jdbc_url, name, mode="overwrite", properties=jdbc_props or {})
+            w = df.write
+            if column_types and name in column_types:
+                w = w.option("createTableColumnTypes", column_types[name])
+            w.jdbc(jdbc_url, name, mode="overwrite", properties=jdbc_props or {})
         else:
             assert out_dir is not None, "need out_dir or jdbc_url"
             df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
