@@ -591,18 +591,40 @@ def mdx_cells_many(
 
         keep = out.filter(~F.col("tag").isin([t for t, _ in ops_tagged]))
         pieces = [keep]
+        def _expr_equals_columns(expr, query) -> bool:
+            """True when the op expression is semantically the query's
+            single COLUMN tuple (same measure, same member filters) —
+            the common JPivot shape 'sort rows by the measure column'.
+            The value frame is then the tag's own cells: no recursive
+            recomputation."""
+            if len(query.columns) != 1:
+                return False
+            col_tup = query.columns[0]
+            def canon(tup):
+                meas = sorted(m.measure for m in tup if m.measure)
+                filt = sorted(
+                    (c, str(v)) for m in tup for c, v in m.filters
+                )
+                return meas, filt
+            return canon(expr) == canon(col_tup)
+
         for tag, query in ops_tagged:
             members = None  # (row_member[, _ord])
             for op in query.row_ops:
                 expr = op.expr or [_Member(measure="crimes", caption=["crimes"])]
-                synthetic = MdxQuery(
-                    [expr], query.rows, query.cube, query.slicer
-                )
-                vals = mdx_cells_many(
-                    star,
-                    [(f"{tag}__val", synthetic)],
-                    time_default=time_default,
-                ).select("row_member", F.col("crimes").alias("_val"))
+                if _expr_equals_columns(expr, query):
+                    vals = out.filter(F.col("tag") == tag).select(
+                        "row_member", F.col("crimes").alias("_val")
+                    )
+                else:
+                    synthetic = MdxQuery(
+                        [expr], query.rows, query.cube, query.slicer
+                    )
+                    vals = mdx_cells_many(
+                        star,
+                        [(f"{tag}__val", synthetic)],
+                        time_default=time_default,
+                    ).select("row_member", F.col("crimes").alias("_val"))
                 cur = (
                     vals
                     if members is None
