@@ -306,6 +306,169 @@ def repetition_stats_sql(n: int = 2) -> str:
     """
 
 
+# --------------------------------------------- Gopher quality rules (TX7)
+
+#: Gopher's published document-quality bounds (Rae et al. 2021, public)
+#: — word-count window, mean-word-length window, and the repetition
+#: masses, here the WORD-level adaptation (the fixture corpus has no
+#: newlines or symbols, so the line- and symbol-based rules would be
+#: dead columns; they are one `split(text, '\n')` away when a corpus
+#: carries them). A doc passes `gopher_ok` iff every bound holds.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_TOP3_RATIO = 0.18  # Gopher: top-3-gram mass > 0.18 -> remove
+GOPHER_MAX_DUP5_MASS = 0.30  # word-level adaptation of dup-5-gram mass
+
+
+def _dup_mass_col(grams: Column) -> Column:
+    """Mass (count) of n-grams that occur MORE THAN ONCE in the row's
+    gram multiset — sort once, then a single fold counts run lengths
+    ≥ 2 (adding 2 when a run reaches length 2, 1 per further repeat).
+    Row-local like max_run_count_col: no explode, no shuffle."""
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("dup")
+    )
+
+    def merge(acc, x):
+        run2 = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        dup2 = (
+            acc["dup"]
+            + F.when(run2 == 2, F.lit(2))
+            .when(run2 > 2, F.lit(1))
+            .otherwise(F.lit(0)).cast("long")
+        )
+        return F.struct(x.alias("prev"), run2.alias("run"), dup2.alias("dup"))
+
+    return F.aggregate(F.array_sort(grams), init, merge, lambda a: a["dup"])
+
+
+def _gopher_exprs(tok: Column) -> tuple:
+    """Column expressions for the Gopher rule set over a token array.
+    Every ratio divides exact integer sums (IEEE-identical cross-
+    engine); zero-token docs emit 0-ratios and fail the flag without
+    tripping ANSI division."""
+    n = F.size(tok).cast("long")
+    chars = F.aggregate(
+        tok,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w).cast("long"),
+    )
+    mwl = F.when(n == 0, F.lit(0.0)).otherwise(chars / n)
+    g3 = shingles_col(tok, 3)
+    n3 = F.size(g3).cast("long")
+    top3 = F.when(n3 <= 0, F.lit(0.0)).otherwise(
+        max_run_count_col(g3) / n3
+    )
+    # the published flag term stays the 5-gram mass; the EMITTED mass
+    # column is the 2-gram variant, which is live on natural corpora
+    # AND this fixture (the 5-gram mass is identically zero on the
+    # synthetic word-soup — a dead gate column; a planted repetitive
+    # doc exercises the 5-gram term in pytest instead)
+    g5 = shingles_col(tok, 5)
+    n5 = F.size(g5).cast("long")
+    dup5 = F.when(n5 <= 0, F.lit(0.0)).otherwise(_dup_mass_col(g5) / n5)
+    g2 = shingles_col(tok, 2)
+    n2 = F.size(g2).cast("long")
+    dup2 = F.when(n2 <= 0, F.lit(0.0)).otherwise(_dup_mass_col(g2) / n2)
+    ok = (
+        n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mwl.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (top3 <= GOPHER_MAX_TOP3_RATIO)
+        & (dup5 <= GOPHER_MAX_DUP5_MASS)
+    )
+    return (
+        n.alias("g_n_words"),
+        mwl.alias("mean_word_len"),
+        top3.alias("top_trigram_ratio"),
+        dup2.alias("dup_2gram_mass"),
+        ok.cast("int").alias("gopher_ok"),
+    )
+
+
+def gopher_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-rule quality statistics per document (TX7):
+    ``(doc_id, g_n_words, mean_word_len, top_trigram_ratio,
+    dup_5gram_mass, gopher_ok)`` — the published repetition/shape
+    filter a pretraining pipeline runs between the TX2 heuristic
+    score and an LM-based filter. One zero-shuffle projection (the
+    TX6 row-local discipline: sorted-array folds, no explode)."""
+    tok = F.coalesce(
+        tokens_col(F.col("text")), F.array().cast("array<string>")
+    )
+    return docs.select("doc_id", *_gopher_exprs(tok))
+
+
+def gopher_stats_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`gopher_stats` — the grams are counted by
+    brute-force group-by (the oracle form), the ratios divide the same
+    exact integers."""
+    toks = f"coalesce({tokens_sql('text')}, [])"
+    return f"""
+    with _gt as (
+      select doc_id, {toks} as tok from {table}
+    ),
+    _g3 as (
+      select doc_id, max(c) as max3, sum(c) as n3 from (
+        select doc_id, g, count(*) as c from (
+          select doc_id, unnest({shingles_sql('tok', 3)}) as g from _gt
+        ) group by doc_id, g
+      ) group by doc_id
+    ),
+    _g5 as (
+      select doc_id,
+             sum(case when c > 1 then c else 0 end) as dup5,
+             sum(c) as n5
+      from (
+        select doc_id, g, count(*) as c from (
+          select doc_id, unnest({shingles_sql('tok', 5)}) as g from _gt
+        ) group by doc_id, g
+      ) group by doc_id
+    ),
+    _g2 as (
+      select doc_id,
+             sum(case when c > 1 then c else 0 end) as dup2,
+             sum(c) as n2
+      from (
+        select doc_id, g, count(*) as c from (
+          select doc_id, unnest({shingles_sql('tok', 2)}) as g from _gt
+        ) group by doc_id, g
+      ) group by doc_id
+    ),
+    _gw as (
+      select doc_id, cast(len(tok) as bigint) as n,
+             cast(coalesce(list_sum(list_transform(tok, w -> len(w))), 0)
+                  as bigint) as chars
+      from _gt
+    )
+    select _gw.doc_id,
+           _gw.n as g_n_words,
+           case when _gw.n = 0 then 0.0
+                else _gw.chars * 1.0 / _gw.n end as mean_word_len,
+           coalesce(_g3.max3 * 1.0 / _g3.n3, 0.0) as top_trigram_ratio,
+           coalesce(_g2.dup2 * 1.0 / _g2.n2, 0.0) as dup_2gram_mass,
+           cast(
+             _gw.n between {GOPHER_MIN_WORDS} and {GOPHER_MAX_WORDS}
+             and (case when _gw.n = 0 then 0.0
+                       else _gw.chars * 1.0 / _gw.n end)
+                 between {GOPHER_MIN_MEAN_WORD_LEN}
+                     and {GOPHER_MAX_MEAN_WORD_LEN}
+             and coalesce(_g3.max3 * 1.0 / _g3.n3, 0.0)
+                 <= {GOPHER_MAX_TOP3_RATIO}
+             and coalesce(_g5.dup5 * 1.0 / _g5.n5, 0.0)
+                 <= {GOPHER_MAX_DUP5_MASS}
+           as int) as gopher_ok
+    from _gw
+    left join _g3 using (doc_id)
+    left join _g5 using (doc_id)
+    left join _g2 using (doc_id)
+    """
+
+
 # ------------------------------------------- combined profile (TX1-3,5,6)
 
 def text_profile(docs: DataFrame) -> DataFrame:

@@ -119,7 +119,8 @@ KANON_K = 5
            ) where rrf_rank <= {BM25_K}
          ),
          ka as ({dataquality.k_anonymity_flags_sql(
-             KANON_QUASI, k=KANON_K, sensitive_col="n_chars")})
+             KANON_QUASI, k=KANON_K, sensitive_col="n_chars")}),
+         gp as ({textops.gopher_stats_sql()})
     select d.doc_id, mh.minhash_sig, sh.simhash, fp.fingerprint, fp.n_grams,
            ds.n_span_grams, ds.dup_span_frac,
            dx.n_dup_grams, dx.dup_token_frac, cc.n_cdc_chunks,
@@ -128,7 +129,9 @@ KANON_K = 5
            rr.rrf_rank, rr.rrf_score_nano,
            ka.class_size as kanon_class_size,
            ka.class_l_div as kanon_l_div,
-           ka.at_risk as kanon_at_risk
+           ka.at_risk as kanon_at_risk,
+           gp.g_n_words, gp.mean_word_len, gp.top_trigram_ratio,
+           gp.dup_2gram_mass, gp.gopher_ok
     from documents d
     left join mh using (doc_id)
     left join sh using (doc_id)
@@ -140,9 +143,11 @@ KANON_K = 5
     left join bm using (doc_id)
     left join rr using (doc_id)
     join ka using (doc_id)
+    join gp using (doc_id)
     """,
     survey_ids=(
-        "DD3", "DD4", "TX4", "DS1", "DD7", "CH2", "QL1", "TF3", "HY1", "DQ5",
+        "DD3", "DD4", "TX4", "DS1", "DD7", "CH2", "QL1", "TF3", "HY1",
+        "DQ5", "TX7",
     ),
 )
 def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,10 +236,14 @@ def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("class_l_div").alias("kanon_l_div"),
         F.col("at_risk").alias("kanon_at_risk"),
     )
+    # TX7 (round 6): the Gopher quality-rule columns — row-local like
+    # the signature legs, so the join stays the only cost
+    gp = textops.gopher_stats(docs)
     return (
         scored.join(bm, "doc_id", "left")
         .join(rrf, "doc_id", "left")
         .join(ka, "doc_id")
+        .join(gp, "doc_id")
     )
 
 

@@ -338,3 +338,63 @@ def test_term_stats_ledger_fold(spark):
     assert scan_lines and "SelectedBucketsCount" in "\n".join(scan_lines)
 
     spark.sql("drop table if exists ts_ledger")
+
+
+def test_gopher_stats_planted_and_duckdb_twin(spark):
+    """TX7 Gopher rules: a planted fixture exercises every bound —
+    too-short, loop-heavy (top-trigram), dup-5-gram-heavy (the flag
+    term the synthetic gate corpus cannot reach), long-word (mean
+    word length), and a clean passing doc — and every emitted value
+    is bit-identical to the DuckDB brute-force twin."""
+    import duckdb
+
+    from map_reduce_sf_crime_spark.operators import textops
+
+    clean = " ".join(f"tok{i % 97}word extra{i % 89}" for i in range(40))
+    loops = "spark table " * 60  # one dominant bigram/trigram
+    dup5 = ("alpha beta gamma delta epsilon " * 2 + "zeta ") * 12
+    longw = " ".join("hippopotamus" + str(i) for i in range(60))
+    rows = [
+        (0, clean),
+        (1, loops.strip()),
+        (2, dup5.strip()),
+        (3, longw),
+        (4, "tiny doc"),
+        (5, ""),
+        (6, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textops.gopher_stats(docs).collect()}
+    assert got[0].gopher_ok == 1
+    # loop doc: dominated top trigram -> fails the 0.18 bound
+    assert got[1].top_trigram_ratio > textops.GOPHER_MAX_TOP3_RATIO
+    assert got[1].gopher_ok == 0
+    # dup5 doc: repeated 5-gram windows -> the 5-gram flag term fires
+    assert got[2].dup_2gram_mass > 0.5
+    assert got[2].gopher_ok == 0
+    # long words -> mean word length above 10
+    assert got[3].mean_word_len > textops.GOPHER_MAX_MEAN_WORD_LEN
+    assert got[3].gopher_ok == 0
+    # short/empty/null docs fail the word-count bound with 0-ratios
+    for d in (4, 5, 6):
+        assert got[d].gopher_ok == 0
+        assert got[d].dup_2gram_mass == 0.0 or d == 4
+    con = duckdb.connect()
+    con.register(
+        "documents_py",
+        __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]),
+    )
+    want = {
+        r[0]: r
+        for r in con.sql(
+            textops.gopher_stats_sql("documents_py")
+        ).fetchall()
+    }
+    for d, r in got.items():
+        assert (
+            r.g_n_words,
+            r.mean_word_len,
+            r.top_trigram_ratio,
+            r.dup_2gram_mass,
+            r.gopher_ok,
+        ) == want[d][1:], d
