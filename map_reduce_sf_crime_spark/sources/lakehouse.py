@@ -355,17 +355,23 @@ def _active_intent_conflicts(
     ttl_sec: int = LEASE_TTL_SEC,
     after_cid: int = -1,
 ) -> list[tuple[int, set[str]]]:
-    """In-flight (intent without commit, younger than ``ttl_sec``)
-    manifest intents whose declared partition subpaths overlap
-    ``subpaths`` — the optimistic-concurrency conflict check of the
-    partition-scoped writer protocol (the Delta/Iceberg model:
-    conflict on TOUCHED FILES/partitions, not on the table). An
-    intent older than the TTL is a presumed-dead writer and does not
-    block (its torn state stays visible to table_state — exactly the
-    lease-breaking liveness rule); an UNREADABLE fresh intent blocks
-    conservatively (it is mid-write — its keys are unknowable).
-    ``after_cid`` restricts to intents registered after a given id
-    (the writer's own post-hoc overrun check)."""
+    """In-flight (PARTITION-SCOPED intent without commit, younger
+    than ``ttl_sec``) manifest intents whose declared partition
+    subpaths overlap ``subpaths`` — the optimistic-concurrency
+    conflict check of the partition-scoped writer protocol (the
+    Delta/Iceberg model: conflict on TOUCHED FILES/partitions, not on
+    the table). Only ``scope: partition`` intents represent live
+    lease-less writers; a TABLE-scoped writer's unfinished intent
+    means a CRASH (it held the lease while alive), and blocking on it
+    would refuse the documented re-run recovery. An intent older than
+    the TTL is a presumed-dead writer and does not block (its torn
+    state stays visible to table_state — exactly the lease-breaking
+    liveness rule); an UNREADABLE fresh intent blocks conservatively
+    (it is mid-write — its scope and keys are unknowable, and the TTL
+    unblocks it like a dead lease). ``after_cid`` restricts to
+    intents registered after a given id (the writer's own post-hoc
+    overrun check) — there ALL scopes count, finished or not: any
+    later overlapping registration is interleave evidence."""
     import time
 
     fs, jvm = _hfs(spark, path)
@@ -393,6 +399,8 @@ def _active_intent_conflicts(
             continue
         try:
             intent = _read_json(spark, f"{cdir}/{name}")
+            if after_cid < 0 and intent.get("scope") != "partition":
+                continue  # crashed table-scoped writer: re-run recovers
             overlap = sub & set(intent.get("pre", {}).keys())
         except Exception:  # noqa: BLE001 — torn mid-write intent
             overlap = {"(unreadable intent)"}

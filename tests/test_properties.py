@@ -124,6 +124,10 @@ _MDX_FRAGMENTS = st.lists(
             "[Measures].[crimes]", "[Category].[All Categories]",
             "[District].[All Districts]", "[Time].[2013]", "[Time]",
             "[sfcrime]", "[bogus]", ".Children", ".Members", "[",
+            # round-6 set-function grammar: keywords, flags, numbers,
+            # comparison operators — the parser must stay total
+            "Order", "TopCount", "Filter", "Crossjoin", "NON", "EMPTY",
+            "BDESC", "ASC", "3", "0", "1.5", ">=", "<>", "<", "=",
         ]
     ),
     max_size=14,
