@@ -71,8 +71,12 @@ TIME_DEFAULT_MEMBER: tuple[int, ...] = (2013, 1, 1)
 #: Axis-tuple-pair count at which mdx_cells switches from aggregating
 #: the (cached) star directly to pre-aggregating a leaf cell frame
 #: first — the leaf's one extra shuffle pays for itself once several
-#: pairs would otherwise each rescan the fact.
-MDX_LEAF_MIN_PAIRS = 4
+#: pairs would otherwise each rescan the fact. Re-measured round 6
+#: after the sorted/top3 legs took the batch to 3 enumerating pairs:
+#: 3 wins by ~0.8 s/run at sf0.1 (adjacent A/B min-of-3: 5.79→4.90
+#: and 4.01→3.24 s), where round 5's unconditional leaf lost 0.7 s
+#: with a single enumerating pair.
+MDX_LEAF_MIN_PAIRS = 3
 
 
 class MdxError(ValueError):
