@@ -72,11 +72,14 @@ TIME_DEFAULT_MEMBER: tuple[int, ...] = (2013, 1, 1)
 #: the (cached) star directly to pre-aggregating a leaf cell frame
 #: first — the leaf's one extra shuffle pays for itself once several
 #: pairs would otherwise each rescan the fact. Re-measured round 6
-#: after the sorted/top3 legs took the batch to 3 enumerating pairs:
-#: 3 wins by ~0.8 s/run at sf0.1 (adjacent A/B min-of-3: 5.79→4.90
-#: and 4.01→3.24 s), where round 5's unconditional leaf lost 0.7 s
-#: with a single enumerating pair.
-MDX_LEAF_MIN_PAIRS = 3
+#: after the sorted/top3 legs took the gate batch to 3 enumerating
+#: pairs: a WARMED alternating A/B (JIT settled first — a cold
+#: alternation is confounded by warm-in and falsely favors whichever
+#: runs later) shows 3-vs-4 within noise with a slight edge to 4
+#: (mins 3.15/3.34/3.40 vs 3.19/3.82/3.83 s at sf0.1), so the
+#: threshold stays at 4: below it the leaf's extra shuffle buys
+#: nothing the cached star doesn't already give.
+MDX_LEAF_MIN_PAIRS = 4
 
 
 class MdxError(ValueError):

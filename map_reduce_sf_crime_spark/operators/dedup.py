@@ -669,6 +669,12 @@ def apply_changes_to_signature_catalog(
             live, buckets_table, shingles_table, n, n_hashes, bands,
             n_buckets, gen=gen,
         )
+    # cross-session cache coherence (see the retrieval fold): in a
+    # foreachBatch maintenance loop the appends execute through the
+    # clone session's write path — refresh the caller's view
+    for t in (buckets_table, shingles_table, f"{buckets_table}_dead"):
+        if spark.catalog.tableExists(t):
+            spark.catalog.refreshTable(t)
 
 
 def _filter_catalog_dead(spark, buckets_table: str, rows: DataFrame) -> DataFrame:

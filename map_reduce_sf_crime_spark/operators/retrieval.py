@@ -345,6 +345,13 @@ def apply_changes_to_postings_index(
     )
     try:
         write_bucketed(delta, table, "token", table_buckets, mode="append")
+        # the append may have executed through a DIFFERENT session's
+        # write path (foreachBatch hands the fold a clone-session
+        # batch frame; saveAsTable invalidates only the writing
+        # session's relation cache) — refresh the caller's view so a
+        # streaming maintenance loop's serving reads see the new
+        # generation immediately
+        spark.catalog.refreshTable(table)
     finally:
         tokd_live.unpersist()
         tokd_dead.unpersist()

@@ -1005,6 +1005,9 @@ def apply_changes_to_dsir_stats(
         .withColumn("gen", F.lit(gen).cast("int"))
     )
     write_bucketed(delta, table, "_bucket", table_buckets, mode="append")
+    # cross-session cache coherence (see retrieval fold): a clone-
+    # session append must become visible to the caller's reads
+    spark.catalog.refreshTable(table)
 
 
 def dsir_scores_cataloged(

@@ -326,6 +326,9 @@ def apply_changes_to_term_stats(
         .withColumn("gen", F.lit(gen).cast("int"))
     )
     write_bucketed(delta, table, "token", n_buckets, mode="append")
+    # cross-session cache coherence (see retrieval fold): a clone-
+    # session append must become visible to the caller's reads
+    spark.catalog.refreshTable(table)
 
 
 def _ledger(spark, table: str) -> DataFrame:

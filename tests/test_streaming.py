@@ -626,3 +626,83 @@ def test_cdf_capped_offset_skips_torn_commit_ids(spark, tmp_path):
     assert r.latestOffset() == {"cid": 2}
     r.commit({"cid": 2})
     assert r.latestOffset() == {"cid": 2}  # nothing further
+
+
+def test_streaming_postings_maintenance_serves_live_corpus(spark, tmp_path):
+    """The reusable maintenance loop (streaming/index_maintenance):
+    build the postings index from the seed snapshot, stream the
+    change feed through maintain_postings_index (availableNow drain),
+    and the indexed BM25 must equal live BM25 over the FINAL table —
+    inserts searchable, deleted docs gone."""
+    from map_reduce_sf_crime_spark.operators import retrieval
+    from map_reduce_sf_crime_spark.sources.lakehouse import (
+        merge_upsert,
+        read_partitioned,
+        write_partitioned,
+    )
+    from map_reduce_sf_crime_spark.streaming.index_maintenance import (
+        maintain_postings_index,
+    )
+
+    path = str(tmp_path / "docs_fact")
+    words = ["spark", "merge", "window", "table", "dup", "scan"]
+    docs0 = spark.range(120).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("int").alias("pt"),
+        F.concat_ws(
+            " ",
+            F.lit("spark"),
+            F.element_at(F.array(*[F.lit(w) for w in words]), (F.col("id") % 6 + 1).cast("int")),
+            F.element_at(F.array(*[F.lit(w) for w in words]), (F.col("id") % 5 + 1).cast("int")),
+        ).alias("text"),
+    )
+    write_partitioned(docs0, path, ["pt"])
+    # seed commit so the feed has a committed starting snapshot
+    merge_upsert(
+        spark, path, docs0.filter(F.col("doc_id") < 2).localCheckpoint(),
+        key_cols=["doc_id"], partition_cols=["pt"], archive=True,
+    )
+    retrieval.write_postings_index(
+        read_partitioned(spark, path).select("doc_id", "text"),
+        "stream_postings",
+    )
+    # c1: delete every 11th doc; c2: rewrite some + insert new ids
+    merge_upsert(
+        spark, path,
+        docs0.filter(F.col("doc_id") % 11 == 0)
+        .withColumn("_del", F.lit(True)).localCheckpoint(),
+        key_cols=["doc_id"], partition_cols=["pt"], delete_col="_del",
+        archive=True,
+    )
+    merge_upsert(
+        spark, path,
+        docs0.filter(F.col("doc_id") % 11 == 1)
+        .withColumn("text", F.concat_ws(" ", "text", F.lit("zebra")))
+        .unionByName(
+            docs0.filter(F.col("doc_id") < 15).select(
+                (F.col("doc_id") + 5000).alias("doc_id"), "pt",
+                F.lit("zebra window spark").alias("text"),
+            )
+        ).localCheckpoint(),
+        key_cols=["doc_id"], partition_cols=["pt"], archive=True,
+    )
+    q = maintain_postings_index(
+        spark, path, "stream_postings",
+        checkpoint=str(tmp_path / "ckpt"), starting_cid=0,
+    )
+    q.awaitTermination(300)
+    q.stop()
+    queries = {0: "spark window", 1: "zebra dup"}
+    live = retrieval.bm25_topk(
+        read_partitioned(spark, path).select("doc_id", "text"),
+        queries, k=20,
+    )
+    served = retrieval.bm25_topk_indexed(
+        spark, "stream_postings", queries, k=20
+    )
+    rows = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert rows(served) == rows(live)
+    # inserts searchable, deletes really gone
+    got_ids = {r.doc_id for r in served.collect()}
+    assert any(i >= 5000 for i in got_ids)
+    assert not any(i % 11 == 0 and i < 1000 for i in got_ids)
