@@ -521,30 +521,40 @@ def mdx_cells_many(
 
     out = None
     scalar = []  # (tag, ctup, rtup, condition)
+    # identical enumerating pairs across tags (e.g. a sorted and a
+    # top-N query over the same drill set — the JPivot grid emits the
+    # same cell set under different set functions) share ONE grouped
+    # aggregate: the later tag re-selects the memoized frame, and the
+    # physical plan reuses the aggregate's exchange (ReusedExchange)
+    # instead of aggregating the star once per tag
+    agg_memo: dict[tuple, "DataFrame"] = {}
     for tag, ctup, rtup, implicit, slicer in all_pairs:
         members = ctup + rtup + slicer
-        conds = [F.col(col) == val for col, val in implicit] + [
-            F.col(col) == val for mem in members for col, val in mem.filters
+        filt = list(implicit) + [
+            (col, val) for mem in members for col, val in mem.filters
         ]
         group_cols = [m.enum_col for m in ctup + rtup if m.enum_col]
         if not group_cols:
             cond = F.lit(True)
-            for c in conds:
-                cond = cond & c
+            for col, val in filt:
+                cond = cond & (F.col(col) == val)
             scalar.append((tag, ctup, rtup, cond))
             continue
-        df = base
-        for c in conds:
-            df = df.filter(c)
-        cell = (
-            df.groupBy(*group_cols)
-            .agg(F.sum("crimes").alias("crimes"))
-            .select(
-                F.lit(tag).alias("tag"),
-                _axis_label(rtup).alias("row_member"),
-                _axis_label(ctup).alias("col_member"),
-                "crimes",
+        key = (tuple(sorted(filt)), tuple(group_cols))
+        grouped = agg_memo.get(key)
+        if grouped is None:
+            df = base
+            for col, val in filt:
+                df = df.filter(F.col(col) == val)
+            grouped = df.groupBy(*group_cols).agg(
+                F.sum("crimes").alias("crimes")
             )
+            agg_memo[key] = grouped
+        cell = grouped.select(
+            F.lit(tag).alias("tag"),
+            _axis_label(rtup).alias("row_member"),
+            _axis_label(ctup).alias("col_member"),
+            "crimes",
         )
         out = cell if out is None else out.unionByName(cell)
     if scalar:
