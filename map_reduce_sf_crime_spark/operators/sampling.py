@@ -123,6 +123,79 @@ from c cross join t
 """
 
 
+def token_budget_quotas(
+    weights: DataFrame,
+    budget: int,
+    weight_col: str = "mix_weight_ppm",
+    key_col: str = "lang",
+) -> DataFrame:
+    """EXACT integer apportionment of a global token budget across
+    strata by weight — the "how many tokens of each source does this
+    data recipe actually get" step between the mixture weights (MX1)
+    and shard export. Largest-remainder (Hamilton) method, public and
+    the standard way to make integer quotas sum EXACTLY to the
+    budget: each stratum takes ``floor(budget·w/Σw)``, and the
+    leftover (< #strata) goes one token to each of the largest
+    remainders, ties broken on the stratum key.
+
+    Exactness: ``budget·w`` stays in int64 for ppm-scale weights and
+    budgets to ~9e12; integer div/mod are identical on both engines,
+    so quotas are bit-identical cross-engine and Σ quota == budget is
+    a structural invariant (pytest-pinned alongside a python mirror).
+
+    Scale shape: everything is STRATA-sized — one broadcast totals
+    join, one window over #strata rows. Returns
+    ``(key_col, token_quota)``."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    tot = weights.agg(F.sum(weight_col).alias("_tw"))
+    based = weights.crossJoin(F.broadcast(tot)).select(
+        key_col,
+        F.expr(f"{weight_col} * {budget}L div _tw").alias("_floor"),
+        F.expr(f"({weight_col} * {budget}L) % _tw").alias("_rem"),
+    )
+    alloc = based.crossJoin(
+        F.broadcast(based.agg((budget - F.sum("_floor")).alias("_left")))
+    )
+    w = Window.orderBy(F.desc("_rem"), F.asc(key_col))
+    return (
+        alloc.withColumn("_rk", F.row_number().over(w))
+        .select(
+            key_col,
+            (
+                F.col("_floor")
+                + (F.col("_rk") <= F.col("_left")).cast("long")
+            ).alias("token_quota"),
+        )
+    )
+
+
+def token_budget_quotas_sql(
+    budget: int,
+    weights_sql: str,
+    weight_col: str = "mix_weight_ppm",
+    key_col: str = "lang",
+) -> str:
+    """DuckDB twin of :func:`token_budget_quotas` — same integer
+    div/mod, same largest-remainder rule, same tie-break."""
+    return f"""
+    with _tbw as ({weights_sql}),
+    _tbt as (select sum({weight_col}) as _tw from _tbw),
+    _tbb as (
+      select {key_col},
+             ({weight_col} * {budget}) // _tw as _floor,
+             ({weight_col} * {budget}) % _tw as _rem
+      from _tbw cross join _tbt
+    ),
+    _tbl as (select {budget} - sum(_floor) as _left from _tbb)
+    select {key_col},
+           cast(_floor + (case when row_number() over (
+                    order by _rem desc, {key_col}) <= _left
+                  then 1 else 0 end) as bigint) as token_quota
+    from _tbb cross join _tbl
+    """
+
+
 SHUFFLE_SEED = "shuffle"
 
 

@@ -150,15 +150,25 @@ CAP_PER_SOURCE = 15
 #: block/remainder boundary arithmetic is non-trivial.
 N_SHARDS = 8
 
+#: MX2 gate leg: the global token budget apportioned EXACTLY across
+#: the language strata by the MX1 mixture weights (largest-remainder —
+#: quotas sum to the budget bit-for-bit on both engines). Deliberately
+#: not a multiple of the weight total so the remainder distribution is
+#: non-trivial at every SF.
+TOKEN_BUDGET = 10_000_001
+
 
 @register(
     "corpus_sample",
     export.shard_assignments_sql(
         sampling.global_shuffle_pos_sql(
             f"""
-            select s.doc_id, s.lang, s.kept, w.mix_weight_ppm, c.cap_kept
+            select s.doc_id, s.lang, s.kept, w.mix_weight_ppm, c.cap_kept,
+                   q.token_quota as lang_token_quota
             from ({sampling.stratified_sample_sql()}) s
             join ({sampling.MIX_WEIGHT_SQL}) w using (lang)
+            join ({sampling.token_budget_quotas_sql(
+                TOKEN_BUDGET, sampling.MIX_WEIGHT_SQL)}) q using (lang)
             join (
               select doc_id,
                      cast(row_number() over (
@@ -171,7 +181,7 @@ N_SHARDS = 8
         ),
         N_SHARDS,
     ),
-    survey_ids=("SM1", "SH1", "MX1", "SM2", "EX1"),
+    survey_ids=("SM1", "SH1", "MX1", "SM2", "EX1", "MX2"),
 )
 def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (SM1), temperature-balanced
@@ -209,9 +219,19 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (group, bucket) shuffle and the shuffle-order bucketing (the
     # round-5 pre-carry form paid a corpus SortMergeJoin + a second
     # documents scan to reunite two branches)
-    flags = sampling.stratified_sample_flags(
-        docs, carry=("source", "n_chars")
-    ).join(F.broadcast(sampling.temperature_mix_weights(docs)), "lang")
+    # MX2 (round 6): the exact token-budget quota per language stratum
+    # rides the same broadcast join as the mixture weight it derives
+    # from (operators/sampling.token_budget_quotas — largest-remainder
+    # apportionment, strata-sized end to end)
+    weights = sampling.temperature_mix_weights(docs).transform(plan_cache)
+    quotas = sampling.token_budget_quotas(weights, TOKEN_BUDGET).select(
+        "lang", F.col("token_quota").alias("lang_token_quota")
+    )
+    flags = (
+        sampling.stratified_sample_flags(docs, carry=("source", "n_chars"))
+        .join(F.broadcast(weights), "lang")
+        .join(F.broadcast(quotas), "lang")
+    )
     # cache the carried frame at both fan points: the shuffle-pos
     # offsets branch and the shard count branch would otherwise each
     # re-execute the cap window / the whole pipeline (the fan-out
@@ -224,7 +244,7 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         score_col="n_chars",
         lo=0.0,
         hi=1024.0,
-        carry=("lang", "kept", "mix_weight_ppm"),
+        carry=("lang", "kept", "mix_weight_ppm", "lang_token_quota"),
         flag_name="cap_kept",
     ).drop("source").transform(plan_cache)
     return export.shard_assignments(

@@ -738,3 +738,54 @@ def test_fused_commonness_dsir_plan_shape(spark):
     )
     assert smj(fused) <= 1
     assert smj(fused) < smj(unfused)
+
+
+def test_token_budget_quotas_exact_apportionment(spark):
+    """MX2: largest-remainder token-budget apportionment — quotas sum
+    EXACTLY to the budget, match an independent python mirror
+    (including remainder ties broken on the stratum key), and the
+    degenerate budgets behave (0 → all zero; budget < #strata → one
+    token to each largest remainder)."""
+    rows = [("en", 400), ("de", 250), ("es", 250), ("fr", 99), ("zh", 1)]
+    weights = spark.createDataFrame(rows, "lang string, mix_weight_ppm long")
+
+    def mirror(budget):
+        tw = sum(w for _, w in rows)
+        base = {k: (w * budget) // tw for k, w in rows}
+        rem = {k: (w * budget) % tw for k, w in rows}
+        left = budget - sum(base.values())
+        for k in sorted(rem, key=lambda k: (-rem[k], k))[:left]:
+            base[k] += 1
+        return base
+
+    for budget in (0, 3, 1000, 10_000_001):
+        got = {
+            r.lang: r.token_quota
+            for r in sampling.token_budget_quotas(weights, budget).collect()
+        }
+        assert got == mirror(budget), budget
+        assert sum(got.values()) == budget
+
+    # cross-engine: the SQL twin is bit-identical on the real corpus
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as select * from "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    docs = load_table(spark, SF_SMOKE, "documents")
+    w = sampling.temperature_mix_weights(docs)
+    got = {
+        r.lang: r.token_quota
+        for r in sampling.token_budget_quotas(w, 10_000_001).collect()
+    }
+    want = dict(
+        con.sql(
+            sampling.token_budget_quotas_sql(
+                10_000_001, sampling.MIX_WEIGHT_SQL
+            )
+        ).fetchall()
+    )
+    assert got == want
+    assert sum(got.values()) == 10_000_001
