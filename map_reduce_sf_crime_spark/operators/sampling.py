@@ -300,6 +300,87 @@ def global_shuffle_pos_sql(
     """
 
 
+def with_prefix_sum(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    val_col: str,
+    out_col: str = "prefix_sum",
+    buckets: int | None = None,
+) -> DataFrame:
+    """Distributed INCLUSIVE running total per partition key:
+    ``out = Σ val over rows of the same part_col with order_col ≤
+    this row's`` — the prefix-sum primitive behind "consume this
+    stratum's token budget in shuffle order". The naive
+    ``sum() over (partition by part order by ord)`` funnels each
+    stratum through ONE task (the per-group-window scale failure the
+    cap operator also avoids); this is the two-phase decomposition of
+    identical semantics:
+
+    1. range-bucket each row by ``order_col`` (contiguous ranges, so
+       bucket order == order order; ``order_col`` must be a
+       non-negative numeric, UNIQUE within its part — shuffle_pos
+       qualifies globally);
+    2. one window per ``(part, bucket)`` computes the local running
+       total, and a (parts × buckets)-row aggregate window gives each
+       bucket its offset — bounded by the bucket count, never by
+       data size;
+    3. the offsets join back on the same ``(part, bucket)`` key the
+       local window already exchanged on.
+
+    Exact for integer values (order-free integer sums). NULL values
+    count as 0 (coalesced — a NULL-propagating running total would
+    poison every later row of the part)."""
+    if buckets is None:
+        buckets = _default_buckets(df)
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    mx = df.agg(
+        F.coalesce(F.max(order_col), F.lit(0)).cast("double").alias("_pmx")
+    )
+    rows = (
+        df.crossJoin(F.broadcast(mx))
+        .withColumn(
+            "_pb",
+            F.least(
+                F.lit(buckets - 1),
+                F.floor(
+                    F.col(order_col) * buckets / (F.col("_pmx") + 1)
+                ).cast("int"),
+            ),
+        )
+        .drop("_pmx")
+    )
+    v = F.coalesce(F.col(val_col).cast("long"), F.lit(0))
+    wloc = (
+        Window.partitionBy(part_col, "_pb")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offsets = (
+        rows.groupBy(part_col, "_pb")
+        .agg(F.sum(v).alias("_pt"))
+        .withColumn(
+            "_poff",
+            F.coalesce(
+                F.sum("_pt").over(
+                    Window.partitionBy(part_col)
+                    .orderBy("_pb")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(part_col, "_pb", "_poff")
+    )
+    return (
+        rows.withColumn("_ploc", F.sum(v).over(wloc))
+        .join(offsets, [part_col, "_pb"])
+        .withColumn(out_col, (F.col("_poff") + F.col("_ploc")).cast("long"))
+        .drop("_pb", "_ploc", "_poff")
+    )
+
+
 #: Fixed-width score buckets for the two-phase per-group cap. Purely
 #: a performance knob: the kept set is identical for any count (see
 #: per_group_cap_flags), finer buckets just shrink each in-bucket

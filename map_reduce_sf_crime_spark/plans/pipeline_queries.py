@@ -150,25 +150,38 @@ CAP_PER_SOURCE = 15
 #: block/remainder boundary arithmetic is non-trivial.
 N_SHARDS = 8
 
-#: MX2 gate leg: the global token budget apportioned EXACTLY across
+#: MX2 gate leg: the global char budget apportioned EXACTLY across
 #: the language strata by the MX1 mixture weights (largest-remainder —
-#: quotas sum to the budget bit-for-bit on both engines). Deliberately
-#: not a multiple of the weight total so the remainder distribution is
+#: quotas sum to the budget bit-for-bit on both engines), then
+#: ENFORCED in shuffle order (MX3): each doc's running n_chars total
+#: within its stratum, budget_kept while it fits the quota. Sized so
+#: the flag genuinely splits at sf0.01 (en total ≈ 2× its quota) AND
+#: sf0.1; deliberately odd so the remainder distribution is
 #: non-trivial at every SF.
-TOKEN_BUDGET = 10_000_001
+TOKEN_BUDGET = 100_003
 
 
 @register(
     "corpus_sample",
     export.shard_assignments_sql(
-        sampling.global_shuffle_pos_sql(
-            f"""
+        f"""
+        select *,
+               cast(cum_lang_chars <= lang_token_quota as int)
+                 as budget_kept
+        from (
+          select *,
+                 cast(sum(n_chars) over (
+                        partition by lang order by shuffle_pos
+                        rows between unbounded preceding and current row
+                      ) as bigint) as cum_lang_chars
+          from ({sampling.global_shuffle_pos_sql(f'''
             select s.doc_id, s.lang, s.kept, w.mix_weight_ppm, c.cap_kept,
-                   q.token_quota as lang_token_quota
+                   q.token_quota as lang_token_quota, nc.n_chars
             from ({sampling.stratified_sample_sql()}) s
             join ({sampling.MIX_WEIGHT_SQL}) w using (lang)
             join ({sampling.token_budget_quotas_sql(
                 TOKEN_BUDGET, sampling.MIX_WEIGHT_SQL)}) q using (lang)
+            join (select doc_id, n_chars from documents) nc using (doc_id)
             join (
               select doc_id,
                      cast(row_number() over (
@@ -177,11 +190,12 @@ TOKEN_BUDGET = 10_000_001
                           ) <= {CAP_PER_SOURCE} as int) as cap_kept
               from documents
             ) c using (doc_id)
-            """
-        ),
+            ''')})
+        )
+        """,
         N_SHARDS,
     ),
-    survey_ids=("SM1", "SH1", "MX1", "SM2", "EX1", "MX2"),
+    survey_ids=("SM1", "SH1", "MX1", "SM2", "EX1", "MX2", "MX3"),
 )
 def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (SM1), temperature-balanced
@@ -244,13 +258,28 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         score_col="n_chars",
         lo=0.0,
         hi=1024.0,
-        carry=("lang", "kept", "mix_weight_ppm", "lang_token_quota"),
+        carry=(
+            "lang", "kept", "mix_weight_ppm", "lang_token_quota", "n_chars",
+        ),
         flag_name="cap_kept",
     ).drop("source").transform(plan_cache)
-    return export.shard_assignments(
+    # MX3 (round 6): enforce the stratum budgets in shuffle order —
+    # the distributed prefix sum (sampling.with_prefix_sum, two-phase
+    # range-bucketed: no per-stratum single-task window) accumulates
+    # each doc's running n_chars within its language, and budget_kept
+    # holds while the running total fits the MX2 quota. The oracle is
+    # the naive one-window-per-stratum form it is provably equal to.
+    budgeted = sampling.with_prefix_sum(
         sampling.with_global_shuffle_pos(capped).transform(plan_cache),
-        N_SHARDS,
+        "lang",
+        "shuffle_pos",
+        "n_chars",
+        out_col="cum_lang_chars",
+    ).withColumn(
+        "budget_kept",
+        (F.col("cum_lang_chars") <= F.col("lang_token_quota")).cast("int"),
     )
+    return export.shard_assignments(budgeted, N_SHARDS)
 
 
 #: sized to the fixture corpus (docs average ~54 tokens, max ~100) so

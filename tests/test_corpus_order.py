@@ -789,3 +789,44 @@ def test_token_budget_quotas_exact_apportionment(spark):
     )
     assert got == want
     assert sum(got.values()) == 10_000_001
+
+
+def test_with_prefix_sum_equals_naive_window(spark):
+    """MX3's primitive: the two-phase range-bucketed prefix sum equals
+    the naive one-window-per-partition form on the real corpus (every
+    bucket count), NULL values count as 0, and pass-through columns
+    survive."""
+    docs = sampling.with_global_shuffle_pos(
+        _docs(spark).select("doc_id", "lang", "n_chars")
+    )
+    naive = docs.withColumn(
+        "want",
+        F.sum(F.coalesce(F.col("n_chars").cast("long"), F.lit(0))).over(
+            Window.partitionBy("lang")
+            .orderBy("shuffle_pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    for buckets in (1, 4, 64):
+        got = sampling.with_prefix_sum(
+            docs, "lang", "shuffle_pos", "n_chars", buckets=buckets
+        )
+        diff = got.join(naive.select("doc_id", "want"), "doc_id").filter(
+            F.col("prefix_sum") != F.col("want")
+        )
+        assert diff.count() == 0, buckets
+        assert set(got.columns) == {
+            "doc_id", "lang", "n_chars", "shuffle_pos", "prefix_sum"
+        }
+    # NULL values contribute 0 without poisoning later rows
+    df = spark.createDataFrame(
+        [(0, "a", 5), (1, "a", None), (2, "a", 7)],
+        "doc_id long, lang string, n_chars int",
+    ).withColumn("shuffle_pos", F.col("doc_id"))
+    got = {
+        r.doc_id: r.prefix_sum
+        for r in sampling.with_prefix_sum(
+            df, "lang", "shuffle_pos", "n_chars", buckets=2
+        ).collect()
+    }
+    assert got == {0: 5, 1: 5, 2: 12}
