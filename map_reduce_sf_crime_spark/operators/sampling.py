@@ -373,9 +373,12 @@ def with_prefix_sum(
         )
         .select(part_col, "_pb", "_poff")
     )
+    # offsets are (parts × buckets)-bounded by construction — always
+    # broadcast: a plain join would re-exchange the data on a key the
+    # local window already partitioned it by
     return (
         rows.withColumn("_ploc", F.sum(v).over(wloc))
-        .join(offsets, [part_col, "_pb"])
+        .join(F.broadcast(offsets), [part_col, "_pb"])
         .withColumn(out_col, (F.col("_poff") + F.col("_ploc")).cast("long"))
         .drop("_pb", "_ploc", "_poff")
     )

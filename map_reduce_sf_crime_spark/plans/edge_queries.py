@@ -55,6 +55,7 @@ def _scratch(sf_dir: str, name: str) -> str:
     from {INCIDENTS_SQL} t group by category
     """,
     survey_ids=("S1", "P2", "P3", "F1"),
+    rebuild=True,
 )
 def csv_crimes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialize incidents to the reference's 12-column CSV shape
@@ -98,6 +99,7 @@ def csv_crimes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tsv_report_roundtrip",
     weekly_summary_sql(CATEGORY_INCIDENTS_SQL + " t", "category", "d"),
     survey_ids=("S2", "S3", "S4", "K1", "K4", "O3", "FMT1"),
+    rebuild=True,
 )
 def tsv_report_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly report → ``key TAB csv(w0..w15)`` part files (key-sorted,
@@ -157,6 +159,7 @@ _MERGE_DEL_CAT = "5-LOW"
     group by category
     """,
     survey_ids=("K3", "K4", "CDC1", "TT1", "CF1"),
+    rebuild=True,
 )
 def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB form of K3/K4 truncate-and-reload PLUS the CDC loop,

@@ -278,7 +278,9 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "budget_kept",
         (F.col("cum_lang_chars") <= F.col("lang_token_quota")).cast("int"),
-    )
+    ).transform(plan_cache)
+    # cached at the fan point: shard_assignments' one-row count agg
+    # would otherwise re-execute the whole budgeted pipeline
     return export.shard_assignments(budgeted, N_SHARDS)
 
 
@@ -309,7 +311,7 @@ def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("corpus_clean_stats", _CLEAN_SQL, survey_ids=("PL1",))
+@register("corpus_clean_stats", _CLEAN_SQL, survey_ids=("PL1",), rebuild=True)
 def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     # quality + lang are row-local expressions — computed as columns

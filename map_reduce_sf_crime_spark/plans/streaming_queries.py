@@ -25,6 +25,7 @@ from .registry import register
     from ({windows.sliding_counts_sql()})
     """,
     survey_ids=("ST1", "ST2"),
+    rebuild=True,
 )
 def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling (ST1) and hopping/sliding (ST2) watermarked window
@@ -39,6 +40,7 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_windows",
     windows.session_windows_sql(5),
     survey_ids=("ST3",),
+    rebuild=True,
 )
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.session_windows(spark, sf_dir, "5 minutes")
@@ -48,6 +50,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_stateful_totals",
     None,  # set lazily below to avoid import cycle churn
     survey_ids=("ST4",),
+    rebuild=True,
 )
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import running_user_totals
@@ -59,6 +62,7 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_dedup_counts",
     windows.STREAM_DISTINCT_SQL,
     survey_ids=("ST6", "DD1"),
+    rebuild=True,
 )
 def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (ST6), both state disciplines in one
@@ -72,6 +76,7 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_interval_join",
     windows.stream_interval_self_join_sql(10),
     survey_ids=("ST7",),
+    rebuild=True,
 )
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval self-join (watermarked both sides) —
@@ -87,6 +92,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from events group by 1, 2
     """,
     survey_ids=("ST5",),
+    rebuild=True,
 )
 def stream_materialized_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch continuous materialization (streaming/materialize.py)
