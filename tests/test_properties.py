@@ -223,3 +223,47 @@ def _naive_kept(rows, cap):
 def test_cap_bucket_decomposition_equals_naive(gs, cap, buckets):
     rows = [(g, s, i) for i, (g, s) in enumerate(gs)]
     assert _two_phase_kept(rows, cap, buckets) == _naive_kept(rows, cap)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet="abcdefghij", min_size=1, max_size=4
+            ),
+            st.integers(min_value=0, max_value=1_000_000),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda kv: kv[0],
+    ).filter(lambda rows: sum(w for _, w in rows) > 0),
+    st.integers(min_value=0, max_value=10_000_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_token_budget_quotas_sql_matches_mirror(rows, budget):
+    """MX2's largest-remainder apportionment: the DuckDB twin equals
+    an independent python mirror for arbitrary weights and budgets,
+    and quotas always sum EXACTLY to the budget."""
+    import duckdb
+
+    from map_reduce_sf_crime_spark.operators.sampling import (
+        token_budget_quotas_sql,
+    )
+
+    weights_sql = " union all ".join(
+        f"select '{k}' as lang, cast({w} as bigint) as mix_weight_ppm"
+        for k, w in rows
+    )
+    got = dict(
+        duckdb.sql(
+            token_budget_quotas_sql(budget, weights_sql)
+        ).fetchall()
+    )
+    tw = sum(w for _, w in rows)
+    base = {k: (w * budget) // tw for k, w in rows}
+    rem = {k: (w * budget) % tw for k, w in rows}
+    left = budget - sum(base.values())
+    for k in sorted(rem, key=lambda k: (-rem[k], k))[:left]:
+        base[k] += 1
+    assert got == base
+    assert sum(got.values()) == budget
