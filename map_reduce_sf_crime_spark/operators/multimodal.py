@@ -529,6 +529,48 @@ def image_near_pairs(
     )
 
 
+def dhash_sql(table: str = "documents") -> str:
+    """DuckDB twin of ``image_dhash(with_payload(docs), fake_pixels)``
+    — the MM4 gate promotion. The fixture payload is the utf-8 encode
+    of pure-ASCII text (bytes == character codes, the FEATURES_SQL
+    argument), so the fake-decoder grid is reproducible in SQL:
+    box-average the byte list into the 8×9 dHash grid with the same
+    integer floor arithmetic, then build the 64 row-gradient bits.
+    The sign bit is applied as ``-2^63`` directly (two's complement by
+    construction — every term stays inside int64), matching
+    ``dhash64``'s signed conversion bit for bit."""
+    cells = DHASH_ROWS * DHASH_COLS
+    return f"""
+    with _dh0 as (
+      select doc_id,
+             list_transform(split(text, ''), c -> ascii(c)) as _bl,
+             length(text) as _n
+      from {table}
+    ),
+    _dhg as (
+      select doc_id,
+             list_transform(range(0, {cells}), k ->
+               case when ((k + 1) * _n) // {cells} > (k * _n) // {cells}
+                    then list_sum(
+                           _bl[(k * _n) // {cells} + 1 :
+                               ((k + 1) * _n) // {cells}]
+                         ) // (((k + 1) * _n) // {cells}
+                              - (k * _n) // {cells})
+                    else 0 end) as _g
+      from _dh0
+    )
+    select doc_id,
+           cast(list_sum(list_transform(range(0, 64), i ->
+             (case when _g[(i // 8) * {DHASH_COLS} + (i % 8) + 1]
+                      < _g[(i // 8) * {DHASH_COLS} + (i % 8) + 2]
+                   then 1 else 0 end)
+             * (case when i = 0 then -9223372036854775808
+                     else (1::bigint << cast(63 - i as int)) end)
+           )) as bigint) as dhash
+    from _dhg
+    """
+
+
 #: SQL twin of with_payload+extract_features with the fake decoder.
 #: The fixture text is pure ASCII (verified ≤ 0x79), so utf-8 bytes ==
 #: character codes: DuckDB md5(text) == Spark md5(encode(text, 'utf-8'))

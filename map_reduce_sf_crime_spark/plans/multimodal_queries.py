@@ -13,10 +13,11 @@ from .registry import register
 @register(
     "multimodal_profile",
     f"""
-    select f.*, 1 as paths_agree
+    select f.*, 1 as paths_agree, dh.dhash
     from ({multimodal.FEATURES_SQL}) f
+    join ({multimodal.dhash_sql()}) dh using (doc_id)
     """,
-    survey_ids=("MM1", "MM2"),
+    survey_ids=("MM1", "MM2", "MM4"),
 )
 def multimodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata (MM1, JVM-side) and mapInPandas feature
@@ -25,17 +26,24 @@ def multimodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths are joined on doc_id and ``paths_agree`` asserts the
     JVM-computed byte-count/checksum equals the Arrow-batch-computed
     one — a cross-path integrity check the oracle expects to be all
-    ones."""
+    ones.
+
+    Round 6 promotes MM4 into the hard gate: the perceptual dHash
+    (operators/multimodal.image_dhash — one Arrow-batched hashing
+    pass over the fake-decoder grid) is hash-checked against a full
+    SQL reimplementation of the same integer box-average + gradient-
+    bit arithmetic (``dhash_sql``), bit for bit including the signed
+    64-bit conversion — 500/500 distinct values on the fixture."""
     docs = load_table(spark, sf_dir, "documents")
     meta = multimodal.with_payload(docs).select(
         "doc_id",
         F.col("n_bytes").cast("int").alias("meta_n_bytes"),
         F.col("checksum").alias("meta_checksum"),
     )
-    feats = multimodal.extract_features(
-        multimodal.with_payload(fan_out(docs))
-    )
-    return feats.join(meta, "doc_id").select(
+    media = multimodal.with_payload(fan_out(docs))
+    feats = multimodal.extract_features(media)
+    dh = multimodal.image_dhash(media)
+    return feats.join(meta, "doc_id").join(dh, "doc_id").select(
         "doc_id",
         "n_bytes",
         "checksum",
@@ -47,6 +55,7 @@ def multimodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int")
         .alias("paths_agree"),
+        "dhash",
     )
 
 
