@@ -610,13 +610,18 @@ def mdx_cells_many(
         pieces = [keep]
         def _expr_equals_columns(expr, query) -> bool:
             """True when the op expression is semantically the query's
-            single COLUMN tuple (same measure, same member filters) —
-            the common JPivot shape 'sort rows by the measure column'.
-            The value frame is then the tag's own cells: no recursive
-            recomputation."""
+            single COLUMN tuple (same measure, same member filters,
+            and the column tuple enumerates NOTHING — an enumerating
+            column produces several cells per row member, which is a
+            different frame from the one aggregated value the op
+            needs) — the common JPivot shape 'sort rows by the measure
+            column'. The value frame is then the tag's own cells: no
+            recursive recomputation."""
             if len(query.columns) != 1:
                 return False
             col_tup = query.columns[0]
+            if any(m.enum_col for m in col_tup):
+                return False
             def canon(tup):
                 meas = sorted(m.measure for m in tup if m.measure)
                 filt = sorted(
@@ -642,10 +647,20 @@ def mdx_cells_many(
                         [(f"{tag}__val", synthetic)],
                         time_default=time_default,
                     ).select("row_member", F.col("crimes").alias("_val"))
+                # chained ops must not lose an ordinal an inner Order
+                # computed (Filter(Order(...)) keeps the sort unless a
+                # later Order replaces it) — carry _ord when present
+                carry_ord = (
+                    ["_ord"]
+                    if members is not None and "_ord" in members.columns
+                    else []
+                )
                 cur = (
                     vals
                     if members is None
-                    else members.select("row_member").join(vals, "row_member")
+                    else members.select("row_member", *carry_ord).join(
+                        vals, "row_member"
+                    )
                 )
                 if op.kind == "filter":
                     v = F.col("_val")
@@ -657,22 +672,24 @@ def mdx_cells_many(
                         "=": v == op.value,
                         "<>": v != op.value,
                     }[op.cmp]
-                    members = cur.filter(cond).select("row_member")
+                    members = cur.filter(cond).select(
+                        "row_member", *carry_ord
+                    )
                 elif op.kind == "topcount":
                     w = Window.orderBy(F.desc("_val"), F.asc("row_member"))
                     members = (
                         cur.withColumn("_rk", F.row_number().over(w))
                         .filter(F.col("_rk") <= op.count)
-                        .select("row_member")
+                        .select("row_member", *carry_ord)
                     )
-                else:  # order
+                else:  # order — replaces any earlier ordinal
                     direction = (
                         F.desc("_val")
                         if op.flag in ("desc", "bdesc")
                         else F.asc("_val")
                     )
                     w = Window.orderBy(direction, F.asc("row_member"))
-                    members = cur.select(
+                    members = cur.drop("_ord").select(
                         "row_member",
                         F.row_number().over(w).alias("_ord"),
                     )
@@ -707,9 +724,14 @@ def mdx_cells(
     time_default: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """Single-query form of :func:`mdx_cells_many`: tidy cells
-    ``(row_member, col_member, crimes)``."""
+    ``(row_member, col_member, crimes, row_ordinal)`` —
+    ``row_ordinal`` is NULL unless the query's ROWS axis carries an
+    ``Order()`` (it would otherwise be computed and silently dropped,
+    making the user's sort a no-op through the public API; ordinals
+    from an Order INSIDE a later Filter/TopCount survive with gaps —
+    relative order preserved)."""
     return mdx_cells_many(star, [("q", query)], time_default=time_default).select(
-        "row_member", "col_member", "crimes"
+        "row_member", "col_member", "crimes", "row_ordinal"
     )
 
 

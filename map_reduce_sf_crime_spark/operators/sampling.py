@@ -145,7 +145,11 @@ def token_budget_quotas(
 
     Scale shape: everything is STRATA-sized — one broadcast totals
     join, one window over #strata rows. Returns
-    ``(key_col, token_quota)``."""
+    ``(key_col, token_quota)``. An all-zero weight table makes the
+    ``div Σw`` a division by zero, which ANSI mode (Spark 4's
+    default) RAISES loudly at execution — as does DuckDB's ``//`` —
+    matching the loud-guard discipline without a driver-side count
+    job."""
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     tot = weights.agg(F.sum(weight_col).alias("_tw"))

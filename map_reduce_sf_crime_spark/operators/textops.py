@@ -393,7 +393,7 @@ def _gopher_exprs(tok: Column) -> tuple:
 def gopher_stats(docs: DataFrame) -> DataFrame:
     """Gopher-rule quality statistics per document (TX7):
     ``(doc_id, g_n_words, mean_word_len, top_trigram_ratio,
-    dup_5gram_mass, gopher_ok)`` — the published repetition/shape
+    dup_2gram_mass, gopher_ok)`` — the published repetition/shape
     filter a pretraining pipeline runs between the TX2 heuristic
     score and an LM-based filter. One zero-shuffle projection (the
     TX6 row-local discipline: sorted-array folds, no explode)."""

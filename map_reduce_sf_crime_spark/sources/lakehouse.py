@@ -1179,6 +1179,30 @@ def _merge_upsert_locked(
     table's bytes start changing — the partition-scoped caller uses it
     to decide whether a failure withdraws its intent (nothing touched)
     or leaves it as torn-state evidence (overwrite started)."""
+    # Spark-spelled key strings for everything PATH-shaped (manifest
+    # inventories, the empty-partition delete) — see _spelled_keys.
+    # Computed (and conflict-checked) BEFORE the snapshot read below
+    # materializes: a partition-scoped writer that registered before
+    # this writer's lease holds no lease, and if it COMMITTED between
+    # our snapshot and a later check, its intent would look finished
+    # and the stale snapshot would silently revert its rows — the
+    # check must precede the bytes being read (round-6 review).
+    keys = (
+        pre_registered[1]
+        if pre_registered is not None
+        else _spelled_keys(changes.select(*partition_cols), partition_cols)
+    )
+    if pre_registered is None and manifest:
+        subpaths = [
+            _partition_subpath(spark, partition_cols, k) for k in keys
+        ]
+        conflicts = _active_intent_conflicts(spark, path, subpaths)
+        if conflicts:
+            raise ConcurrentWriterError(
+                f"partition(s) claimed by in-flight partition-scoped "
+                f"intent(s) {sorted(c for c, _ in conflicts)} on "
+                f"{path}; refusing to interleave"
+            )
     current = spark.read.parquet(path)
     part_keys = changes.select(*partition_cols).distinct().collect()
     pred = None
@@ -1213,13 +1237,6 @@ def _merge_upsert_locked(
         .unionByName(upserts)
         .localCheckpoint()
     )
-    # Spark-spelled key strings for everything PATH-shaped (manifest
-    # inventories, the empty-partition delete) — see _spelled_keys
-    keys = (
-        pre_registered[1]
-        if pre_registered is not None
-        else _spelled_keys(changes.select(*partition_cols), partition_cols)
-    )
     # dynamic overwrite only replaces partitions PRESENT in the
     # output: a change batch whose deletes empty a whole partition
     # yields zero merged rows for it, the overwrite skips the
@@ -1249,22 +1266,6 @@ def _merge_upsert_locked(
     if pre_registered is not None:
         cid = pre_registered[0]
     else:
-        if manifest:
-            # table-scoped writers hold the lease, which keeps NEW
-            # partition-scoped registrations out — but an in-flight
-            # partition-scoped merge registered BEFORE this lease was
-            # acquired holds no lease; interleaving with its claimed
-            # partitions must refuse just like a held lease does
-            subpaths = [
-                _partition_subpath(spark, partition_cols, k) for k in keys
-            ]
-            conflicts = _active_intent_conflicts(spark, path, subpaths)
-            if conflicts:
-                raise ConcurrentWriterError(
-                    f"partition(s) claimed by in-flight partition-scoped "
-                    f"intent(s) {sorted(c for c, _ in conflicts)} on "
-                    f"{path}; refusing to interleave"
-                )
         cid = (
             begin_commit(spark, path, partition_cols, keys)
             if manifest
@@ -1396,6 +1397,25 @@ def _compact_partitioned_locked(
     )
     if not counts:
         return []
+    if manifest:
+        # conflict-check BEFORE the snapshot materializes below (the
+        # same ordering rule as merge_upsert): a partition-scoped
+        # writer that commits after our data is read would otherwise
+        # look finished to a later check while we overwrite its rows
+        # from stale bytes
+        skeys_pre = [
+            tuple(row[f"_s_{pc}"] for pc in partition_cols) for row in counts
+        ]
+        subpaths = [
+            _partition_subpath(spark, partition_cols, k) for k in skeys_pre
+        ]
+        conflicts = _active_intent_conflicts(spark, path, subpaths)
+        if conflicts:
+            raise ConcurrentWriterError(
+                f"partition(s) claimed by in-flight partition-scoped "
+                f"intent(s) {sorted(c for c, _ in conflicts)} on "
+                f"{path}; refusing to compact over them"
+            )
     pred = None
     for row in counts:
         clause = None
@@ -1453,21 +1473,6 @@ def _compact_partitioned_locked(
     skeys = [
         tuple(row[f"_s_{pc}"] for pc in partition_cols) for row in counts
     ]
-    if manifest:
-        # compaction holds the table lease, but an in-flight
-        # partition-scoped merge registered before that lease holds no
-        # lease itself — rewriting its claimed partitions would
-        # interleave; refuse exactly like merge_upsert does
-        subpaths = [
-            _partition_subpath(spark, partition_cols, k) for k in skeys
-        ]
-        conflicts = _active_intent_conflicts(spark, path, subpaths)
-        if conflicts:
-            raise ConcurrentWriterError(
-                f"partition(s) claimed by in-flight partition-scoped "
-                f"intent(s) {sorted(c for c, _ in conflicts)} on "
-                f"{path}; refusing to compact over them"
-            )
     cid = (
         begin_commit(spark, path, partition_cols, skeys)
         if manifest

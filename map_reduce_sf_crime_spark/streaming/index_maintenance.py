@@ -46,16 +46,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-_REGISTERED: set[int] = set()
-
-
 def _ensure_source(spark: SparkSession) -> None:
+    # registration is idempotent — always re-register rather than
+    # memoize by id(spark): a new session can reuse a GC'd session's
+    # id and would silently skip registration, failing the load with
+    # DATA_SOURCE_NOT_FOUND later
     from .cdf_source import LakehouseChangeFeed
 
-    key = id(spark)
-    if key not in _REGISTERED:
-        spark.dataSource.register(LakehouseChangeFeed)
-        _REGISTERED.add(key)
+    spark.dataSource.register(LakehouseChangeFeed)
 
 
 def stream_fold(

@@ -177,7 +177,9 @@ def test_verbatim_reference_files_run(spark):
     literal simply yields an empty or matching frame without error)."""
     for q in (BYCATEGORY, BYDISTRICT, JSP_QUERY):
         df = mdx_query(spark, SF_SMOKE, q)
-        assert df.columns == ["row_member", "col_member", "crimes"]
+        assert df.columns == [
+            "row_member", "col_member", "crimes", "row_ordinal"
+        ]
         df.collect()
 
 
@@ -251,7 +253,9 @@ def test_on_disk_reference_mdx_files_run(spark):
     for name in ("bycategory.mdx", "bydistrict.mdx"):
         text = (ref / name).read_text()
         df = mdx_query(spark, SF_SMOKE, text)
-        assert df.columns == ["row_member", "col_member", "crimes"]
+        assert df.columns == [
+            "row_member", "col_member", "crimes", "row_ordinal"
+        ]
         df.collect()
 
 
@@ -484,3 +488,32 @@ def test_set_function_parse_errors():
     ]:
         with pytest.raises(MdxError, match=msg):
             parse_mdx(q)
+
+
+def test_composed_order_then_filter_keeps_ordinals(spark):
+    """The review-flagged direction: Filter(Order(...)) must keep the
+    inner Order's ordinals (with gaps where members were filtered
+    away — relative order preserved), not silently drop the sort."""
+    year = _fixture_year(spark)
+    want = _district_totals(spark, year)
+    cut = sorted(want.values())[len(want) // 2]
+    q = f"""select {{([Measures].[crimes], [Time].[{year}])}} ON COLUMNS,
+  Filter(Order({{[District].[All Districts].Children}},
+               ([Measures].[crimes], [Time].[{year}]), BDESC),
+         ([Measures].[crimes], [Time].[{year}]) >= {cut}) ON ROWS
+from [sfcrime]
+"""
+    rows = _cells(spark, q)
+    kept = {d: c for d, c in want.items() if c >= cut}
+    assert {r.row_member: r.crimes for r in rows} == kept
+    # ordinals present, strictly increasing in value-desc order, with
+    # gaps allowed (they index the PRE-filter sort)
+    by_ord = sorted(rows, key=lambda r: r.row_ordinal)
+    full_order = [
+        d for d, _ in sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    ]
+    assert [r.row_member for r in by_ord] == [
+        d for d in full_order if d in kept
+    ]
+    assert all(r.row_ordinal == full_order.index(r.row_member) + 1
+               for r in rows)
