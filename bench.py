@@ -34,6 +34,18 @@ codegen re-JIT): a change that slows 4 of 5 reps still reports a
 clean min. Gate on both numbers — min for "did the engine's floor
 move", median for "did typical-rep behavior move" — and consult
 steal_pct before attributing a median-only shift to code.
+
+TWO ESTIMATORS, ONE ARTIFACT (round-7, the round-6 judge flag): the
+registry memoizes the built DataFrame across consecutive same-query
+builds, so ``value``/``queries`` measure steady-state RE-EXECUTION
+(build once, execute many — the serving-layer reading; rounds ≥6).
+``value_build_per_rep``/``queries_build_per_rep`` clear that memo
+before every rep, so each rep pays plan construction + Catalyst
+analysis again — the rounds ≤5 estimator, directly comparable to
+BENCH_r05 and earlier. Both are emitted in the same JSON line so the
+round series stays self-describing without reading BASELINE.md prose.
+(Plan caches built INSIDE a query still persist across its reps under
+both estimators — deliberate house practice, unchanged since r3.)
 """
 
 from __future__ import annotations
@@ -86,11 +98,23 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def rep_times(spark, name: str, sf_dir: str) -> list[float]:
-    """REPS runs, sorted ascending — each rep rebuilds the plan from
-    the registry; Spark's canonicalized-plan cache lookup means
-    intra-query caches behave as in a warm service."""
-    return sorted(run_query(spark, name, sf_dir) for _ in range(REPS))
+def rep_times(
+    spark, name: str, sf_dir: str, fresh_build: bool = False
+) -> list[float]:
+    """REPS runs, sorted ascending. ``fresh_build=True`` clears the
+    registry's built-frame memo before every rep, so each rep pays
+    plan construction + Catalyst analysis again (the rounds ≤5
+    estimator); default keeps the memo (steady-state re-execution).
+    Spark's canonicalized-plan cache lookup means intra-query caches
+    behave as in a warm service under both."""
+    from map_reduce_sf_crime_spark.plans import registry as _registry
+
+    out = []
+    for _ in range(REPS):
+        if fresh_build:
+            _registry._BUILT.clear()
+        out.append(run_query(spark, name, sf_dir))
+    return sorted(out)
 
 
 def steal_ticks() -> tuple[int, int]:
@@ -116,6 +140,8 @@ def main() -> None:
     run_query(spark, "awk_totals", sf_dir)
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
+    times_build: dict[str, float] = {}
+    medians_build: dict[str, float] = {}
     for name in BENCH_QUERIES:
         # drop the previous query's cached intermediates: cross-query
         # cache accumulation (queries cache per-plan intermediates and
@@ -127,6 +153,10 @@ def main() -> None:
         runs = rep_times(spark, name, sf_dir)
         times[name] = round(runs[0], 3)
         medians[name] = round(runs[len(runs) // 2], 3)
+        # like-for-like (rounds ≤5) estimator: rebuild every rep
+        runs_b = rep_times(spark, name, sf_dir, fresh_build=True)
+        times_build[name] = round(runs_b[0], 3)
+        medians_build[name] = round(runs_b[len(runs_b) // 2], 3)
     st1, tot1 = steal_ticks()
     steal_pct = (
         round(100.0 * (st1 - st0) / max(1, tot1 - tot0), 2) if tot1 > tot0 else None
@@ -143,6 +173,11 @@ def main() -> None:
                 "estimator": f"min_of_{REPS}_reps",
                 "value_median": round(sum(medians.values()), 3),
                 "queries_median": medians,
+                "value_build_per_rep": round(sum(times_build.values()), 3),
+                "value_build_per_rep_median": round(
+                    sum(medians_build.values()), 3
+                ),
+                "queries_build_per_rep": times_build,
                 "steal_pct": steal_pct,
             }
         )

@@ -13,13 +13,23 @@ with sets of member tuples, ``.Children`` / ``.Members`` enumeration,
 and the ``sum(crimes)`` measure — plus (round 6) the set functions
 JPivot's sort/filter actions emit against the cube
 (``Order(set, expr[, flag])``, ``TopCount(set, n[, expr])``,
-``Filter(set, expr cmp number)``) on the ROWS axis. This module
-parses exactly that grammar and compiles it onto the engine's star
-join — no Mondrian, no cell cache, just Catalyst: every axis-tuple pair becomes one filtered
+``Filter(set, expr cmp number)``) on EITHER axis (round 7 lifted the
+ROWS-only restriction — the column axis is the symmetric case), and
+(round 7) ``WITH MEMBER [Measures].[x] AS '<arith>'`` calculated
+members — arithmetic (+ - * /) over cell value tuples, the other
+query shape JPivot's MDX editor emits freely (ratio/share members).
+This module parses exactly that grammar and compiles it onto the
+engine's star join — no Mondrian, no cell cache, just Catalyst: every
+axis-tuple pair becomes one filtered
 aggregation over the shared (cached) denormalized star frame, grouped
 by whatever the tuple enumerates. All-members compile to "no filter",
 so the 100 TB shape is the same broadcast star join + hash aggregate
-as `olap_rollups`.
+as `olap_rollups`. Calculated-member cells evaluate each value
+reference as its own (memoized) aggregate under Mondrian tuple
+semantics — a context member overrides the cell's member for that
+hierarchy only — joined back axis-member-sized (broadcast); a query
+batch containing any calculated cell returns ``crimes`` as double
+(cell arithmetic), base-only batches keep the exact long sums.
 
 Results come back TIDY (long form): one row per populated cell —
 ``(row_member, col_member, crimes)`` — the DataFrame-native rendering
@@ -57,6 +67,14 @@ _DIMS = {
     },
 }
 _MEASURES = {"crimes"}  # sum aggregator (sfcrime.xml:27)
+
+#: star-join column → hierarchy name; calculated-member context
+#: overrides are hierarchy-scoped (Mondrian tuple semantics: an
+#: explicit member in a value tuple replaces the evaluation context's
+#: member for that hierarchy, all levels included)
+_COL2HIER = {
+    col: dname for dname, spec in _DIMS.items() for (_, col) in spec["levels"]
+}
 
 #: Mondrian default member of the hasAll="false" [Time] hierarchy
 #: (sfcrime.xml:19: defaultMember="[Time].[2013].[1].[1]"): a query
@@ -100,8 +118,9 @@ class _Member:
 
 
 _TOKEN = re.compile(
-    r"\s*(?:(\[[^\]]*\])|(\{)|(\})|(\()|(\))|(,)|(\.)"
-    r"|(\d+(?:\.\d+)?)|(>=|<=|<>|[<>=])"
+    r"\s*(?:(\[[^\]]*\])|('(?:[^']|'')*')|(\"(?:[^\"]|\"\")*\")"
+    r"|(\{)|(\})|(\()|(\))|(,)|(\.)"
+    r"|(\d+(?:\.\d+)?)|(>=|<=|<>|[<>=])|([+\-*/])"
     r"|([A-Za-z_][A-Za-z0-9_]*))"
 )
 
@@ -142,6 +161,27 @@ class _SetExpr:
     ops: list[_SetOp] = field(default_factory=list)
 
 
+@dataclass
+class _CalcExpr:
+    """Calculated-member expression AST (``WITH MEMBER ... AS``):
+    arithmetic over cell values.
+
+    - ``lit``: a numeric literal;
+    - ``ref``: a value reference — the base measure plus optional
+      non-enumerating context members (``([Measures].[crimes],
+      [District].[MISSION])``), Mondrian tuple-override semantics;
+    - ``bin``: ``left op right`` for op in ``+ - * /`` (division is
+      ANSI — a zero denominator raises loudly, a NULL one yields an
+      empty cell)."""
+
+    kind: str  # "lit" | "ref" | "bin"
+    value: float = 0.0
+    ref: list["_Member"] | None = None
+    op: str = ""
+    left: "_CalcExpr | None" = None
+    right: "_CalcExpr | None" = None
+
+
 def _tokenize(text: str) -> list[str]:
     toks, i = [], 0
     while i < len(text):
@@ -159,6 +199,9 @@ class _Parser:
     def __init__(self, toks: list[str]):
         self.toks = toks
         self.i = 0
+        #: query-scoped calculated-member names (WITH MEMBER) — seen
+        #: by member() so axis sets can reference them like measures
+        self.calc_names: set[str] = set()
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -192,6 +235,13 @@ class _Parser:
                 break
             else:
                 raise MdxError(f"unexpected {t!r} in member path")
+        if (
+            segs[0].lower() == "measures"
+            and len(segs) == 2
+            and segs[1].lower() in self.calc_names
+            and suffix is None
+        ):
+            return _Member(measure=segs[1].lower(), caption=[segs[1]])
         return _resolve(segs, suffix)
 
     # tuple := (member, member, ...) | member
@@ -227,6 +277,80 @@ class _Parser:
             return float(t)
         except ValueError:
             raise MdxError(f"expected a number, got {t!r}")
+
+    # ---- calculated-member expression grammar (WITH MEMBER ... AS) --
+    # expr := term (('+'|'-') term)* ; term := factor (('*'|'/') factor)*
+    # factor := number | valueref | '(' expr ')'
+    # valueref := member | (member, ...) — exactly one BASE measure
+    # plus optional non-enumerating context members
+    def calc_expr(self) -> _CalcExpr:
+        node = self.calc_term()
+        while self.peek() in ("+", "-"):
+            op = self.next()
+            node = _CalcExpr(
+                kind="bin", op=op, left=node, right=self.calc_term()
+            )
+        return node
+
+    def calc_term(self) -> _CalcExpr:
+        node = self.calc_factor()
+        while self.peek() in ("*", "/"):
+            op = self.next()
+            node = _CalcExpr(
+                kind="bin", op=op, left=node, right=self.calc_factor()
+            )
+        return node
+
+    def calc_factor(self) -> _CalcExpr:
+        t = self.peek()
+        if t is None:
+            raise MdxError("unexpected end of calculated-member expression")
+        if t == "(":
+            # '(' is ambiguous: a value TUPLE or a parenthesized
+            # sub-expression — try the tuple read first, backtrack to
+            # arithmetic on failure (a paren around a lone member ref
+            # parses as a 1-tuple: same value either way)
+            save = self.i
+            try:
+                members = self.tuple_()
+            except MdxError:  # not a tuple — a parenthesized sub-expr
+                members = None
+                self.i = save
+            if members is not None:
+                # semantic validation must NOT backtrack: a bad value
+                # reference is an error, not arithmetic
+                return self._calc_ref(members)
+            self.next()
+            node = self.calc_expr()
+            self.expect(")")
+            return node
+        if t.startswith("["):
+            return self._calc_ref([self.member()])
+        try:
+            return _CalcExpr(kind="lit", value=float(self.next()))
+        except ValueError:
+            raise MdxError(
+                f"unexpected {t!r} in calculated-member expression"
+            )
+
+    def _calc_ref(self, members: list[_Member]) -> _CalcExpr:
+        meas = [m for m in members if m.measure]
+        if len(meas) != 1:
+            raise MdxError(
+                "a calculated-member value reference needs exactly one "
+                "measure"
+            )
+        if meas[0].measure not in _MEASURES:
+            raise MdxError(
+                "calculated members cannot reference other calculated "
+                "members"
+            )
+        if any(m.enum_col for m in members):
+            raise MdxError(
+                "calculated-member context members cannot enumerate "
+                "(.Children/.Members)"
+            )
+        return _CalcExpr(kind="ref", ref=members)
 
     # set := [NON EMPTY] ( { tuple, ... } | Crossjoin(set, set)
     #        | Order(set, numexpr [, flag]) | TopCount(set, n [, numexpr])
@@ -371,14 +495,72 @@ class MdxQuery:
     rows: list[list[_Member]]
     cube: str
     slicer: list[_Member]
-    #: ROWS-axis set functions (Order/TopCount/Filter), innermost
-    #: first. COLUMNS-axis set functions are rejected at parse — the
-    #: JPivot sort/filter actions act on the row axis of the grid.
+    #: per-axis set functions (Order/TopCount/Filter), innermost
+    #: first — the JPivot grid sorts/filters either axis (round 7
+    #: lifted the former ROWS-only restriction).
     row_ops: list[_SetOp] = field(default_factory=list)
+    col_ops: list[_SetOp] = field(default_factory=list)
+    #: WITH MEMBER calculated measures: lowercase name → expression
+    #: AST. Query-scoped, like Mondrian's.
+    calc: dict[str, _CalcExpr] = field(default_factory=dict)
 
 
 def parse_mdx(text: str) -> MdxQuery:
     p = _Parser(_tokenize(text))
+    calc: dict[str, _CalcExpr] = {}
+    if (p.peek() or "").lower() == "with":
+        # WITH MEMBER [Measures].[name] AS '<arith>' [, PROP = lit]...
+        # (repeatable; a separating comma before the next MEMBER is
+        # tolerated). Mondrian/JPivot quote the expression; properties
+        # like FORMAT_STRING are client formatting — accepted, ignored.
+        p.next()
+        while (p.peek() or "").lower() == "member":
+            p.next()
+            seg0 = p.next()
+            if not seg0.startswith("[") or seg0[1:-1].lower() != "measures":
+                raise MdxError(
+                    "WITH MEMBER supports [Measures].[...] members only"
+                )
+            p.expect(".")
+            seg1 = p.next()
+            if not seg1.startswith("["):
+                raise MdxError(
+                    f"expected a [name] after [Measures]., got {seg1!r}"
+                )
+            name = seg1[1:-1].lower()
+            if name in _MEASURES or name in calc:
+                raise MdxError(
+                    f"calculated member [{seg1[1:-1]}] redefines an "
+                    "existing measure"
+                )
+            p.expect("as")
+            body = p.next()
+            if not (body.startswith("'") or body.startswith('"')):
+                raise MdxError(
+                    "WITH MEMBER expression must be quoted: AS '<expr>'"
+                )
+            quote = body[0]
+            sub = _Parser(_tokenize(body[1:-1].replace(quote * 2, quote)))
+            sub.calc_names = set(calc)  # refs to earlier defs raise loudly
+            expr = sub.calc_expr()
+            if sub.peek() is not None:
+                raise MdxError(
+                    f"trailing tokens in calculated member: {sub.peek()!r}"
+                )
+            while p.peek() == ",":
+                p.next()
+                nxt = p.peek() or ""
+                if nxt.lower() == "member":
+                    break  # comma-separated next definition
+                prop = p.next()
+                if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", prop):
+                    raise MdxError(f"expected a property name, got {prop!r}")
+                p.expect("=")
+                p.next()  # property value — formatting, ignored
+            calc[name] = expr
+        if not calc:
+            raise MdxError("WITH requires at least one MEMBER definition")
+    p.calc_names = set(calc)
     p.expect("select")
     first_set = p.set_()
     p.expect("on")
@@ -390,11 +572,6 @@ def parse_mdx(text: str) -> MdxQuery:
     axes = {first_axis: first_set, second_axis: second_set}
     if set(axes) != {"columns", "rows"}:
         raise MdxError(f"axes must be COLUMNS and ROWS, got {sorted(axes)}")
-    if axes["columns"].ops:
-        raise MdxError(
-            "set functions (Order/TopCount/Filter) are supported on the "
-            "ROWS axis (the JPivot grid sort/filter shape)"
-        )
     p.expect("from")
     cube = p.next()
     if not cube.startswith("["):
@@ -417,6 +594,8 @@ def parse_mdx(text: str) -> MdxQuery:
         cube,
         slicer,
         row_ops=axes["rows"].ops,
+        col_ops=axes["columns"].ops,
+        calc=calc,
     )
 
 
@@ -473,14 +652,6 @@ def mdx_cells_many(
       at sf0.1 when applied unconditionally)."""
     compiled = []  # (tag, query, implicit_filters)
     for tag, query in tagged:
-        measures = [
-            m.measure
-            for tup in query.columns + query.rows
-            for m in tup
-            if m.measure
-        ]
-        if len(measures) > 1:
-            raise MdxError("one measure per query")
         implicit: list[tuple[str, object]] = []
         mentions_time = any(
             m.hierarchy == "time"
@@ -496,15 +667,28 @@ def mdx_cells_many(
         compiled.append((tag, query, implicit))
 
     all_pairs = [
-        (tag, ctup, rtup, implicit, query.slicer)
+        (tag, query, ctup, rtup, implicit)
         for tag, query, implicit in compiled
         for ctup in query.columns
         for rtup in query.rows
     ]
     n_enum_pairs = sum(
         1
-        for _, ctup, rtup, _, _ in all_pairs
+        for _, _, ctup, rtup, _ in all_pairs
         if any(m.enum_col for m in ctup + rtup)
+    )
+
+    def _pair_measure(query, ctup, rtup) -> str:
+        meas = [m.measure for m in ctup + rtup if m.measure]
+        if len(meas) > 1:
+            raise MdxError("one measure per cell tuple")
+        return meas[0] if meas else "crimes"
+
+    # a batch containing ANY calculated cell returns crimes as double
+    # (cell arithmetic); pure-base batches keep the exact long sums —
+    # decided up front so the union never relies on implicit widening
+    calc_present = any(
+        _pair_measure(q, c, r) in q.calc for _, q, c, r, _ in all_pairs
     )
     base = star
     if n_enum_pairs >= MDX_LEAF_MIN_PAIRS:
@@ -520,48 +704,153 @@ def mdx_cells_many(
             pass
 
     out = None
-    scalar = []  # (tag, ctup, rtup, condition)
+    scalar_conds: list = []  # conditional-agg conditions, one per _c{i}
+    scalar_cells = []  # (tag, ctup, rtup, value_builder)
     # identical enumerating pairs across tags (e.g. a sorted and a
     # top-N query over the same drill set — the JPivot grid emits the
     # same cell set under different set functions) share ONE grouped
     # aggregate: the later tag re-selects the memoized frame, and the
     # physical plan reuses the aggregate's exchange (ReusedExchange)
-    # instead of aggregating the star once per tag
+    # instead of aggregating the star once per tag. Calculated-member
+    # value references ride the same memo (a bare [Measures].[crimes]
+    # leaf IS the cell's own grouped frame — one aggregate, not two).
     agg_memo: dict[tuple, "DataFrame"] = {}
-    for tag, ctup, rtup, implicit, slicer in all_pairs:
-        members = ctup + rtup + slicer
+
+    def _cond(filt):
+        cond = F.lit(True)
+        for col, val in filt:
+            cond = cond & (F.col(col) == val)
+        return cond
+
+    def _scalar_slot(filt) -> int:
+        scalar_conds.append(_cond(filt))
+        return len(scalar_conds) - 1
+
+    def _grouped(filt, group_cols) -> DataFrame:
+        key = (tuple(sorted(filt)), tuple(group_cols))
+        got = agg_memo.get(key)
+        if got is None:
+            df = base
+            for col, val in filt:
+                df = df.filter(F.col(col) == val)
+            got = agg_memo[key] = df.groupBy(*group_cols).agg(
+                F.sum("crimes").alias("crimes")
+            )
+        return got
+
+    def _leaf_ctx(cell_filt, ref):
+        """Mondrian tuple-override: a context member in a value
+        reference replaces the CELL's filters for its hierarchy (all
+        levels — the implicit [Time] default included) with its own."""
+        ctx = [m for m in ref if not m.measure]
+        overridden = {m.hierarchy for m in ctx}
+        kept = [
+            (c, v) for (c, v) in cell_filt if _COL2HIER[c] not in overridden
+        ]
+        extra = [(c, v) for m in ctx for (c, v) in m.filters]
+        return kept + extra, overridden
+
+    _ARITH = {
+        "+": lambda a, b: a + b,
+        "-": lambda a, b: a - b,
+        "*": lambda a, b: a * b,
+        "/": lambda a, b: a / b,
+    }
+
+    def _calc_scalar(ast, cell_filt):
+        """Register each value reference as one more conditional-agg
+        slot of the single scalar pass; return a builder producing the
+        arithmetic column over the slot columns."""
+        if ast.kind == "lit":
+            v = ast.value
+            return lambda: F.lit(v)
+        if ast.kind == "ref":
+            filt, _ = _leaf_ctx(cell_filt, ast.ref)
+            i = _scalar_slot(filt)
+            return lambda: F.col(f"_c{i}")
+        lf = _calc_scalar(ast.left, cell_filt)
+        rf = _calc_scalar(ast.right, cell_filt)
+        op = _ARITH[ast.op]
+        return lambda: op(lf(), rf())
+
+    def _calc_grouped(ast, cell_filt, group_cols) -> DataFrame:
+        """Evaluate a calculated cell per enumerated axis member.
+        Membership (the spine) is the base measure's populated groups
+        under the cell context — the NON EMPTY contract; each value
+        reference joins back as its own (memoized) aggregate, grouped
+        only by the enum columns its context does NOT override (an
+        overridden enumeration is a constant across that axis — a
+        1-row broadcast). All frames are axis-member-sized."""
+        spine = _grouped(cell_filt, group_cols).select(*group_cols)
+        leaves: list[_CalcExpr] = []
+
+        def walk(n):
+            if n.kind == "ref":
+                leaves.append(n)
+            elif n.kind == "bin":
+                walk(n.left)
+                walk(n.right)
+
+        walk(ast)
+        cur = spine
+        names: dict[int, str] = {}
+        for j, leaf in enumerate(leaves):
+            filt, overridden = _leaf_ctx(cell_filt, leaf.ref)
+            lg = [g for g in group_cols if _COL2HIER[g] not in overridden]
+            fr = _grouped(filt, lg).select(
+                *lg, F.col("crimes").alias(f"_v{j}")
+            )
+            cur = (
+                cur.join(F.broadcast(fr), lg, "left")
+                if lg
+                else cur.crossJoin(F.broadcast(fr))
+            )
+            names[id(leaf)] = f"_v{j}"
+
+        def val(n):
+            if n.kind == "lit":
+                return F.lit(n.value)
+            if n.kind == "ref":
+                return F.col(names[id(n)])
+            return _ARITH[n.op](val(n.left), val(n.right))
+
+        return cur.withColumn("crimes", val(ast))
+
+    for tag, query, ctup, rtup, implicit in all_pairs:
+        measure = _pair_measure(query, ctup, rtup)
+        ast = query.calc.get(measure)
+        members = ctup + rtup + query.slicer
         filt = list(implicit) + [
             (col, val) for mem in members for col, val in mem.filters
         ]
         group_cols = [m.enum_col for m in ctup + rtup if m.enum_col]
         if not group_cols:
-            cond = F.lit(True)
-            for col, val in filt:
-                cond = cond & (F.col(col) == val)
-            scalar.append((tag, ctup, rtup, cond))
+            if ast is not None:
+                builder = _calc_scalar(ast, filt)
+            else:
+                i = _scalar_slot(filt)
+                builder = lambda i=i: F.col(f"_c{i}")  # noqa: E731
+            scalar_cells.append((tag, ctup, rtup, builder))
             continue
-        key = (tuple(sorted(filt)), tuple(group_cols))
-        grouped = agg_memo.get(key)
-        if grouped is None:
-            df = base
-            for col, val in filt:
-                df = df.filter(F.col(col) == val)
-            grouped = df.groupBy(*group_cols).agg(
-                F.sum("crimes").alias("crimes")
-            )
-            agg_memo[key] = grouped
-        cell = grouped.select(
+        frame = _calc_grouped(ast, filt, group_cols) if ast is not None \
+            else _grouped(filt, group_cols)
+        value = F.col("crimes")
+        if calc_present:
+            value = value.cast("double")
+        cell = frame.select(
             F.lit(tag).alias("tag"),
             _axis_label(rtup).alias("row_member"),
             _axis_label(ctup).alias("col_member"),
-            "crimes",
+            value.alias("crimes"),
         )
+        if ast is not None:
+            cell = cell.filter(F.col("crimes").isNotNull())
         out = cell if out is None else out.unionByName(cell)
-    if scalar:
+    if scalar_cells:
         aggs = [
             F.sum(F.when(cond, F.col("crimes"))).alias(f"_c{i}")
-            for i, (_, _, _, cond) in enumerate(scalar)
-        ]
+            for i, cond in enumerate(scalar_conds)
+        ] or [F.count(F.lit(1)).alias("_c_none")]  # pure-literal calc cells
         row = base.agg(*aggs)
         cells = (
             row.select(
@@ -572,9 +861,13 @@ def mdx_cells_many(
                                 F.lit(tag).alias("tag"),
                                 _axis_label(rtup).alias("row_member"),
                                 _axis_label(ctup).alias("col_member"),
-                                F.col(f"_c{i}").alias("crimes"),
+                                (
+                                    build().cast("double")
+                                    if calc_present
+                                    else build()
+                                ).alias("crimes"),
                             )
-                            for i, (tag, ctup, rtup, _) in enumerate(scalar)
+                            for (tag, ctup, rtup, build) in scalar_cells
                         ]
                     )
                 ).alias("cell")
@@ -583,137 +876,178 @@ def mdx_cells_many(
             .filter(F.col("crimes").isNotNull())
         )
         out = cells if out is None else out.unionByName(cells)
-    out = out.withColumn("row_ordinal", F.lit(None).cast("int"))
+    out = out.withColumn("row_ordinal", F.lit(None).cast("int")).withColumn(
+        "col_ordinal", F.lit(None).cast("int")
+    )
 
-    # ROWS-axis set functions (Order/TopCount/Filter — the JPivot
-    # sort/filter grammar). Semantics: each op's numeric expression is
-    # the measure evaluated PER ROW MEMBER in the context of (the
-    # member's own filters) + (the expression tuple's context members)
-    # + the slicer + the unmentioned-hierarchy defaults — Mondrian's
-    # axis-function context, where the COLUMN axis members do NOT
-    # apply. That value frame is exactly an MDX cell computation with
-    # the expression tuple as the one column, so it reuses this very
-    # function (one recursion level; synthetic queries carry no ops).
-    # Filter/TopCount change axis MEMBERSHIP (cells of removed members
-    # drop); Order attaches ``row_ordinal`` (1-based; B- break-
-    # hierarchy flags equal the plain ones over these flat member
-    # lists; ties break on the member caption — Mondrian leaves tie
-    # order unspecified, this engine pins it deterministic). All
-    # value frames and joins are axis-member-sized — broadcast.
+    # Per-axis set functions (Order/TopCount/Filter — the JPivot
+    # sort/filter grammar, either axis). Semantics: each op's numeric
+    # expression is the measure evaluated PER AXIS MEMBER in the
+    # context of (the member's own filters) + (the expression tuple's
+    # context members) + the slicer + the unmentioned-hierarchy
+    # defaults — Mondrian's axis-function context, where the OTHER
+    # axis's members do NOT apply (axes resolve independently, so the
+    # other axis's ops don't leak in either). That value frame is
+    # exactly an MDX cell computation with the expression tuple as the
+    # one column, so it reuses this very function (one recursion
+    # level; synthetic queries carry no ops). Filter/TopCount change
+    # axis MEMBERSHIP (cells of removed members drop); Order attaches
+    # ``row_ordinal``/``col_ordinal`` (1-based; B- break-hierarchy
+    # flags equal the plain ones over these flat member lists; ties
+    # break on the member caption — Mondrian leaves tie order
+    # unspecified, this engine pins it deterministic).
+    #
+    # Missing-value policy (chained ops join the surviving members to
+    # each op's value frame with a LEFT join — a member kept so far
+    # but absent from this op's expression context stays, as Mondrian
+    # keeps the member with an empty cell): Filter treats a NULL value
+    # as non-matching (ANSI comparison with NULL → NULL → dropped);
+    # Order and TopCount place NULL values LAST in either direction,
+    # ties and nulls breaking on the member caption. All value frames
+    # and joins are axis-member-sized — broadcast.
     ops_tagged = [
-        (tag, query) for tag, query, _ in compiled if query.row_ops
+        (tag, query)
+        for tag, query, _ in compiled
+        if query.row_ops or query.col_ops
     ]
     if ops_tagged:
         from pyspark.sql import Window
 
         keep = out.filter(~F.col("tag").isin([t for t, _ in ops_tagged]))
         pieces = [keep]
-        def _expr_equals_columns(expr, query) -> bool:
+
+        def _expr_matches_tuple(expr, opp_tuples) -> bool:
             """True when the op expression is semantically the query's
-            single COLUMN tuple (same measure, same member filters,
-            and the column tuple enumerates NOTHING — an enumerating
-            column produces several cells per row member, which is a
-            different frame from the one aggregated value the op
-            needs) — the common JPivot shape 'sort rows by the measure
-            column'. The value frame is then the tag's own cells: no
-            recursive recomputation."""
-            if len(query.columns) != 1:
+            single OPPOSITE-axis tuple (same measure, same member
+            filters, and that tuple enumerates NOTHING — an
+            enumerating tuple produces several cells per axis member,
+            a different frame from the one aggregated value the op
+            needs) — the common JPivot shape 'sort this axis by the
+            crossing tuple's value'. The value frame is then the tag's
+            own cells: no recursive recomputation, and calculated
+            measures ride free (their cells are already computed)."""
+            if len(opp_tuples) != 1:
                 return False
-            col_tup = query.columns[0]
-            if any(m.enum_col for m in col_tup):
+            opp = opp_tuples[0]
+            if any(m.enum_col for m in opp):
                 return False
+
             def canon(tup):
                 meas = sorted(m.measure for m in tup if m.measure)
                 filt = sorted(
                     (c, str(v)) for m in tup for c, v in m.filters
                 )
                 return meas, filt
-            return canon(expr) == canon(col_tup)
+
+            return canon(expr) == canon(opp)
 
         for tag, query in ops_tagged:
-            members = None  # (row_member[, _ord])
-            for op in query.row_ops:
-                expr = op.expr or [_Member(measure="crimes", caption=["crimes"])]
-                if _expr_equals_columns(expr, query):
-                    vals = out.filter(F.col("tag") == tag).select(
-                        "row_member", F.col("crimes").alias("_val")
+            t_rows = out.filter(F.col("tag") == tag)
+            axis_members: dict[str, DataFrame | None] = {}
+            for axis, ops in (("rows", query.row_ops),
+                              ("columns", query.col_ops)):
+                if not ops:
+                    axis_members[axis] = None
+                    continue
+                mcol = "row_member" if axis == "rows" else "col_member"
+                own = query.rows if axis == "rows" else query.columns
+                opp = query.columns if axis == "rows" else query.rows
+                # membership starts from the tag's populated axis
+                # members (the tidy NON EMPTY contract), evaluated on
+                # the ORIGINAL cells — both axes see the same base
+                members = t_rows.select(F.col(mcol).alias("_m")).distinct()
+                for op in ops:
+                    expr = op.expr or [
+                        _Member(measure="crimes", caption=["crimes"])
+                    ]
+                    if _expr_matches_tuple(expr, opp):
+                        vals = t_rows.select(
+                            F.col(mcol).alias("_m"),
+                            F.col("crimes").alias("_val"),
+                        )
+                    else:
+                        synthetic = MdxQuery(
+                            [expr], own, query.cube, query.slicer,
+                            calc=query.calc,
+                        )
+                        vals = mdx_cells_many(
+                            star,
+                            [(f"{tag}__val", synthetic)],
+                            time_default=time_default,
+                        ).select(
+                            F.col("row_member").alias("_m"),
+                            F.col("crimes").alias("_val"),
+                        )
+                    # chained ops must not lose an ordinal an inner
+                    # Order computed (Filter(Order(...)) keeps the
+                    # sort unless a later Order replaces it)
+                    carry_ord = (
+                        ["_ord"] if "_ord" in members.columns else []
+                    )
+                    cur = members.select("_m", *carry_ord).join(
+                        vals, "_m", "left"
+                    )
+                    if op.kind == "filter":
+                        v = F.col("_val")
+                        cond = {
+                            ">": v > op.value,
+                            ">=": v >= op.value,
+                            "<": v < op.value,
+                            "<=": v <= op.value,
+                            "=": v == op.value,
+                            "<>": v != op.value,
+                        }[op.cmp]
+                        members = cur.filter(cond).select("_m", *carry_ord)
+                    elif op.kind == "topcount":
+                        w = Window.orderBy(
+                            F.desc_nulls_last("_val"), F.asc("_m")
+                        )
+                        members = (
+                            cur.withColumn("_rk", F.row_number().over(w))
+                            .filter(F.col("_rk") <= op.count)
+                            .select("_m", *carry_ord)
+                        )
+                    else:  # order — replaces any earlier ordinal
+                        direction = (
+                            F.desc_nulls_last("_val")
+                            if op.flag in ("desc", "bdesc")
+                            else F.asc_nulls_last("_val")
+                        )
+                        w = Window.orderBy(direction, F.asc("_m"))
+                        members = cur.drop("_ord").select(
+                            "_m",
+                            F.row_number().over(w).alias("_ord"),
+                        )
+                axis_members[axis] = members
+            joined = t_rows.drop("row_ordinal", "col_ordinal")
+            for axis, mcol, ordcol in (
+                ("rows", "row_member", "row_ordinal"),
+                ("columns", "col_member", "col_ordinal"),
+            ):
+                members = axis_members[axis]
+                if members is None:
+                    joined = joined.withColumn(
+                        ordcol, F.lit(None).cast("int")
+                    )
+                    continue
+                if "_ord" in members.columns:
+                    m = members.select(
+                        F.col("_m").alias(mcol),
+                        F.col("_ord").cast("int").alias(ordcol),
                     )
                 else:
-                    synthetic = MdxQuery(
-                        [expr], query.rows, query.cube, query.slicer
+                    m = members.select(F.col("_m").alias(mcol)).withColumn(
+                        ordcol, F.lit(None).cast("int")
                     )
-                    vals = mdx_cells_many(
-                        star,
-                        [(f"{tag}__val", synthetic)],
-                        time_default=time_default,
-                    ).select("row_member", F.col("crimes").alias("_val"))
-                # chained ops must not lose an ordinal an inner Order
-                # computed (Filter(Order(...)) keeps the sort unless a
-                # later Order replaces it) — carry _ord when present
-                carry_ord = (
-                    ["_ord"]
-                    if members is not None and "_ord" in members.columns
-                    else []
-                )
-                cur = (
-                    vals
-                    if members is None
-                    else members.select("row_member", *carry_ord).join(
-                        vals, "row_member"
-                    )
-                )
-                if op.kind == "filter":
-                    v = F.col("_val")
-                    cond = {
-                        ">": v > op.value,
-                        ">=": v >= op.value,
-                        "<": v < op.value,
-                        "<=": v <= op.value,
-                        "=": v == op.value,
-                        "<>": v != op.value,
-                    }[op.cmp]
-                    members = cur.filter(cond).select(
-                        "row_member", *carry_ord
-                    )
-                elif op.kind == "topcount":
-                    w = Window.orderBy(F.desc("_val"), F.asc("row_member"))
-                    members = (
-                        cur.withColumn("_rk", F.row_number().over(w))
-                        .filter(F.col("_rk") <= op.count)
-                        .select("row_member", *carry_ord)
-                    )
-                else:  # order — replaces any earlier ordinal
-                    direction = (
-                        F.desc("_val")
-                        if op.flag in ("desc", "bdesc")
-                        else F.asc("_val")
-                    )
-                    w = Window.orderBy(direction, F.asc("row_member"))
-                    members = cur.drop("_ord").select(
-                        "row_member",
-                        F.row_number().over(w).alias("_ord"),
-                    )
-            t_rows = out.filter(F.col("tag") == tag).drop("row_ordinal")
-            if "_ord" in members.columns:
-                joined = t_rows.join(F.broadcast(members), "row_member").select(
-                    "tag",
-                    "row_member",
-                    "col_member",
-                    "crimes",
-                    F.col("_ord").cast("int").alias("row_ordinal"),
-                )
-            else:
-                joined = t_rows.join(F.broadcast(members), "row_member").select(
-                    "tag",
-                    "row_member",
-                    "col_member",
-                    "crimes",
-                    F.lit(None).cast("int").alias("row_ordinal"),
-                )
+                joined = joined.join(F.broadcast(m), mcol)
+            joined = joined.select(
+                "tag", "row_member", "col_member", "crimes",
+                "row_ordinal", "col_ordinal",
+            )
             pieces.append(joined)
         res = pieces[0]
-        for p in pieces[1:]:
-            res = res.unionByName(p)
+        for pc in pieces[1:]:
+            res = res.unionByName(pc)
         out = res
     return out
 
@@ -724,14 +1058,14 @@ def mdx_cells(
     time_default: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """Single-query form of :func:`mdx_cells_many`: tidy cells
-    ``(row_member, col_member, crimes, row_ordinal)`` —
-    ``row_ordinal`` is NULL unless the query's ROWS axis carries an
-    ``Order()`` (it would otherwise be computed and silently dropped,
-    making the user's sort a no-op through the public API; ordinals
-    from an Order INSIDE a later Filter/TopCount survive with gaps —
-    relative order preserved)."""
+    ``(row_member, col_member, crimes, row_ordinal, col_ordinal)`` —
+    each ordinal is NULL unless its axis carries an ``Order()`` (it
+    would otherwise be computed and silently dropped, making the
+    user's sort a no-op through the public API; ordinals from an
+    Order INSIDE a later Filter/TopCount survive with gaps — relative
+    order preserved)."""
     return mdx_cells_many(star, [("q", query)], time_default=time_default).select(
-        "row_member", "col_member", "crimes", "row_ordinal"
+        "row_member", "col_member", "crimes", "row_ordinal", "col_ordinal"
     )
 
 

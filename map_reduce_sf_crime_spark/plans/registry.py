@@ -43,7 +43,16 @@ _LAST_BUILT: list[str | None] = [None]
 #: (streaming starts, sink roundtrips, multi-action pipelines)
 #: register with ``rebuild=True`` and keep rep-per-rep builds — for
 #: them the build IS the measured work.
-_BUILT: dict[tuple[int, str], DataFrame] = {}
+#:
+#: Keyed on the SESSION OBJECT itself (identity hash + a strong
+#: reference), never ``id(spark)``: a GC'd session's id can be reused
+#: by a new session (the exact hazard documented in
+#: streaming/index_maintenance._ensure_source), which would hand the
+#: new session a plan bound to a dead or foreign one. Holding the
+#: session strongly makes id reuse impossible while the entry exists;
+#: the reference is bounded — the memo clears at every query-name
+#: switch, and bench reps reuse one live session anyway.
+_BUILT: dict[tuple["SparkSession", str], DataFrame] = {}
 
 
 def register(
@@ -69,7 +78,7 @@ def register(
                 _LAST_BUILT[0] = name
             if rebuild:
                 return fn(spark, sf_dir)
-            key = (id(spark), sf_dir)
+            key = (spark, sf_dir)
             got = _BUILT.get(key)
             if got is None:
                 got = _BUILT[key] = fn(spark, sf_dir)

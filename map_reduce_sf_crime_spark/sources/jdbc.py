@@ -34,6 +34,24 @@ MYSQL_STAR_COLUMN_TYPES: dict[str, str] = {
     "fact": "crimes INT, district_id INT, category_id INT, time_id INT",
 }
 
+#: Postgres pins mirroring starschemaPostgres.sql:3-28 (round 7).
+#: DOCUMENTED DIVERGENCE (SURVEY §1.5): the reference's Postgres DDL
+#: drops the ``week`` column from timeperiod (year/month/day only)
+#: while the MySQL DDL and the Kettle load keep it; this engine
+#: standardizes on the fuller MySQL shape, so ``week`` is NOT pinned
+#: here — it inherits PostgresDialect's INTEGER mapping and the
+#: emitted DDL carries one extra column relative to the reference
+#: file. Everything the reference DDL does declare pins byte-for-byte
+#: (INT ids/measures, VARCHAR(100)/VARCHAR(50) names; the sequences /
+#: auto-PK defaults are server-side DDL outside what a JDBC writer
+#: emits — surrogate keys are computed in-plan, operators/dims.py).
+POSTGRES_STAR_COLUMN_TYPES: dict[str, str] = {
+    "timeperiod": "time_id INT, year INT, month INT, day INT",
+    "category": "category_id INT, name VARCHAR(100)",
+    "district": "district_id INT, name VARCHAR(50)",
+    "fact": "crimes INT, district_id INT, category_id INT, time_id INT",
+}
+
 
 def star_ddl(
     spark,

@@ -1128,10 +1128,31 @@ def _merge_upsert_partition_scoped(
         release_lease(spark, path, token)
     wrote = [False]
     ok = False
+
+    def _pre_write_overrun_check() -> None:
+        # runs inside _merge_upsert_locked just before the first byte
+        # changes: a later overlapping registration means another
+        # writer judged our intent TTL-expired while we built the
+        # merge — raising HERE (wrote still False) withdraws our
+        # intent cleanly instead of first clobbering the other
+        # writer's committed partitions and detecting it after.
+        late_pre = _active_intent_conflicts(
+            spark, path, subpaths, ttl_sec, after_cid=cid
+        )
+        if late_pre:
+            raise ConcurrentWriterError(
+                f"intent {cid} on {path} overran its TTL before "
+                f"writing: later intent(s) "
+                f"{sorted(c for c, _ in late_pre)} claimed overlapping "
+                "partitions — withdrawing without touching data; "
+                "re-run the merge to retry"
+            )
+
     try:
         _merge_upsert_locked(
             spark, path, changes, key_cols, partition_cols, delete_col,
             True, archive, pre_registered=(cid, keys), wrote_flag=wrote,
+            pre_write_check=_pre_write_overrun_check,
         )
         # post-hoc overrun check BEFORE declaring success: a later
         # registration overlapping our partitions means another writer
@@ -1174,6 +1195,7 @@ def _merge_upsert_locked(
     archive: bool,
     pre_registered: tuple[int, list[tuple]] | None = None,
     wrote_flag: list | None = None,
+    pre_write_check=None,
 ) -> None:
     """``wrote_flag`` (a one-element list) is set True the moment the
     table's bytes start changing — the partition-scoped caller uses it
@@ -1192,7 +1214,14 @@ def _merge_upsert_locked(
         if pre_registered is not None
         else _spelled_keys(changes.select(*partition_cols), partition_cols)
     )
-    if pre_registered is None and manifest:
+    if pre_registered is None:
+        # regardless of THIS writer's manifest flag: a manifest=False
+        # table writer records no intent for partition-scoped writers
+        # to conflict against, and the lease it skips is exactly what
+        # used to make it safe — so it must still refuse to interleave
+        # with an in-flight partition-scoped merge (mutual lost update,
+        # otherwise undetected on both sides). The check is read-only
+        # and returns [] when the table has no _commits dir at all.
         subpaths = [
             _partition_subpath(spark, partition_cols, k) for k in keys
         ]
@@ -1281,6 +1310,14 @@ def _merge_upsert_locked(
             f"{path.rstrip('/')}/{_COMMITS_DIR}/{cid:06d}.intent.json",
         )
         _archive_pre_images(spark, path, cid, intent["pre"])
+    if pre_write_check is not None:
+        # partition-scoped writers re-check for overlapping LATER
+        # intents here, after the (possibly long) merge build but
+        # BEFORE any byte changes: an overrunning writer then raises
+        # with wrote_flag still False — its intent withdraws cleanly
+        # and nothing was clobbered. The post-write overrun check in
+        # the caller stays for full coverage of the remaining window.
+        pre_write_check()
     if wrote_flag is not None:
         # from here the table's bytes change: a failure past this
         # point must leave the intent as torn-state evidence

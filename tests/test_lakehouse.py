@@ -1372,12 +1372,14 @@ def test_partition_scoped_writers_disjoint_commit_overlapping_raise(spark):
     _ = _partition_subpath  # imported for parity with production path
 
 
-def test_partition_scoped_overrun_detected_and_recovered(spark):
+def test_partition_scoped_overrun_pre_write_withdraws_cleanly(spark):
     """A partition-scoped writer that overruns its intent TTL while
-    another writer claims (and rewrites) the same partition must NOT
-    commit: the finish-side overrun check raises, the unfinished
-    intent stays as torn evidence, and re-running the merge recovers
-    to clean."""
+    another writer claims AND COMMITS the same partition — all before
+    the overrunner's overwrite starts — raises at the PRE-WRITE check
+    (round 7, ADVICE): it withdraws its intent without touching data,
+    the other writer's commit survives untouched, and the table stays
+    CLEAN (previously the overrunner first clobbered the partition and
+    only the finish-side check caught it, leaving torn state)."""
     import time
 
     import pytest
@@ -1421,7 +1423,86 @@ def test_partition_scoped_overrun_detected_and_recovered(spark):
 
     lh._merge_upsert_locked = slow_writer_locked
     try:
-        with pytest.raises(lh.ConcurrentWriterError, match="overran its TTL"):
+        with pytest.raises(
+            lh.ConcurrentWriterError, match="overran its TTL before writing"
+        ):
+            lh.merge_upsert(
+                spark, path, ch, key_cols=key_cols, partition_cols=part_cols,
+                scope="partition",
+            )
+    finally:
+        lh._merge_upsert_locked = real_locked
+    # A withdrew without writing: B's commit intact, table CLEAN, and
+    # the merge applied exactly once (no double-+1000, no revert)
+    assert lh.table_state(spark, path)["status"] == "clean"
+    got = (
+        read_partitioned(spark, path)
+        .filter(F.col("month") == 1)
+        .agg(F.sum("crimes").alias("s"))
+        .collect()[0].s
+    )
+    want = ch.agg(F.sum("crimes").alias("s")).collect()[0].s
+    assert got == want
+
+
+def test_partition_scoped_overrun_post_write_leaves_torn(spark):
+    """If the interleave lands AFTER the pre-write check (the other
+    writer registers mid-overwrite), the finish-side overrun check
+    still refuses to commit: the unfinished intent stays as torn
+    evidence and re-running the merge recovers to clean — the
+    round-6 coverage, retained for the residual window."""
+    import time
+
+    import pytest
+
+    from map_reduce_sf_crime_spark.sources import lakehouse as lh
+
+    path = os.path.join(SCRATCH, "pscope_overrun_post")
+    shutil.rmtree(path, ignore_errors=True)
+    daily = (
+        incidents(spark, SF_SMOKE)
+        .groupBy(F.month("d").alias("month"), "d", "category", "district")
+        .agg(F.count(F.lit(1)).alias("crimes"))
+    )
+    write_partitioned(daily, path, ["month"])
+    key_cols, part_cols = ["d", "category", "district"], ["month"]
+    ch = (
+        read_partitioned(spark, path)
+        .filter(F.col("month") == 1)
+        .withColumn("crimes", F.col("crimes") + 1000)
+        .localCheckpoint()
+    )
+
+    real_locked = lh._merge_upsert_locked
+    commits = os.path.join(path, "_commits")
+
+    def racing_writer_locked(spark_, path_, *args, **kwargs):
+        # age A's intent, then let B interleave exactly BETWEEN A's
+        # pre-write check (which passes — B not yet registered) and
+        # A's overwrite: B registers + commits inside the check hook
+        lh._merge_upsert_locked = real_locked
+        cid = kwargs["pre_registered"][0]
+        intent = os.path.join(commits, f"{cid:06d}.intent.json")
+        old = time.time() - 2 * lh.LEASE_TTL_SEC
+        os.utime(intent, (old, old))
+        orig_check = kwargs.get("pre_write_check")
+
+        def late_interleave():
+            if orig_check is not None:
+                orig_check()  # passes: B hasn't registered yet
+            lh.merge_upsert(
+                spark_, path_, ch, key_cols=key_cols,
+                partition_cols=part_cols, scope="partition",
+            )
+
+        kwargs["pre_write_check"] = late_interleave
+        return real_locked(spark_, path_, *args, **kwargs)
+
+    lh._merge_upsert_locked = racing_writer_locked
+    try:
+        with pytest.raises(
+            lh.ConcurrentWriterError, match="mid-merge"
+        ):
             lh.merge_upsert(
                 spark, path, ch, key_cols=key_cols, partition_cols=part_cols,
                 scope="partition",
@@ -1435,6 +1516,66 @@ def test_partition_scoped_overrun_detected_and_recovered(spark):
         scope="partition",
     )
     assert lh.table_state(spark, path)["status"] == "clean"
+
+
+def test_manifest_false_writer_refuses_inflight_partition_intent(spark):
+    """(round 7, ADVICE) ``merge_upsert(manifest=False)`` no longer
+    skips the partition-intent conflict check: a lease-less table
+    writer records no intent for partition-scoped writers to see, so
+    it must itself refuse to interleave with an in-flight
+    partition-scoped merge (mutual lost update, otherwise undetected
+    on both sides)."""
+    import pytest
+
+    from map_reduce_sf_crime_spark.sources import lakehouse as lh
+
+    path = os.path.join(SCRATCH, "pscope_vs_nomanifest")
+    shutil.rmtree(path, ignore_errors=True)
+    daily = (
+        incidents(spark, SF_SMOKE)
+        .groupBy(F.month("d").alias("month"), "d", "category", "district")
+        .agg(F.count(F.lit(1)).alias("crimes"))
+    )
+    write_partitioned(daily, path, ["month"])
+    ch = (
+        read_partitioned(spark, path)
+        .filter(F.col("month") == 1)
+        .withColumn("crimes", F.col("crimes") + 7)
+        .localCheckpoint()
+    )
+    # simulate an in-flight partition-scoped writer: register its
+    # intent the way the protocol does (lease + begin_commit), no
+    # commit yet
+    keys = lh._spelled_keys(ch.select("month"), ["month"])
+    token = lh.acquire_lease(spark, path)
+    try:
+        lh.begin_commit(
+            spark, path, ["month"], keys,
+            extra={"scope": "partition", "ttl_sec": lh.LEASE_TTL_SEC},
+        )
+    finally:
+        lh.release_lease(spark, path, token)
+    with pytest.raises(lh.ConcurrentWriterError, match="in-flight"):
+        lh.merge_upsert(
+            spark, path, ch,
+            key_cols=["d", "category", "district"],
+            partition_cols=["month"],
+            manifest=False,
+        )
+    # a DISJOINT-partition manifest=False merge is still allowed
+    ch2 = (
+        read_partitioned(spark, path)
+        .filter(F.col("month") == 2)
+        .withColumn("crimes", F.col("crimes") + 7)
+        .localCheckpoint()
+    )
+    if ch2.limit(1).count():
+        lh.merge_upsert(
+            spark, path, ch2,
+            key_cols=["d", "category", "district"],
+            partition_cols=["month"],
+            manifest=False,
+        )
 
 
 def test_partition_scoped_refusal_before_write_withdraws_intent(spark):

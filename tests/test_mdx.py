@@ -178,7 +178,8 @@ def test_verbatim_reference_files_run(spark):
     for q in (BYCATEGORY, BYDISTRICT, JSP_QUERY):
         df = mdx_query(spark, SF_SMOKE, q)
         assert df.columns == [
-            "row_member", "col_member", "crimes", "row_ordinal"
+            "row_member", "col_member", "crimes", "row_ordinal",
+            "col_ordinal",
         ]
         df.collect()
 
@@ -254,7 +255,8 @@ def test_on_disk_reference_mdx_files_run(spark):
         text = (ref / name).read_text()
         df = mdx_query(spark, SF_SMOKE, text)
         assert df.columns == [
-            "row_member", "col_member", "crimes", "row_ordinal"
+            "row_member", "col_member", "crimes", "row_ordinal",
+            "col_ordinal",
         ]
         df.collect()
 
@@ -461,12 +463,6 @@ from [sfcrime]
 def test_set_function_parse_errors():
     for q, msg in [
         (
-            "select Order({[District].[All Districts].Children},"
-            " [Measures].[crimes]) ON COLUMNS, {[Measures].[crimes]}"
-            " ON ROWS from [sfcrime]",
-            "ROWS axis",
-        ),
-        (
             "select {[Measures].[crimes]} ON COLUMNS,"
             " Order({[District].[All Districts].Children},"
             " [District].[All Districts]) ON ROWS from [sfcrime]",
@@ -517,3 +513,317 @@ from [sfcrime]
     ]
     assert all(r.row_ordinal == full_order.index(r.row_member) + 1
                for r in rows)
+
+
+# ---------------------------------------------------------------- round 7:
+# COLUMNS-axis set functions, WITH MEMBER calculated members, and the
+# left-join missing-value policy for chained ops.
+
+
+def test_columns_axis_order_attaches_col_ordinals(spark):
+    """The JPivot COLUMN sort (round 7 — the symmetric case of the
+    round-6 ROWS shapes): Order on the COLUMNS axis attaches 1-based
+    col_ordinal by value descending, caption-ascending ties;
+    row_ordinal stays NULL."""
+    year = _fixture_year(spark)
+    q = f"""select Order({{[District].[All Districts].Children}},
+        ([Measures].[crimes], [Time].[{year}]), BDESC) ON COLUMNS,
+  {{([Measures].[crimes], [Time].[{year}])}} ON ROWS
+from [sfcrime]
+"""
+    rows = _cells(spark, q)
+    want = _district_totals(spark, year)
+    assert {r.col_member: r.crimes for r in rows} == want
+    expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = sorted(rows, key=lambda r: r.col_ordinal)
+    assert [r.col_member for r in got] == [d for d, _ in expect]
+    assert [r.col_ordinal for r in got] == list(range(1, len(want) + 1))
+    assert all(r.row_ordinal is None for r in rows)
+
+
+def test_columns_axis_topcount_and_filter(spark):
+    year = _fixture_year(spark)
+    want = _district_totals(spark, year)
+    cut = sorted(want.values())[len(want) // 2]
+    q = f"""select Filter({{[District].[All Districts].Children}},
+        ([Measures].[crimes], [Time].[{year}]) >= {cut}) ON COLUMNS,
+  {{([Measures].[crimes], [Time].[{year}])}} ON ROWS
+from [sfcrime]
+"""
+    rows = _cells(spark, q)
+    assert {r.col_member: r.crimes for r in rows} == {
+        d: c for d, c in want.items() if c >= cut
+    }
+    q2 = f"""select TopCount({{[District].[All Districts].Children}}, 3,
+        ([Measures].[crimes], [Time].[{year}])) ON COLUMNS,
+  {{([Measures].[crimes], [Time].[{year}])}} ON ROWS
+from [sfcrime]
+"""
+    rows2 = _cells(spark, q2)
+    top3 = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert {r.col_member: r.crimes for r in rows2} == dict(top3)
+
+
+def test_ops_on_both_axes_resolve_independently(spark):
+    """Rows Order + columns Filter in one query: each axis's
+    membership/ordinals come from the ORIGINAL cells (Mondrian
+    resolves axes independently), and both ordinal columns land."""
+    year = _fixture_year(spark)
+    inc = incidents(spark, SF_SMOKE).filter(F.year("d") == year)
+    cat_tot = {
+        r.category: r.n
+        for r in inc.groupBy("category").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    dist_tot = _district_totals(spark, year)
+    cut = sorted(cat_tot.values())[len(cat_tot) // 2]
+    q = f"""select Filter({{[Category].[All Categories].Children}},
+        ([Measures].[crimes], [Time].[{year}]) >= {cut}) ON COLUMNS,
+  Order({{[District].[All Districts].Children}},
+        ([Measures].[crimes], [Time].[{year}]), BDESC) ON ROWS
+from [sfcrime] where [Time].[{year}]
+"""
+    rows = _cells(spark, q)
+    kept_cats = {c for c, n in cat_tot.items() if n >= cut}
+    assert {r.col_member for r in rows} == kept_cats
+    assert {r.row_member for r in rows} <= set(dist_tot)
+    # row ordinals follow the district totals (NOT the filtered-column
+    # subtotals): the Order expression context is the year, axes
+    # independent of the column Filter
+    by_dist = {}
+    for r in rows:
+        by_dist.setdefault(r.row_member, r.row_ordinal)
+        assert r.row_ordinal == by_dist[r.row_member]
+    order = sorted(by_dist, key=lambda d: by_dist[d])
+    expect = [d for d, _ in sorted(dist_tot.items(), key=lambda kv: (-kv[1], kv[0]))
+              if d in by_dist]
+    assert order == expect
+
+
+def test_with_member_ratio_enumerating(spark):
+    """The canonical JPivot ratio member: per-district share of the
+    all-district total, alongside the base measure — multi-measure
+    COLUMNS (two tuples), calc cells double, base cells ride along."""
+    year = _fixture_year(spark)
+    want = _district_totals(spark, year)
+    total = sum(want.values())
+    q = f"""WITH MEMBER [Measures].[share] AS
+  '[Measures].[crimes] / ([Measures].[crimes], [District].[All Districts])'
+select {{[Measures].[crimes], [Measures].[share]}} ON COLUMNS,
+  {{[District].[All Districts].Children}} ON ROWS
+from [sfcrime] where [Time].[{year}]
+"""
+    rows = _cells(spark, q)
+    crimes = {r.row_member: r.crimes for r in rows if r.col_member == "crimes"}
+    share = {r.row_member: r.crimes for r in rows if r.col_member == "share"}
+    assert crimes == {d: float(c) for d, c in want.items()}
+    assert share == {d: c / total for d, c in want.items()}
+
+
+def test_with_member_scalar_ratio(spark):
+    """A scalar calc cell (no enumeration) folds into the one-pass
+    conditional aggregation: one district's share of the total."""
+    year = _fixture_year(spark)
+    want = _district_totals(spark, year)
+    district = sorted(want)[0]
+    q = f"""WITH MEMBER [Measures].[share] AS
+  '([Measures].[crimes], [District].[{district}]) / [Measures].[crimes]'
+select {{[Measures].[share]}} ON COLUMNS,
+  {{[Category].[All Categories]}} ON ROWS
+from [sfcrime] where [Time].[{year}]
+"""
+    rows = _cells(spark, q)
+    assert len(rows) == 1
+    assert rows[0].crimes == want[district] / sum(want.values())
+
+
+def test_with_member_arithmetic_and_literals(spark):
+    """Precedence and literals: a + b * 2 binds the product first;
+    parenthesized sub-expressions override."""
+    year = _fixture_year(spark)
+    total = sum(_district_totals(spark, year).values())
+    q = f"""WITH MEMBER [Measures].[x] AS
+  '[Measures].[crimes] + [Measures].[crimes] * 2'
+select {{[Measures].[x]}} ON COLUMNS,
+  {{[District].[All Districts]}} ON ROWS
+from [sfcrime] where [Time].[{year}]
+"""
+    rows = _cells(spark, q)
+    assert rows[0].crimes == float(total + total * 2)
+    q2 = f"""WITH MEMBER [Measures].[y] AS
+  '([Measures].[crimes] + [Measures].[crimes]) * 2'
+select {{[Measures].[y]}} ON COLUMNS,
+  {{[District].[All Districts]}} ON ROWS
+from [sfcrime] where [Time].[{year}]
+"""
+    assert _cells(spark, q2)[0].crimes == float((total + total) * 2)
+
+
+def test_with_member_sort_rows_by_ratio_column(spark):
+    """JPivot sort on a calculated column: Order(rows, [Measures].[share])
+    rides the shortcut (the expression IS the single column tuple) —
+    no recomputation, ordinals follow the ratio descending."""
+    year = _fixture_year(spark)
+    want = _district_totals(spark, year)
+    q = f"""WITH MEMBER [Measures].[share] AS
+  '[Measures].[crimes] / ([Measures].[crimes], [District].[All Districts])'
+select {{[Measures].[share]}} ON COLUMNS,
+  Order({{[District].[All Districts].Children}}, [Measures].[share], BDESC) ON ROWS
+from [sfcrime] where [Time].[{year}]
+"""
+    rows = sorted(_cells(spark, q), key=lambda r: r.row_ordinal)
+    expect = [d for d, _ in sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))]
+    assert [r.row_member for r in rows] == expect
+
+
+def test_with_member_format_string_property_ignored(spark):
+    """Mondrian formatting properties after the expression parse and
+    are ignored — formatting is a client concern."""
+    year = _fixture_year(spark)
+    q = f"""WITH MEMBER [Measures].[dbl] AS '[Measures].[crimes] * 2',
+  FORMAT_STRING = '#,##0.00'
+select {{[Measures].[dbl]}} ON COLUMNS,
+  {{[District].[All Districts]}} ON ROWS
+from [sfcrime] where [Time].[{year}]
+"""
+    total = sum(_district_totals(spark, year).values())
+    assert _cells(spark, q)[0].crimes == float(total * 2)
+
+
+def test_with_member_parse_errors():
+    year = 1995
+    base = (
+        "select {{[Measures].[{m}]}} ON COLUMNS, "
+        "{{[District].[All Districts]}} ON ROWS from [sfcrime]"
+    )
+    for q, msg in [
+        (
+            "WITH MEMBER [Measures].[a] AS '[Measures].[crimes]' "
+            "MEMBER [Measures].[b] AS '[Measures].[a] * 2' "
+            + base.format(m="b"),
+            "other calculated",
+        ),
+        (
+            "WITH MEMBER [Measures].[crimes] AS '1' " + base.format(m="crimes"),
+            "redefines",
+        ),
+        (
+            "WITH MEMBER [Measures].[a] AS [Measures].[crimes] "
+            + base.format(m="a"),
+            "quoted",
+        ),
+        (
+            "WITH MEMBER [District].[a] AS '1' " + base.format(m="a"),
+            r"\[Measures\]",
+        ),
+        (
+            "WITH MEMBER [Measures].[a] AS "
+            "'([Measures].[crimes], [District].[All Districts].Children)' "
+            + base.format(m="a"),
+            "enumerate",
+        ),
+        (
+            "WITH MEMBER [Measures].[a] AS '[District].[All Districts]' "
+            + base.format(m="a"),
+            "exactly one",
+        ),
+    ]:
+        with pytest.raises(MdxError, match=msg):
+            parse_mdx(q)
+
+
+def test_chained_op_missing_value_keeps_member_nulls_last(spark):
+    """The ADVICE-flagged policy: a member kept by an earlier op but
+    ABSENT from a later op's expression context survives the (left)
+    join — Order sorts it LAST (caption-asc among missing), Filter
+    treats its NULL value as non-matching."""
+    year = _fixture_year(spark)
+    want = _district_totals(spark, year)
+    # find a (year, month, week, day) leaf with data for SOME but not
+    # all districts — the later op's value frame misses the rest
+    t = star_tables(incidents(spark, SF_SMOKE))
+    leaf = (
+        t["fact"]
+        .join(t["district"].withColumnRenamed("name", "district"), "district_id")
+        .join(t["timeperiod"], "time_id")
+        .filter(F.col("year") == year)
+        .groupBy("year", "month", "week", "day")
+        .agg(
+            F.countDistinct("district").alias("nd"),
+            F.sum("crimes").alias("n"),
+        )
+        .filter(F.col("nd") < len(want))
+        .orderBy(F.desc("nd"))
+        .limit(1)
+        .collect()
+    )
+    if not leaf:
+        pytest.skip("fixture has every district on every day")
+    y, m, w, d = leaf[0].year, leaf[0].month, leaf[0].week, leaf[0].day
+    day_tot = {
+        r.district: r.n
+        for r in t["fact"]
+        .join(t["district"].withColumnRenamed("name", "district"), "district_id")
+        .join(t["timeperiod"], "time_id")
+        .filter((F.col("year") == y) & (F.col("month") == m)
+                & (F.col("week") == w) & (F.col("day") == d))
+        .groupBy("district")
+        .agg(F.sum("crimes").alias("n"))
+        .collect()
+    }
+    q = f"""select {{([Measures].[crimes], [Time].[{year}])}} ON COLUMNS,
+  Order(Filter({{[District].[All Districts].Children}},
+               ([Measures].[crimes], [Time].[{year}]) > 0),
+        ([Measures].[crimes], [Time].[{y}].[{m}].[{w}].[{d}]), BDESC) ON ROWS
+from [sfcrime]
+"""
+    rows = _cells(spark, q)
+    # membership: NO member lost to the day-leaf context (all have
+    # year data, so Filter kept them all)
+    assert {r.row_member for r in rows} == set(want)
+    by_ord = sorted(rows, key=lambda r: r.row_ordinal)
+    with_val = [d_ for d_, _ in sorted(
+        day_tot.items(), key=lambda kv: (-kv[1], kv[0]))]
+    missing = sorted(set(want) - set(day_tot))
+    assert [r.row_member for r in by_ord] == with_val + missing
+
+
+def test_filter_missing_value_non_matching(spark):
+    """Filter(*, expr > 0) over a context where a member has NO value
+    drops that member (NULL is non-matching) — pinned divergence-free
+    with Mondrian's NULL-comparison semantics."""
+    year = _fixture_year(spark)
+    want = _district_totals(spark, year)
+    t = star_tables(incidents(spark, SF_SMOKE))
+    leaf = (
+        t["fact"]
+        .join(t["district"].withColumnRenamed("name", "district"), "district_id")
+        .join(t["timeperiod"], "time_id")
+        .filter(F.col("year") == year)
+        .groupBy("year", "month", "week", "day")
+        .agg(F.countDistinct("district").alias("nd"))
+        .filter(F.col("nd") < len(want))
+        .orderBy(F.desc("nd"))
+        .limit(1)
+        .collect()
+    )
+    if not leaf:
+        pytest.skip("fixture has every district on every day")
+    y, m, w, d = leaf[0].year, leaf[0].month, leaf[0].week, leaf[0].day
+    q = f"""select {{([Measures].[crimes], [Time].[{year}])}} ON COLUMNS,
+  Filter(Filter({{[District].[All Districts].Children}},
+                ([Measures].[crimes], [Time].[{year}]) > 0),
+         ([Measures].[crimes], [Time].[{y}].[{m}].[{w}].[{d}]) > 0) ON ROWS
+from [sfcrime]
+"""
+    rows = _cells(spark, q)
+    t2 = star_tables(incidents(spark, SF_SMOKE))
+    day_districts = {
+        r.district
+        for r in t2["fact"]
+        .join(t2["district"].withColumnRenamed("name", "district"), "district_id")
+        .join(t2["timeperiod"], "time_id")
+        .filter((F.col("year") == y) & (F.col("month") == m)
+                & (F.col("week") == w) & (F.col("day") == d))
+        .select("district").distinct().collect()
+    }
+    assert {r.row_member for r in rows} == day_districts
