@@ -55,7 +55,14 @@ def plan_checkpoint(df: DataFrame) -> DataFrame:
     served frame re-plans in microseconds. Use it where the frame IS
     the query's final artifact (build once, execute many); keep
     plan_cache for intermediates that exist to dedupe work WITHIN one
-    materialization. Values are bit-identical either way."""
+    materialization. Values are bit-identical either way.
+
+    CONTRACT DIFFERENCE from plan_cache: an unpersisted CACHE
+    recomputes from lineage, an unpersisted CHECKPOINT cannot (the
+    lineage was the thing removed) — a caller holding a released
+    frame fails LOUDLY on next use instead of silently recomputing.
+    The release boundary is unchanged (next registry query build),
+    and every registry consumer collects within it."""
     out = df.localCheckpoint()
     _TRACKED_CHECKPOINTS.append(out)
     return out

@@ -1006,20 +1006,25 @@ def pq_codebooks(
     return np.stack(books)
 
 
-def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
+def pq_encode(
+    emb: DataFrame, codebooks, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Encode every vector to its PQ codes: (vec_id, pq_codes) where
     ``pq_codes[b]`` is the argmin-L2 code of unit-normalized sub-block
     ``b``. Broadcast codebooks, vectorized Arrow batches — a narrow
     map with zero shuffle; at 100 TB the code column is what the ANN
-    serving layer stores (16× smaller than the vectors)."""
+    serving layer stores (16× smaller than the vectors). ``carry``
+    passes extra input columns through the kernel unchanged — the
+    IVF-PQ hybrid build carries ``centroid_id`` so assign + encode
+    stay ONE corpus pass with no vec_id join."""
     import numpy as np
     import pandas as pd
 
     spark = emb.sparkSession
-    bc = spark.sparkContext.broadcast(codebooks)
+    bc = spark.sparkContext.broadcast((codebooks, carry))
 
     def kernel(batches):
-        books = bc.value
+        books, keep = bc.value
         m, _, sub = books.shape
         for pdf in batches:
             if not len(pdf):
@@ -1034,14 +1039,18 @@ def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
                 blk = x[:, b * sub : (b + 1) * sub]
                 d = ((blk[:, None, :] - books[b][None, :, :]) ** 2).sum(-1)
                 codes[:, b] = d.argmin(1)
-            yield pd.DataFrame(
-                {"vec_id": ids, "pq_codes": list(codes)}
-            )
+            out = {"vec_id": ids, "pq_codes": list(codes)}
+            for c in keep:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
     from ..sources.parquet import fan_out
 
-    return fan_out(emb.select("vec_id", "embedding")).mapInPandas(
-        kernel, "vec_id long, pq_codes array<int>"
+    schema = "vec_id long, pq_codes array<int>"
+    for c in carry:
+        schema += f", {c} {emb.schema[c].dataType.simpleString()}"
+    return fan_out(emb.select("vec_id", "embedding", *carry)).mapInPandas(
+        kernel, schema
     )
 
 
@@ -1323,6 +1332,264 @@ def pq_topk_indexed(
     ).select("query_id", F.col("qv").cast(elem_t).alias("qv"))
     reranked = (
         cands.join(F.broadcast(qv), "query_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_col(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        reranked.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
+# --------------------------------------------------------------------
+# IVF-PQ hybrid (round 7): PQ codes stored INSIDE the coarse
+# quantizer's centroid-partitioned lists — the FAISS IVFADC layout
+# (Jégou et al. 2011, public). The round-6 100× probe showed flat
+# PQ's one structural limit: its ADC scan reads the WHOLE code table
+# (corpus-shaped, 4.98 s at 100× — inherent to flat PQ). The hybrid
+# removes it: a probe partition-prunes to nprobe centroid
+# directories, ADC-scans only those lists' 16-byte codes, then
+# exact-re-ranks the shortlist — serve cost tracks nprobe/k of the
+# code table, not the corpus.
+#
+# ENCODING CHOICE, pinned deliberately: codes are FLAT PQ of the
+# unit-normalized vectors, NOT the residual (x − centroid) encoding
+# classic IVFADC uses. Residual codes buy ADC accuracy; the exact
+# re-rank of the shortlist buys it back here, and flat codes make the
+# hybrid BIT-COMPATIBLE with the flat index — probing ALL lists is
+# provably identical to pq_topk_indexed on the same codebooks
+# (pinned in tests/test_similarity.py), which is the equality that
+# keeps the hybrid testable without a second oracle.
+# --------------------------------------------------------------------
+
+
+def write_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = IVF_K,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    centroids=None,
+    codebooks=None,
+) -> None:
+    """Persist the IVF-PQ hybrid serving index — three artifacts:
+
+    - ``{path}/centroids`` — the coarse quantizer (same layout as
+      :func:`write_ivf_index`);
+    - ``{path}/codebooks`` — the PQ codebooks (same layout as
+      :func:`write_pq_index`);
+    - ``{path}/lists`` — ``(vec_id, pq_codes)`` hive-partitioned by
+      ``(centroid_id, append_id)``: a probe reads only its nprobe
+      top-level directories AND only 16 bytes a vector inside them —
+      the partition pruning of the IVF index composed with the
+      compression of the PQ index.
+
+    Build is ONE corpus pass: the assignment kernel carries the
+    vector to the encode kernel (``pq_encode(carry=...)``), no vec_id
+    join. ``centroids`` / ``codebooks``: optional pretrained artifacts
+    (rebuild-equality tests; externally versioned quantizers)."""
+    spark = emb.sparkSession
+    if centroids is not None:
+        cids, cmat = centroids
+    else:
+        cids, cmat = _centroids(emb, n_centroids)
+    cdf = spark.createDataFrame(
+        [(int(c), [float(x) for x in cmat[i]]) for i, c in enumerate(cids)],
+        "centroid_id long, embedding array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    books = pq_codebooks(emb, m, ksub) if codebooks is None else codebooks
+    rows = [
+        (b, j, [float(x) for x in books[b][j]])
+        for b in range(books.shape[0])
+        for j in range(books.shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "block int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    assigned = ivf_assignments(
+        emb, n_centroids, centroids=(cids, cmat), with_embedding=True
+    )
+    coded = pq_encode(assigned, books, carry=("centroid_id",))
+    # STATIC overwrite pinned (see write_ivf_index): a rebuild must
+    # truncate prior append_id partitions and embedded _tombstones
+    coded.withColumn("append_id", F.lit(0)).write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("centroid_id", "append_id").parquet(f"{path}/lists")
+
+
+def append_ivfpq_index(batch: DataFrame, path: str, append_id: int) -> None:
+    """Daily append for the hybrid: assign against the STORED coarse
+    quantizer, encode with the STORED codebooks (neither retrained —
+    every existing list, code, and cached distance table stays valid),
+    land as the batch's own ``(centroid_id, append_id)`` partitions.
+    Same replay contract as :func:`append_ivf_index`: deterministic,
+    so a re-run with the same id overwrites its own partitions with
+    identical bytes; re-appending under a different id duplicates."""
+    if append_id <= 0:
+        raise ValueError(
+            f"append_id must be > 0 (got {append_id}); 0 is the base build"
+        )
+    spark = batch.sparkSession
+    assigned = ivf_assignments(
+        batch, centroids=_stored_centroids(spark, path), with_embedding=True
+    )
+    coded = pq_encode(
+        assigned, _stored_codebooks(spark, path), carry=("centroid_id",)
+    )
+    (
+        coded.withColumn("append_id", F.lit(append_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("centroid_id", "append_id")
+        .parquet(f"{path}/lists")
+    )
+
+
+def apply_changes_to_ivfpq_index(
+    spark,
+    path: str,
+    changes: DataFrame,
+    append_id: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Hybrid twin of :func:`apply_changes_to_ivf_index`: deletes +
+    update pre-images tombstone (the lists share the generation-scoped
+    ``_tombstones`` layout), inserts + post-images append through
+    :func:`append_ivfpq_index`. Churn-sized, replay-idempotent."""
+    changes = changes.localCheckpoint()
+    dead, live = _split_changes(changes, id_col, emb_col)
+    if dead.take(1):
+        tombstone_index(spark, path, dead, append_id, sub="lists")
+    if live.take(1):
+        append_ivfpq_index(live, path, append_id)
+
+
+def compact_ivfpq_index(spark, path: str) -> None:
+    """Generation merge for the hybrid's lists — identical contract to
+    :func:`compact_ivf_index` (the layout is the same
+    ``(centroid_id, append_id)`` tree; only the payload differs)."""
+    _compact_index_dir(spark, path, "lists", ("centroid_id",))
+
+
+def _adc_scan_probed(
+    cands: DataFrame, qids, dtabs, top_s: int, exclude_query_ids: bool = True
+) -> DataFrame:
+    """ADC scan of a PROBED candidate frame ``(query_id, vec_id,
+    pq_codes)`` — each row is scored only for the query whose probe
+    selected it (per-query IVF semantics; :func:`_adc_scan` scores
+    every row for every query, the flat-PQ shape). Emits each task's
+    local top-``top_s`` per query, so the downstream ranking window
+    sees #tasks·S rows."""
+    import numpy as np
+    import pandas as pd
+
+    spark = cands.sparkSession
+    bc = spark.sparkContext.broadcast((qids, dtabs, top_s, exclude_query_ids))
+
+    def adc(batches):
+        q_ids, tabs, topn, excl = bc.value
+        q_index = {int(q): i for i, q in enumerate(q_ids)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            qcol = pdf["query_id"].to_numpy(dtype=np.int64)
+            cds = np.array(list(pdf["pq_codes"]), dtype=np.int64)
+            _, mm = cds.shape
+            for q in np.unique(qcol):
+                rows_q = qcol == q
+                qi = q_index[int(q)]
+                b_ids = ids[rows_q]
+                ad = tabs[qi][np.arange(mm)[None, :], cds[rows_q]].sum(axis=1)
+                if excl:
+                    keep = b_ids != q
+                    b_ids, ad = b_ids[keep], ad[keep]
+                # (adist, vec_id) lexicographic keeps ties exact
+                sel = np.lexsort((b_ids, ad))[:topn]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(sel), q, dtype=np.int64),
+                        "vec_id": b_ids[sel],
+                        "adist": ad[sel],
+                    }
+                )
+
+    return cands.mapInPandas(adc, "query_id long, vec_id long, adist double")
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    emb: DataFrame,
+    k: int = 3,
+    nprobe: int = IVF_NPROBE,
+    shortlist: int = PQ_SHORTLIST,
+    exclude_query_ids: bool = True,
+) -> DataFrame:
+    """Query the persisted IVF-PQ hybrid: probe selection on the
+    driver against the broadcast-size quantizer, a PARTITION-PRUNED
+    scan of only the probed centroid directories' 16-byte codes, ADC
+    shortlisting per query within its own probed lists
+    (:func:`_adc_scan_probed`), then exact-cosine re-rank against
+    ``emb`` — the only touch of real vectors, shortlist·k rows per
+    query. Same scoring and tie-breaks as the flat
+    :func:`pq_topk_indexed`; with ``nprobe = n_centroids`` the result
+    is BIT-IDENTICAL to it (every list probed ⇒ the whole code table
+    scanned — pinned in tests/test_similarity.py), which is the
+    equality that makes the hybrid's pruning auditably lossless
+    except for the nprobe recall knob IVF already gates."""
+    import numpy as np
+
+    cids, cmat = _stored_centroids(spark, path)
+    books = _stored_codebooks(spark, path)
+    qids = np.array([q for q, _ in queries], dtype=np.int64)
+    qmat = np.array([v for _, v in queries], dtype=np.float64)
+    qcos = _seq_cosines(qmat, cmat)
+    probes = [
+        (int(q), int(c))
+        for qi, q in enumerate(qids)
+        for c in cids[np.argsort(-qcos[qi], kind="stable")[:nprobe]]
+    ]
+    probe_df = spark.createDataFrame(probes, "query_id long, centroid_id long")
+    probe_cids = sorted({c for _, c in probes})
+    lists = _filter_tombstones(
+        spark,
+        path,
+        spark.read.parquet(f"{path}/lists").filter(
+            F.col("centroid_id").isin(probe_cids)
+        ),
+        sub="lists",
+    )
+    qx = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    dtabs = _pq_dtabs(books, qx)
+    cands = lists.join(F.broadcast(probe_df), "centroid_id").select(
+        "query_id", "vec_id", "pq_codes"
+    )
+    scored = _adc_scan_probed(
+        cands, qids, dtabs, shortlist * k, exclude_query_ids=exclude_query_ids
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    shortlisted = (
+        scored.withColumn("ark", F.row_number().over(wa))
+        .filter(F.col("ark") <= shortlist * k)
+        .select("query_id", "vec_id")
+    )
+    elem_t = emb.schema["embedding"].dataType
+    qv = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "query_id long, qv array<double>",
+    ).select("query_id", F.col("qv").cast(elem_t).alias("qv"))
+    reranked = (
+        shortlisted.join(F.broadcast(qv), "query_id")
         .join(emb.select("vec_id", "embedding"), "vec_id")
         .select(
             "query_id",

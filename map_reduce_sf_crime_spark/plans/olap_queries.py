@@ -352,4 +352,13 @@ def olap_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("l3"),
         "crimes",
     )
-    return tagged.unionByName(geo).unionByName(cells)
+    # CHECKPOINT at the final artifact boundary (round 7, same
+    # diagnosis as corpus_sample — BASELINE.md round-7 attribution):
+    # the MDX-leg union's logical tree re-paid ~2.2-2.7 s of
+    # analyzer/optimizer walk on EVERY warm action (a bare count on
+    # the built 357-row frame measured 2.7 s; execution is
+    # milliseconds). The tracked localCheckpoint swaps the lineage
+    # for a LogicalRDD scan; values bit-identical, gate unchanged.
+    from ..functions.caching import plan_checkpoint
+
+    return plan_checkpoint(tagged.unionByName(geo).unionByName(cells))

@@ -47,6 +47,13 @@ ANN_METHODS = {
     "pq_appended": 80,
     "ivf_folded": 60,
     "pq_folded": 80,
+    # round 7: the IVF-PQ hybrid (partition-pruned lists of 16-byte
+    # codes + exact re-rank). The floor matches the PQ family: the
+    # re-rank is exact, and nprobe=4/32 lists measured 15/15 on all
+    # three driver corpora; its folded leg carries the same phantom
+    # teeth as pq_folded.
+    "ivfpq_indexed": 80,
+    "ivfpq_folded": 80,
 }
 
 #: The change-feed fold legs poison the base build with PHANTOMS —
@@ -101,6 +108,7 @@ def _ann_index_dir(sf_dir: str, emb: DataFrame) -> str:
         base = tempfile.mkdtemp(prefix="sgraft_ann_idx_")
         similarity.write_ivf_index(emb, f"{base}/ivf")
         similarity.write_pq_index(emb, f"{base}/pq")
+        similarity.write_ivfpq_index(emb, f"{base}/ivfpq")
         # the DAILY-LOOP form: base build on 4/5 of the corpus, then
         # the held-out 1/5 folded in through the append path (stored
         # quantizer/codebooks, batch's own append_id partitions) — so
@@ -133,6 +141,7 @@ def _ann_index_dir(sf_dir: str, emb: DataFrame) -> str:
         poisoned = eslim.filter(~held).unionByName(phantoms)
         similarity.write_ivf_index(poisoned, f"{base}/ivf_fold")
         similarity.write_pq_index(poisoned, f"{base}/pq_fold")
+        similarity.write_ivfpq_index(poisoned, f"{base}/ivfpq_fold")
         changes = (
             phantoms.withColumn("_change_type", F.lit("delete"))
             .unionByName(
@@ -146,6 +155,9 @@ def _ann_index_dir(sf_dir: str, emb: DataFrame) -> str:
         )
         similarity.apply_changes_to_pq_index(
             spark, f"{base}/pq_fold", changes, 1
+        )
+        similarity.apply_changes_to_ivfpq_index(
+            spark, f"{base}/ivfpq_fold", changes, 1
         )
         _INDEX_DIRS[sf_dir] = base
     return _INDEX_DIRS[sf_dir]
@@ -281,7 +293,7 @@ def embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for m, floor in ANN_METHODS.items()
     )
     + ") t(method, n_queries, floor_pct, ok)",
-    survey_ids=("ANN3", "ANN4", "ANN5"),
+    survey_ids=("ANN3", "ANN4", "ANN5", "ANN6", "ANN7", "ANN8"),
 )
 def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable bound for the approximate ANN tier: per-method
@@ -371,6 +383,22 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pq_folded": similarity.pq_topk_indexed(
             spark,
             f"{idx}/pq_fold",
+            queries,
+            emb.select("vec_id", "embedding").unionByName(
+                _fold_phantoms(spark, queries)
+            ),
+            K,
+        ),
+        # round 7: the IVF-PQ hybrid serving path (partition-pruned
+        # lists of 16-byte codes; _adc_scan_probed; exact re-rank) —
+        # its folded leg gets the same phantom-augmented re-rank frame
+        # as pq_folded, for the same no-rescue reason
+        "ivfpq_indexed": similarity.ivfpq_topk_indexed(
+            spark, f"{idx}/ivfpq", queries, emb, K
+        ),
+        "ivfpq_folded": similarity.ivfpq_topk_indexed(
+            spark,
+            f"{idx}/ivfpq_fold",
             queries,
             emb.select("vec_id", "embedding").unionByName(
                 _fold_phantoms(spark, queries)

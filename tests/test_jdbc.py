@@ -111,3 +111,68 @@ def test_star_jdbc_roundtrip_with_reference_column_types(spark):
             tuple(r) for r in df.collect()
         }, name
     shutil.rmtree(db, ignore_errors=True)
+
+
+def test_postgres_dialect_ddl_matches_reference_starschema(spark):
+    """(round 7, VERDICT #6) The Postgres twin of the MySQL pin test:
+    column definitions resolved through PostgresDialect (jdbc:postgresql
+    URL) with the starschemaPostgres.sql:3-28 pins match the reference
+    DDL column for column — including the DOCUMENTED drift: the
+    reference's Postgres timeperiod has NO week column (SURVEY §1.5);
+    this engine standardizes on the fuller MySQL shape, so week stays
+    in the emitted DDL under the dialect's own INTEGER mapping, and the
+    drift is pinned here rather than silently papered over."""
+    from map_reduce_sf_crime_spark.sources.jdbc import (
+        POSTGRES_STAR_COLUMN_TYPES,
+        star_ddl,
+    )
+
+    t = star_tables(incidents(spark, SF_SMOKE))
+    tables = {
+        "timeperiod": t["timeperiod"].select(
+            "time_id", "year", "month", "week", "day"
+        ),
+        "category": t["category"],
+        "district": t["district"],
+        "fact": t["fact"],
+    }
+    ddl = star_ddl(
+        spark,
+        tables,
+        url="jdbc:postgresql://warehouse/sfcrime",
+        column_types=POSTGRES_STAR_COLUMN_TYPES,
+    )
+
+    def types(clause):
+        return {
+            c.strip().split()[0]: c.strip().split()[1]
+            for c in clause.split(",")
+        }
+
+    # starschemaPostgres.sql declares year/month/day INT (no week);
+    # week rides the dialect's own mapping of the engine schema's
+    # LongType (BIGINT) — the pinned divergence
+    assert types(ddl["timeperiod"]) == {
+        "time_id": "INT", "year": "INT", "month": "INT",
+        "week": "BIGINT", "day": "INT",
+    }
+    assert types(ddl["category"]) == {
+        "category_id": "INT", "name": "VARCHAR(100)",
+    }
+    assert types(ddl["district"]) == {
+        "district_id": "INT", "name": "VARCHAR(50)",
+    }
+    assert types(ddl["fact"]) == {
+        "crimes": "INT", "district_id": "INT",
+        "category_id": "INT", "time_id": "INT",
+    }
+    # the pin is load-bearing under THIS dialect too: bare
+    # PostgresDialect maps StringType to TEXT, not VARCHAR(100)
+    bare = star_ddl(
+        spark,
+        {"category": t["category"]},
+        url="jdbc:postgresql://warehouse/sfcrime",
+        column_types={},
+    )
+    assert "VARCHAR(100)" not in bare["category"]
+    assert "TEXT" in bare["category"]

@@ -839,3 +839,164 @@ def test_index_compaction_purges_tombstones(spark):
     # idempotent on a clean index
     assert similarity.recover_index_compaction(spark, ivf, "lists") == "clean"
     shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ------------------------------------------------------------- round 7:
+# the IVF-PQ hybrid — partition-pruned lists of 16-byte codes.
+
+
+def _scratch(name: str) -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        name,
+    )
+
+
+def test_ivfpq_all_probe_equals_flat_pq(spark):
+    """THE hybrid equality pin: probing ALL lists scans exactly the
+    whole code table, so ivfpq_topk_indexed(nprobe=n_centroids) must
+    be bit-identical to pq_topk_indexed on the same codebooks — the
+    pruning is auditably lossless except for the nprobe knob."""
+    import shutil
+
+    hyb, flat = _scratch("ivfpq_eq"), _scratch("ivfpq_eq_flat")
+    shutil.rmtree(hyb, ignore_errors=True)
+    shutil.rmtree(flat, ignore_errors=True)
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    books = similarity.pq_codebooks(emb)
+    similarity.write_ivfpq_index(emb, hyb, n_centroids=8, codebooks=books)
+    similarity.write_pq_index(emb, flat, codebooks=books)
+    qids = QUERY_IDS[:5]
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    ]
+    hybrid = similarity.ivfpq_topk_indexed(
+        spark, hyb, queries, emb, k=3, nprobe=8
+    ).collect()
+    flatpq = similarity.pq_topk_indexed(spark, flat, queries, emb, k=3).collect()
+    assert sorted(map(tuple, hybrid)) == sorted(map(tuple, flatpq))
+    shutil.rmtree(hyb, ignore_errors=True)
+    shutil.rmtree(flat, ignore_errors=True)
+
+
+def test_ivfpq_partition_pruning_and_recall(spark):
+    """Default-nprobe serve: the list scan partition-prunes on
+    centroid_id (the 100 TB point of the hybrid) and recall@3 against
+    brute force clears the PQ-family floor."""
+    import os
+    import shutil
+
+    base = _scratch("ivfpq_idx")
+    shutil.rmtree(base, ignore_errors=True)
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    similarity.write_ivfpq_index(emb, base, n_centroids=8)
+    # layout: one directory per inverted list, payload is codes only
+    lists = spark.read.parquet(os.path.join(base, "lists"))
+    assert sorted(lists.columns) == [
+        "append_id", "centroid_id", "pq_codes", "vec_id",
+    ]
+    assert lists.count() == emb.count()
+    qids = QUERY_IDS[:5]
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    ]
+    idx_df = similarity.ivfpq_topk_indexed(spark, base, queries, emb, k=3)
+    plan = idx_df._jdf.queryExecution().explainString(
+        idx_df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters:" in ln]
+    assert pf and any("centroid_id" in ln for ln in pf)
+    got = {(r.query_id, r.vec_id) for r in idx_df.collect()}
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.knn_bruteforce(emb, qids, 3).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.8
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_ivfpq_append_and_fold_loop(spark):
+    """The daily loop for the hybrid: base build on 4/5 of the corpus,
+    held-out 1/5 appended under the STORED quantizer+codebooks —
+    query-equal to a same-artifact one-shot rebuild, replay-idempotent;
+    then a change-feed fold whose phantom deletes must actually die
+    (tombstones) and whose inserts must serve."""
+    import shutil
+
+    base, reb = _scratch("ivfpq_app"), _scratch("ivfpq_reb")
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(reb, ignore_errors=True)
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    older = emb.filter(F.col("vec_id") % 5 != 4)
+    batch = emb.filter(F.col("vec_id") % 5 == 4)
+    cids_cmat = similarity._centroids(older, 8)
+    books = similarity.pq_codebooks(older)
+    similarity.write_ivfpq_index(
+        older, base, n_centroids=8, centroids=cids_cmat, codebooks=books
+    )
+    similarity.append_ivfpq_index(batch.select("vec_id", "embedding"), base, 1)
+    # replay: same append_id overwrites its own partitions, no dupes
+    similarity.append_ivfpq_index(batch.select("vec_id", "embedding"), base, 1)
+    similarity.write_ivfpq_index(
+        emb, reb, n_centroids=8, centroids=cids_cmat, codebooks=books
+    )
+    qids = QUERY_IDS[:5]
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    ]
+    appended = similarity.ivfpq_topk_indexed(spark, base, queries, emb, k=3)
+    rebuilt = similarity.ivfpq_topk_indexed(spark, reb, queries, emb, k=3)
+    assert sorted(map(tuple, appended.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    # fold: delete two corpus vectors + insert two far-out phantoms;
+    # after the fold the dead ids never serve and the new ids can
+    victims = [r.vec_id for r in rebuilt.filter(F.col("rk") == 1).collect()][:2]
+    new_rows = spark.createDataFrame(
+        [
+            (8_000_000 + i, list(q))
+            for i, (_, q) in enumerate(queries[:2])
+        ],
+        emb.select("vec_id", "embedding").schema,
+    )
+    changes = (
+        emb.filter(F.col("vec_id").isin(victims))
+        .select("vec_id", "embedding")
+        .withColumn("_change_type", F.lit("delete"))
+        .unionByName(new_rows.withColumn("_change_type", F.lit("insert")))
+    )
+    similarity.apply_changes_to_ivfpq_index(spark, base, changes, 2)
+    served = similarity.ivfpq_topk_indexed(
+        spark,
+        base,
+        queries,
+        emb.select("vec_id", "embedding").unionByName(new_rows),
+        k=3,
+    ).collect()
+    assert not ({r.vec_id for r in served} & set(victims))
+    # a phantom copy of query 0's vector must now top query 0
+    q0 = [r for r in served if r.query_id == queries[0][0] and r.rk == 1]
+    assert q0 and q0[0].vec_id == 8_000_000 and q0[0].cosine == 1.0
+    # compaction folds generations back to gen 0 and purges tombstones
+    similarity.compact_ivfpq_index(spark, base)
+    post = similarity.ivfpq_topk_indexed(
+        spark,
+        base,
+        queries,
+        emb.select("vec_id", "embedding").unionByName(new_rows),
+        k=3,
+    ).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, post))
+    import os
+
+    assert not os.path.exists(os.path.join(base, "lists", "_tombstones"))
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(reb, ignore_errors=True)

@@ -515,6 +515,90 @@ def keystone_probe(spark, n: int) -> None:
         )
 
 
+def round7_probe(spark, n: int) -> None:
+    """Round-7 100× probes (VERDICT #8 + #2): the two round-6
+    primitives that only had 10× points, plus the new IVF-PQ hybrid's
+    serve curve against flat PQ's corpus-shaped ADC scan.
+
+    1. ``with_prefix_sum`` at n× — claim: input-linear (two-phase
+       range-bucketed; no per-stratum single-task window);
+    2. ``gopher_stats`` at n× — claim: row-local projection,
+       input-linear, zero shuffle;
+    3. IVF-PQ hybrid: build at n× vectors, serve min-of-3 — claim:
+       the serve reads nprobe centroid directories of 16-byte codes
+       (partition-pruned), where flat PQ's ADC scan reads the whole
+       code table (the round-6 100× point that motivated the hybrid);
+       both serves printed side by side from the same corpus.
+    """
+    import shutil
+    import time as _t
+
+    from pyspark.sql import functions as SF
+
+    from map_reduce_sf_crime_spark.operators import sampling, similarity, textops
+    from map_reduce_sf_crime_spark.sources.parquet import fan_out, load_table
+
+    sf_dir = replicate(n)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    n_docs = docs.count()
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
+    )
+
+    # --- 1: distributed prefix sum (the MX3 leg's exact shape:
+    # running n_chars per lang in a deterministic global order)
+    base = docs.select("doc_id", "lang", "n_chars").localCheckpoint()
+    t0 = _t.perf_counter()
+    sampling.with_prefix_sum(
+        base, "lang", "doc_id", "n_chars"
+    ).write.format("noop").mode("overwrite").save()
+    print(f"x{n} with_prefix_sum[{n_docs} rows]: {_t.perf_counter() - t0:.2f}s")
+    spark.catalog.clearCache()
+
+    # --- 2: Gopher quality rules (row-local sorted-array folds)
+    t0 = _t.perf_counter()
+    textops.gopher_stats(docs).write.format("noop").mode("overwrite").save()
+    print(f"x{n} gopher_stats[{n_docs} docs]: {_t.perf_counter() - t0:.2f}s")
+    spark.catalog.clearCache()
+
+    # --- 3: IVF-PQ hybrid vs flat PQ serve on the same corpus
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    n_vecs = emb.count()
+    qrows = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(SF.col("vec_id").isin(0, 1, 2)).collect()
+    ]
+    books = similarity.pq_codebooks(emb)
+    for kind, write, probe in (
+        (
+            "ivfpq",
+            lambda e, p: similarity.write_ivfpq_index(e, p, codebooks=books),
+            lambda p: similarity.ivfpq_topk_indexed(spark, p, qrows, emb, 3),
+        ),
+        (
+            "pq_flat",
+            lambda e, p: similarity.write_pq_index(e, p, codebooks=books),
+            lambda p: similarity.pq_topk_indexed(spark, p, qrows, emb, 3),
+        ),
+    ):
+        path = os.path.join(scratch, f"r7_{kind}")
+        shutil.rmtree(path, ignore_errors=True)
+        t0 = _t.perf_counter()
+        write(emb, path)
+        t_build = _t.perf_counter() - t0
+        serves = []
+        for _ in range(3):
+            t0 = _t.perf_counter()
+            probe(path).count()
+            serves.append(_t.perf_counter() - t0)
+        print(
+            f"x{n} {kind}_indexed[{n_vecs} vecs]: build {t_build:.2f}s, "
+            f"serve min-of-3 {min(serves):.2f}s"
+        )
+
+
 def index_compaction_probe(spark, n: int) -> None:
     """A week of change-feed folds vs one compaction: probe latency
     and file count on a persisted IVF index after 7 daily folds
@@ -602,7 +686,7 @@ def index_compaction_probe(spark, n: int) -> None:
 
 def main() -> None:
     args = [a for a in sys.argv[1:]]
-    modes = ("hot", "stream", "churn", "compactidx", "keystone")
+    modes = ("hot", "stream", "churn", "compactidx", "keystone", "round7")
     if any(m in args for m in modes):
         n = next((int(a) for a in args if a.isdigit()), 10)
         spark = get_spark("scale_probe")
@@ -616,6 +700,8 @@ def main() -> None:
             index_compaction_probe(spark, n)
         if "keystone" in args:
             keystone_probe(spark, n)
+        if "round7" in args:
+            round7_probe(spark, n)
         spark.stop()
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
