@@ -107,11 +107,22 @@ def rep_times(
     estimator); default keeps the memo (steady-state re-execution).
     Spark's canonicalized-plan cache lookup means intra-query caches
     behave as in a warm service under both."""
+    from map_reduce_sf_crime_spark.functions.caching import (
+        release_plan_checkpoints,
+    )
     from map_reduce_sf_crime_spark.plans import registry as _registry
 
     out = []
     for _ in range(REPS):
         if fresh_build:
+            # checkpoints don't dedupe the way plan caches do (every
+            # localCheckpoint materializes a NEW artifact copy):
+            # release the previous rep's before rebuilding, or the
+            # loop accumulates one corpus-sized copy per rep — inside
+            # the very measurement this estimator exists to keep
+            # comparable. Plan caches stay (cache-manager-deduped,
+            # the deliberate warm-rep house practice since r3).
+            release_plan_checkpoints()
             _registry._BUILT.clear()
         out.append(run_query(spark, name, sf_dir))
     return sorted(out)

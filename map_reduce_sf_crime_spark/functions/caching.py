@@ -68,15 +68,15 @@ def plan_checkpoint(df: DataFrame) -> DataFrame:
     return out
 
 
-def release_plan_caches() -> int:
-    """Unpersist every tracked plan cache; returns how many."""
-    n = len(_TRACKED) + len(_TRACKED_CHECKPOINTS)
-    while _TRACKED:
-        df = _TRACKED.pop()
-        try:
-            df.unpersist()
-        except Exception:  # session already stopped — nothing to free
-            pass
+def release_plan_checkpoints() -> int:
+    """Unpersist every tracked checkpoint only — the per-build
+    artifacts. Unlike plan caches (which Spark's cache manager dedups
+    by canonicalized plan, so a rebuilt identical query reuses the
+    SAME blocks), every ``localCheckpoint`` call materializes a NEW
+    RDD: a loop that rebuilds one query repeatedly (bench's
+    build-per-rep estimator) must release the previous rep's
+    checkpoint or it accumulates one full artifact copy per rep."""
+    n = len(_TRACKED_CHECKPOINTS)
     while _TRACKED_CHECKPOINTS:
         df = _TRACKED_CHECKPOINTS.pop()
         try:
@@ -86,4 +86,17 @@ def release_plan_caches() -> int:
             df._jdf.queryExecution().analyzed().rdd().unpersist(False)
         except Exception:  # non-LogicalRDD root / stopped session —
             pass  # blocks fall to the ContextCleaner on RDD GC
+    return n
+
+
+def release_plan_caches() -> int:
+    """Unpersist every tracked plan cache; returns how many."""
+    n = len(_TRACKED) + len(_TRACKED_CHECKPOINTS)
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+    release_plan_checkpoints()
     return n

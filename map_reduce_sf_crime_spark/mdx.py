@@ -313,17 +313,22 @@ class _Parser:
             save = self.i
             try:
                 members = self.tuple_()
-            except MdxError:  # not a tuple — a parenthesized sub-expr
-                members = None
+            except MdxError as tuple_err:
+                # not a tuple — try a parenthesized sub-expression;
+                # if THAT fails too, surface the tuple error (a typo'd
+                # hierarchy inside '(...)' otherwise masks as a
+                # misleading "expected ')'" from the arithmetic path)
                 self.i = save
-            if members is not None:
-                # semantic validation must NOT backtrack: a bad value
-                # reference is an error, not arithmetic
-                return self._calc_ref(members)
-            self.next()
-            node = self.calc_expr()
-            self.expect(")")
-            return node
+                try:
+                    self.next()
+                    node = self.calc_expr()
+                    self.expect(")")
+                    return node
+                except MdxError:
+                    raise tuple_err from None
+            # semantic validation must NOT backtrack: a bad value
+            # reference is an error, not arithmetic
+            return self._calc_ref(members)
         if t.startswith("["):
             return self._calc_ref([self.member()])
         try:
@@ -773,15 +778,22 @@ def mdx_cells_many(
         op = _ARITH[ast.op]
         return lambda: op(lf(), rf())
 
-    def _calc_grouped(ast, cell_filt, group_cols) -> DataFrame:
+    def _calc_grouped(ast, cell_filt, enum_filt, group_cols) -> DataFrame:
         """Evaluate a calculated cell per enumerated axis member.
-        Membership (the spine) is the base measure's populated groups
-        under the cell context — the NON EMPTY contract; each value
-        reference joins back as its own (memoized) aggregate, grouped
-        only by the enum columns its context does NOT override (an
-        overridden enumeration is a constant across that axis — a
-        1-row broadcast). All frames are axis-member-sized."""
-        spine = _grouped(cell_filt, group_cols).select(*group_cols)
+        The member spine is the DIMENSION universe under the
+        enumerating members' own path filters — NOT the base
+        measure's populated groups under the full cell context
+        (round-7 review: a calc value can be non-empty for a member
+        the base measure leaves empty there, e.g. an expression whose
+        context members override the implicit [Time] default —
+        Mondrian keeps such members; the scalar path already did, via
+        its bare isNotNull). NON EMPTY pruning happens on the CALC
+        value: the caller drops null cells. Each value reference
+        joins back as its own (memoized) aggregate, grouped only by
+        the enum columns its context does NOT override (an overridden
+        enumeration is a constant across that axis — a 1-row
+        broadcast). All frames are axis-member-sized."""
+        spine = _grouped(enum_filt, group_cols).select(*group_cols)
         leaves: list[_CalcExpr] = []
 
         def walk(n):
@@ -832,8 +844,16 @@ def mdx_cells_many(
                 builder = lambda i=i: F.col(f"_c{i}")  # noqa: E731
             scalar_cells.append((tag, ctup, rtup, builder))
             continue
-        frame = _calc_grouped(ast, filt, group_cols) if ast is not None \
-            else _grouped(filt, group_cols)
+        if ast is not None:
+            enum_filt = [
+                (c, v)
+                for m in ctup + rtup
+                if m.enum_col
+                for (c, v) in m.filters
+            ]
+            frame = _calc_grouped(ast, filt, enum_filt, group_cols)
+        else:
+            frame = _grouped(filt, group_cols)
         value = F.col("crimes")
         if calc_present:
             value = value.cast("double")

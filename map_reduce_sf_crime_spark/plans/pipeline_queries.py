@@ -278,9 +278,10 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cannot remove it — the lineage stays in the frame; the tracked
     # localCheckpoint swaps it for a LogicalRDD scan, so warm reps
     # re-plan in microseconds. Values bit-identical, gate unchanged.
+    pos = sampling.with_global_shuffle_pos(capped).transform(plan_cache)
     budgeted = plan_checkpoint(
         sampling.with_prefix_sum(
-            sampling.with_global_shuffle_pos(capped).transform(plan_cache),
+            pos,
             "lang",
             "shuffle_pos",
             "n_chars",
@@ -290,6 +291,14 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum_lang_chars") <= F.col("lang_token_quota")).cast("int"),
         )
     )
+    # the checkpoint materialized EAGERLY just above, so the
+    # intermediate caches (which exist to dedupe the fan points WITHIN
+    # that one materialization) are dead weight from here — release
+    # them now rather than holding corpus-sized blocks until the next
+    # query build (round-7 review; a serving session may never switch
+    # queries). A fresh rebuild re-caches them on demand.
+    for interim in (weights, capped, pos):
+        interim.unpersist()
     # checkpointed at the fan point: shard_assignments' one-row count
     # agg would otherwise re-execute the whole budgeted pipeline
     return export.shard_assignments(budgeted, N_SHARDS)

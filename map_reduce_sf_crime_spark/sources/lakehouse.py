@@ -1300,6 +1300,18 @@ def _merge_upsert_locked(
             if manifest
             else None
         )
+    if pre_write_check is not None:
+        # partition-scoped writers re-check for overlapping LATER
+        # intents here, after the (possibly long) merge build but
+        # BEFORE any byte changes — including the archive copy below:
+        # a withdrawal (wrote_flag still False) deletes only the
+        # intent file, so an archive dir written first would be
+        # orphaned forever (vacuum reclaims archives by manifest cid
+        # only) and its copy work wasted. An overrunning writer thus
+        # raises with nothing on disk; the post-write overrun check
+        # in the caller stays for full coverage of the window between
+        # here and the commit.
+        pre_write_check()
     if manifest and archive:
         # retention for time travel (read_as_of): the replaced
         # files — exactly the intent's pre inventory — are copied
@@ -1310,14 +1322,6 @@ def _merge_upsert_locked(
             f"{path.rstrip('/')}/{_COMMITS_DIR}/{cid:06d}.intent.json",
         )
         _archive_pre_images(spark, path, cid, intent["pre"])
-    if pre_write_check is not None:
-        # partition-scoped writers re-check for overlapping LATER
-        # intents here, after the (possibly long) merge build but
-        # BEFORE any byte changes: an overrunning writer then raises
-        # with wrote_flag still False — its intent withdraws cleanly
-        # and nothing was clobbered. The post-write overrun check in
-        # the caller stays for full coverage of the remaining window.
-        pre_write_check()
     if wrote_flag is not None:
         # from here the table's bytes change: a failure past this
         # point must leave the intent as torn-state evidence

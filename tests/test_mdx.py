@@ -827,3 +827,38 @@ from [sfcrime]
         .select("district").distinct().collect()
     }
     assert {r.row_member for r in rows} == day_districts
+
+
+def test_with_member_context_override_keeps_members_base_leaves_empty(spark):
+    """Round-7 review fix: a calc member whose context overrides the
+    implicit [Time] default must keep axis members that have NO base
+    data under that default — the member spine is the dimension
+    universe under the enumerating member's own path, and NON EMPTY
+    prunes on the CALC value. Here the cube default ([2013].[1].[1])
+    matches nothing in the fixture at all: the base-measure spine
+    would drop every district; the calc values are the 1995 totals."""
+    year = _fixture_year(spark)
+    want = _district_totals(spark, year)
+    q = f"""WITH MEMBER [Measures].[y] AS
+  '([Measures].[crimes], [Time].[{year}])'
+select {{[Measures].[y]}} ON COLUMNS,
+  {{[District].[All Districts].Children}} ON ROWS
+from [sfcrime]
+"""
+    rows = _cells(spark, q)
+    assert {r.row_member: r.crimes for r in rows} == {
+        d: float(c) for d, c in want.items()
+    }
+
+
+def test_with_member_typoed_hierarchy_error_not_masked():
+    """Round-7 review fix: a typo'd hierarchy inside a value tuple
+    surfaces as its own error, not the arithmetic path's misleading
+    "expected ')'" after backtracking."""
+    with pytest.raises(MdxError, match="unknown hierarchy"):
+        parse_mdx(
+            "WITH MEMBER [Measures].[x] AS "
+            "'([Measures].[crimes], [Distrct].[MISSION])' "
+            "select {[Measures].[x]} ON COLUMNS, "
+            "{[District].[All Districts]} ON ROWS from [sfcrime]"
+        )

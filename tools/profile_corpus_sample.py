@@ -15,7 +15,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from map_reduce_sf_crime_spark.plans.registry import REGISTRY, _BUILT
+from map_reduce_sf_crime_spark.plans.registry import REGISTRY
 from map_reduce_sf_crime_spark.session import get_spark
 
 
@@ -48,6 +48,10 @@ def main() -> None:
         print(f"  warm rep: build(memo)={b:.4f}s collect={w:.3f}s")
 
     # ---- per-leg warm re-execution (frames already cached) ----
+    # NOTE: this block hand-mirrors corpus_sample's pipeline wiring so
+    # each leg can be timed in isolation — if plans/pipeline_queries.py
+    # changes the query (new carry column, different cap params), keep
+    # this in sync or the attribution names a different pipeline.
     from pyspark.sql import functions as F
 
     from map_reduce_sf_crime_spark.functions.caching import plan_cache
