@@ -24,6 +24,8 @@ consumed inside one eager write) should keep an explicit
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
@@ -31,6 +33,14 @@ _TRACKED: list[DataFrame] = []
 #: localCheckpoint-ed frames (plan_checkpoint) — released by
 #: unpersisting the checkpointed RDD the LogicalRDD holds
 _TRACKED_CHECKPOINTS: list[DataFrame] = []
+
+#: Running count of release attempts that FAILED (the blocks fell to
+#: the ContextCleaner instead of being freed eagerly). A Spark-version
+#: drift in the checkpointed plan shape would otherwise silently
+#: regress the release loop to leaking one artifact copy per rep —
+#: this makes it observable (warned once per release call, asserted
+#: zero in tests/test_caching.py).
+_RELEASE_FAILURES = 0
 
 
 def plan_cache(df: DataFrame) -> DataFrame:
@@ -40,7 +50,7 @@ def plan_cache(df: DataFrame) -> DataFrame:
     return df
 
 
-def plan_checkpoint(df: DataFrame) -> DataFrame:
+def plan_checkpoint(df: DataFrame, reliable: bool = False) -> DataFrame:
     """``df.localCheckpoint()`` tracked for release at the next query
     build — the lineage cut for a BUILT serving artifact.
 
@@ -62,7 +72,36 @@ def plan_checkpoint(df: DataFrame) -> DataFrame:
     lineage was the thing removed) — a caller holding a released
     frame fails LOUDLY on next use instead of silently recomputing.
     The release boundary is unchanged (next registry query build),
-    and every registry consumer collects within it."""
+    and every registry consumer collects within it.
+
+    EXECUTOR-LOSS CAVEAT (default mode): ``localCheckpoint`` stores
+    the blocks on executors, NOT reliable storage — on a real cluster,
+    losing an executor makes the checkpointed artifact unrecoverable
+    (the lineage that could rebuild it was the thing removed). The
+    failure is loud (block-fetch error), and every durable artifact in
+    this engine is parquet anyway, so the recovery is a re-build of
+    the query. For cluster deployments that cannot tolerate that
+    re-build, pass ``reliable=True``: the frame is written through
+    ``Dataset.checkpoint()`` to the session's checkpoint directory
+    (``spark.sparkContext.setCheckpointDir`` — set it to durable
+    storage, e.g. the object store the lakehouse writes to), which
+    survives executor loss at the cost of one write+read through that
+    storage. Reliable checkpoints are NOT tracked for eager release:
+    their files belong to the checkpoint directory's lifecycle
+    (``spark.cleaner.referenceTracking.cleanCheckpoints=true`` lets
+    the ContextCleaner reap them on RDD GC). Raises loudly if no
+    checkpoint dir is set rather than silently falling back to the
+    non-reliable mode."""
+    if reliable:
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().checkpointDir().isEmpty():
+            raise RuntimeError(
+                "plan_checkpoint(reliable=True) needs "
+                "spark.sparkContext.setCheckpointDir(<durable path>) — "
+                "refusing to silently fall back to executor-local "
+                "(non-reliable) checkpoint storage"
+            )
+        return df.checkpoint()
     out = df.localCheckpoint()
     _TRACKED_CHECKPOINTS.append(out)
     return out
@@ -75,8 +114,12 @@ def release_plan_checkpoints() -> int:
     SAME blocks), every ``localCheckpoint`` call materializes a NEW
     RDD: a loop that rebuilds one query repeatedly (bench's
     build-per-rep estimator) must release the previous rep's
-    checkpoint or it accumulates one full artifact copy per rep."""
-    n = len(_TRACKED_CHECKPOINTS)
+    checkpoint or it accumulates one full artifact copy per rep.
+    Returns the count RELEASED; failed attempts increment
+    ``_RELEASE_FAILURES`` and warn (observable, never silent)."""
+    global _RELEASE_FAILURES
+    released = 0
+    failed = 0
     while _TRACKED_CHECKPOINTS:
         df = _TRACKED_CHECKPOINTS.pop()
         try:
@@ -84,13 +127,25 @@ def release_plan_checkpoints() -> int:
             # freeing the blocks means unpersisting THAT rdd (the
             # Dataset has no .unpersist — it was never .cache()d)
             df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            released += 1
         except Exception:  # non-LogicalRDD root / stopped session —
-            pass  # blocks fall to the ContextCleaner on RDD GC
-    return n
+            failed += 1  # blocks fall to the ContextCleaner on RDD GC
+    if failed:
+        _RELEASE_FAILURES += failed
+        warnings.warn(
+            f"release_plan_checkpoints: {failed}/{released + failed} "
+            "checkpoint releases failed (blocks deferred to the "
+            "ContextCleaner) — if persistent, the checkpointed plan "
+            "shape drifted and the build-per-rep loop is leaking",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return released
 
 
 def release_plan_caches() -> int:
-    """Unpersist every tracked plan cache; returns how many."""
+    """Unpersist every tracked plan cache (+ checkpoints); returns
+    how many were tracked."""
     n = len(_TRACKED) + len(_TRACKED_CHECKPOINTS)
     while _TRACKED:
         df = _TRACKED.pop()

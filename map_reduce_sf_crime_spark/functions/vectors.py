@@ -28,7 +28,14 @@ def dot_sql(a: str, b: str, dim: int) -> str:
 
 
 def cosine_col(a: Column, b: Column) -> Column:
-    return dot_col(a, b) / F.sqrt(dot_col(a, a) * dot_col(b, b))
+    """Cosine as NULL-on-zero-norm (round 8): ``try_divide`` instead
+    of ANSI ``/`` — a degenerate (all-zero) vector yields a NULL
+    cosine, which desc-orderings rank LAST and threshold filters drop,
+    instead of one bad row crashing every query that touches it. This
+    is also exactly DuckDB's double semantics (``x / 0.0`` is NULL),
+    so the oracle twin agrees on degenerate rows, and values on
+    non-degenerate rows are bit-identical to the plain division."""
+    return F.try_divide(dot_col(a, b), F.sqrt(dot_col(a, a) * dot_col(b, b)))
 
 
 def cosine_sql(a: str, b: str, dim: int) -> str:

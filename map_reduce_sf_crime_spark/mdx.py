@@ -16,8 +16,12 @@ JPivot's sort/filter actions emit against the cube
 ``Filter(set, expr cmp number)``) on EITHER axis (round 7 lifted the
 ROWS-only restriction — the column axis is the symmetric case), and
 (round 7) ``WITH MEMBER [Measures].[x] AS '<arith>'`` calculated
-members — arithmetic (+ - * /) over cell value tuples, the other
-query shape JPivot's MDX editor emits freely (ratio/share members).
+members — arithmetic (+ - * /, unary minus) over cell value tuples,
+the other query shape JPivot's MDX editor emits freely (ratio/share
+members) — and (round 8) ``WITH SET [x] AS '<set>'`` named sets,
+parsed once and substituted wherever an axis references ``[x]``
+(each reference gets its own copy, so Order/TopCount/Filter wrapped
+around one reference never leak into another).
 This module parses exactly that grammar and compiles it onto the
 engine's star join — no Mondrian, no cell cache, just Catalyst: every
 axis-tuple pair becomes one filtered
@@ -202,6 +206,9 @@ class _Parser:
         #: query-scoped calculated-member names (WITH MEMBER) — seen
         #: by member() so axis sets can reference them like measures
         self.calc_names: set[str] = set()
+        #: query-scoped named sets (WITH SET, round 8) — substituted
+        #: at set-parse time; name → parsed _SetExpr
+        self.named_sets: dict[str, "_SetExpr"] = {}
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -305,6 +312,21 @@ class _Parser:
         t = self.peek()
         if t is None:
             raise MdxError("unexpected end of calculated-member expression")
+        if t == "-":
+            # unary minus (round 8 — ADVICE: JPivot emits forms like
+            # '-[Measures].[crimes]' and '-1 * x'): compiled as
+            # 0 - factor, which keeps Mondrian's empty-cell algebra
+            # (NULL operand → NULL cell) without a new node kind
+            self.next()
+            return _CalcExpr(
+                kind="bin",
+                op="-",
+                left=_CalcExpr(kind="lit", value=0.0),
+                right=self.calc_factor(),
+            )
+        if t == "+":  # unary plus — a no-op Mondrian tolerates
+            self.next()
+            return self.calc_factor()
         if t == "(":
             # '(' is ambiguous: a value TUPLE or a parenthesized
             # sub-expression — try the tuple read first, backtrack to
@@ -441,6 +463,21 @@ class _Parser:
                 tuples.append(self.tuple_())
             self.expect("}")
             return _SetExpr(tuples)
+        if (
+            t is not None
+            and t.startswith("[")
+            and t[1:-1].lower() in self.named_sets
+            and self.toks[self.i + 1 : self.i + 2] != ["."]
+        ):
+            # WITH SET reference (round 8): substitute the parsed set.
+            # A FRESH copy each time — callers append wrapping ops
+            # (Order(...) around a named set must not mutate the
+            # definition another axis also references). A bracketed
+            # token followed by '.' stays a member path: named sets
+            # have no levels to descend into.
+            self.next()
+            se = self.named_sets[t[1:-1].lower()]
+            return _SetExpr([list(tp) for tp in se.tuples], list(se.ops))
         return _SetExpr([self.tuple_()])
 
 
@@ -513,14 +550,53 @@ class MdxQuery:
 def parse_mdx(text: str) -> MdxQuery:
     p = _Parser(_tokenize(text))
     calc: dict[str, _CalcExpr] = {}
+    named_sets: dict[str, _SetExpr] = {}
     if (p.peek() or "").lower() == "with":
-        # WITH MEMBER [Measures].[name] AS '<arith>' [, PROP = lit]...
-        # (repeatable; a separating comma before the next MEMBER is
-        # tolerated). Mondrian/JPivot quote the expression; properties
+        # WITH { MEMBER [Measures].[name] AS '<arith>' [, PROP = lit]...
+        #      | SET [name] AS '<set>' }+
+        # (repeatable, a separating comma before the next definition is
+        # tolerated). Mondrian/JPivot quote the bodies; properties
         # like FORMAT_STRING are client formatting — accepted, ignored.
+        # A named set's body is a full axis-set expression (tuples,
+        # braces, Crossjoin, Order/TopCount/Filter) parsed ONCE here
+        # and substituted wherever an axis references [name].
         p.next()
-        while (p.peek() or "").lower() == "member":
-            p.next()
+        while (p.peek() or "").lower() in ("member", "set"):
+            kw = p.next().lower()
+            if kw == "set":
+                seg = p.next()
+                if not seg.startswith("["):
+                    raise MdxError(
+                        f"expected a [name] after SET, got {seg!r}"
+                    )
+                sname = seg[1:-1].lower()
+                if sname in named_sets:
+                    raise MdxError(
+                        f"named set [{seg[1:-1]}] defined twice"
+                    )
+                p.expect("as")
+                body = p.next()
+                if not (body.startswith("'") or body.startswith('"')):
+                    raise MdxError(
+                        "WITH SET expression must be quoted: AS '<set>'"
+                    )
+                quote = body[0]
+                sub = _Parser(
+                    _tokenize(body[1:-1].replace(quote * 2, quote))
+                )
+                sub.calc_names = set(calc)
+                sub.named_sets = dict(named_sets)  # earlier sets usable
+                se = sub.set_()
+                if sub.peek() is not None:
+                    raise MdxError(
+                        f"trailing tokens in named set: {sub.peek()!r}"
+                    )
+                named_sets[sname] = se
+                if p.peek() == ",":
+                    nxt = (p.toks[p.i + 1 : p.i + 2] or [""])[0].lower()
+                    if nxt in ("member", "set"):
+                        p.next()  # comma-separated next definition
+                continue
             seg0 = p.next()
             if not seg0.startswith("[") or seg0[1:-1].lower() != "measures":
                 raise MdxError(
@@ -555,7 +631,7 @@ def parse_mdx(text: str) -> MdxQuery:
             while p.peek() == ",":
                 p.next()
                 nxt = p.peek() or ""
-                if nxt.lower() == "member":
+                if nxt.lower() in ("member", "set"):
                     break  # comma-separated next definition
                 prop = p.next()
                 if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", prop):
@@ -563,9 +639,12 @@ def parse_mdx(text: str) -> MdxQuery:
                 p.expect("=")
                 p.next()  # property value — formatting, ignored
             calc[name] = expr
-        if not calc:
-            raise MdxError("WITH requires at least one MEMBER definition")
+        if not calc and not named_sets:
+            raise MdxError(
+                "WITH requires at least one MEMBER or SET definition"
+            )
     p.calc_names = set(calc)
+    p.named_sets = named_sets
     p.expect("select")
     first_set = p.set_()
     p.expect("on")
@@ -727,9 +806,19 @@ def mdx_cells_many(
             cond = cond & (F.col(col) == val)
         return cond
 
+    # slots memoized on the filter set (round 8): a context shared by
+    # many scalar calc cells (e.g. one all-district denominator under
+    # N share cells) registers ONE conditional-agg column, the same
+    # dedup discipline as the grouped path's agg_memo
+    scalar_slot_memo: dict[tuple, int] = {}
+
     def _scalar_slot(filt) -> int:
-        scalar_conds.append(_cond(filt))
-        return len(scalar_conds) - 1
+        key = tuple(sorted(filt))
+        got = scalar_slot_memo.get(key)
+        if got is None:
+            scalar_conds.append(_cond(filt))
+            got = scalar_slot_memo[key] = len(scalar_conds) - 1
+        return got
 
     def _grouped(filt, group_cols) -> DataFrame:
         key = (tuple(sorted(filt)), tuple(group_cols))

@@ -271,7 +271,17 @@ def _seq_cosines(a_mat, b_mat):
     """Cosine of every row of ``a_mat`` against every row of ``b_mat``
     with sequential per-dimension accumulation — the exact fold order
     of ``aggregate(zip_with(...))`` / ``list_sum``, so values are
-    bit-identical to the SQL twin (not merely close)."""
+    bit-identical to the SQL twin (not merely close).
+
+    ZERO-NORM rows (round-8 hardening): a zero vector's cosine is
+    0/0 = NaN, and one NaN COLUMN (a degenerate centroid) poisons
+    ``max``/``argsort`` for EVERY row — measured as an entire corpus
+    silently assigned to the int64-max tie sentinel, i.e. an index
+    that serves nothing. NaN cells are therefore mapped to −inf: a
+    degenerate vector deterministically LOSES every similarity
+    comparison instead of corrupting its neighbors' comparisons. All
+    finite cosines are untouched, so SQL-twin bit-parity holds on any
+    fixture without zero vectors (the gate corpora have none)."""
     import numpy as np
 
     dim = a_mat.shape[1]
@@ -283,7 +293,8 @@ def _seq_cosines(a_mat, b_mat):
         qa += a_mat[:, d] * a_mat[:, d]
         qb += b_mat[:, d] * b_mat[:, d]
     with np.errstate(divide="ignore", invalid="ignore"):
-        return dots / np.sqrt(qa[:, None] * qb[None, :])
+        cos = dots / np.sqrt(qa[:, None] * qb[None, :])
+    return np.where(np.isnan(cos), -np.inf, cos)
 
 
 def ivf_assignments(
@@ -361,7 +372,11 @@ def ivf_assignments_sql(k: int = IVF_K, dim: int = DIM) -> str:
 
 
 def kmeans_centroids(
-    emb: DataFrame, k: int = IVF_K, iters: int = 5, train_rows: int = 100_000
+    emb: DataFrame,
+    k: int = IVF_K,
+    iters: int = 5,
+    train_rows: int = 100_000,
+    snap: bool = True,
 ):
     """Lloyd-refined coarse quantizer (deterministic: init = first-k
     by vec_id, fixed iteration count, ties to lowest index). Trains
@@ -369,7 +384,20 @@ def kmeans_centroids(
     deterministic slice, never the full corpus — so the collect is
     bounded at any input scale; quantizer quality only needs a
     representative sample (genuinely iterative ⇒ no SQL oracle;
-    recall asserted in tests)."""
+    recall asserted in tests).
+
+    ``snap=True`` (round 8 default) finishes with a MEDOID SNAP:
+    each Lloyd mean is replaced by the training vector nearest to it
+    (k-medoids discipline — PAM, Kaufman & Rousseeuw 1987; public).
+    Why: on clustered corpora the snap lands on a representative
+    inside the Lloyd-found cluster (balance preserved), while on
+    near-isotropic data the raw means wash out to short, noisy
+    vectors whose cosines discriminate poorly — measured on the
+    synthetic driver corpora, mean-centroids cost 7–20 recall points
+    at fixed nprobe vs any actual-corpus-vector quantizer, and the
+    snap recovers all of it (BASELINE.md round-8 quantizer table).
+    Centroids that ARE corpus vectors also keep the probe geometry
+    identical to the first-k quantizer's, just better placed."""
     import numpy as np
 
     rows = (
@@ -389,6 +417,11 @@ def kmeans_centroids(
             members = mat[assign == c]
             if len(members):
                 cmat[c] = members.mean(axis=0)
+    if snap:
+        cn = norm(cmat)
+        for c in range(k):
+            # ties → lowest training row, the house argmax discipline
+            cmat[c] = mat[int(np.argmax(x @ cn[c]))]
     cids = np.arange(k, dtype=np.int64)
     return cids, cmat
 
@@ -465,7 +498,7 @@ def write_ivf_index(
     emb: DataFrame,
     path: str,
     n_centroids: int = IVF_K,
-    refine: bool = False,
+    refine: bool = True,
     centroids=None,
 ) -> None:
     """Persist the IVF index: the build-once/query-many production
@@ -485,6 +518,16 @@ def write_ivf_index(
     ``centroids``: optional precomputed (ids, matrix) quantizer —
     overrides ``refine`` (used by rebuild-equality tests and by
     callers that version the quantizer separately).
+
+    ``refine`` DEFAULTS to True (round 8): the production build
+    trains the Lloyd-refined quantizer (:func:`kmeans_centroids`,
+    bounded driver-side sample — the ``pq_codebooks`` discipline).
+    First-k centroids on real Zipfian embeddings give unbalanced
+    inverted lists, which degrades both the probe's pruned fraction
+    and recall at fixed nprobe — the two numbers the partition-pruned
+    serving story rests on (skew measured first-k vs refined in
+    BASELINE.md's round-8 quantizer table). ``refine=False`` keeps
+    the deterministic first-k quantizer the SQL oracle mirrors.
 
     Mirrors the persisted dedup signature catalog (IC1): index build
     cost is paid once; each query batch touches ≈ nprobe/k of the
@@ -977,6 +1020,14 @@ def pq_codebooks(
     ``train_rows`` vec_ids — never the full corpus.
 
     Returns ndarray of shape (m, ksub, dim//m)."""
+    x = _train_sample(emb, train_rows)
+    return _lloyd_blocks(x, m, ksub, iters)
+
+
+def _train_sample(emb: DataFrame, train_rows: int):
+    """Unit-normalized training matrix: the lowest ``train_rows``
+    vec_ids — a deterministic, driver-bounded slice shared by every
+    quantizer/codebook trainer."""
     import numpy as np
 
     rows = (
@@ -986,7 +1037,17 @@ def pq_codebooks(
         .collect()
     )
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    x = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def _lloyd_blocks(x, m: int, ksub: int, iters: int):
+    """Per-block Lloyd on an already-prepared training matrix
+    (deterministic: init = first-ksub rows, fixed iterations, argmin
+    ties → lowest code). Shared by :func:`pq_codebooks` (flat PQ of
+    unit vectors) and :func:`residual_codebooks` (PQ of coarse
+    residuals)."""
+    import numpy as np
+
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -1006,8 +1067,54 @@ def pq_codebooks(
     return np.stack(books)
 
 
+def _normalized_centroid_lookup(centroids):
+    """(sorted centroid ids, row-aligned UNIT-normalized centroid
+    matrix) — the residual pipeline's shared frame of reference: both
+    the encode kernel and the serve-side distance tables subtract the
+    same ĉ, so ||q̂ − x̂||² = ||(q̂ − ĉ) − r||² holds exactly."""
+    import numpy as np
+
+    cids, cmat = centroids
+    order = np.argsort(cids)
+    scids = np.asarray(cids, dtype=np.int64)[order]
+    scmat = np.asarray(cmat, dtype=np.float64)[order]
+    scmat = scmat / np.maximum(
+        np.linalg.norm(scmat, axis=1, keepdims=True), 1e-12
+    )
+    return scids, scmat
+
+
+def residual_codebooks(
+    emb: DataFrame,
+    centroids,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 5,
+    train_rows: int = PQ_TRAIN_ROWS,
+):
+    """PQ codebooks trained on COARSE RESIDUALS r = x̂ − ĉ(x) — the
+    accuracy half of classic IVFADC (Jégou et al. 2011 §III: encode
+    the residual to the assigned coarse centroid, not the vector;
+    residual energy ≪ vector energy, so the same code budget spends
+    its resolution where the coarse quantizer left error). Training
+    mirrors :func:`pq_codebooks`' bounded-sample discipline; the
+    assignment inside uses the same cosine + lowest-id tie-break as
+    :func:`ivf_assignments`, so training residuals distribute like
+    the encode kernel's."""
+    import numpy as np
+
+    x = _train_sample(emb, train_rows)
+    scids, scmat = _normalized_centroid_lookup(centroids)
+    cos = _seq_cosines(x, scmat)
+    best = cos.max(axis=1, keepdims=True)
+    pick = np.where(cos == best, np.arange(len(scids))[None, :], len(scids)).min(
+        axis=1
+    )
+    return _lloyd_blocks(x - scmat[pick], m, ksub, iters)
+
+
 def pq_encode(
-    emb: DataFrame, codebooks, carry: tuple[str, ...] = ()
+    emb: DataFrame, codebooks, carry: tuple[str, ...] = (), centroids=None
 ) -> DataFrame:
     """Encode every vector to its PQ codes: (vec_id, pq_codes) where
     ``pq_codes[b]`` is the argmin-L2 code of unit-normalized sub-block
@@ -1016,15 +1123,24 @@ def pq_encode(
     serving layer stores (16× smaller than the vectors). ``carry``
     passes extra input columns through the kernel unchanged — the
     IVF-PQ hybrid build carries ``centroid_id`` so assign + encode
-    stay ONE corpus pass with no vec_id join."""
+    stay ONE corpus pass with no vec_id join.
+
+    ``centroids``: when given (ids, matrix), encode the COARSE
+    RESIDUAL x̂ − ĉ(centroid_id) instead of x̂ — the IVFADC residual
+    mode; requires ``centroid_id`` in the input (normally via
+    ``carry``), and ``codebooks`` trained by
+    :func:`residual_codebooks`."""
     import numpy as np
     import pandas as pd
 
     spark = emb.sparkSession
-    bc = spark.sparkContext.broadcast((codebooks, carry))
+    lookup = (
+        None if centroids is None else _normalized_centroid_lookup(centroids)
+    )
+    bc = spark.sparkContext.broadcast((codebooks, carry, lookup))
 
     def kernel(batches):
-        books, keep = bc.value
+        books, keep, look = bc.value
         m, _, sub = books.shape
         for pdf in batches:
             if not len(pdf):
@@ -1034,6 +1150,12 @@ def pq_encode(
             x = mat / np.maximum(
                 np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
             )
+            if look is not None:
+                scids, scmat = look
+                cidx = np.searchsorted(
+                    scids, pdf["centroid_id"].to_numpy(dtype=np.int64)
+                )
+                x = x - scmat[cidx]
             codes = np.zeros((len(ids), m), dtype=np.int32)
             for b in range(m):
                 blk = x[:, b * sub : (b + 1) * sub]
@@ -1358,14 +1480,21 @@ def pq_topk_indexed(
 # exact-re-ranks the shortlist — serve cost tracks nprobe/k of the
 # code table, not the corpus.
 #
-# ENCODING CHOICE, pinned deliberately: codes are FLAT PQ of the
+# ENCODING CHOICE: the DEFAULT codes are FLAT PQ of the
 # unit-normalized vectors, NOT the residual (x − centroid) encoding
 # classic IVFADC uses. Residual codes buy ADC accuracy; the exact
 # re-rank of the shortlist buys it back here, and flat codes make the
 # hybrid BIT-COMPATIBLE with the flat index — probing ALL lists is
 # provably identical to pq_topk_indexed on the same codebooks
 # (pinned in tests/test_similarity.py), which is the equality that
-# keeps the hybrid testable without a second oracle.
+# keeps the hybrid testable without a second oracle. Round 8 adds
+# ``residual=True`` as the opt-in accuracy mode (Jégou 2011 §III):
+# codes are PQ of r = x̂ − ĉ(x), the serve-side distance tables are
+# per-(query, probed list) over q̂ − ĉ, and the mode is recorded in
+# ``{path}/meta`` so append/serve stay self-consistent. Residual mode
+# is pinned against flat mode by an all-probe/full-shortlist equality
+# (both reduce to the exact re-rank) plus an ADC-fidelity assertion
+# on a clustered fixture (tests/test_similarity.py).
 # --------------------------------------------------------------------
 
 
@@ -1375,10 +1504,12 @@ def write_ivfpq_index(
     n_centroids: int = IVF_K,
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
+    refine: bool = True,
+    residual: bool = False,
     centroids=None,
     codebooks=None,
 ) -> None:
-    """Persist the IVF-PQ hybrid serving index — three artifacts:
+    """Persist the IVF-PQ hybrid serving index — four artifacts:
 
     - ``{path}/centroids`` — the coarse quantizer (same layout as
       :func:`write_ivf_index`);
@@ -1388,23 +1519,43 @@ def write_ivfpq_index(
       ``(centroid_id, append_id)``: a probe reads only its nprobe
       top-level directories AND only 16 bytes a vector inside them —
       the partition pruning of the IVF index composed with the
-      compression of the PQ index.
+      compression of the PQ index;
+    - ``{path}/meta`` — one row recording the encoding mode, so the
+      append/serve paths of an existing index never have to be TOLD
+      how it was built (a mode mismatch would silently score garbage).
 
     Build is ONE corpus pass: the assignment kernel carries the
     vector to the encode kernel (``pq_encode(carry=...)``), no vec_id
-    join. ``centroids`` / ``codebooks``: optional pretrained artifacts
-    (rebuild-equality tests; externally versioned quantizers)."""
+    join. ``refine`` defaults to the Lloyd-refined coarse quantizer
+    (see :func:`write_ivf_index` — list balance is what the pruning
+    fraction rests on). ``residual=True`` encodes IVFADC residuals
+    (:func:`residual_codebooks`) instead of flat unit vectors — finer
+    codes at identical layout/serve cost. ``centroids`` /
+    ``codebooks``: optional pretrained artifacts (rebuild-equality
+    tests; externally versioned quantizers — with ``residual=True``,
+    ``codebooks`` must be residual-trained)."""
     spark = emb.sparkSession
     if centroids is not None:
         cids, cmat = centroids
     else:
-        cids, cmat = _centroids(emb, n_centroids)
+        cids, cmat = (
+            kmeans_centroids(emb, n_centroids)
+            if refine
+            else _centroids(emb, n_centroids)
+        )
     cdf = spark.createDataFrame(
         [(int(c), [float(x) for x in cmat[i]]) for i, c in enumerate(cids)],
         "centroid_id long, embedding array<double>",
     )
     cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    books = pq_codebooks(emb, m, ksub) if codebooks is None else codebooks
+    if codebooks is None:
+        books = (
+            residual_codebooks(emb, (cids, cmat), m, ksub)
+            if residual
+            else pq_codebooks(emb, m, ksub)
+        )
+    else:
+        books = codebooks
     rows = [
         (b, j, [float(x) for x in books[b][j]])
         for b in range(books.shape[0])
@@ -1413,10 +1564,18 @@ def write_ivfpq_index(
     spark.createDataFrame(
         rows, "block int, code int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark.createDataFrame(
+        [(bool(residual),)], "residual boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     assigned = ivf_assignments(
         emb, n_centroids, centroids=(cids, cmat), with_embedding=True
     )
-    coded = pq_encode(assigned, books, carry=("centroid_id",))
+    coded = pq_encode(
+        assigned,
+        books,
+        carry=("centroid_id",),
+        centroids=(cids, cmat) if residual else None,
+    )
     # STATIC overwrite pinned (see write_ivf_index): a rebuild must
     # truncate prior append_id partitions and embedded _tombstones
     coded.withColumn("append_id", F.lit(0)).write.mode("overwrite").option(
@@ -1424,24 +1583,41 @@ def write_ivfpq_index(
     ).partitionBy("centroid_id", "append_id").parquet(f"{path}/lists")
 
 
+def _stored_ivfpq_residual(spark, path: str) -> bool:
+    """Read a persisted hybrid's encoding mode. Indexes written before
+    the meta artifact existed are flat by construction — absence means
+    False, not an error."""
+    from ..sources.lakehouse import _hfs
+
+    fs, jvm = _hfs(spark, path)
+    mpath = f"{path.rstrip('/')}/meta"
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(mpath)):
+        return False
+    return bool(spark.read.parquet(mpath).collect()[0]["residual"])
+
+
 def append_ivfpq_index(batch: DataFrame, path: str, append_id: int) -> None:
     """Daily append for the hybrid: assign against the STORED coarse
     quantizer, encode with the STORED codebooks (neither retrained —
     every existing list, code, and cached distance table stays valid),
     land as the batch's own ``(centroid_id, append_id)`` partitions.
-    Same replay contract as :func:`append_ivf_index`: deterministic,
-    so a re-run with the same id overwrites its own partitions with
-    identical bytes; re-appending under a different id duplicates."""
+    The stored ``meta`` mode decides flat vs residual encoding — the
+    batch is encoded exactly the way the base build was. Same replay
+    contract as :func:`append_ivf_index`: deterministic, so a re-run
+    with the same id overwrites its own partitions with identical
+    bytes; re-appending under a different id duplicates."""
     if append_id <= 0:
         raise ValueError(
             f"append_id must be > 0 (got {append_id}); 0 is the base build"
         )
     spark = batch.sparkSession
-    assigned = ivf_assignments(
-        batch, centroids=_stored_centroids(spark, path), with_embedding=True
-    )
+    cq = _stored_centroids(spark, path)
+    assigned = ivf_assignments(batch, centroids=cq, with_embedding=True)
     coded = pq_encode(
-        assigned, _stored_codebooks(spark, path), carry=("centroid_id",)
+        assigned,
+        _stored_codebooks(spark, path),
+        carry=("centroid_id",),
+        centroids=cq if _stored_ivfpq_residual(spark, path) else None,
     )
     (
         coded.withColumn("append_id", F.lit(append_id))
@@ -1480,22 +1656,35 @@ def compact_ivfpq_index(spark, path: str) -> None:
 
 
 def _adc_scan_probed(
-    cands: DataFrame, qids, dtabs, top_s: int, exclude_query_ids: bool = True
+    cands: DataFrame,
+    qids,
+    dtabs,
+    top_s: int,
+    exclude_query_ids: bool = True,
+    list_tabs=None,
 ) -> DataFrame:
     """ADC scan of a PROBED candidate frame ``(query_id, vec_id,
     pq_codes)`` — each row is scored only for the query whose probe
     selected it (per-query IVF semantics; :func:`_adc_scan` scores
     every row for every query, the flat-PQ shape). Emits each task's
     local top-``top_s`` per query, so the downstream ranking window
-    sees #tasks·S rows."""
+    sees #tasks·S rows.
+
+    ``list_tabs``: residual mode — a dict ``{(query_id, centroid_id):
+    (m, ksub) table}`` over ``q̂ − ĉ`` (the candidate frame then also
+    carries ``centroid_id``); a code's distance is looked up in ITS
+    list's table, then the per-query batch-local top-``top_s`` is
+    taken across lists exactly as in flat mode."""
     import numpy as np
     import pandas as pd
 
     spark = cands.sparkSession
-    bc = spark.sparkContext.broadcast((qids, dtabs, top_s, exclude_query_ids))
+    bc = spark.sparkContext.broadcast(
+        (qids, dtabs, top_s, exclude_query_ids, list_tabs)
+    )
 
     def adc(batches):
-        q_ids, tabs, topn, excl = bc.value
+        q_ids, tabs, topn, excl, ltabs = bc.value
         q_index = {int(q): i for i, q in enumerate(q_ids)}
         for pdf in batches:
             if not len(pdf):
@@ -1504,11 +1693,26 @@ def _adc_scan_probed(
             qcol = pdf["query_id"].to_numpy(dtype=np.int64)
             cds = np.array(list(pdf["pq_codes"]), dtype=np.int64)
             _, mm = cds.shape
+            blocks = np.arange(mm)[None, :]
+            ccol = (
+                pdf["centroid_id"].to_numpy(dtype=np.int64)
+                if ltabs is not None
+                else None
+            )
             for q in np.unique(qcol):
                 rows_q = qcol == q
-                qi = q_index[int(q)]
                 b_ids = ids[rows_q]
-                ad = tabs[qi][np.arange(mm)[None, :], cds[rows_q]].sum(axis=1)
+                if ltabs is None:
+                    ad = tabs[q_index[int(q)]][blocks, cds[rows_q]].sum(axis=1)
+                else:
+                    sub_cds = cds[rows_q]
+                    sub_cc = ccol[rows_q]
+                    ad = np.empty(len(b_ids), dtype=np.float64)
+                    for c in np.unique(sub_cc):
+                        in_c = sub_cc == c
+                        ad[in_c] = ltabs[(int(q), int(c))][
+                            blocks, sub_cds[in_c]
+                        ].sum(axis=1)
                 if excl:
                     keep = b_ids != q
                     b_ids, ad = b_ids[keep], ad[keep]
@@ -1546,11 +1750,18 @@ def ivfpq_topk_indexed(
     is BIT-IDENTICAL to it (every list probed ⇒ the whole code table
     scanned — pinned in tests/test_similarity.py), which is the
     equality that makes the hybrid's pruning auditably lossless
-    except for the nprobe recall knob IVF already gates."""
+    except for the nprobe recall knob IVF already gates.
+
+    A RESIDUAL-mode index (``write_ivfpq_index(residual=True)``,
+    detected from the stored ``meta``) is served with per-(query,
+    probed-list) distance tables over ``q̂ − ĉ`` — same pruning, same
+    tie-breaks, finer ADC ordering; table count is #queries·nprobe,
+    each m×ksub, still broadcast-trivial."""
     import numpy as np
 
     cids, cmat = _stored_centroids(spark, path)
     books = _stored_codebooks(spark, path)
+    residual = _stored_ivfpq_residual(spark, path)
     qids = np.array([q for q, _ in queries], dtype=np.int64)
     qmat = np.array([v for _, v in queries], dtype=np.float64)
     qcos = _seq_cosines(qmat, cmat)
@@ -1570,12 +1781,31 @@ def ivfpq_topk_indexed(
         sub="lists",
     )
     qx = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
-    dtabs = _pq_dtabs(books, qx)
-    cands = lists.join(F.broadcast(probe_df), "centroid_id").select(
-        "query_id", "vec_id", "pq_codes"
-    )
+    if residual:
+        scids, scmat = _normalized_centroid_lookup((cids, cmat))
+        pos = {int(q): i for i, q in enumerate(qids)}
+        shifted = np.stack(
+            [
+                qx[pos[q]] - scmat[np.searchsorted(scids, c)]
+                for q, c in probes
+            ]
+        )
+        per_pair = _pq_dtabs(books, shifted)
+        list_tabs = {probes[i]: per_pair[i] for i in range(len(probes))}
+        dtabs = None
+        cand_cols = ("query_id", "vec_id", "pq_codes", "centroid_id")
+    else:
+        list_tabs = None
+        dtabs = _pq_dtabs(books, qx)
+        cand_cols = ("query_id", "vec_id", "pq_codes")
+    cands = lists.join(F.broadcast(probe_df), "centroid_id").select(*cand_cols)
     scored = _adc_scan_probed(
-        cands, qids, dtabs, shortlist * k, exclude_query_ids=exclude_query_ids
+        cands,
+        qids,
+        dtabs,
+        shortlist * k,
+        exclude_query_ids=exclude_query_ids,
+        list_tabs=list_tabs,
     )
     wa = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
     shortlisted = (

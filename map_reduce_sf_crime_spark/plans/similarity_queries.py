@@ -54,6 +54,11 @@ ANN_METHODS = {
     # teeth as pq_folded.
     "ivfpq_indexed": 80,
     "ivfpq_folded": 80,
+    # round 8: the IVFADC residual-encoding mode (codes are PQ of
+    # x̂ − ĉ, served with per-(query, probed-list) tables). Finer
+    # codes than flat at identical layout — same exact re-rank, same
+    # PQ-family floor.
+    "ivfpq_residual": 80,
 }
 
 #: The change-feed fold legs poison the base build with PHANTOMS —
@@ -109,6 +114,8 @@ def _ann_index_dir(sf_dir: str, emb: DataFrame) -> str:
         similarity.write_ivf_index(emb, f"{base}/ivf")
         similarity.write_pq_index(emb, f"{base}/pq")
         similarity.write_ivfpq_index(emb, f"{base}/ivfpq")
+        # round 8: the IVFADC residual-encoding mode of the hybrid
+        similarity.write_ivfpq_index(emb, f"{base}/ivfpq_res", residual=True)
         # the DAILY-LOOP form: base build on 4/5 of the corpus, then
         # the held-out 1/5 folded in through the append path (stored
         # quantizer/codebooks, batch's own append_id partitions) — so
@@ -293,7 +300,7 @@ def embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for m, floor in ANN_METHODS.items()
     )
     + ") t(method, n_queries, floor_pct, ok)",
-    survey_ids=("ANN3", "ANN4", "ANN5", "ANN6", "ANN7", "ANN8"),
+    survey_ids=("ANN3", "ANN4", "ANN5", "ANN6", "ANN7", "ANN8", "ANN9"),
 )
 def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable bound for the approximate ANN tier: per-method
@@ -395,6 +402,11 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         # as pq_folded, for the same no-rescue reason
         "ivfpq_indexed": similarity.ivfpq_topk_indexed(
             spark, f"{idx}/ivfpq", queries, emb, K
+        ),
+        # round 8: residual-mode hybrid (detected from the stored
+        # meta — the serve call is identical)
+        "ivfpq_residual": similarity.ivfpq_topk_indexed(
+            spark, f"{idx}/ivfpq_res", queries, emb, K
         ),
         "ivfpq_folded": similarity.ivfpq_topk_indexed(
             spark,

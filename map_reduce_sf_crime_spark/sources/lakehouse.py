@@ -1023,6 +1023,14 @@ def merge_upsert(
     idempotent, so the second apply is a fixpoint. Tested end-to-end
     (torn simulation + recovery) in tests/test_lakehouse.py.
 
+    ``manifest=False`` is the SINGLE-WRITER fast path: no lease, no
+    intent. It still refuses to start while a partition-scoped intent
+    is in flight (a read-only tripwire), but the reverse ordering is
+    undetectable by construction — a partition-scoped writer that
+    registers after the tripwire ran cannot see this merge. Callers
+    that run concurrent writers must use ``manifest=True`` or
+    ``scope="partition"``.
+
     ``archive=True`` additionally copies the replaced partitions'
     files under the commit's ``.archive`` dir before overwriting,
     enabling :func:`read_as_of` time travel back past this merge;
@@ -1219,9 +1227,24 @@ def _merge_upsert_locked(
         # table writer records no intent for partition-scoped writers
         # to conflict against, and the lease it skips is exactly what
         # used to make it safe — so it must still refuse to interleave
-        # with an in-flight partition-scoped merge (mutual lost update,
-        # otherwise undetected on both sides). The check is read-only
-        # and returns [] when the table has no _commits dir at all.
+        # with an in-flight partition-scoped merge. The check is
+        # read-only and returns [] when the table has no _commits dir.
+        #
+        # ONE-SIDED by design (round-8 ADVICE): this protects only the
+        # direction where the partition-scoped intent already exists
+        # when the manifest=False writer checks. A partition-scoped
+        # writer registering AFTER this check cannot see the in-flight
+        # manifest=False merge — no intent, no lease, nothing to
+        # conflict against — so that ordering can still interleave.
+        # Closing it would require manifest=False writers to drop an
+        # intent marker, which collapses the mode's contract: an
+        # intent with no commit from a writer that opted OUT of
+        # manifests would read as torn state to table_state()/
+        # assert_committed and would need lease-allocated commit ids.
+        # The documented rule stands: concurrent writers want
+        # manifest=True (lease) or scope="partition" (intents);
+        # manifest=False is the single-writer fast path, and this
+        # check is a best-effort tripwire, not a guarantee.
         subpaths = [
             _partition_subpath(spark, partition_cols, k) for k in keys
         ]

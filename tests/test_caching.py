@@ -31,3 +31,65 @@ def test_plan_caches_released_at_next_query_build(spark):
     # and an explicit release empties the tracker entirely
     caching.release_plan_caches()
     assert not caching._TRACKED
+
+
+def test_plan_checkpoint_release_is_loud_and_counted(spark):
+    """Round 8 (VERDICT r7 #4 + ADVICE): the released-checkpoint
+    failure path is LOUD (a held frame errors on next use instead of
+    silently recomputing — there is no lineage left to recompute
+    from), and the release loop's success/failure accounting is
+    observable: releases on the current plan shape succeed (failure
+    counter stays zero), so a Spark-version drift that broke the
+    release would show up as a counted, warned failure."""
+    import pytest
+
+    caching.release_plan_caches()
+    before_failures = caching._RELEASE_FAILURES
+    df = spark.range(100).selectExpr("id", "id * 2 as v")
+    cp = caching.plan_checkpoint(df)
+    assert cp.count() == 100
+    assert caching._TRACKED_CHECKPOINTS
+    released = caching.release_plan_checkpoints()
+    assert released == 1
+    assert caching._RELEASE_FAILURES == before_failures, (
+        "release failed on the current checkpoint plan shape"
+    )
+    assert not caching._TRACKED_CHECKPOINTS
+    # the loud-failure contract: the checkpointed blocks are gone and
+    # the frame has no lineage — acting on the held frame raises
+    with pytest.raises(Exception):
+        cp.count()
+
+
+def test_plan_checkpoint_reliable_mode(spark, tmp_path):
+    """reliable=True routes through Dataset.checkpoint() into the
+    session's checkpoint directory (durable storage on a real
+    cluster — survives executor loss, unlike localCheckpoint), is
+    value-identical, is NOT tracked for eager release, and refuses
+    loudly when no checkpoint dir is set."""
+    import pytest
+
+    sc = spark.sparkContext
+    had_dir = not sc._jsc.sc().checkpointDir().isEmpty()
+    if not had_dir:
+        with pytest.raises(RuntimeError, match="setCheckpointDir"):
+            caching.plan_checkpoint(spark.range(3), reliable=True)
+    sc.setCheckpointDir(str(tmp_path / "reliable_cp"))
+    df = spark.range(50).selectExpr("id", "id % 7 as g")
+    want = sorted(map(tuple, df.collect()))
+    tracked_before = len(caching._TRACKED_CHECKPOINTS)
+    cp = caching.plan_checkpoint(df, reliable=True)
+    assert sorted(map(tuple, cp.collect())) == want
+    assert len(caching._TRACKED_CHECKPOINTS) == tracked_before
+    # the artifact lives in the checkpoint dir (reliable storage)
+    import os
+
+    files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(str(tmp_path / "reliable_cp"))
+        for f in fs
+    ]
+    assert files, "reliable checkpoint wrote nothing to the checkpoint dir"
+    # releases do not touch it: the frame still serves afterwards
+    caching.release_plan_caches()
+    assert sorted(map(tuple, cp.collect())) == want

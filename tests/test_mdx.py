@@ -862,3 +862,162 @@ def test_with_member_typoed_hierarchy_error_not_masked():
             "select {[Measures].[x]} ON COLUMNS, "
             "{[District].[All Districts]} ON ROWS from [sfcrime]"
         )
+
+
+# ------------------------------------------------------------- round 8:
+# WITH SET named sets + unary minus in calculated members.
+
+
+def test_with_set_named_set_equals_inlined(spark):
+    """A WITH SET reference compiles to exactly the inlined set: same
+    cells, same values, same captions."""
+    year = _fixture_year(spark)
+    named = f"""WITH SET [MyRows] AS '{{[District].[All Districts].Children}}'
+select {{([Measures].[crimes], [Time].[{year}])}} ON COLUMNS,
+  [MyRows] ON ROWS
+from [sfcrime]
+"""
+    inlined = f"""select {{([Measures].[crimes], [Time].[{year}])}} ON COLUMNS,
+  {{[District].[All Districts].Children}} ON ROWS
+from [sfcrime]
+"""
+    got = sorted(map(tuple, _cells(spark, named)))
+    want = sorted(map(tuple, _cells(spark, inlined)))
+    assert got == want
+
+
+def test_with_set_wrapped_by_order_and_reused(spark):
+    """Each reference to a named set gets its OWN copy: wrapping one
+    reference in Order() attaches ordinals there without leaking the
+    op into a second, unwrapped reference of the same set — and a set
+    defined WITH its own TopCount keeps it at every reference."""
+    year = _fixture_year(spark)
+    want = _district_totals(spark, year)
+    q = f"""WITH SET [D] AS '{{[District].[All Districts].Children}}'
+select {{[Measures].[crimes]}} ON COLUMNS,
+  Order([D], [Measures].[crimes], BDESC) ON ROWS
+from [sfcrime] where [Time].[{year}]
+"""
+    rows = sorted(_cells(spark, q), key=lambda r: r.row_ordinal)
+    expect = [d for d, _ in sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))]
+    assert [r.row_member for r in rows] == expect
+    # a set DEFINED with a set function carries it to the reference
+    q2 = f"""WITH SET [Top2] AS
+  'TopCount({{[District].[All Districts].Children}}, 2, [Measures].[crimes])'
+select {{[Measures].[crimes]}} ON COLUMNS,
+  [Top2] ON ROWS
+from [sfcrime] where [Time].[{year}]
+"""
+    rows2 = {r.row_member for r in _cells(spark, q2)}
+    assert rows2 == set(expect[:2])
+
+
+def test_with_set_on_both_axes_and_member_combo(spark):
+    """Named sets resolve on either axis, compose with WITH MEMBER in
+    one WITH clause, and a bracketed token followed by '.' stays a
+    member path (no false capture of [District].[x] as a set name)."""
+    year = _fixture_year(spark)
+    want = _district_totals(spark, year)
+    total = sum(want.values())
+    q = f"""WITH SET [D] AS '{{[District].[All Districts].Children}}'
+  MEMBER [Measures].[share] AS
+  '[Measures].[crimes] / ([Measures].[crimes], [District].[All Districts])'
+select {{[Measures].[share]}} ON COLUMNS,
+  [D] ON ROWS
+from [sfcrime] where [Time].[{year}]
+"""
+    share = {r.row_member: r.crimes for r in _cells(spark, q)}
+    assert share == {d: c / total for d, c in want.items()}
+
+
+def test_with_set_parse_errors():
+    for q, msg in [
+        (
+            "WITH SET [S] AS '{[District].[All Districts]}' "
+            "SET [S] AS '{[Category].[All Categories]}' "
+            "select {[Measures].[crimes]} ON COLUMNS, [S] ON ROWS "
+            "from [sfcrime]",
+            "defined twice",
+        ),
+        (
+            "WITH SET [S] AS {[District].[All Districts]} "
+            "select {[Measures].[crimes]} ON COLUMNS, [S] ON ROWS "
+            "from [sfcrime]",
+            "must be quoted",
+        ),
+        (
+            "select {[Measures].[crimes]} ON COLUMNS, [NoSuchSet] ON ROWS "
+            "from [sfcrime]",
+            "unknown",
+        ),
+    ]:
+        with pytest.raises(MdxError, match=msg):
+            parse_mdx(q)
+
+
+def test_with_member_unary_minus(spark):
+    """ADVICE r7: '-[Measures].[crimes]' and '-1 * x' parse; unary
+    minus binds the factor (so '-a + b' is (-a) + b) and '+x' is a
+    tolerated no-op."""
+    year = _fixture_year(spark)
+    total = sum(_district_totals(spark, year).values())
+    q = f"""WITH MEMBER [Measures].[neg] AS '-[Measures].[crimes]'
+select {{[Measures].[neg]}} ON COLUMNS,
+  {{[District].[All Districts]}} ON ROWS
+from [sfcrime] where [Time].[{year}]
+"""
+    assert _cells(spark, q)[0].crimes == float(-total)
+    q2 = f"""WITH MEMBER [Measures].[x] AS '-1 * [Measures].[crimes] + [Measures].[crimes] * 2'
+select {{[Measures].[x]}} ON COLUMNS,
+  {{[District].[All Districts]}} ON ROWS
+from [sfcrime] where [Time].[{year}]
+"""
+    assert _cells(spark, q2)[0].crimes == float(-total + 2 * total)
+    q3 = f"""WITH MEMBER [Measures].[p] AS '+[Measures].[crimes] - -[Measures].[crimes]'
+select {{[Measures].[p]}} ON COLUMNS,
+  {{[District].[All Districts]}} ON ROWS
+from [sfcrime] where [Time].[{year}]
+"""
+    assert _cells(spark, q3)[0].crimes == float(2 * total)
+
+
+def test_scalar_calc_slots_memoized(spark):
+    """ADVICE r7: repeated value references with the SAME context in
+    scalar calc cells register ONE conditional-agg slot (keyed on the
+    sorted filter set), not one per occurrence — checked structurally
+    on the compiled plan (the single scalar pass carries exactly the
+    distinct-context aggregate count) and by value."""
+    from map_reduce_sf_crime_spark.mdx import mdx_cells_many
+    from map_reduce_sf_crime_spark.plans.olap_queries import _star_join
+
+    year = _fixture_year(spark)
+    want = _district_totals(spark, year)
+    a, b = sorted(want)[:2]
+    # three cells, each dividing by the SAME all-district denominator:
+    # distinct contexts = {A-num, B-num, denominator, A+B-sum-parts}
+    q = f"""WITH MEMBER [Measures].[sa] AS
+  '([Measures].[crimes], [District].[{a}]) / [Measures].[crimes]'
+  MEMBER [Measures].[sb] AS
+  '([Measures].[crimes], [District].[{b}]) / [Measures].[crimes]'
+  MEMBER [Measures].[sab] AS
+  '(([Measures].[crimes], [District].[{a}]) + ([Measures].[crimes], [District].[{b}])) / [Measures].[crimes]'
+select {{[Measures].[sa], [Measures].[sb], [Measures].[sab]}} ON COLUMNS,
+  {{[Category].[All Categories]}} ON ROWS
+from [sfcrime] where [Time].[{year}]
+"""
+    df = mdx_cells_many(_star_join(spark, SF_SMOKE), [("q", parse_mdx(q))])
+    total = sum(want.values())
+    vals = {r.col_member: r.crimes for r in df.collect()}
+    assert vals == {
+        "sa": want[a] / total,
+        "sb": want[b] / total,
+        "sab": (want[a] + want[b]) / total,
+    }
+    # structural: 3 distinct contexts (A, B, denominator) — the three
+    # denominator references and the repeated A/B numerators dedup; 7
+    # references would otherwise make 7 slots
+    import re as _re
+
+    plan = df._jdf.queryExecution().analyzed().toString()
+    slots = {m for m in _re.findall(r"_c\d+", plan)}
+    assert len(slots) == 3, sorted(slots)

@@ -179,16 +179,20 @@ def test_ivf_index_persisted_parity(spark):
     emb = load_table(spark, SF_CHECK, "embeddings")
     similarity.write_ivf_index(emb, base, n_centroids=8)
 
-    # hive layout on disk: one directory per inverted list
+    # hive layout on disk: one directory per NON-EMPTY inverted list
+    # (the refined quantizer may leave a centroid memberless)
     dirs = [d for d in os.listdir(os.path.join(base, "lists")) if d.startswith("centroid_id=")]
-    assert len(dirs) == 8
+    assert 0 < len(dirs) <= 8
 
     qids = QUERY_IDS[:5]
     queries = [
         (r["vec_id"], list(r["embedding"]))
         for r in emb.filter(F.col("vec_id").isin(qids)).collect()
     ]
-    live = similarity.ivf_topk(emb, qids, k=3, n_centroids=8).collect()
+    # refine=True on BOTH sides: the build default is the refined
+    # quantizer (round 8) and kmeans_centroids is deterministic, so
+    # live and indexed train the identical quantizer
+    live = similarity.ivf_topk(emb, qids, k=3, n_centroids=8, refine=True).collect()
     idx_df = similarity.ivf_topk_indexed(spark, base, queries, k=3)
     indexed = idx_df.collect()
     key = lambda r: (r.query_id, r.rk)
@@ -1000,3 +1004,205 @@ def test_ivfpq_append_and_fold_loop(spark):
     assert not os.path.exists(os.path.join(base, "lists", "_tombstones"))
     shutil.rmtree(base, ignore_errors=True)
     shutil.rmtree(reb, ignore_errors=True)
+
+# ------------------------------------------------------------- round 8:
+# residual (IVFADC) encoding mode + the Lloyd-refined build default.
+
+
+def _clustered_fixture(spark, n=2000, n_clusters=12, dim=64, noise=0.15, seed=11):
+    """Gaussian blobs on random centers — embeddings with REAL cluster
+    structure (unlike the near-orthogonal word-soup corpus), where the
+    coarse quantizer captures the cluster mean and the per-vector
+    information lives in the small residual. Deterministic (seeded)."""
+    import random
+
+    rng = random.Random(seed)
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    rows = [
+        (
+            i,
+            [x + rng.gauss(0, noise) for x in centers[i % n_clusters]],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivfpq_residual_beats_flat_on_clustered(spark):
+    """VERDICT r7 #5: residual mode's recall is >= flat mode at EQUAL
+    nprobe/shortlist, and strictly better on a fixture where they
+    differ. On clustered embeddings the flat codes spend their
+    resolution re-encoding the cluster mean every vector shares;
+    residual codes spend it on the within-cluster offset that actually
+    ranks neighbors (Jegou 2011 SIII). Measured here with a TIGHT
+    shortlist so the exact re-rank cannot rescue a bad ADC ordering —
+    the comparison isolates code fidelity. Also pins the meta artifact
+    round-trip (and its absence => flat, the pre-meta back-compat)."""
+    import os
+    import shutil
+
+    emb = _clustered_fixture(spark).cache()
+    qids = [0, 1, 2, 3, 4, 5, 6, 7]
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    ]
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.knn_bruteforce(emb, qids, 3).collect()
+    }
+    recalls = {}
+    paths = {}
+    for mode, residual in (("flat", False), ("residual", True)):
+        p = _scratch(f"res_clustered_{mode}")
+        paths[mode] = p
+        shutil.rmtree(p, ignore_errors=True)
+        similarity.write_ivfpq_index(emb, p, n_centroids=16, residual=residual)
+        assert similarity._stored_ivfpq_residual(spark, p) is residual
+        recalls[mode] = {}
+        for shortlist in (1, 4):
+            got = {
+                (r.query_id, r.vec_id)
+                for r in similarity.ivfpq_topk_indexed(
+                    spark, p, queries, emb, k=3, nprobe=4, shortlist=shortlist
+                ).collect()
+            }
+            recalls[mode][shortlist] = len(got & exact) / len(exact)
+    for shortlist in (1, 4):
+        assert recalls["residual"][shortlist] >= recalls["flat"][shortlist], recalls
+    # strictly better where codes differ (measured 0.54 vs 0.21 / 0.83
+    # vs 0.42 on this fixture) - not merely equal
+    assert recalls["residual"][1] > recalls["flat"][1], recalls
+    # back-compat: an index with NO meta artifact (pre-round-8 layout)
+    # reads as flat
+    shutil.rmtree(os.path.join(paths["flat"], "meta"))
+    assert similarity._stored_ivfpq_residual(spark, paths["flat"]) is False
+    for p in paths.values():
+        shutil.rmtree(p, ignore_errors=True)
+    emb.unpersist()
+
+
+def test_ivfpq_residual_full_probe_full_shortlist_equals_flat(spark):
+    """Plumbing equality: with EVERY list probed and a shortlist
+    covering the whole corpus, the ADC ordering is irrelevant (all
+    scanned rows reach the exact re-rank), so residual and flat modes
+    must return bit-identical results - and both must equal exact
+    brute force on (query_id, vec_id). Pins that the residual serve
+    path (per-(query,list) tables, centroid-carrying candidates)
+    loses no rows and breaks no ties."""
+    import shutil
+
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    n = emb.count()
+    qids = QUERY_IDS[:5]
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    ]
+    results = {}
+    for mode, residual in (("flat", False), ("residual", True)):
+        p = _scratch(f"res_fullprobe_{mode}")
+        shutil.rmtree(p, ignore_errors=True)
+        similarity.write_ivfpq_index(emb, p, n_centroids=8, residual=residual)
+        results[mode] = sorted(
+            map(
+                tuple,
+                similarity.ivfpq_topk_indexed(
+                    spark, p, queries, emb, k=3, nprobe=8, shortlist=n
+                ).collect(),
+            )
+        )
+        shutil.rmtree(p, ignore_errors=True)
+    assert results["flat"] == results["residual"]
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.knn_bruteforce(emb, qids, 3).collect()
+    }
+    assert {(r[0], r[1]) for r in results["residual"]} == exact
+
+
+def test_ivfpq_residual_append_respects_stored_mode(spark):
+    """append_ivfpq_index on a RESIDUAL index encodes the batch in
+    residual mode (read from meta, never passed by the caller): base
+    residual build on 4/5 of the corpus + append of the held-out 1/5
+    is query-equal to a one-shot residual rebuild with the same stored
+    quantizer+codebooks. A mode mismatch (batch encoded flat into a
+    residual index) would mis-rank appended vectors at tight
+    shortlists - asserted by serving with shortlist=1."""
+    import shutil
+
+    base, reb = _scratch("res_app"), _scratch("res_reb")
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(reb, ignore_errors=True)
+    emb = _clustered_fixture(spark, n=1000).cache()
+    older = emb.filter(F.col("vec_id") % 5 != 4)
+    batch = emb.filter(F.col("vec_id") % 5 == 4)
+    similarity.write_ivfpq_index(older, base, n_centroids=16, residual=True)
+    similarity.append_ivfpq_index(batch, base, 1)
+    cq = similarity._stored_centroids(spark, base)
+    books = similarity._stored_codebooks(spark, base)
+    similarity.write_ivfpq_index(
+        emb, reb, centroids=cq, codebooks=books, residual=True
+    )
+    qids = [0, 4, 9, 14]  # 4, 9, 14 land in the appended fifth's orbit
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    ]
+    for shortlist in (1, 8):
+        got = similarity.ivfpq_topk_indexed(
+            spark, base, queries, emb, k=3, shortlist=shortlist
+        )
+        want = similarity.ivfpq_topk_indexed(
+            spark, reb, queries, emb, k=3, shortlist=shortlist
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(reb, ignore_errors=True)
+    emb.unpersist()
+
+
+def test_zero_vector_does_not_poison_index(spark):
+    """Round-8 hardening: a single all-zero embedding (deleted doc,
+    failed encoder — realistic at 100 TB) must not corrupt the index.
+    Before the _seq_cosines NaN->-inf fix, a zero vector among the
+    first-k centroids made EVERY row's coarse assignment NaN-poisoned
+    into the int64-max tie sentinel: one garbage list holding the
+    whole corpus, every probe served empty, silently. Now: the
+    degenerate vector loses every comparison deterministically, all
+    other vectors assign normally, and the built index serves real
+    neighbors."""
+    import shutil
+
+    base = _scratch("zero_vec_idx")
+    shutil.rmtree(base, ignore_errors=True)
+    emb = load_table(spark, SF_CHECK, "embeddings").select("vec_id", "embedding")
+    dim = len(emb.select("embedding").first()[0])
+    zero = spark.createDataFrame(
+        [(0, [0.0] * dim)], "vec_id long, embedding array<float>"
+    )
+    poisoned = emb.filter(F.col("vec_id") != 0).unionByName(
+        zero.select("vec_id", F.col("embedding").cast(emb.schema["embedding"].dataType))
+    )
+    # vec 0 is all-zero AND (by vec_id order) a first-k centroid in
+    # refine=False mode; cover BOTH quantizer paths
+    for kw in (dict(refine=False), dict(refine=True)):
+        shutil.rmtree(base, ignore_errors=True)
+        similarity.write_ivfpq_index(poisoned, base, n_centroids=8, **kw)
+        lists = spark.read.parquet(f"{base}/lists")
+        assert lists.count() == poisoned.count()
+        # no sentinel list; every centroid_id is a real quantizer id
+        cids = {r[0] for r in lists.select("centroid_id").distinct().collect()}
+        assert max(cids) < 2**62, cids
+        qids = [r.vec_id for r in emb.filter(F.col("vec_id").isin(1, 2, 3)).collect()]
+        queries = [
+            (r["vec_id"], list(r["embedding"]))
+            for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+        ]
+        got = similarity.ivfpq_topk_indexed(
+            spark, base, queries, poisoned, k=3, nprobe=8
+        ).collect()
+        assert len(got) == 3 * len(queries)
+    shutil.rmtree(base, ignore_errors=True)

@@ -599,7 +599,236 @@ def round7_probe(spark, n: int) -> None:
         )
 
 
-def index_compaction_probe(spark, n: int) -> None:
+def _zipf_clustered(spark, n=4000, n_clusters=24, dim=64, seed=13, sorted_by_cluster=False):
+    """Zipfian-clustered embeddings: cluster i gets weight 1/(i+1),
+    centers are seeded Gaussians, members = center + N(0, 0.25) noise.
+    ``sorted_by_cluster=True`` correlates vec_id ORDER with cluster —
+    the realistic first-k failure (ingestion order follows content:
+    per-source dumps, crawl frontiers)."""
+    import random
+
+    rng = random.Random(seed)
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    w = [1.0 / (i + 1) for i in range(n_clusters)]
+    tot = sum(w)
+    counts = [round(n * x / tot) for x in w]
+    counts[0] += n - sum(counts)
+    member = []
+    for ci, cnt in enumerate(counts):
+        member += [ci] * cnt
+    if not sorted_by_cluster:
+        rng.shuffle(member)
+    rows = [
+        (i, [x + rng.gauss(0, 0.25) for x in centers[ci]])
+        for i, ci in enumerate(member)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def quantizer_probe(spark, n: int) -> None:
+    """VERDICT r7 #1's done-criterion: list-size skew (max/mean),
+    recall@3 (nprobe=4/32), and per-query pruned fraction for the
+    persisted hybrid under three quantizers — first-k, Lloyd MEANS
+    (classic k-means output), and the production default Lloyd+medoid
+    SNAP — on three fixture shapes: the near-isotropic driver corpus,
+    a shuffled Zipfian-clustered fixture, and the same fixture with
+    vec_id order CORRELATED to cluster (first-k's failure mode)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as SF
+
+    from map_reduce_sf_crime_spark.operators import similarity
+    from map_reduce_sf_crime_spark.sources.parquet import fan_out, load_table
+
+    fixtures = {
+        "isotropic_sf0.1": fan_out(
+            load_table(spark, BASE, "embeddings")
+        ).select("vec_id", "embedding"),
+        "zipf_shuffled": _zipf_clustered(spark, n=400 * n),
+        "zipf_sorted": _zipf_clustered(spark, n=400 * n, sorted_by_cluster=True),
+    }
+    for fname, emb in fixtures.items():
+        emb = emb.cache()
+        n_total = emb.count()
+        # queries spread across the id range (≈ across clusters for
+        # the sorted fixture)
+        qids = [int(n_total * f) for f in (0.0, 0.3, 0.5, 0.7, 0.9)]
+        queries = [
+            (r["vec_id"], list(r["embedding"]))
+            for r in emb.filter(SF.col("vec_id").isin(qids))
+            .select("vec_id", "embedding")
+            .collect()
+        ]
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in similarity.knn_bruteforce(emb, qids, 3).collect()
+        }
+        for tag, cq in (
+            ("firstk", similarity._centroids(emb, similarity.IVF_K)),
+            (
+                "lloyd_mean",
+                similarity.kmeans_centroids(emb, similarity.IVF_K, snap=False),
+            ),
+            (
+                "lloyd_snap",
+                similarity.kmeans_centroids(emb, similarity.IVF_K, snap=True),
+            ),
+        ):
+            p = tempfile.mkdtemp(prefix="sgraft_qprobe_")
+            similarity.write_ivfpq_index(emb, p, centroids=cq)
+            got = {
+                (r.query_id, r.vec_id)
+                for r in similarity.ivfpq_topk_indexed(
+                    spark, p, queries, emb, 3
+                ).collect()
+            }
+            rec = len(got & exact) / len(exact)
+            sizes = {
+                r["centroid_id"]: r["count"]
+                for r in spark.read.parquet(f"{p}/lists")
+                .groupBy("centroid_id")
+                .count()
+                .collect()
+            }
+            tot = sum(sizes.values())
+            skew = max(sizes.values()) / (tot / similarity.IVF_K)
+            cids, cmat = cq
+            qmat = np.array([v for _, v in queries])
+            qcos = similarity._seq_cosines(qmat, cmat)
+            fracs = [
+                sum(
+                    sizes.get(int(c), 0)
+                    for c in np.asarray(cids)[
+                        np.argsort(-qcos[qi], kind="stable")[
+                            : similarity.IVF_NPROBE
+                        ]
+                    ]
+                )
+                / tot
+                for qi in range(len(queries))
+            ]
+            print(
+                f"quantizer {fname}[{n_total}] {tag}: recall@3={rec:.3f} "
+                f"skew={skew:.2f} nonempty={len(sizes)}/{similarity.IVF_K} "
+                f"pruned_frac mean={float(np.mean(fracs)):.3f} "
+                f"max={max(fracs):.3f}"
+            )
+            shutil.rmtree(p, ignore_errors=True)
+        emb.unpersist()
+
+
+def crossover_probe(spark, n: int) -> None:
+    """VERDICT r7 #2's done-criterion: the corpus size where the
+    hybrid's partition-pruned serve beats flat PQ's full-table ADC on
+    WALL-CLOCK, not just pruning ratio. Identical codebooks both
+    paths; deterministic synthetic corpus (sin-based, dim 64);
+    min-of-3 serves.
+
+    The probe is shaped like the deployment the hybrid is FOR — and
+    the first (K=32) run of this probe measured the opposite shape
+    losing, which is worth keeping on record: with the fixture-scale
+    centroid count (32) and a 16-query batch, the probe UNION covered
+    26/32 lists (84.7 % of rows), pruning nothing, and the hybrid's
+    candidate-join overhead made it ~1.7× SLOWER than flat's plain
+    scan. The structural claim was always K ∝ √N (module comment at
+    operators/similarity.py): at 2M vectors that is K ≈ 1024, nprobe
+    scaled to keep recall — under which a latency-style query batch
+    touches a few percent of the lists. This probe builds K = 512,
+    nprobe = 8, 3-query batches: per-query fraction 1.6 %, union
+    ≤ 4.7 %."""
+    import shutil
+    import time as _t
+
+    from pyspark.sql import functions as SF
+
+    from map_reduce_sf_crime_spark.operators import similarity
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
+    )
+    rows_n = 200_000 * n
+    # PERSIST the synthetic corpus: a computed frame would re-run the
+    # 64 sin() projections inside every serve's re-rank join, burying
+    # the ADC-scan difference under identical recompute noise on both
+    # paths. (vec 0 is all-zero — sin(0) — which also exercises the
+    # round-8 zero-vector hardening.)
+    corpus_path = os.path.join(scratch, f"xover_corpus_x{n}")
+    if not os.path.exists(corpus_path):
+        spark.range(rows_n).select(
+            SF.col("id").alias("vec_id"),
+            SF.array(
+                *[SF.sin(SF.col("id") * SF.lit(float(k + 1))) for k in range(64)]
+            ).cast("array<float>").alias("embedding"),
+        ).write.mode("overwrite").parquet(corpus_path)
+    emb = spark.read.parquet(corpus_path)
+    n_cent, nprobe = 512, 8  # K ∝ √N at this corpus size; see docstring
+    qids = [10 + 12_345 * i for i in range(3)]
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(SF.col("vec_id").isin(qids)).collect()
+    ]
+    books = similarity.pq_codebooks(emb)
+    for kind, write, probe in (
+        (
+            "ivfpq",
+            lambda e, p: similarity.write_ivfpq_index(
+                e, p, n_centroids=n_cent, codebooks=books
+            ),
+            lambda p: similarity.ivfpq_topk_indexed(
+                spark, p, queries, emb, 3, nprobe=nprobe
+            ),
+        ),
+        (
+            "pq_flat",
+            lambda e, p: similarity.write_pq_index(e, p, codebooks=books),
+            lambda p: similarity.pq_topk_indexed(spark, p, queries, emb, 3),
+        ),
+    ):
+        path = os.path.join(scratch, f"xover_{kind}")
+        shutil.rmtree(path, ignore_errors=True)
+        t0 = _t.perf_counter()
+        write(emb, path)
+        t_build = _t.perf_counter() - t0
+        serves = []
+        for _ in range(3):
+            t0 = _t.perf_counter()
+            probe(path).count()
+            serves.append(_t.perf_counter() - t0)
+        extra = ""
+        if kind == "ivfpq":
+            sizes = {
+                r["centroid_id"]: r["count"]
+                for r in spark.read.parquet(f"{path}/lists")
+                .groupBy("centroid_id")
+                .count()
+                .collect()
+            }
+            import numpy as np
+
+            cids, cmat = similarity._stored_centroids(spark, path)
+            qmat = np.array([v for _, v in queries])
+            qcos = similarity._seq_cosines(qmat, cmat)
+            probed = set()
+            for qi in range(len(queries)):
+                probed |= {
+                    int(c)
+                    for c in cids[
+                        np.argsort(-qcos[qi], kind="stable")[:nprobe]
+                    ]
+                }
+            touched = sum(sizes.get(c, 0) for c in probed)
+            extra = (
+                f", touched {touched}/{rows_n} rows "
+                f"({100 * touched / rows_n:.1f}%) in {len(probed)} lists"
+            )
+        print(
+            f"x{n} crossover {kind}[{rows_n} vecs]: build {t_build:.2f}s, "
+            f"serve min-of-3 {min(serves):.2f}s"
+            f" (all {[round(s, 2) for s in serves]}){extra}"
+        )
+        shutil.rmtree(path, ignore_errors=True)
     """A week of change-feed folds vs one compaction: probe latency
     and file count on a persisted IVF index after 7 daily folds
     (tombstones + 7 append generations per touched centroid), then
@@ -686,7 +915,10 @@ def index_compaction_probe(spark, n: int) -> None:
 
 def main() -> None:
     args = [a for a in sys.argv[1:]]
-    modes = ("hot", "stream", "churn", "compactidx", "keystone", "round7")
+    modes = (
+        "hot", "stream", "churn", "compactidx", "keystone", "round7",
+        "quantizer", "crossover",
+    )
     if any(m in args for m in modes):
         n = next((int(a) for a in args if a.isdigit()), 10)
         spark = get_spark("scale_probe")
@@ -702,6 +934,10 @@ def main() -> None:
             keystone_probe(spark, n)
         if "round7" in args:
             round7_probe(spark, n)
+        if "quantizer" in args:
+            quantizer_probe(spark, n)
+        if "crossover" in args:
+            crossover_probe(spark, n)
         spark.stop()
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
