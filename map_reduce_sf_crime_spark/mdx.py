@@ -13,7 +13,9 @@ with sets of member tuples, ``.Children`` / ``.Members`` enumeration,
 and the ``sum(crimes)`` measure — plus (round 6) the set functions
 JPivot's sort/filter actions emit against the cube
 (``Order(set, expr[, flag])``, ``TopCount(set, n[, expr])``,
-``Filter(set, expr cmp number)``) on EITHER axis (round 7 lifted the
+``Filter(set, expr cmp number)``, and — round 8 —
+``Hierarchize(set[, POST])``, the wrapper JPivot puts around a
+drill's parent∪children union) on EITHER axis (round 7 lifted the
 ROWS-only restriction — the column axis is the symmetric case), and
 (round 7) ``WITH MEMBER [Measures].[x] AS '<arith>'`` calculated
 members — arithmetic (+ - * /, unary minus) over cell value tuples,
@@ -142,7 +144,10 @@ class _SetOp:
       hierarchy" variants equal the plain ones here — the compiled
       sets are flat member lists, there is no hierarchy to preserve);
     - ``topcount``: ``count`` members by ``expr`` descending;
-    - ``filter``: keep members where value ``cmp`` ``value``.
+    - ``filter``: keep members where value ``cmp`` ``value``;
+    - ``hierarchize`` (round 8): attach hierarchy-order ordinals
+      (parents before children, siblings in native level order; flag
+      "post" puts parents after their subtree) — no ``expr``.
 
     ``expr`` is the numeric-expression tuple — the measure plus
     optional context members (e.g. ``([Measures].[crimes],
@@ -407,6 +412,27 @@ class _Parser:
             return _SetExpr(
                 [ta + tb for ta in a.tuples for tb in b.tuples]
             )
+        if t is not None and t.lower() == "hierarchize":
+            # Hierarchize(set [, POST]) — JPivot emits this around the
+            # union of a drill's parent and children: members sort
+            # into hierarchy order (parents immediately before their
+            # children, siblings in the level's native order; POST
+            # flips parents AFTER their subtree). Compiled as an
+            # ordinal-attaching op like Order, keyed on the members'
+            # typed level paths, not on any measure.
+            self.next()
+            self.expect("(")
+            inner = self.set_()
+            flag = "pre"
+            if self.peek() == ",":
+                self.next()
+                f = self.next().lower()
+                if f != "post":
+                    raise MdxError(f"unknown Hierarchize flag {f!r}")
+                flag = "post"
+            self.expect(")")
+            inner.ops.append(_SetOp(kind="hierarchize", flag=flag))
+            return inner
         if t is not None and t.lower() == "order":
             self.next()
             self.expect("(")
@@ -692,6 +718,77 @@ def _axis_label(tup: list[_Member]):
         if mem.enum_col:
             parts.append(F.col(mem.enum_col).cast("string"))
     return F.concat_ws(", ", *parts) if parts else F.lit("(all)")
+
+
+def _hier_key_frame(own: list[list[_Member]], base: DataFrame, post: bool):
+    """caption → hierarchy sort key for every member an axis's tuples
+    can produce — the Hierarchize() ordering, computed from the axis
+    DEFINITION (no measure context).
+
+    Key construction: per tuple member, a 2-digit hierarchy rank
+    (Mondrian orders mixed-dimension sets dimension by dimension)
+    followed by the member's level-path values — numerics zero-padded
+    to 12 so string order equals numeric order (months 10..11 would
+    otherwise sort before 2), name levels raw. EVERY part carries its
+    own ``\\x01`` terminator, and the whole key ends with a DEPTH
+    sentinel: ``\\x00`` for pre-order, ``\\x7f`` for POST. The part
+    terminator is what confines the sentinel to ancestor-vs-descendant
+    decisions: siblings whose captions are string-prefixes of each
+    other (NATION_1 / NATION_10 — the bug the first cut had) compare
+    at the terminator-vs-next-char position inside their OWN part
+    (\\x01 < any caption byte, so the shorter sibling sorts first in
+    both modes), while parent-vs-child comparisons reach the parent's
+    END sentinel against the child's next part (\\x00 < part bytes →
+    parent first; \\x7f > part bytes → parent after its whole subtree,
+    Mondrian's POST). Enumerating tuples derive their member values
+    from the level columns of ``base`` under the tuple's own path
+    filters (dimension universe, axis-member-sized); static tuples
+    need no scan at all."""
+    spark = base.sparkSession
+    dtypes = dict(base.dtypes)
+    ranks = {h: i for i, h in enumerate(_DIMS)}
+    frames = []
+    for tup in own:
+        parts = []
+        for mem in tup:
+            if mem.measure:
+                continue
+            parts.append(F.lit(f"{ranks.get(mem.hierarchy, 99):02d}"))
+            for c, v in mem.filters:
+                parts.append(
+                    F.lit(f"{v:012d}" if isinstance(v, int) else str(v))
+                )
+            if mem.enum_col:
+                col = F.col(mem.enum_col).cast("string")
+                if dtypes.get(mem.enum_col) in (
+                    "int", "bigint", "smallint", "tinyint",
+                ):
+                    col = F.lpad(col, 12, "0")
+                parts.append(col)
+        terminated = [
+            piece for p in parts for piece in (p, F.lit("\x01"))
+        ]
+        key = F.concat(*terminated, F.lit("\x7f" if post else "\x00"))
+        enum_cols = [m.enum_col for m in tup if m.enum_col]
+        if enum_cols:
+            src = base
+            for c, v in ((c, v) for m in tup for c, v in m.filters):
+                src = src.filter(F.col(c) == v)
+            fr = (
+                src.select(*enum_cols)
+                .distinct()
+                .select(_axis_label(tup).alias("_m"), key.alias("_hkey"))
+            )
+        else:
+            fr = spark.range(1).select(
+                _axis_label(tup).alias("_m"), key.alias("_hkey")
+            )
+        frames.append(fr)
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    # a caption reachable from two tuples keeps one deterministic key
+    return out.groupBy("_m").agg(F.min("_hkey").alias("_hkey"))
 
 
 def mdx_cells_many(
@@ -1066,6 +1163,26 @@ def mdx_cells_many(
                 # the ORIGINAL cells — both axes see the same base
                 members = t_rows.select(F.col(mcol).alias("_m")).distinct()
                 for op in ops:
+                    if op.kind == "hierarchize":
+                        # ordering from the hierarchy itself — no value
+                        # frame; replaces any earlier Order's ordinals
+                        # (membership unchanged). Keys come from the
+                        # axis definition + level columns of base.
+                        keys = _hier_key_frame(
+                            own, base, post=(op.flag == "post")
+                        )
+                        w = Window.orderBy(
+                            F.asc_nulls_last("_hkey"), F.asc("_m")
+                        )
+                        members = (
+                            members.select("_m")
+                            .join(F.broadcast(keys), "_m", "left")
+                            .select(
+                                "_m",
+                                F.row_number().over(w).alias("_ord"),
+                            )
+                        )
+                        continue
                     expr = op.expr or [
                         _Member(measure="crimes", caption=["crimes"])
                     ]

@@ -558,9 +558,9 @@ def write_ivf_index(
     # whole lists tree — under a session-level dynamic default, stale
     # append_id>0 partitions from the previous layout would survive
     # next to the fresh quantizer's lists and silently duplicate
-    lists.withColumn("append_id", F.lit(0)).write.mode("overwrite").option(
-        "partitionOverwriteMode", "static"
-    ).partitionBy("centroid_id", "append_id").parquet(f"{path}/lists")
+    _write_list_partitions(
+        lists.withColumn("append_id", F.lit(0)), f"{path}/lists", static=True
+    )
 
 
 def _stored_centroids(spark, path: str):
@@ -609,12 +609,33 @@ def append_ivf_index(batch: DataFrame, path: str, append_id: int) -> None:
     lists = ivf_assignments(
         batch, centroids=_stored_centroids(spark, path), with_embedding=True
     )
+    _write_list_partitions(
+        lists.withColumn("append_id", F.lit(append_id)), f"{path}/lists"
+    )
+
+
+def _write_list_partitions(df: DataFrame, dest: str, static: bool = False):
+    """Write a ``(…, centroid_id, append_id)`` frame as the serving
+    layout: hive-partitioned AND first repartitioned by
+    ``centroid_id``, so each list directory receives files from ONE
+    task — one file per (list, write), not one per (list, shuffle
+    task). This is load-bearing, measured in round 8: without the
+    repartition, a K=512 build from 32 tasks left 16k+ files under
+    ``lists/`` and the probe's FILE LISTING cost (3.6–14 s) dwarfed
+    everything the partition pruning saved; with it the tree holds
+    one file per non-empty list. One extra shuffle of the compact
+    payload (16-byte codes / raw vectors) paid at BUILD time — the
+    build-once/serve-many trade this index exists for. A pathological
+    hot list still lands in one task/file; at sizes where one list
+    outgrows a task, the centroid count is undersized for the corpus
+    (the K ∝ √N rule) — fix K, not the writer."""
+    mode = "static" if static else "dynamic"
     (
-        lists.withColumn("append_id", F.lit(append_id))
+        df.repartition(F.col("centroid_id"))
         .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
+        .option("partitionOverwriteMode", mode)
         .partitionBy("centroid_id", "append_id")
-        .parquet(f"{path}/lists")
+        .parquet(dest)
     )
 
 
@@ -668,6 +689,42 @@ def tombstone_index(
         .partitionBy("append_id")
         .parquet(f"{path.rstrip('/')}/{sub}/{_TOMBSTONES}")
     )
+
+
+def _read_probed_lists(
+    spark, path: str, probe_cids, sub: str = "lists"
+) -> DataFrame:
+    """Read ONLY the probed ``centroid_id=…`` directories, as explicit
+    paths under ``basePath`` — partition pruning applied at FILE
+    DISCOVERY time, not after it. Round-8 measurement: reading the
+    whole tree and filtering (`read.parquet(lists).filter(isin)`)
+    costs ~2 s at K=512 before a single row moves — 512 partition dirs
+    exceed ``spark.sql.sources.parallelPartitionDiscovery.threshold``
+    (32), so Spark launches a distributed LISTING JOB over directories
+    the filter then throws away; the flat PQ table's one-dir scan of
+    19× more rows took 0.2 s. Listing only the nprobe-union
+    directories keeps discovery driver-side and proportional to the
+    probe, which is the entire point of the layout. The redundant
+    ``isin`` filter stays upstream so the scan still carries an
+    explicit PartitionFilter (plan-asserted in tests) and stray files
+    under a foreign directory can never leak in. Probed ids whose
+    list is EMPTY (the refined quantizer leaves some) have no
+    directory — they are skipped by the existence check; if none
+    exist, falls back to the full-tree read (correct, just unpruned,
+    and only reachable when every probed list is empty)."""
+    from ..sources.lakehouse import _hfs
+
+    base = f"{path.rstrip('/')}/{sub}"
+    fs, jvm = _hfs(spark, base)
+    P = jvm.org.apache.hadoop.fs.Path
+    dirs = [
+        d
+        for c in probe_cids
+        if fs.exists(P(d := f"{base}/centroid_id={c}"))
+    ]
+    reader = spark.read.option("basePath", base)
+    rows = reader.parquet(*dirs) if dirs else spark.read.parquet(base)
+    return rows.filter(F.col("centroid_id").isin(list(probe_cids)))
 
 
 def _filter_tombstones(
@@ -807,10 +864,16 @@ def _compact_index_dir(
     ).withColumn("append_id", F.lit(0))
     # the .compact dir carries merged gen-0 rows and NO _tombstones —
     # the swap below retires both the old rows and the old tombstones
-    # in one rename
-    rows.write.mode("overwrite").partitionBy(*part_cols, "append_id").parquet(
-        f"{root}/{sub}.compact"
-    )
+    # in one rename. Centroid-partitioned trees re-cluster to one file
+    # per list (_write_list_partitions — compaction is exactly the
+    # moment to reclaim file-count amplification); the flat code table
+    # keeps input-coalesced tasks (one dir, file count already small).
+    if "centroid_id" in part_cols:
+        _write_list_partitions(rows, f"{root}/{sub}.compact", static=True)
+    else:
+        rows.write.mode("overwrite").partitionBy(
+            *part_cols, "append_id"
+        ).parquet(f"{root}/{sub}.compact")
     if not fs.rename(P(f"{root}/{sub}"), P(f"{root}/{sub}.old")):
         raise IOError(f"compact: rename {sub} -> {sub}.old failed")
     if not fs.rename(P(f"{root}/{sub}.compact"), P(f"{root}/{sub}")):
@@ -889,9 +952,7 @@ def ivf_topk_indexed(
     lists = _filter_tombstones(
         spark,
         path,
-        spark.read.parquet(f"{path}/lists").filter(
-            F.col("centroid_id").isin(probe_cids)
-        ),
+        _read_probed_lists(spark, path, probe_cids),
         sub="lists",
     )
     self_filter = (
@@ -900,8 +961,10 @@ def ivf_topk_indexed(
         else F.lit(True)
     )
     # cast to the corpus element type so scoring arithmetic is
-    # bit-identical with the live path (float→double→float is exact)
-    elem_t = spark.read.parquet(f"{path}/lists").schema["embedding"].dataType
+    # bit-identical with the live path (float→double→float is exact);
+    # schema from the already-discovered pruned frame — a fresh
+    # read.parquet here would re-list the whole tree
+    elem_t = lists.schema["embedding"].dataType
     qv = spark.createDataFrame(
         [(int(q), [float(x) for x in v]) for q, v in queries],
         "query_id long, qv array<double>",
@@ -1578,9 +1641,9 @@ def write_ivfpq_index(
     )
     # STATIC overwrite pinned (see write_ivf_index): a rebuild must
     # truncate prior append_id partitions and embedded _tombstones
-    coded.withColumn("append_id", F.lit(0)).write.mode("overwrite").option(
-        "partitionOverwriteMode", "static"
-    ).partitionBy("centroid_id", "append_id").parquet(f"{path}/lists")
+    _write_list_partitions(
+        coded.withColumn("append_id", F.lit(0)), f"{path}/lists", static=True
+    )
 
 
 def _stored_ivfpq_residual(spark, path: str) -> bool:
@@ -1619,12 +1682,8 @@ def append_ivfpq_index(batch: DataFrame, path: str, append_id: int) -> None:
         carry=("centroid_id",),
         centroids=cq if _stored_ivfpq_residual(spark, path) else None,
     )
-    (
-        coded.withColumn("append_id", F.lit(append_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("centroid_id", "append_id")
-        .parquet(f"{path}/lists")
+    _write_list_partitions(
+        coded.withColumn("append_id", F.lit(append_id)), f"{path}/lists"
     )
 
 
@@ -1775,9 +1834,7 @@ def ivfpq_topk_indexed(
     lists = _filter_tombstones(
         spark,
         path,
-        spark.read.parquet(f"{path}/lists").filter(
-            F.col("centroid_id").isin(probe_cids)
-        ),
+        _read_probed_lists(spark, path, probe_cids),
         sub="lists",
     )
     qx = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)

@@ -1021,3 +1021,96 @@ from [sfcrime] where [Time].[{year}]
     plan = df._jdf.queryExecution().analyzed().toString()
     slots = {m for m in _re.findall(r"_c\d+", plan)}
     assert len(slots) == 3, sorted(slots)
+
+
+# ------------------------------------------------------------- round 8:
+# Hierarchize (the wrapper JPivot puts around a drill's parent∪children).
+
+
+def test_hierarchize_parent_first_then_children_native_order(spark):
+    """Hierarchize sorts a drill union into hierarchy order REGARDLESS
+    of parse order: the All member first, children after it in the
+    level's native (name) order — the set is written children-first to
+    prove the reorder is real."""
+    year = _fixture_year(spark)
+    want = _district_totals(spark, year)
+    q = f"""select {{[Measures].[crimes]}} ON COLUMNS,
+  Hierarchize({{[District].[All Districts].Children, [District].[All Districts]}}) ON ROWS
+from [sfcrime] where [Time].[{year}]
+"""
+    rows = sorted(_cells(spark, q), key=lambda r: r.row_ordinal)
+    assert rows[0].row_member == "All Districts"
+    assert rows[0].crimes == sum(want.values())
+    assert [r.row_member for r in rows[1:]] == sorted(want)
+
+
+def test_hierarchize_post_puts_parent_after_subtree(spark):
+    year = _fixture_year(spark)
+    want = _district_totals(spark, year)
+    q = f"""select {{[Measures].[crimes]}} ON COLUMNS,
+  Hierarchize({{[District].[All Districts], [District].[All Districts].Children}}, POST) ON ROWS
+from [sfcrime] where [Time].[{year}]
+"""
+    rows = sorted(_cells(spark, q), key=lambda r: r.row_ordinal)
+    assert [r.row_member for r in rows[:-1]] == sorted(want)
+    assert rows[-1].row_member == "All Districts"
+
+
+def test_hierarchize_time_numeric_not_string_order(spark):
+    """Time members order by NUMERIC level values: a day-level drill
+    must place day 10 after day 2 (string order would not). Also pins
+    parent-before-children across two levels in one set."""
+    year = _fixture_year(spark)
+    # find a (month, week) with >= 10 distinct days in the fixture
+    from map_reduce_sf_crime_spark.plans.olap_queries import _star_join
+
+    star = _star_join(spark, SF_SMOKE)
+    # WEEK_OF_MONTH buckets hold <= 7 days, so look for a week whose
+    # days STRADDLE the single/double-digit boundary (e.g. 8, 9, 10):
+    # string order would put "10" before "8"
+    mw = (
+        star.filter(F.col("year") == year)
+        .groupBy("month", "week")
+        .agg(
+            F.countDistinct("day").alias("n"),
+            F.min("day").alias("lo"),
+            F.max("day").alias("hi"),
+        )
+        .filter((F.col("n") >= 3) & (F.col("lo") <= 9) & (F.col("hi") >= 10))
+        .orderBy("month", "week")
+        .first()
+    )
+    assert mw is not None, "fixture has no week straddling day 9/10"
+    m, w = mw["month"], mw["week"]
+    q = f"""select {{[Measures].[crimes]}} ON COLUMNS,
+  Hierarchize({{[Time].[{year}].[{m}].[{w}].Children, ([Time].[{year}].[{m}].[{w}])}}) ON ROWS
+from [sfcrime]
+"""
+    rows = sorted(_cells(spark, q), key=lambda r: r.row_ordinal)
+    assert rows[0].row_member == f"{year}, {m}, {w}"
+    days = [int(r.row_member.split(", ")[-1]) for r in rows[1:]]
+    assert days == sorted(days), days
+    assert any(d >= 10 for d in days)
+
+
+def test_hierarchize_mixed_dimensions_and_named_set(spark):
+    """Dimension rank orders mixed sets (district before category —
+    cube declaration order), and Hierarchize composes with WITH SET."""
+    year = _fixture_year(spark)
+    q = f"""WITH SET [Mix] AS
+  '{{[Category].[All Categories], [District].[All Districts]}}'
+select {{[Measures].[crimes]}} ON COLUMNS,
+  Hierarchize([Mix]) ON ROWS
+from [sfcrime] where [Time].[{year}]
+"""
+    rows = sorted(_cells(spark, q), key=lambda r: r.row_ordinal)
+    assert [r.row_member for r in rows] == ["All Districts", "All Categories"]
+
+
+def test_hierarchize_parse_errors():
+    with pytest.raises(MdxError, match="Hierarchize flag"):
+        parse_mdx(
+            "select {[Measures].[crimes]} ON COLUMNS, "
+            "Hierarchize({[District].[All Districts]}, SIDEWAYS) ON ROWS "
+            "from [sfcrime]"
+        )
