@@ -91,7 +91,19 @@ def plan_checkpoint(df: DataFrame, reliable: bool = False) -> DataFrame:
     (``spark.cleaner.referenceTracking.cleanCheckpoints=true`` lets
     the ContextCleaner reap them on RDD GC). Raises loudly if no
     checkpoint dir is set rather than silently falling back to the
-    non-reliable mode."""
+    non-reliable mode.
+
+    ``SPARK_GRAFT_NO_CHECKPOINT=1`` makes this a no-op (returns the
+    frame unchanged): plan-audit tooling (tools/plan_report.py) sets
+    it so PLANS.md documents the BUILD plan — a checkpointed query
+    otherwise explains as one LogicalRDD scan, which is true for the
+    serving layer but useless for auditing pushed filters and join
+    strategy. Values are identical either way by this function's own
+    contract."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_CHECKPOINT") == "1":
+        return df
     if reliable:
         sc = df.sparkSession.sparkContext
         if sc._jsc.sc().checkpointDir().isEmpty():
