@@ -14,8 +14,10 @@ and the ``sum(crimes)`` measure — plus (round 6) the set functions
 JPivot's sort/filter actions emit against the cube
 (``Order(set, expr[, flag])``, ``TopCount(set, n[, expr])``,
 ``Filter(set, expr cmp number)``, and — round 8 —
-``Hierarchize(set[, POST])``, the wrapper JPivot puts around a
-drill's parent∪children union) on EITHER axis (round 7 lifted the
+``Union(a, b[, ALL])`` plus ``Hierarchize(set[, POST])``, the exact
+composition JPivot emits around a drill:
+``Hierarchize(Union(parent, children))``) on EITHER axis (round 7
+lifted the
 ROWS-only restriction — the column axis is the symmetric case), and
 (round 7) ``WITH MEMBER [Measures].[x] AS '<arith>'`` calculated
 members — arithmetic (+ - * /, unary minus) over cell value tuples,
@@ -412,6 +414,49 @@ class _Parser:
             return _SetExpr(
                 [ta + tb for ta in a.tuples for tb in b.tuples]
             )
+        if t is not None and t.lower() == "union":
+            # Union(a, b[, ALL]) — the combiner JPivot wraps a drill's
+            # parent and children in (usually inside Hierarchize).
+            # Duplicate DEFINITIONS are removed (Mondrian removes
+            # duplicate members; a drill union's sides are disjoint by
+            # construction, and identical definitions are the only
+            # duplicates expressible at parse time — an enumeration
+            # overlapping an explicit member of the same level is kept
+            # as Mondrian's ALL variant would). ALL keeps everything.
+            self.next()
+            self.expect("(")
+            a = self.set_()
+            self.expect(",")
+            b = self.set_()
+            allflag = False
+            if self.peek() == ",":
+                self.next()
+                f = self.next().lower()
+                if f != "all":
+                    raise MdxError(f"unknown Union flag {f!r}")
+                allflag = True
+            self.expect(")")
+            if a.ops or b.ops:
+                raise MdxError(
+                    "set functions must wrap Union, not its inputs"
+                )
+            tuples = a.tuples + b.tuples
+            if not allflag:
+                seen, out = set(), []
+                for tp in tuples:
+                    key = tuple(
+                        (
+                            m.measure,
+                            tuple(sorted((c, str(v)) for c, v in m.filters)),
+                            m.enum_col,
+                        )
+                        for m in tp
+                    )
+                    if key not in seen:
+                        seen.add(key)
+                        out.append(tp)
+                tuples = out
+            return _SetExpr(tuples)
         if t is not None and t.lower() == "hierarchize":
             # Hierarchize(set [, POST]) — JPivot emits this around the
             # union of a drill's parent and children: members sort

@@ -297,6 +297,27 @@ def _seq_cosines(a_mat, b_mat):
     return np.where(np.isnan(cos), -np.inf, cos)
 
 
+def _cosines_fast(a_mat, b_mat):
+    """Matmul-path cosine matrix with the same NaN→−inf degenerate
+    policy as :func:`_seq_cosines`, ~4× faster (BLAS vs 64 sequential
+    per-dimension passes). NOT bit-identical to the SQL twin's fold
+    order — last-ulp sums differ — so it serves only paths the oracle
+    never hashes: assignment against a PROVIDED quantizer (refined /
+    stored centroids), where correctness is recall-gated and the
+    equality pins run BOTH sides through this same kernel.
+    Determinism scope: BLAS reductions are deterministic for a given
+    binary/thread-shape on one machine — exactly the replay-idempotence
+    window the append contract needs; cross-machine index rebuilds
+    were never byte-pinned (only query-result-pinned)."""
+    import numpy as np
+
+    an = np.sqrt((a_mat * a_mat).sum(axis=1))
+    bn = np.sqrt((b_mat * b_mat).sum(axis=1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = (a_mat @ b_mat.T) / (an[:, None] * bn[None, :])
+    return np.where(np.isnan(cos), -np.inf, cos)
+
+
 def ivf_assignments(
     emb: DataFrame, k: int = IVF_K, centroids=None, with_embedding: bool = False
 ) -> DataFrame:
@@ -308,17 +329,27 @@ def ivf_assignments(
     :func:`kmeans_centroids`; defaults to the deterministic first-k
     quantizer the SQL oracle mirrors. ``with_embedding=True`` carries
     the vector through to the output — the index BUILD path uses it so
-    persisting the lists needs no second corpus scan or join."""
+    persisting the lists needs no second corpus scan or join.
+
+    Kernel selection (round 8): the DEFAULT quantizer path keeps the
+    sequential per-dimension fold (:func:`_seq_cosines`) because the
+    ``embedding_profile`` gate hash-compares its assignments against
+    the DuckDB twin bit-for-bit; a PROVIDED quantizer was never
+    oracle-hashed (refined/stored centroids — recall-gated instead),
+    so those builds use the ~4× matmul kernel (:func:`_cosines_fast`)
+    — at K=512 over 2M vectors that is the difference between a 58 s
+    and a ~20 s build, and it scales with K·dim."""
     import numpy as np
     import pandas as pd
 
     spark = emb.sparkSession
+    exact_fold = centroids is None
     bc = spark.sparkContext.broadcast(
-        _centroids(emb, k) if centroids is None else centroids
+        (_centroids(emb, k) if centroids is None else centroids, exact_fold)
     )
 
     def kernel(batches):
-        cids, cmat = bc.value
+        (cids, cmat), exact = bc.value
         # Bound the rows × k score matrix at ~32 MB regardless of the
         # centroid count (the corpus-scaled SemDeDup quantizer can
         # reach SEMDEDUP_MAX_K): slice each Arrow batch so
@@ -331,7 +362,11 @@ def ivf_assignments(
                 blk = pdf.iloc[lo : lo + block_rows]
                 ids = blk["vec_id"].to_numpy(dtype=np.int64)
                 mat = np.array(list(blk["embedding"]), dtype=np.float64)
-                cos = _seq_cosines(mat, cmat)
+                cos = (
+                    _seq_cosines(mat, cmat)
+                    if exact
+                    else _cosines_fast(mat, cmat)
+                )
                 best = cos.max(axis=1, keepdims=True)
                 # lowest centroid id among the (float-equal) maxima — the
                 # row_number(order by cosine desc, cid) tie-break in SQL
@@ -400,13 +435,7 @@ def kmeans_centroids(
     identical to the first-k quantizer's, just better placed."""
     import numpy as np
 
-    rows = (
-        emb.select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(train_rows)
-        .collect()
-    )
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat = _train_matrix(emb, train_rows)
     _, cmat = _centroids(emb, k)
     cmat = cmat.copy()
     norm = lambda m: m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
@@ -1087,19 +1116,29 @@ def pq_codebooks(
     return _lloyd_blocks(x, m, ksub, iters)
 
 
-def _train_sample(emb: DataFrame, train_rows: int):
-    """Unit-normalized training matrix: the lowest ``train_rows``
-    vec_ids — a deterministic, driver-bounded slice shared by every
-    quantizer/codebook trainer."""
+def _train_matrix(emb: DataFrame, train_rows: int):
+    """RAW training matrix: the lowest ``train_rows`` vec_ids — a
+    deterministic, driver-bounded slice shared by every quantizer/
+    codebook trainer. Arrow transfer (``toPandas``) instead of
+    ``collect()``: a 100k-row Row-object collect measured ~10 s of
+    pure py4j/deserialize in the K=512 build; Arrow moves the same
+    exact float values in a fraction of it."""
     import numpy as np
 
-    rows = (
+    pdf = (
         emb.select("vec_id", "embedding")
         .orderBy("vec_id")
         .limit(train_rows)
-        .collect()
+        .toPandas()
     )
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return np.array(list(pdf["embedding"]), dtype=np.float64)
+
+
+def _train_sample(emb: DataFrame, train_rows: int):
+    """Unit-normalized training matrix (see :func:`_train_matrix`)."""
+    import numpy as np
+
+    mat = _train_matrix(emb, train_rows)
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
 
@@ -1630,19 +1669,77 @@ def write_ivfpq_index(
     spark.createDataFrame(
         [(bool(residual),)], "residual boolean"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
-    assigned = ivf_assignments(
-        emb, n_centroids, centroids=(cids, cmat), with_embedding=True
-    )
-    coded = pq_encode(
-        assigned,
-        books,
-        carry=("centroid_id",),
-        centroids=(cids, cmat) if residual else None,
-    )
+    coded = _assign_and_encode(emb, (cids, cmat), books, residual)
     # STATIC overwrite pinned (see write_ivf_index): a rebuild must
     # truncate prior append_id partitions and embedded _tombstones
     _write_list_partitions(
         coded.withColumn("append_id", F.lit(0)), f"{path}/lists", static=True
+    )
+
+
+def _assign_and_encode(
+    emb: DataFrame, centroids, books, residual: bool
+) -> DataFrame:
+    """FUSED coarse-assign + PQ-encode kernel for the hybrid build:
+    one ``mapInPandas`` stage instead of assignment piping the raw
+    vector column through a second encode stage — at 2M × 64-d the
+    two-stage chain moves the ~512 MB embedding column through two
+    extra Arrow hops (JVM→Python→JVM→Python), which dominated the
+    K=512 build. Math is IDENTICAL to
+    ``pq_encode(ivf_assignments(..., with_embedding=True), books,
+    carry=("centroid_id",), centroids=…)``: same fast-cosine
+    assignment with the lowest-id tie sentinel, same unit-normalize,
+    same residual subtraction against the shared normalized lookup,
+    same per-block argmin — pinned by the all-probe ≡ flat-PQ
+    bit-equality and the append/rebuild loops in tests."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    look = _normalized_centroid_lookup(centroids) if residual else None
+    bc = spark.sparkContext.broadcast((centroids, books, residual, look))
+
+    def kernel(batches):
+        (cids, cmat), bks, res, lk = bc.value
+        cids = np.asarray(cids, dtype=np.int64)
+        m, _, sub = bks.shape
+        # same rows × k bound as ivf_assignments
+        block_rows = max(1, 4_194_304 // max(1, len(cids)))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for lo in range(0, len(pdf), block_rows):
+                blk = pdf.iloc[lo : lo + block_rows]
+                ids = blk["vec_id"].to_numpy(dtype=np.int64)
+                mat = np.array(list(blk["embedding"]), dtype=np.float64)
+                cos = _cosines_fast(mat, cmat)
+                best = cos.max(axis=1, keepdims=True)
+                pick = np.where(
+                    cos == best, cids[None, :], np.iinfo(np.int64).max
+                ).min(axis=1)
+                x = mat / np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+                )
+                if res:
+                    scids, scmat = lk
+                    x = x - scmat[np.searchsorted(scids, pick)]
+                codes = np.zeros((len(ids), m), dtype=np.int32)
+                for b in range(m):
+                    xb = x[:, b * sub : (b + 1) * sub]
+                    d = ((xb[:, None, :] - bks[b][None, :, :]) ** 2).sum(-1)
+                    codes[:, b] = d.argmin(1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": ids,
+                        "pq_codes": list(codes),
+                        "centroid_id": pick,
+                    }
+                )
+
+    from ..sources.parquet import fan_out
+
+    return fan_out(emb.select("vec_id", "embedding")).mapInPandas(
+        kernel, "vec_id long, pq_codes array<int>, centroid_id long"
     )
 
 
@@ -1675,12 +1772,11 @@ def append_ivfpq_index(batch: DataFrame, path: str, append_id: int) -> None:
         )
     spark = batch.sparkSession
     cq = _stored_centroids(spark, path)
-    assigned = ivf_assignments(batch, centroids=cq, with_embedding=True)
-    coded = pq_encode(
-        assigned,
+    coded = _assign_and_encode(
+        batch,
+        cq,
         _stored_codebooks(spark, path),
-        carry=("centroid_id",),
-        centroids=cq if _stored_ivfpq_residual(spark, path) else None,
+        _stored_ivfpq_residual(spark, path),
     )
     _write_list_partitions(
         coded.withColumn("append_id", F.lit(append_id)), f"{path}/lists"

@@ -1114,3 +1114,45 @@ def test_hierarchize_parse_errors():
             "Hierarchize({[District].[All Districts]}, SIDEWAYS) ON ROWS "
             "from [sfcrime]"
         )
+
+
+def test_union_drill_shape_and_dedup(spark):
+    """Union(parent, children) equals the braces twin; duplicate
+    definitions dedup (Mondrian default) unless ALL; the canonical
+    JPivot drill expression Hierarchize(Union(...)) works end-to-end."""
+    year = _fixture_year(spark)
+    want = _district_totals(spark, year)
+    u = f"""select {{[Measures].[crimes]}} ON COLUMNS,
+  Union({{[District].[All Districts]}}, {{[District].[All Districts].Children}}) ON ROWS
+from [sfcrime] where [Time].[{year}]
+"""
+    braces = f"""select {{[Measures].[crimes]}} ON COLUMNS,
+  {{[District].[All Districts], [District].[All Districts].Children}} ON ROWS
+from [sfcrime] where [Time].[{year}]
+"""
+    assert sorted(map(tuple, _cells(spark, u))) == sorted(
+        map(tuple, _cells(spark, braces))
+    )
+    # duplicate definition dedups...
+    d = f"""select {{[Measures].[crimes]}} ON COLUMNS,
+  Union({{[District].[All Districts]}}, {{[District].[All Districts]}}) ON ROWS
+from [sfcrime] where [Time].[{year}]
+"""
+    assert len(_cells(spark, d)) == 1
+    # ...unless ALL keeps both cells
+    dall = d.replace("]})", "]}, ALL)")
+    assert len(_cells(spark, dall)) == 2
+    # the canonical JPivot drill: Hierarchize(Union(parent, children))
+    hz = f"""select {{[Measures].[crimes]}} ON COLUMNS,
+  Hierarchize(Union({{[District].[All Districts].Children}}, {{[District].[All Districts]}})) ON ROWS
+from [sfcrime] where [Time].[{year}]
+"""
+    rows = sorted(_cells(spark, hz), key=lambda r: r.row_ordinal)
+    assert rows[0].row_member == "All Districts"
+    assert [r.row_member for r in rows[1:]] == sorted(want)
+    with pytest.raises(MdxError, match="Union flag"):
+        parse_mdx(
+            "select {[Measures].[crimes]} ON COLUMNS, "
+            "Union({[District].[All Districts]}, "
+            "{[Category].[All Categories]}, SOME) ON ROWS from [sfcrime]"
+        )
