@@ -1200,14 +1200,16 @@ def residual_codebooks(
     residual energy ≪ vector energy, so the same code budget spends
     its resolution where the coarse quantizer left error). Training
     mirrors :func:`pq_codebooks`' bounded-sample discipline; the
-    assignment inside uses the same cosine + lowest-id tie-break as
-    :func:`ivf_assignments`, so training residuals distribute like
-    the encode kernel's."""
+    assignment inside uses the same cosine kernel + lowest-id
+    tie-break as the provided-quantizer encode path
+    (:func:`_cosines_fast` — this trainer only ever runs against a
+    provided/refined quantizer), so training residuals distribute
+    exactly like the encode kernel's."""
     import numpy as np
 
     x = _train_sample(emb, train_rows)
     scids, scmat = _normalized_centroid_lookup(centroids)
-    cos = _seq_cosines(x, scmat)
+    cos = _cosines_fast(x, scmat)
     best = cos.max(axis=1, keepdims=True)
     pick = np.where(cos == best, np.arange(len(scids))[None, :], len(scids)).min(
         axis=1
