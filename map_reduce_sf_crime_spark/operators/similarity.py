@@ -262,6 +262,11 @@ def _centroids(emb: DataFrame, k: int):
     import numpy as np
 
     rows = emb.orderBy("vec_id").limit(k).select("vec_id", "embedding").collect()
+    if not rows:
+        raise ValueError(
+            "cannot derive a quantizer from an EMPTY corpus — "
+            "index builds need at least one vector"
+        )
     cids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     cmat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     return cids, cmat
@@ -1131,6 +1136,13 @@ def _train_matrix(emb: DataFrame, train_rows: int):
         .limit(train_rows)
         .toPandas()
     )
+    if not len(pdf):
+        # loud + specific: the numpy failure this pre-empts is an
+        # opaque shape error several frames deep in Lloyd
+        raise ValueError(
+            "cannot train a quantizer/codebook on an EMPTY corpus — "
+            "index builds need at least one vector"
+        )
     return np.array(list(pdf["embedding"]), dtype=np.float64)
 
 

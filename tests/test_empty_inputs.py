@@ -87,3 +87,63 @@ def test_corpus_prep_ops_on_empty_and_degenerate(spark):
     ).first()
     assert row.q == "0,0,0,0"
     assert row.s == 0.0
+
+
+def test_index_builds_fail_loudly_on_empty_corpus(spark):
+    """Round 8: building any persisted ANN index from an empty corpus
+    raises a clear ValueError (not an opaque numpy shape error deep in
+    Lloyd), for both quantizer paths; an EMPTY append batch is a
+    harmless no-op that leaves served results unchanged."""
+    import os
+    import shutil
+
+    import pytest
+
+    emb = _empty_emb(spark)
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch", "empty_idx",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    for fn in (
+        lambda: similarity.write_ivf_index(emb, f"{scratch}/ivf"),
+        lambda: similarity.write_ivf_index(
+            emb, f"{scratch}/ivf", refine=False
+        ),
+        lambda: similarity.write_pq_index(emb, f"{scratch}/pq"),
+        lambda: similarity.write_ivfpq_index(emb, f"{scratch}/hyb"),
+        lambda: similarity.write_ivfpq_index(
+            emb, f"{scratch}/hybres", residual=True
+        ),
+    ):
+        with pytest.raises(ValueError, match="EMPTY corpus"):
+            fn()
+
+    # empty append: build on a real slice, append nothing, serve same
+    full = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    similarity.write_ivfpq_index(full, f"{scratch}/ok", n_centroids=8)
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in full.filter(F.col("vec_id").isin(1, 2)).collect()
+    ]
+    before = sorted(
+        map(
+            tuple,
+            similarity.ivfpq_topk_indexed(
+                spark, f"{scratch}/ok", queries, full, 3
+            ).collect(),
+        )
+    )
+    similarity.append_ivfpq_index(emb, f"{scratch}/ok", 1)
+    after = sorted(
+        map(
+            tuple,
+            similarity.ivfpq_topk_indexed(
+                spark, f"{scratch}/ok", queries, full, 3
+            ).collect(),
+        )
+    )
+    assert before == after
+    shutil.rmtree(scratch, ignore_errors=True)
