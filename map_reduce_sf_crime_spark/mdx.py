@@ -386,6 +386,35 @@ class _Parser:
             )
         return _CalcExpr(kind="ref", ref=members)
 
+    def _named_set_ref(self) -> "_SetExpr | None":
+        """Consume a bare ``[name]`` named-set reference if the next
+        token is one (a bracketed token NOT followed by '.', naming a
+        WITH SET definition); returns a FRESH copy, else None."""
+        t = self.peek()
+        if (
+            t is not None
+            and t.startswith("[")
+            and t[1:-1].lower() in self.named_sets
+            and self.toks[self.i + 1 : self.i + 2] != ["."]
+        ):
+            self.next()
+            se = self.named_sets[t[1:-1].lower()]
+            return _SetExpr([list(tp) for tp in se.tuples], list(se.ops))
+        return None
+
+    def _brace_item(self) -> list[list["_Member"]]:
+        """One ``{ … }`` item: a tuple, or a spliced named set."""
+        ref = self._named_set_ref()
+        if ref is not None:
+            if ref.ops:
+                raise MdxError(
+                    "a named set carrying set functions cannot be "
+                    "spliced inside { } — reference it bare or wrap "
+                    "the braces instead"
+                )
+            return ref.tuples
+        return [self.tuple_()]
+
     # set := [NON EMPTY] ( { tuple, ... } | Crossjoin(set, set)
     #        | Order(set, numexpr [, flag]) | TopCount(set, n [, numexpr])
     #        | Filter(set, numexpr cmp number) | tuple )
@@ -527,28 +556,25 @@ class _Parser:
             )
             return inner
         if t == "{":
+            # brace items are tuples OR named-set references — JPivot
+            # freely writes {[S]} and {[S1], [S2], [District].[x]}
+            # (Mondrian splices the set's members in place)
             self.next()
-            tuples = [self.tuple_()]
+            tuples = list(self._brace_item())
             while self.peek() == ",":
                 self.next()
-                tuples.append(self.tuple_())
+                tuples.extend(self._brace_item())
             self.expect("}")
             return _SetExpr(tuples)
-        if (
-            t is not None
-            and t.startswith("[")
-            and t[1:-1].lower() in self.named_sets
-            and self.toks[self.i + 1 : self.i + 2] != ["."]
-        ):
-            # WITH SET reference (round 8): substitute the parsed set.
-            # A FRESH copy each time — callers append wrapping ops
-            # (Order(...) around a named set must not mutate the
-            # definition another axis also references). A bracketed
-            # token followed by '.' stays a member path: named sets
-            # have no levels to descend into.
-            self.next()
-            se = self.named_sets[t[1:-1].lower()]
-            return _SetExpr([list(tp) for tp in se.tuples], list(se.ops))
+        # WITH SET reference (round 8): substitute the parsed set.
+        # A FRESH copy each time — callers append wrapping ops
+        # (Order(...) around a named set must not mutate the
+        # definition another axis also references). A bracketed
+        # token followed by '.' stays a member path: named sets
+        # have no levels to descend into.
+        ref = self._named_set_ref()
+        if ref is not None:
+            return ref
         return _SetExpr([self.tuple_()])
 
 
@@ -770,25 +796,28 @@ def _hier_key_frame(own: list[list[_Member]], base: DataFrame, post: bool):
     can produce — the Hierarchize() ordering, computed from the axis
     DEFINITION (no measure context).
 
-    Key construction: per tuple member, a 2-digit hierarchy rank
-    (Mondrian orders mixed-dimension sets dimension by dimension)
-    followed by the member's level-path values — numerics zero-padded
-    to 12 so string order equals numeric order (months 10..11 would
-    otherwise sort before 2), name levels raw. EVERY part carries its
-    own ``\\x01`` terminator, and the whole key ends with a DEPTH
-    sentinel: ``\\x00`` for pre-order, ``\\x7f`` for POST. The part
-    terminator is what confines the sentinel to ancestor-vs-descendant
-    decisions: siblings whose captions are string-prefixes of each
-    other (NATION_1 / NATION_10 — the bug the first cut had) compare
-    at the terminator-vs-next-char position inside their OWN part
-    (\\x01 < any caption byte, so the shorter sibling sorts first in
-    both modes), while parent-vs-child comparisons reach the parent's
-    END sentinel against the child's next part (\\x00 < part bytes →
-    parent first; \\x7f > part bytes → parent after its whole subtree,
-    Mondrian's POST). Enumerating tuples derive their member values
-    from the level columns of ``base`` under the tuple's own path
-    filters (dimension universe, axis-member-sized); static tuples
-    need no scan at all."""
+    Key construction: an ``array<string>`` of path parts — per tuple
+    member, a 2-digit hierarchy rank (Mondrian orders mixed-dimension
+    sets dimension by dimension) followed by the member's level-path
+    values — numerics zero-padded to 12 so string order equals numeric
+    order (months 10..11 would otherwise sort before 2), name levels
+    raw. Spark orders arrays element-wise with shorter-prefix-first,
+    which IS pre-order: a parent's part list is a strict prefix of its
+    children's (parent first), and siblings compare on their own final
+    part (native level order — including captions that are string
+    prefixes of each other, and non-ASCII captions; two earlier
+    single-string encodings failed exactly those: a terminator byte
+    broke NATION_1/NATION_10 sibling order, and a ``\\x7f`` depth
+    sentinel sorted before UTF-8 lead bytes ≥ 0x80). POST appends a
+    max-codepoint sentinel ELEMENT (``\\U0010FFFF``) to every key: the
+    parent's sentinel compares against its children's next real part
+    and loses to none, placing the parent AFTER its whole subtree but
+    before the next sibling's (degenerate exception: a caption whose
+    first character is U+10FFFF — not a practical level value).
+    Enumerating tuples derive their member values from the level
+    columns of ``base`` under the tuple's own path filters (dimension
+    universe, axis-member-sized); static tuples need no scan at
+    all."""
     spark = base.sparkSession
     dtypes = dict(base.dtypes)
     ranks = {h: i for i, h in enumerate(_DIMS)}
@@ -810,10 +839,11 @@ def _hier_key_frame(own: list[list[_Member]], base: DataFrame, post: bool):
                 ):
                     col = F.lpad(col, 12, "0")
                 parts.append(col)
-        terminated = [
-            piece for p in parts for piece in (p, F.lit("\x01"))
-        ]
-        key = F.concat(*terminated, F.lit("\x7f" if post else "\x00"))
+        if not parts:  # measure-only tuple — one neutral empty part
+            parts = [F.lit("")]
+        if post:
+            parts = parts + [F.lit("\U0010ffff")]
+        key = F.array(*[p.cast("string") for p in parts])
         enum_cols = [m.enum_col for m in tup if m.enum_col]
         if enum_cols:
             src = base

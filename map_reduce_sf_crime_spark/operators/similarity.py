@@ -323,8 +323,30 @@ def _cosines_fast(a_mat, b_mat):
     return np.where(np.isnan(cos), -np.inf, cos)
 
 
+def _argmax_lowest_id(cos, ids):
+    """Argmax over axis 1 with ties → LOWEST id — THE assignment
+    tie-break, shared by every kernel that places a vector in a list
+    (:func:`ivf_assignments`, :func:`_assign_and_encode`,
+    :func:`residual_codebooks`). One copy on purpose: these must stay
+    in lock-step or the pinned all-probe≡flat equality and the append
+    replay idempotence silently desynchronize (round-8 review). Rows
+    whose cosines are all −inf (degenerate vectors) land on the
+    lowest id."""
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.int64)
+    best = cos.max(axis=1, keepdims=True)
+    return np.where(cos == best, ids[None, :], np.iinfo(np.int64).max).min(
+        axis=1
+    )
+
+
 def ivf_assignments(
-    emb: DataFrame, k: int = IVF_K, centroids=None, with_embedding: bool = False
+    emb: DataFrame,
+    k: int = IVF_K,
+    centroids=None,
+    with_embedding: bool = False,
+    exact_fold: bool | None = None,
 ) -> DataFrame:
     """IVF coarse assignment: nearest centroid per vector (ties → lowest
     centroid id). Broadcast the tiny centroid matrix, score each
@@ -336,19 +358,26 @@ def ivf_assignments(
     the vector through to the output — the index BUILD path uses it so
     persisting the lists needs no second corpus scan or join.
 
-    Kernel selection (round 8): the DEFAULT quantizer path keeps the
-    sequential per-dimension fold (:func:`_seq_cosines`) because the
-    ``embedding_profile`` gate hash-compares its assignments against
-    the DuckDB twin bit-for-bit; a PROVIDED quantizer was never
-    oracle-hashed (refined/stored centroids — recall-gated instead),
-    so those builds use the ~4× matmul kernel (:func:`_cosines_fast`)
-    — at K=512 over 2M vectors that is the difference between a 58 s
-    and a ~20 s build, and it scales with K·dim."""
+    Kernel selection (round 8): ``exact_fold`` is the EXPLICIT
+    contract knob (review finding — it used to be inferred from
+    ``centroids is None``, which silently dropped the documented
+    bit-parity for callers passing the first-k quantizer explicitly).
+    True → the sequential per-dimension fold (:func:`_seq_cosines`),
+    bit-identical to the DuckDB twin the ``embedding_profile`` gate
+    hashes; False → the ~4× matmul kernel (:func:`_cosines_fast`) for
+    quantizers the oracle never value-hashes (refined/stored —
+    recall-gated); None (default) → exact exactly when the quantizer
+    is the oracle-mirrored default (``centroids is None``). Callers
+    that pass the FIRST-K quantizer explicitly and want SQL parity
+    (:func:`ivf_topk` with ``refine=False``) pass
+    ``exact_fold=True``. At K=512 over 2M vectors the fast kernel is
+    the difference between a 58 s and a ~33 s build."""
     import numpy as np
     import pandas as pd
 
     spark = emb.sparkSession
-    exact_fold = centroids is None
+    if exact_fold is None:
+        exact_fold = centroids is None
     bc = spark.sparkContext.broadcast(
         (_centroids(emb, k) if centroids is None else centroids, exact_fold)
     )
@@ -372,12 +401,9 @@ def ivf_assignments(
                     if exact
                     else _cosines_fast(mat, cmat)
                 )
-                best = cos.max(axis=1, keepdims=True)
                 # lowest centroid id among the (float-equal) maxima — the
                 # row_number(order by cosine desc, cid) tie-break in SQL
-                pick = np.where(
-                    cos == best, cids[None, :], np.iinfo(np.int64).max
-                ).min(axis=1)
+                pick = _argmax_lowest_id(cos, cids)
                 out = {"vec_id": ids, "centroid_id": pick}
                 if carry:
                     out["embedding"] = list(blk["embedding"])
@@ -427,22 +453,31 @@ def kmeans_centroids(
     recall asserted in tests).
 
     ``snap=True`` (round 8 default) finishes with a MEDOID SNAP:
-    each Lloyd mean is replaced by the training vector nearest to it
-    (k-medoids discipline — PAM, Kaufman & Rousseeuw 1987; public).
-    Why: on clustered corpora the snap lands on a representative
-    inside the Lloyd-found cluster (balance preserved), while on
-    near-isotropic data the raw means wash out to short, noisy
-    vectors whose cosines discriminate poorly — measured on the
-    synthetic driver corpora, mean-centroids cost 7–20 recall points
-    at fixed nprobe vs any actual-corpus-vector quantizer, and the
-    snap recovers all of it (BASELINE.md round-8 quantizer table).
-    Centroids that ARE corpus vectors also keep the probe geometry
-    identical to the first-k quantizer's, just better placed."""
+    each Lloyd mean is replaced by ITS CLUSTER'S nearest member
+    (k-medoids discipline — PAM, Kaufman & Rousseeuw 1987; public),
+    so distinct non-empty clusters always snap to distinct vectors
+    (the first cut snapped to the globally-nearest training vector,
+    which let two close means collapse onto ONE vector and silently
+    halve effective K — round-8 review finding). A cluster that ends
+    EMPTY keeps its current mean (for never-populated clusters that
+    is its init corpus vector). Why snap at all: on clustered corpora
+    the medoid is a representative inside the Lloyd-found cluster
+    (balance preserved), while on near-isotropic data the raw means
+    wash out to short, noisy vectors whose cosines discriminate
+    poorly — measured on the synthetic driver corpora, mean-centroids
+    cost 7–20 recall points at fixed nprobe vs any
+    actual-corpus-vector quantizer, and the snap recovers all of it
+    (BASELINE.md round-8 quantizer table). Centroids that ARE corpus
+    vectors also keep the probe geometry identical to the first-k
+    quantizer's, just better placed.
+
+    The init slice is the head of the (single) training-matrix pull —
+    no second corpus job; ``k`` is clamped to the sample size."""
     import numpy as np
 
     mat = _train_matrix(emb, train_rows)
-    _, cmat = _centroids(emb, k)
-    cmat = cmat.copy()
+    k = min(k, len(mat))
+    cmat = mat[:k].copy()  # init = first-k by vec_id, zero extra scans
     norm = lambda m: m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     x = norm(mat)
     for _ in range(iters):
@@ -453,9 +488,13 @@ def kmeans_centroids(
                 cmat[c] = members.mean(axis=0)
     if snap:
         cn = norm(cmat)
+        assign = (x @ cn.T).argmax(axis=1)
         for c in range(k):
-            # ties → lowest training row, the house argmax discipline
-            cmat[c] = mat[int(np.argmax(x @ cn[c]))]
+            members = np.flatnonzero(assign == c)
+            if len(members):
+                # ties → lowest training row (argmax takes the first)
+                best = members[int(np.argmax(x[members] @ cn[c]))]
+                cmat[c] = mat[best]
     cids = np.arange(k, dtype=np.int64)
     return cids, cmat
 
@@ -499,7 +538,11 @@ def ivf_topk(
         for c in cids[np.argsort(-qcos[qi], kind="stable")[:nprobe]]
     ]
     probe_df = spark.createDataFrame(probes, "query_id long, centroid_id long")
-    lists = ivf_assignments(emb, n_centroids, centroids=(cids, cmat))
+    # exact fold iff the quantizer is the SQL-mirrored first-k one —
+    # the explicit form of the parity contract (see ivf_assignments)
+    lists = ivf_assignments(
+        emb, n_centroids, centroids=(cids, cmat), exact_fold=not refine
+    )
     cands = (
         lists.join(F.broadcast(probe_df), "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1221,10 +1264,8 @@ def residual_codebooks(
 
     x = _train_sample(emb, train_rows)
     scids, scmat = _normalized_centroid_lookup(centroids)
-    cos = _cosines_fast(x, scmat)
-    best = cos.max(axis=1, keepdims=True)
-    pick = np.where(cos == best, np.arange(len(scids))[None, :], len(scids)).min(
-        axis=1
+    pick = np.searchsorted(
+        scids, _argmax_lowest_id(_cosines_fast(x, scmat), scids)
     )
     return _lloyd_blocks(x - scmat[pick], m, ksub, iters)
 
@@ -1268,9 +1309,20 @@ def pq_encode(
             )
             if look is not None:
                 scids, scmat = look
-                cidx = np.searchsorted(
-                    scids, pdf["centroid_id"].to_numpy(dtype=np.int64)
+                batch_cids = pdf["centroid_id"].to_numpy(dtype=np.int64)
+                cidx = np.minimum(
+                    np.searchsorted(scids, batch_cids), len(scids) - 1
                 )
+                if not np.array_equal(scids[cidx], batch_cids):
+                    # searchsorted would otherwise silently subtract
+                    # the insertion-point NEIGHBOR and write garbage
+                    # residual codes — the drift the meta artifact
+                    # exists to prevent must be loud here too
+                    raise ValueError(
+                        "centroid_id(s) in the batch are not in the "
+                        "provided quantizer — assignments and "
+                        "quantizer are out of sync"
+                    )
                 x = x - scmat[cidx]
             codes = np.zeros((len(ids), m), dtype=np.int32)
             for b in range(m):
@@ -1727,10 +1779,7 @@ def _assign_and_encode(
                 ids = blk["vec_id"].to_numpy(dtype=np.int64)
                 mat = np.array(list(blk["embedding"]), dtype=np.float64)
                 cos = _cosines_fast(mat, cmat)
-                best = cos.max(axis=1, keepdims=True)
-                pick = np.where(
-                    cos == best, cids[None, :], np.iinfo(np.int64).max
-                ).min(axis=1)
+                pick = _argmax_lowest_id(cos, cids)
                 x = mat / np.maximum(
                     np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
                 )

@@ -1156,3 +1156,25 @@ from [sfcrime] where [Time].[{year}]
             "Union({[District].[All Districts]}, "
             "{[Category].[All Categories]}, SOME) ON ROWS from [sfcrime]"
         )
+
+
+def test_named_set_spliced_inside_braces(spark):
+    """{[S]} and {[S], tuple} splice the named set in place (Mondrian
+    accepts braces around named sets); a named set carrying set
+    functions refuses to splice (its ops cannot attach to a subset)."""
+    year = _fixture_year(spark)
+    q = f"""WITH SET [S] AS '{{[District].[All Districts].Children}}'
+select {{[Measures].[crimes]}} ON COLUMNS,
+  {{[S], [Category].[All Categories]}} ON ROWS
+from [sfcrime] where [Time].[{year}]
+"""
+    rows = {r.row_member for r in _cells(spark, q)}
+    want = set(_district_totals(spark, year)) | {"All Categories"}
+    assert rows == want
+    with pytest.raises(MdxError, match="spliced inside"):
+        parse_mdx(
+            "WITH SET [S] AS "
+            "'TopCount({[District].[All Districts].Children}, 2)' "
+            "select {[Measures].[crimes]} ON COLUMNS, {[S]} ON ROWS "
+            "from [sfcrime]"
+        )

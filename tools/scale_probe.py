@@ -829,6 +829,9 @@ def crossover_probe(spark, n: int) -> None:
             f" (all {[round(s, 2) for s in serves]}){extra}"
         )
         shutil.rmtree(path, ignore_errors=True)
+
+
+def index_compaction_probe(spark, n: int) -> None:
     """A week of change-feed folds vs one compaction: probe latency
     and file count on a persisted IVF index after 7 daily folds
     (tombstones + 7 append generations per touched centroid), then
