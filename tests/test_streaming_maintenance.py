@@ -58,10 +58,19 @@ def test_ann_maintenance_loops_serve_live_corpus(spark, tmp_path):
         key_cols=["vec_id"], partition_cols=["pt"], archive=True,
     )
     snapshot = read_partitioned(spark, path).select("vec_id", "embedding")
-    idx = {n: str(tmp_path / f"idx_{n}") for n in ("ivf", "pq", "ivfpq")}
+    idx = {
+        n: str(tmp_path / f"idx_{n}")
+        for n in ("ivf", "pq", "ivfpq", "ivfpq_res")
+    }
     similarity.write_ivf_index(snapshot, idx["ivf"], n_centroids=8)
     similarity.write_pq_index(snapshot, idx["pq"])
     similarity.write_ivfpq_index(snapshot, idx["ivfpq"], n_centroids=8)
+    # round 8: the residual-encoded hybrid rides the SAME loop — the
+    # streamed folds must pick the mode up from the stored meta, not
+    # from any caller argument
+    similarity.write_ivfpq_index(
+        snapshot, idx["ivfpq_res"], n_centroids=8, residual=True
+    )
 
     # committed churn: the phantoms die, the new vectors arrive
     merge_upsert(
@@ -79,6 +88,7 @@ def test_ann_maintenance_loops_serve_live_corpus(spark, tmp_path):
         "ivf": maintain_ivf_index,
         "pq": maintain_pq_index,
         "ivfpq": maintain_ivfpq_index,
+        "ivfpq_res": maintain_ivfpq_index,
     }
     for name, loop in loops.items():
         q = loop(
@@ -92,9 +102,9 @@ def test_ann_maintenance_loops_serve_live_corpus(spark, tmp_path):
     # rebuilds on the final corpus under the STREAMED indexes' OWN
     # stored artifacts — served ≡ rebuilt is the exactness pin
     cents = {n: similarity._stored_centroids(spark, idx[n])
-             for n in ("ivf", "ivfpq")}
+             for n in ("ivf", "ivfpq", "ivfpq_res")}
     books = {n: similarity._stored_codebooks(spark, idx[n])
-             for n in ("pq", "ivfpq")}
+             for n in ("pq", "ivfpq", "ivfpq_res")}
     reb = {n: str(tmp_path / f"reb_{n}") for n in idx}
     similarity.write_ivf_index(final, reb["ivf"], centroids=cents["ivf"])
     similarity.write_pq_index(final, reb["pq"], codebooks=books["pq"])
@@ -102,12 +112,21 @@ def test_ann_maintenance_loops_serve_live_corpus(spark, tmp_path):
         final, reb["ivfpq"],
         centroids=cents["ivfpq"], codebooks=books["ivfpq"],
     )
+    similarity.write_ivfpq_index(
+        final, reb["ivfpq_res"],
+        centroids=cents["ivfpq_res"], codebooks=books["ivfpq_res"],
+        residual=True,
+    )
+    assert similarity._stored_ivfpq_residual(spark, idx["ivfpq_res"])
     serve = {
         "ivf": lambda p: similarity.ivf_topk_indexed(spark, p, queries, k=3),
         "pq": lambda p: similarity.pq_topk_indexed(
             spark, p, queries, final, k=3
         ),
         "ivfpq": lambda p: similarity.ivfpq_topk_indexed(
+            spark, p, queries, final, k=3
+        ),
+        "ivfpq_res": lambda p: similarity.ivfpq_topk_indexed(
             spark, p, queries, final, k=3
         ),
     }
