@@ -188,7 +188,11 @@ def maintain_pq_index(spark, table_path, index_path, checkpoint, **kwargs):
 def maintain_ivfpq_index(spark, table_path, index_path, checkpoint, **kwargs):
     """IVF-PQ hybrid twin of :func:`maintain_ivf_index` — the serving
     path for embeddings at 100 TB (partition-pruned lists of 16-byte
-    codes) stays live through the same one-liner."""
+    codes) stays live through the same one-liner. Works unchanged on a
+    RESIDUAL-mode index (round 8): every streamed fold's append reads
+    the encoding mode from the index's own ``meta`` artifact, so the
+    loop never needs to be told — pinned end-to-end in
+    tests/test_streaming_maintenance.py's ``ivfpq_res`` leg."""
     from ..operators.similarity import apply_changes_to_ivfpq_index
 
     return _maintain_ann(apply_changes_to_ivfpq_index)(
