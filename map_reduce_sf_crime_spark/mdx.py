@@ -839,8 +839,14 @@ def _hier_key_frame(own: list[list[_Member]], base: DataFrame, post: bool):
                 ):
                     col = F.lpad(col, 12, "0")
                 parts.append(col)
-        if not parts:  # measure-only tuple — one neutral empty part
-            parts = [F.lit("")]
+        if not parts:
+            # measure-only tuple: the Measures "hierarchy" orders
+            # AFTER every cube dimension (rank 99 > the 2-digit
+            # dimension ranks), in BOTH modes — pinned policy; a bare
+            # empty part would sort measures FIRST ('' < '00'), which
+            # the second review caught as an unflagged flip of the
+            # old encoding's measure-last behavior
+            parts = [F.lit("99")]
         if post:
             parts = parts + [F.lit("\U0010ffff")]
         key = F.array(*[p.cast("string") for p in parts])

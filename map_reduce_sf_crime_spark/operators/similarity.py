@@ -359,19 +359,21 @@ def ivf_assignments(
     persisting the lists needs no second corpus scan or join.
 
     Kernel selection (round 8): ``exact_fold`` is the EXPLICIT
-    contract knob (review finding — it used to be inferred from
-    ``centroids is None``, which silently dropped the documented
-    bit-parity for callers passing the first-k quantizer explicitly).
-    True → the sequential per-dimension fold (:func:`_seq_cosines`),
-    bit-identical to the DuckDB twin the ``embedding_profile`` gate
-    hashes; False → the ~4× matmul kernel (:func:`_cosines_fast`) for
-    quantizers the oracle never value-hashes (refined/stored —
-    recall-gated); None (default) → exact exactly when the quantizer
-    is the oracle-mirrored default (``centroids is None``). Callers
-    that pass the FIRST-K quantizer explicitly and want SQL parity
-    (:func:`ivf_topk` with ``refine=False``) pass
-    ``exact_fold=True``. At K=512 over 2M vectors the fast kernel is
-    the difference between a 58 s and a ~33 s build."""
+    contract knob. True → the sequential per-dimension fold
+    (:func:`_seq_cosines`), bit-identical to the DuckDB twin the
+    ``embedding_profile`` gate hashes; False → the ~4× matmul kernel
+    (:func:`_cosines_fast`); None (default) → exact exactly when the
+    quantizer is the oracle-mirrored default (``centroids is None``).
+    The COHERENCE rule (round-8 second review): every
+    provided-centroid path — live :func:`ivf_topk`, persisted builds,
+    appends — uses the SAME (fast) kernel, whatever the quantizer's
+    construction, so a first-k index and a first-k live query can
+    never place a near-tie vector in different lists; bit-level SQL
+    parity is claimed ONLY for this function's default path. Callers
+    wanting the exact fold against an explicit quantizer may pass
+    ``exact_fold=True``, accepting that they then own that coherence.
+    At K=512 over 2M vectors the fast kernel is the difference
+    between a 58 s and a ~33 s build."""
     import numpy as np
     import pandas as pd
 
@@ -487,14 +489,13 @@ def kmeans_centroids(
             if len(members):
                 cmat[c] = members.mean(axis=0)
     if snap:
-        cn = norm(cmat)
-        assign = (x @ cn.T).argmax(axis=1)
+        scores = x @ norm(cmat).T  # one pass: assignment AND medoid pick
+        assign = scores.argmax(axis=1)
         for c in range(k):
             members = np.flatnonzero(assign == c)
             if len(members):
                 # ties → lowest training row (argmax takes the first)
-                best = members[int(np.argmax(x[members] @ cn[c]))]
-                cmat[c] = mat[best]
+                cmat[c] = mat[members[int(np.argmax(scores[members, c]))]]
     cids = np.arange(k, dtype=np.int64)
     return cids, cmat
 
@@ -538,11 +539,12 @@ def ivf_topk(
         for c in cids[np.argsort(-qcos[qi], kind="stable")[:nprobe]]
     ]
     probe_df = spark.createDataFrame(probes, "query_id long, centroid_id long")
-    # exact fold iff the quantizer is the SQL-mirrored first-k one —
-    # the explicit form of the parity contract (see ivf_assignments)
-    lists = ivf_assignments(
-        emb, n_centroids, centroids=(cids, cmat), exact_fold=not refine
-    )
+    # fast kernel like EVERY provided-centroid path — live, persisted
+    # build, and append must share one kernel or a first-k index and
+    # the first-k live query could place a near-tie vector in
+    # different lists (round-8 second review); bit-level SQL parity
+    # binds only ivf_assignments()'s default path (the gate's)
+    lists = ivf_assignments(emb, n_centroids, centroids=(cids, cmat))
     cands = (
         lists.join(F.broadcast(probe_df), "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))

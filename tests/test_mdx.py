@@ -1178,3 +1178,17 @@ from [sfcrime] where [Time].[{year}]
             "select {[Measures].[crimes]} ON COLUMNS, {[S]} ON ROWS "
             "from [sfcrime]"
         )
+
+
+def test_hierarchize_measure_only_tuple_orders_last(spark):
+    """Pinned policy: a measure-only tuple (the Measures 'hierarchy')
+    hierarchizes AFTER every cube dimension's members, in both PRE and
+    POST modes."""
+    year = _fixture_year(spark)
+    for mode in ("", ", POST"):
+        q = f"""select {{[Time].[{year}]}} ON COLUMNS,
+  Hierarchize({{[Measures].[crimes], [District].[All Districts]}}{mode}) ON ROWS
+from [sfcrime]
+"""
+        rows = sorted(_cells(spark, q), key=lambda r: r.row_ordinal)
+        assert [r.row_member for r in rows] == ["All Districts", "crimes"], mode
