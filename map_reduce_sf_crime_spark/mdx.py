@@ -12,9 +12,13 @@ drill-downs JPivot issues against them share one small grammar:
 with sets of member tuples, ``.Children`` / ``.Members`` enumeration,
 and the ``sum(crimes)`` measure — plus (round 6) the set functions
 JPivot's sort/filter actions emit against the cube
-(``Order(set, expr[, flag])``, ``TopCount(set, n[, expr])``,
+(``Order(set, expr[, flag])``, ``TopCount(set, n[, expr])`` and its
+ascending mirror ``BottomCount``,
 ``Filter(set, expr cmp number)``, and — round 8 —
-``Union(a, b[, ALL])`` plus ``Hierarchize(set[, POST])``, the exact
+``Union(a, b[, ALL])``, ``Except(a, b[, ALL])`` (definition
+subtraction at parse time; explicit members subtract from
+enumerations by caption at the data level),
+plus ``Hierarchize(set[, POST])``, the exact
 composition JPivot emits around a drill:
 ``Hierarchize(Union(parent, children))``) on EITHER axis (round 7
 lifted the
@@ -146,7 +150,14 @@ class _SetOp:
       hierarchy" variants equal the plain ones here — the compiled
       sets are flat member lists, there is no hierarchy to preserve);
     - ``topcount``: ``count`` members by ``expr`` descending;
+    - ``bottomcount`` (round 8): the ascending mirror (NULL values
+      still last — the pinned missing-member policy, so a NULL can
+      never win a "bottom" slot);
     - ``filter``: keep members where value ``cmp`` ``value``;
+    - ``except`` (round 8): drop axis members whose caption is in
+      ``captions`` — the data-level half of ``Except(a, b)`` when
+      ``b``'s explicit members must subtract from an ENUMERATION in
+      ``a`` (identical definitions subtract at parse time instead);
     - ``hierarchize`` (round 8): attach hierarchy-order ordinals
       (parents before children, siblings in native level order; flag
       "post" puts parents after their subtree) — no ``expr``.
@@ -155,12 +166,15 @@ class _SetOp:
     optional context members (e.g. ``([Measures].[crimes],
     [Time].[1995])``)."""
 
-    kind: str  # "order" | "topcount" | "filter"
+    kind: str  # "order" | "topcount" | "bottomcount" | "filter" | ...
     expr: list["_Member"] = field(default_factory=list)
     flag: str = "asc"  # order
-    count: int = 0  # topcount
+    count: int = 0  # topcount / bottomcount
     cmp: str = ""  # filter
     value: float = 0.0  # filter
+    #: except (round 8): static captions of the explicit members the
+    #: second argument removes from an enumerated first argument
+    captions: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -170,6 +184,24 @@ class _SetExpr:
 
     tuples: list[list["_Member"]]
     ops: list[_SetOp] = field(default_factory=list)
+
+
+def _tuple_def_key(tp: list["_Member"]):
+    """Parse-time canonical key of a tuple DEFINITION — what Union's
+    duplicate removal and Except's subtraction compare. Two tuples
+    with the same key filter and enumerate identically, so they are
+    the same set element; an enumeration and an explicit member of
+    the same level never key-match (membership overlap is a data
+    question these parse-time ops don't answer — documented at both
+    call sites)."""
+    return tuple(
+        (
+            m.measure,
+            tuple(sorted((c, str(v)) for c, v in m.filters)),
+            m.enum_col,
+        )
+        for m in tp
+    )
 
 
 @dataclass
@@ -473,19 +505,70 @@ class _Parser:
             if not allflag:
                 seen, out = set(), []
                 for tp in tuples:
-                    key = tuple(
-                        (
-                            m.measure,
-                            tuple(sorted((c, str(v)) for c, v in m.filters)),
-                            m.enum_col,
-                        )
-                        for m in tp
-                    )
+                    key = _tuple_def_key(tp)
                     if key not in seen:
                         seen.add(key)
                         out.append(tp)
                 tuples = out
             return _SetExpr(tuples)
+        if t is not None and t.lower() == "except":
+            # Except(a, b[, ALL]) — Union's subtractive mirror (the
+            # JPivot "hide this member" action shape). Two halves:
+            # a tuple of b whose DEFINITION appears in a subtracts at
+            # parse time (ALL keeps a's duplicate definitions,
+            # mirroring Union); a b-tuple NOT definition-matched must
+            # be fully explicit (static caption) and becomes a
+            # data-level membership op dropping that caption from a's
+            # enumerations — an enumerated b (".Children"/".Members")
+            # that didn't match raises rather than silently removing
+            # nothing.
+            self.next()
+            self.expect("(")
+            a = self.set_()
+            self.expect(",")
+            b = self.set_()
+            allflag = False
+            if self.peek() == ",":
+                self.next()
+                f = self.next().lower()
+                if f != "all":
+                    raise MdxError(f"unknown Except flag {f!r}")
+                allflag = True
+            self.expect(")")
+            if a.ops or b.ops:
+                raise MdxError(
+                    "set functions must wrap Except, not its inputs"
+                )
+            akeys = {_tuple_def_key(tp) for tp in a.tuples}
+            drop, captions = set(), []
+            for tp in b.tuples:
+                key = _tuple_def_key(tp)
+                if key in akeys:
+                    drop.add(key)
+                    continue
+                if any(m.enum_col for m in tp):
+                    raise MdxError(
+                        "Except: an enumerated second argument must "
+                        "match a definition in the first (explicit "
+                        "members subtract by caption instead)"
+                    )
+                captions.append(
+                    ", ".join(c for m in tp for c in m.caption) or "(all)"
+                )
+            seen, out = set(), []
+            for tp in a.tuples:
+                key = _tuple_def_key(tp)
+                if key in drop:
+                    continue
+                if not allflag:
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                out.append(tp)
+            res = _SetExpr(out)
+            if captions:
+                res.ops.append(_SetOp(kind="except", captions=captions))
+            return res
         if t is not None and t.lower() == "hierarchize":
             # Hierarchize(set [, POST]) — JPivot emits this around the
             # union of a drill's parent and children: members sort
@@ -523,22 +606,22 @@ class _Parser:
             self.expect(")")
             inner.ops.append(_SetOp(kind="order", expr=expr, flag=flag))
             return inner
-        if t is not None and t.lower() == "topcount":
-            self.next()
+        if t is not None and t.lower() in ("topcount", "bottomcount"):
+            fn = self.next().lower()
             self.expect("(")
             inner = self.set_()
             self.expect(",")
             n = self.number()
             if n != int(n) or n < 1:
-                raise MdxError(f"TopCount count must be a positive int, got {n}")
+                raise MdxError(
+                    f"{fn} count must be a positive int, got {n}"
+                )
             expr: list[_Member] | None = None
             if self.peek() == ",":
                 self.next()
                 expr = self.numexpr()
             self.expect(")")
-            inner.ops.append(
-                _SetOp(kind="topcount", expr=expr or [], count=int(n))
-            )
+            inner.ops.append(_SetOp(kind=fn, expr=expr or [], count=int(n)))
             return inner
         if t is not None and t.lower() == "filter":
             self.next()
@@ -1244,6 +1327,17 @@ def mdx_cells_many(
                 # the ORIGINAL cells — both axes see the same base
                 members = t_rows.select(F.col(mcol).alias("_m")).distinct()
                 for op in ops:
+                    if op.kind == "except":
+                        # caption-membership subtraction — no value
+                        # frame, ordinals (with gaps) survive like
+                        # Filter's
+                        carry = (
+                            ["_ord"] if "_ord" in members.columns else []
+                        )
+                        members = members.filter(
+                            ~F.col("_m").isin(op.captions)
+                        ).select("_m", *carry)
+                        continue
                     if op.kind == "hierarchize":
                         # ordering from the hierarchy itself — no value
                         # frame; replaces any earlier Order's ordinals
@@ -1305,10 +1399,16 @@ def mdx_cells_many(
                             "<>": v != op.value,
                         }[op.cmp]
                         members = cur.filter(cond).select("_m", *carry_ord)
-                    elif op.kind == "topcount":
-                        w = Window.orderBy(
-                            F.desc_nulls_last("_val"), F.asc("_m")
+                    elif op.kind in ("topcount", "bottomcount"):
+                        # NULLs last in BOTH directions (the pinned
+                        # missing-member policy): a memberless cell
+                        # can never win a top OR bottom slot
+                        direction = (
+                            F.desc_nulls_last("_val")
+                            if op.kind == "topcount"
+                            else F.asc_nulls_last("_val")
                         )
+                        w = Window.orderBy(direction, F.asc("_m"))
                         members = (
                             cur.withColumn("_rk", F.row_number().over(w))
                             .filter(F.col("_rk") <= op.count)

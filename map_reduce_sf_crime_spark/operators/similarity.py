@@ -1580,21 +1580,26 @@ def pq_topk_indexed(
     spark,
     path: str,
     queries: list[tuple[int, list[float]]],
-    emb: DataFrame,
+    emb: DataFrame | None = None,
     k: int = 3,
     shortlist: int = PQ_SHORTLIST,
     exclude_query_ids: bool = True,
+    vector_store: str | None = None,
 ) -> DataFrame:
     """Query a persisted PQ index with EXTERNAL query vectors: rebuild
     the distance tables from the stored codebooks (driver-side, tiny),
     ADC-scan the stored CODE table (never the vectors), then
-    exact-cosine re-rank the shortlist against ``emb`` — the only
-    touch of real vectors, shortlist·k rows per query. Same scoring,
-    pruning, and tie-breaks as the live :func:`pq_topk`, so a
-    corpus-member query returns bit-identical neighbors
-    (tests/test_similarity.py). As with :func:`ivf_topk_indexed`,
-    pass ``exclude_query_ids=False`` when query ids are an external
-    namespace that may collide with corpus ``vec_id``s."""
+    exact-cosine re-rank the shortlist — the only touch of real
+    vectors, shortlist·k rows per query. The re-rank source is either
+    ``emb`` (the live corpus frame — a corpus-shaped raw-vector scan)
+    or ``vector_store`` (a partitioned store from
+    :func:`write_vector_store` — directory-pruned, shortlist-sized;
+    the 100 TB form), bit-identical either way. Same scoring, pruning,
+    and tie-breaks as the live :func:`pq_topk`, so a corpus-member
+    query returns bit-identical neighbors (tests/test_similarity.py).
+    As with :func:`ivf_topk_indexed`, pass ``exclude_query_ids=False``
+    when query ids are an external namespace that may collide with
+    corpus ``vec_id``s."""
     import numpy as np
 
     books = _stored_codebooks(spark, path)
@@ -1617,18 +1622,313 @@ def pq_topk_indexed(
         .filter(F.col("ark") <= shortlist * k)
         .select("query_id", "vec_id")
     )
-    elem_t = emb.schema["embedding"].dataType
+    return _exact_rerank(
+        spark, cands, queries, k, emb=emb, vector_store=vector_store
+    )
+
+
+# --------------------------------------------------------------------
+# ANN10 (round 8): partitioned raw-vector store — the shortlist-sized
+# exact re-rank. The PQ-family serves keep real vectors OUT of the
+# index (16-byte codes), so their exact re-rank must fetch the
+# shortlist's raw vectors from somewhere. Joining against the live
+# embeddings frame is correct but CORPUS-SHAPED: the shortlist side
+# broadcasts and the whole raw-vector table streams through the join
+# — at 100 TB that scan dominates the serve (the round-8 crossover
+# probe measured exactly this: ADC corpus-independence was won, then
+# buried under a shared full-corpus re-rank). The store fixes the
+# last corpus-shaped phase: raw vectors land hive-partitioned by
+# ``bucket = pmod(hash(vec_id), n)`` — the ANN-lists layout, NOT a
+# metastore bucketed table, because a bucketed SCAN schedules one
+# task per bucket whether pruned or not (measured: 512 mostly-empty
+# tasks cost 3-6 s of pure scheduling per serve) — and the serve
+# reads ONLY the shortlist ids' bucket directories (explicit paths
+# under ``basePath``, the ``_read_probed_lists`` discipline), so
+# re-rank IO and task count track the shortlist, never the corpus.
+# Maintained like every serving artifact: CF1 folds append
+# new/updated vectors under their generation with NULL-embedding
+# tombstones for deletes (the store's hygiene never depends on the
+# index's tombstones), replays collapse by full-row distinct, and
+# compaction nets the line back to gen 0.
+
+#: Default bucket count for the raw-vector store. Size it so
+#: #buckets ≫ the shortlist size you serve with (selected fraction ≈
+#: #shortlist-ids / #buckets); at 100 TB that means 10⁴-10⁵ buckets
+#: of a few GB each. The count is stamped into ``{path}/meta`` and
+#: every append/serve derives buckets from the stamp — a mismatched
+#: count would route probe ids to directories their rows aren't in.
+VECTOR_STORE_BUCKETS = 64
+
+
+def _store_bucket_col(n_buckets: int):
+    return F.pmod(F.hash(F.col("vec_id")), F.lit(n_buckets))
+
+
+def _murmur3_long(x: int, seed: int = 42) -> int:
+    """Spark's ``F.hash`` for a LongType column, replicated in Python
+    (Murmur3 x86_32 ``hashLong``: low word then high word mixed as
+    two k1 rounds, fmix over 8 bytes, seed 42) — so the serve can
+    route shortlist ids to their bucket directories WITHOUT a Spark
+    job. Bit-equality with ``F.hash`` is pytest-pinned across
+    negative/positive/wide ids (tests/test_similarity.py); a drift
+    here would route probes to directories their rows aren't in,
+    which the pin exists to catch."""
+    M = 0xFFFFFFFF
+
+    def rotl(v, r):
+        return ((v << r) | (v >> (32 - r))) & M
+
+    def mix_k1(k1):
+        k1 = (k1 * 0xCC9E2D51) & M
+        k1 = rotl(k1, 15)
+        return (k1 * 0x1B873593) & M
+
+    def mix_h1(h1, k1):
+        h1 ^= k1
+        h1 = rotl(h1, 13)
+        return (h1 * 5 + 0xE6546B64) & M
+
+    u = x & 0xFFFFFFFFFFFFFFFF
+    h1 = mix_h1(seed & M, mix_k1(u & M))
+    h1 = mix_h1(h1, mix_k1((u >> 32) & M))
+    h1 ^= 8
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & M
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & M
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1  # signed int32
+
+
+def _store_bucket_of(vec_id: int, n_buckets: int) -> int:
+    """Driver-side twin of :func:`_store_bucket_col` (pmod of the
+    signed murmur3)."""
+    return _murmur3_long(int(vec_id)) % n_buckets
+
+
+def _stored_store_buckets(spark, path: str) -> int:
+    return int(
+        spark.read.parquet(f"{path.rstrip('/')}/meta").collect()[0].n_buckets
+    )
+
+
+def _write_store_rows(rows: DataFrame, path: str, n_buckets: int) -> None:
+    """One file per (bucket, write): repartition by bucket before the
+    hive-partitioned write — the `_write_list_partitions` lesson (a
+    32-task write into 512 dirs otherwise leaves ~16k files whose
+    listing cost dwarfs what the pruning saves)."""
+    (
+        rows.withColumn("bucket", _store_bucket_col(n_buckets))
+        .repartition(F.col("bucket"))
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{path.rstrip('/')}/rows")
+    )
+
+
+def write_vector_store(
+    emb: DataFrame,
+    path: str,
+    n_buckets: int = VECTOR_STORE_BUCKETS,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Persist the corpus's raw vectors as the re-rank serving store:
+    ``(vec_id, embedding, gen)`` under ``{path}/rows/bucket=…`` with
+    the bucket count stamped in ``{path}/meta``, gen 0 = the base
+    build. Pass ``path`` as ``vector_store=`` to
+    :func:`pq_topk_indexed` / :func:`ivfpq_topk_indexed` and the
+    exact re-rank becomes a directory-pruned point lookup instead of
+    a full raw-vector scan."""
+    spark = emb.sparkSession
+    from ..sources.lakehouse import _hfs
+
+    fs, jvm = _hfs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    if fs.exists(P(f"{path.rstrip('/')}/rows")):
+        fs.delete(P(f"{path.rstrip('/')}/rows"), True)
+    rows = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(emb_col).alias("embedding"),
+    ).withColumn("gen", F.lit(0).cast("int"))
+    _write_store_rows(rows, path, n_buckets)
+    emb_t = rows.schema["embedding"].dataType.simpleString()
+    spark.createDataFrame(
+        [(n_buckets, emb_t)], "n_buckets int, emb_type string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{path.rstrip('/')}/meta"
+    )
+
+
+def apply_changes_to_vector_store(
+    spark,
+    changes: DataFrame,
+    path: str,
+    gen: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """CF1 fold for the store: inserts/update-postimages append the
+    new vector under the fold's generation; deletes/update-preimages
+    append a NULL-embedding tombstone row. Serve-side resolution is
+    latest-gen wins, live beats dead at equal gen (an update's
+    pre+post land together), NULL dropped (:func:`_store_vectors`).
+    Replays collapse by full-row distinct — the same contract as
+    every signed-ledger fold, so this composes with ``stream_fold``
+    unchanged (exactly-once end to end). Bucket routing comes from
+    the STORED stamp, never a caller argument (a mismatched count
+    would route ids to directories their rows aren't in)."""
+    if gen <= 0:
+        raise ValueError(f"gen must be > 0 (got {gen}); 0 is the base build")
+    n_buckets = _stored_store_buckets(spark, path)
+    emb_t = changes.schema[emb_col].dataType
+    live = changes.filter(F.col("_change_type").isin(*CDF_LIVE_TYPES)).select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(emb_col).alias("embedding"),
+    )
+    dead = changes.filter(F.col("_change_type").isin(*CDF_DEAD_TYPES)).select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.lit(None).cast(emb_t).alias("embedding"),
+    )
+    delta = live.unionByName(dead).withColumn("gen", F.lit(gen).cast("int"))
+    _write_store_rows(delta, path, n_buckets)
+
+
+def compact_vector_store(spark, path: str) -> None:
+    """Collapse the fold line back to gen 0: latest live row per id
+    (dead ids physically dropped), rewritten as one file per bucket.
+    The netted view is materialized (localCheckpoint) before the
+    overwrite so the rewrite never reads directories it is
+    replacing."""
+    n_buckets = _stored_store_buckets(spark, path)
+    base = f"{path.rstrip('/')}/rows"
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("gen"), F.asc(F.col("embedding").isNull().cast("int"))
+    )
+    netted = (
+        spark.read.parquet(base)
+        .drop("bucket")
+        .distinct()
+        .withColumn("_r", F.row_number().over(w))
+        .filter((F.col("_r") == 1) & F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+        .withColumn("gen", F.lit(0).cast("int"))
+        .localCheckpoint()
+    )
+    from ..sources.lakehouse import _hfs
+
+    fs, jvm = _hfs(spark, base)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(base), True)
+    _write_store_rows(netted, path, n_buckets)
+
+
+def _store_vectors(spark, path: str, vec_ids) -> DataFrame:
+    """Latest live vector per shortlisted id, reading ONLY the ids'
+    bucket directories. Bucket selection replays the write-side hash
+    driver-side (:func:`_murmur3_long`, the pinned ``F.hash`` twin —
+    no Spark job); directory listing is forced
+    DRIVER-SIDE for the read (#selected-buckets sequential list
+    calls) because the distributed-listing job Spark launches above
+    ``parallelPartitionDiscovery.threshold`` costs more than it saves
+    at any shortlist size — the same measurement that shaped
+    ``_read_probed_lists``. The redundant ``bucket`` isin filter
+    keeps an explicit PartitionFilter in the plan (plan-asserted);
+    ``distinct`` collapses fold replays; the per-id resolution window
+    runs over shortlist-sized rows only."""
+    from ..sources.lakehouse import _hfs
+
+    ids = sorted({int(v) for v in vec_ids})
+    meta = spark.read.parquet(f"{path.rstrip('/')}/meta").collect()[0]
+    if not ids:
+        # empty shortlist: short-circuit — the full-tree fallback
+        # below would pay a #buckets-directory discovery for nothing
+        return spark.createDataFrame(
+            [], f"vec_id long, embedding {meta.emb_type}"
+        )
+    n_buckets = int(meta.n_buckets)
+    base = f"{path.rstrip('/')}/rows"
+    sel = sorted({_store_bucket_of(i, n_buckets) for i in ids})
+    fs, jvm = _hfs(spark, base)
+    P = jvm.org.apache.hadoop.fs.Path
+    dirs = [
+        d for b in sel if fs.exists(P(d := f"{base}/bucket={b}"))
+    ]
+    conf = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, str(max(len(dirs) + 1, int(old))))
+    try:
+        reader = spark.read.option("basePath", base)
+        rows = reader.parquet(*dirs) if dirs else spark.read.parquet(base)
+    finally:
+        spark.conf.set(conf, old)
+    pruned = (
+        rows.filter(F.col("bucket").isin(sel) if sel else F.lit(False))
+        .filter(F.col("vec_id").isin(ids))
+        .drop("bucket")
+        .distinct()
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("gen"), F.asc(F.col("embedding").isNull().cast("int"))
+    )
+    return (
+        pruned.withColumn("_r", F.row_number().over(w))
+        .filter((F.col("_r") == 1) & F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+
+
+def _exact_rerank(
+    spark,
+    shortlisted: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    emb: DataFrame | None = None,
+    vector_store: str | None = None,
+) -> DataFrame:
+    """Exact-cosine re-rank of a per-query shortlist ``(query_id,
+    vec_id)`` — the tail shared by the PQ-family serves. With ``emb``
+    the raw-vector join streams the whole corpus frame (correct, but
+    the one corpus-shaped phase left in an indexed serve); with
+    ``vector_store`` the shortlist is collected (bounded by
+    construction at #queries·shortlist·k two-long rows) and the store
+    read touches only its ids' bucket directories. Bit-identical
+    results either way — same
+    vectors, same element-type cast, same rounding, same tie-breaks
+    (pinned in tests/test_similarity.py)."""
+    if (emb is None) == (vector_store is None):
+        raise ValueError("pass exactly one of emb / vector_store")
+    if vector_store is not None:
+        # direct collect, not _bounded_collect: the shortlist frame is
+        # bounded by CONSTRUCTION (its row_number filter caps it at
+        # #queries·shortlist·k rows of two longs), and the guard's
+        # count-first would execute the whole upstream ADC scan a
+        # second time — measured 2-3× on the serve wall-clock
+        rows = shortlisted.collect()
+        shortlisted = spark.createDataFrame(
+            [(int(r.query_id), int(r.vec_id)) for r in rows],
+            "query_id long, vec_id long",
+        )
+        vecs = _store_vectors(
+            spark, vector_store, sorted({int(r.vec_id) for r in rows})
+        )
+    else:
+        vecs = emb.select("vec_id", "embedding")
+    # cast queries to the corpus element type so scoring arithmetic
+    # is bit-identical with the live path (float→double→float exact)
+    elem_t = vecs.schema["embedding"].dataType
     qv = spark.createDataFrame(
         [(int(q), [float(x) for x in v]) for q, v in queries],
         "query_id long, qv array<double>",
     ).select("query_id", F.col("qv").cast(elem_t).alias("qv"))
     reranked = (
-        cands.join(F.broadcast(qv), "query_id")
-        .join(emb.select("vec_id", "embedding"), "vec_id")
+        shortlisted.join(F.broadcast(qv), "query_id")
+        .join(vecs, "vec_id")
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine_col(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
+            F.round(cosine_col(F.col("qv"), F.col("embedding")), 6).alias(
+                "cosine"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -1953,19 +2253,24 @@ def ivfpq_topk_indexed(
     spark,
     path: str,
     queries: list[tuple[int, list[float]]],
-    emb: DataFrame,
+    emb: DataFrame | None = None,
     k: int = 3,
     nprobe: int = IVF_NPROBE,
     shortlist: int = PQ_SHORTLIST,
     exclude_query_ids: bool = True,
+    vector_store: str | None = None,
 ) -> DataFrame:
     """Query the persisted IVF-PQ hybrid: probe selection on the
     driver against the broadcast-size quantizer, a PARTITION-PRUNED
     scan of only the probed centroid directories' 16-byte codes, ADC
     shortlisting per query within its own probed lists
-    (:func:`_adc_scan_probed`), then exact-cosine re-rank against
-    ``emb`` — the only touch of real vectors, shortlist·k rows per
-    query. Same scoring and tie-breaks as the flat
+    (:func:`_adc_scan_probed`), then exact-cosine re-rank — the only
+    touch of real vectors, shortlist·k rows per query, against
+    ``emb`` (the live corpus frame) or the directory-pruned
+    ``vector_store`` (:func:`write_vector_store`; with it EVERY phase
+    of the serve is corpus-size-independent — probed lists by
+    partition pruning, raw vectors by bucket pruning).
+    Same scoring and tie-breaks as the flat
     :func:`pq_topk_indexed`; with ``nprobe = n_centroids`` the result
     is BIT-IDENTICAL to it (every list probed ⇒ the whole code table
     scanned — pinned in tests/test_similarity.py), which is the
@@ -2031,25 +2336,8 @@ def ivfpq_topk_indexed(
         .filter(F.col("ark") <= shortlist * k)
         .select("query_id", "vec_id")
     )
-    elem_t = emb.schema["embedding"].dataType
-    qv = spark.createDataFrame(
-        [(int(q), [float(x) for x in v]) for q, v in queries],
-        "query_id long, qv array<double>",
-    ).select("query_id", F.col("qv").cast(elem_t).alias("qv"))
-    reranked = (
-        shortlisted.join(F.broadcast(qv), "query_id")
-        .join(emb.select("vec_id", "embedding"), "vec_id")
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(cosine_col(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        reranked.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "vec_id", "cosine", "rk")
+    return _exact_rerank(
+        spark, shortlisted, queries, k, emb=emb, vector_store=vector_store
     )
 
 

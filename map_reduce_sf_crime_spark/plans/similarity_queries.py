@@ -116,6 +116,11 @@ def _ann_index_dir(sf_dir: str, emb: DataFrame) -> str:
         similarity.write_ivfpq_index(emb, f"{base}/ivfpq")
         # round 8: the IVFADC residual-encoding mode of the hybrid
         similarity.write_ivfpq_index(emb, f"{base}/ivfpq_res", residual=True)
+        # round 8 (ANN10): the partitioned raw-vector store — the
+        # production re-rank source (directory-pruned point lookups
+        # instead of a full raw-vector scan); served by the
+        # ivfpq_indexed leg below, bit-identical to the emb form
+        similarity.write_vector_store(emb, f"{base}/vstore")
         # the DAILY-LOOP form: base build on 4/5 of the corpus, then
         # the held-out 1/5 folded in through the append path (stored
         # quantizer/codebooks, batch's own append_id partitions) — so
@@ -300,7 +305,9 @@ def embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for m, floor in ANN_METHODS.items()
     )
     + ") t(method, n_queries, floor_pct, ok)",
-    survey_ids=("ANN3", "ANN4", "ANN5", "ANN6", "ANN7", "ANN8", "ANN9"),
+    survey_ids=(
+        "ANN3", "ANN4", "ANN5", "ANN6", "ANN7", "ANN8", "ANN9", "ANN10",
+    ),
 )
 def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable bound for the approximate ANN tier: per-method
@@ -349,7 +356,14 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank and the PQ leg's exact re-rank (fed the phantom-augmented
     frame) both rank them at 1.0 — recall ≤ 33 % and both floors
     (60/80) turn the driver red. The gate thereby watches that
-    deletes REALLY die in both serving paths."""
+    deletes REALLY die in both serving paths.
+
+    Round 8 (ANN10): the ``ivfpq_indexed`` leg re-ranks through the
+    PERSISTED vector store (``write_vector_store`` →
+    ``vector_store=``) instead of the live frame — bit-identical
+    results (pytest-pinned), so the gate watches the serve whose
+    every phase is corpus-size-independent: partition-pruned code
+    lists AND directory-pruned raw-vector fetch."""
     emb = _emb(spark, sf_dir)
     exact = (
         similarity.knn_bruteforce(emb, QUERY_IDS, K)
@@ -400,8 +414,13 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lists of 16-byte codes; _adc_scan_probed; exact re-rank) —
         # its folded leg gets the same phantom-augmented re-rank frame
         # as pq_folded, for the same no-rescue reason
+        # served through the ANN10 vector store (bit-identical to
+        # the emb re-rank — pytest-pinned), so the gate watches the
+        # fully corpus-size-independent serve: pruned lists AND
+        # pruned raw-vector fetch
         "ivfpq_indexed": similarity.ivfpq_topk_indexed(
-            spark, f"{idx}/ivfpq", queries, emb, K
+            spark, f"{idx}/ivfpq", queries, k=K,
+            vector_store=f"{idx}/vstore",
         ),
         # round 8: residual-mode hybrid (detected from the stored
         # meta — the serve call is identical)

@@ -185,6 +185,32 @@ def maintain_pq_index(spark, table_path, index_path, checkpoint, **kwargs):
     )
 
 
+def maintain_vector_store(
+    spark, table_path, store_path, checkpoint, gen_base: int = 1, **kwargs
+):
+    """Re-rank store maintenance loop (round 8, ANN10): committed
+    merges of the embeddings table fold into the partitioned
+    raw-vector store (``apply_changes_to_vector_store`` — new/updated
+    vectors append under the stream's generation, deletes append
+    NULL-embedding tombstones), so the PQ-family serves'
+    ``vector_store=`` re-rank stays live alongside the index the
+    other three loops maintain. Same exactly-once composition: the
+    fold's full-row distinct collapses foreachBatch replays."""
+    from ..operators.similarity import apply_changes_to_vector_store
+
+    return stream_fold(
+        spark,
+        table_path,
+        ["vec_id"],
+        checkpoint,
+        lambda s, df, gen: apply_changes_to_vector_store(
+            s, df, store_path, gen
+        ),
+        gen_base=gen_base,
+        **kwargs,
+    )
+
+
 def maintain_ivfpq_index(spark, table_path, index_path, checkpoint, **kwargs):
     """IVF-PQ hybrid twin of :func:`maintain_ivf_index` — the serving
     path for embeddings at 100 TB (partition-pruned lists of 16-byte

@@ -1192,3 +1192,112 @@ from [sfcrime]
 """
         rows = sorted(_cells(spark, q), key=lambda r: r.row_ordinal)
         assert [r.row_member for r in rows] == ["All Districts", "crimes"], mode
+
+
+def test_bottomcount_keeps_bottom_n_members(spark):
+    """BottomCount is TopCount's ascending mirror: lowest n values,
+    caption-ascending on ties, membership-only (no ordinals)."""
+    year = _fixture_year(spark)
+    q = f"""select {{([Measures].[crimes], [Time].[{year}])}} ON COLUMNS,
+  BottomCount({{[District].[All Districts].Children}}, 3,
+              ([Measures].[crimes], [Time].[{year}])) ON ROWS
+from [sfcrime]
+"""
+    rows = _cells(spark, q)
+    want = _district_totals(spark, year)
+    bot3 = sorted(want.items(), key=lambda kv: (kv[1], kv[0]))[:3]
+    assert {r.row_member: r.crimes for r in rows} == dict(bot3)
+    assert all(r.row_ordinal is None for r in rows)
+
+
+def test_except_explicit_member_subtracts_from_enumeration(spark):
+    """Except(enumeration, {explicit}) — the JPivot hide-member shape:
+    the named member drops at the DATA level (no definition match
+    exists), everything else survives with its value intact."""
+    year = _fixture_year(spark)
+    want = _district_totals(spark, year)
+    victim = sorted(want)[0]
+    q = f"""select {{([Measures].[crimes], [Time].[{year}])}} ON COLUMNS,
+  Except({{[District].[All Districts].Children}},
+         {{[District].[{victim}]}}) ON ROWS
+from [sfcrime]
+"""
+    rows = _cells(spark, q)
+    assert {r.row_member: r.crimes for r in rows} == {
+        d: c for d, c in want.items() if d != victim
+    }
+
+
+def test_except_definition_match_subtracts_at_parse_time(spark):
+    """Identical definitions subtract without any data-level op, and
+    the survivor keeps its cell."""
+    year = _fixture_year(spark)
+    want = _district_totals(spark, year)
+    keep, drop = sorted(want)[:2]
+    q = f"""select {{([Measures].[crimes], [Time].[{year}])}} ON COLUMNS,
+  Except({{[District].[{keep}], [District].[{drop}]}},
+         {{[District].[{drop}]}}) ON ROWS
+from [sfcrime]
+"""
+    rows = _cells(spark, q)
+    assert {r.row_member: r.crimes for r in rows} == {keep: want[keep]}
+
+
+def test_except_composes_under_order(spark):
+    """Order(Except(...)) — membership from Except, ordinals from the
+    outer Order over the survivors only."""
+    year = _fixture_year(spark)
+    want = _district_totals(spark, year)
+    victim = sorted(want, key=lambda d: -want[d])[0]  # drop the top one
+    q = f"""select {{([Measures].[crimes], [Time].[{year}])}} ON COLUMNS,
+  Order(Except({{[District].[All Districts].Children}},
+               {{[District].[{victim}]}}),
+        ([Measures].[crimes], [Time].[{year}]), BDESC) ON ROWS
+from [sfcrime]
+"""
+    rows = sorted(_cells(spark, q), key=lambda r: r.row_ordinal)
+    kept = {d: c for d, c in want.items() if d != victim}
+    assert [r.row_member for r in rows] == [
+        d for d, _ in sorted(kept.items(), key=lambda kv: (-kv[1], kv[0]))
+    ]
+    assert [r.row_ordinal for r in rows] == list(range(1, len(kept) + 1))
+
+
+def test_except_and_bottomcount_parse_errors():
+    from map_reduce_sf_crime_spark.mdx import MdxError, parse_mdx
+
+    import pytest
+
+    cases = [
+        (
+            # unmatched enumerated second argument: nothing to
+            # subtract by definition, captions unknowable — loud
+            "select {[Measures].[crimes]} ON COLUMNS,"
+            " Except({[District].[All Districts].Children},"
+            " {[Category].[All Categories].Children}) ON ROWS"
+            " from [sfcrime]",
+            "enumerated second argument",
+        ),
+        (
+            "select {[Measures].[crimes]} ON COLUMNS,"
+            " Except(Order({[District].[All Districts].Children},"
+            " [Measures].[crimes]), {[District].[X]}) ON ROWS"
+            " from [sfcrime]",
+            "must wrap Except",
+        ),
+        (
+            "select {[Measures].[crimes]} ON COLUMNS,"
+            " BottomCount({[District].[All Districts].Children}, 0)"
+            " ON ROWS from [sfcrime]",
+            "positive int",
+        ),
+        (
+            "select {[Measures].[crimes]} ON COLUMNS,"
+            " Except({[District].[A]}, {[District].[A]}, SOMEFLAG)"
+            " ON ROWS from [sfcrime]",
+            "unknown Except flag",
+        ),
+    ]
+    for q, msg in cases:
+        with pytest.raises(MdxError, match=msg):
+            parse_mdx(q)

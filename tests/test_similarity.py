@@ -1236,3 +1236,195 @@ def test_zero_vector_does_not_poison_index(spark):
         ).collect()
         assert len(got) == 3 * len(queries)
     shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------
+# ANN10: bucketed raw-vector store — shortlist-sized exact re-rank
+
+
+def test_vector_store_rerank_equality_and_bucket_pruning(spark):
+    """Serving from the bucketed raw-vector store is bit-identical to
+    serving from the live corpus frame for BOTH PQ-family serves, and
+    the store scan is bucket-pruned by the shortlist's literal IN
+    filter (SelectedBucketsCount < total — the 100 TB point: re-rank
+    IO tracks the shortlist, never the corpus)."""
+    import os
+    import shutil
+
+    import pytest
+
+    store = _scratch("vs_store")
+    flat, hyb = _scratch("vs_flat"), _scratch("vs_hyb")
+    for d in (store, flat, hyb):
+        shutil.rmtree(d, ignore_errors=True)
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    books = similarity.pq_codebooks(emb)
+    similarity.write_pq_index(emb, flat, codebooks=books)
+    similarity.write_ivfpq_index(emb, hyb, n_centroids=8, codebooks=books)
+    # 128 buckets: the fixture's ~150 shortlist ids then cover a
+    # strict subset, so the pruning is OBSERVABLE (at 32 buckets
+    # they'd cover every directory and the assert would be vacuous;
+    # production sizing scales buckets with the corpus while the
+    # shortlist stays fixed, so coverage only shrinks)
+    similarity.write_vector_store(emb, store, n_buckets=128)
+    n_dirs = len(
+        [d for d in os.listdir(f"{store}/rows") if d.startswith("bucket=")]
+    )
+    qids = QUERY_IDS[:5]
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    ]
+    serves = (
+        lambda **kw: similarity.pq_topk_indexed(
+            spark, flat, queries, k=3, **kw
+        ),
+        lambda **kw: similarity.ivfpq_topk_indexed(
+            spark, hyb, queries, k=3, **kw
+        ),
+    )
+    for serve in serves:
+        live = sorted(map(tuple, serve(emb=emb).collect()))
+        stored_df = serve(vector_store=store)
+        stored = sorted(map(tuple, stored_df.collect()))
+        assert stored == live and stored
+        # the store scan carries an explicit bucket PartitionFilter
+        # and physically touches a strict subset of the directories
+        plan = stored_df._jdf.queryExecution().executedPlan().toString()
+        pf = [
+            ln for ln in plan.splitlines()
+            if "PartitionFilters:" in ln and "bucket" in ln
+        ]
+        assert pf, plan
+        touched = {
+            f.split("/bucket=")[1].split("/")[0]
+            for f in stored_df.inputFiles()
+            if "/bucket=" in f
+        }
+        assert 0 < len(touched) < n_dirs, (len(touched), n_dirs)
+    # exactly one re-rank source, validated before any job runs
+    with pytest.raises(ValueError, match="exactly one"):
+        similarity.pq_topk_indexed(
+            spark, flat, queries, emb=emb, k=3, vector_store=store
+        )
+    with pytest.raises(ValueError, match="exactly one"):
+        similarity.pq_topk_indexed(spark, flat, queries, k=3)
+    for d in (store, flat, hyb):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_vector_store_fold_replay_and_compact(spark):
+    """The CF1 fold keeps the store serving the live corpus: an
+    update's postimage replaces the doctored base vector, a delete
+    drops out (NULL tombstone), an insert appears; a replayed fold
+    (same gen) collapses; compaction nets the line to gen 0 with
+    identical resolution; end-to-end, folded index + folded store
+    serve exactly what the folded index + live post-change corpus
+    serves."""
+    import shutil
+
+    import pytest
+
+    tbl = _scratch("vs_fold_store")
+    idx = _scratch("vs_fold_idx")
+    shutil.rmtree(tbl, ignore_errors=True)
+    shutil.rmtree(idx, ignore_errors=True)
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    # base corpus: vec 3 missing (inserted later), vec 1 doctored so
+    # only the fold's update-postimage restores the true vector
+    doctored = emb.filter(F.col("vec_id") != 3).withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") == 1,
+            F.expr("transform(embedding, x -> float(0.5))"),
+        ).otherwise(F.col("embedding")),
+    )
+    books = similarity.pq_codebooks(emb)
+    similarity.write_pq_index(doctored, idx, codebooks=books)
+    similarity.write_vector_store(doctored, tbl)
+    ct = lambda df, t: df.withColumn("_change_type", F.lit(t))  # noqa: E731
+    changes = (
+        ct(doctored.filter(F.col("vec_id") == 1), "update_preimage")
+        .unionByName(ct(emb.filter(F.col("vec_id") == 1), "update_postimage"))
+        .unionByName(ct(doctored.filter(F.col("vec_id") == 2), "delete"))
+        .unionByName(ct(emb.filter(F.col("vec_id") == 3), "insert"))
+    )
+    with pytest.raises(ValueError, match="gen must be > 0"):
+        similarity.apply_changes_to_vector_store(spark, changes, tbl, 0)
+    for _ in range(2):  # at-least-once replay: same gen, same rows
+        similarity.apply_changes_to_pq_index(spark, idx, changes, 1)
+        similarity.apply_changes_to_vector_store(spark, changes, tbl, 1)
+    # direct resolution: update serves the NEW vector, delete is gone
+    res = {
+        r.vec_id: list(r.embedding)
+        for r in similarity._store_vectors(spark, tbl, [1, 2, 3]).collect()
+    }
+    true1 = list(emb.filter(F.col("vec_id") == 1).collect()[0].embedding)
+    assert set(res) == {1, 3} and res[1] == true1
+    final = emb.filter(F.col("vec_id") != 2)
+    qids = [0, 1, 3, 4, 5]
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in final.filter(F.col("vec_id").isin(qids)).collect()
+    ]
+    live = sorted(
+        map(
+            tuple,
+            similarity.pq_topk_indexed(
+                spark, idx, queries, emb=final, k=3
+            ).collect(),
+        )
+    )
+    stored = sorted(
+        map(
+            tuple,
+            similarity.pq_topk_indexed(
+                spark, idx, queries, vector_store=tbl, k=3
+            ).collect(),
+        )
+    )
+    assert stored == live and stored
+    similarity.compact_vector_store(spark, tbl)
+    rows = spark.read.parquet(f"{tbl}/rows")
+    gens = {r[0] for r in rows.select("gen").distinct().collect()}
+    assert gens == {0}
+    # dead id physically dropped, resolution unchanged, serve unchanged
+    assert rows.filter(F.col("vec_id") == 2).count() == 0
+    res2 = {
+        r.vec_id: list(r.embedding)
+        for r in similarity._store_vectors(spark, tbl, [1, 2, 3]).collect()
+    }
+    assert res2 == res
+    stored2 = sorted(
+        map(
+            tuple,
+            similarity.pq_topk_indexed(
+                spark, idx, queries, vector_store=tbl, k=3
+            ).collect(),
+        )
+    )
+    assert stored2 == live
+    shutil.rmtree(tbl, ignore_errors=True)
+    shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_murmur3_long_matches_spark_hash(spark):
+    """The driver-side bucket router is a BIT-EXACT twin of Spark's
+    ``F.hash`` over longs — negative, zero, wide, and dense ids all
+    agree, so probe ids can never route to directories their rows
+    aren't in."""
+    ids = (
+        list(range(-5, 50))
+        + [2**31 - 1, 2**31, -(2**31), 2**62, -(2**62), 9_000_017]
+        + [10 + 7001 * i for i in range(64)]
+    )
+    got = {
+        r.vec_id: r.h
+        for r in spark.createDataFrame([(i,) for i in ids], "vec_id long")
+        .select("vec_id", F.hash("vec_id").alias("h"))
+        .collect()
+    }
+    for i in ids:
+        assert similarity._murmur3_long(i) == got[i], i
+        for n in (2, 64, 2048):
+            assert similarity._store_bucket_of(i, n) == got[i] % n

@@ -23,6 +23,7 @@ from map_reduce_sf_crime_spark.streaming.index_maintenance import (
     maintain_ivf_index,
     maintain_ivfpq_index,
     maintain_pq_index,
+    maintain_vector_store,
 )
 
 from .conftest import SF_CHECK
@@ -71,6 +72,11 @@ def test_ann_maintenance_loops_serve_live_corpus(spark, tmp_path):
     similarity.write_ivfpq_index(
         snapshot, idx["ivfpq_res"], n_centroids=8, residual=True
     )
+    # round 8 (ANN10): the re-rank store is the fourth artifact the
+    # embeddings feed keeps live — base build MUST precede the churn
+    # (the snapshot frame is lazy over files the merges rewrite)
+    store_path = str(tmp_path / "vstore")
+    similarity.write_vector_store(snapshot, store_path)
 
     # committed churn: the phantoms die, the new vectors arrive
     merge_upsert(
@@ -97,6 +103,13 @@ def test_ann_maintenance_loops_serve_live_corpus(spark, tmp_path):
         )
         q.awaitTermination(300)
         q.stop()
+    # the re-rank store rides the same stream
+    q = maintain_vector_store(
+        spark, path, store_path,
+        checkpoint=str(tmp_path / "ckpt_store"), starting_cid=0,
+    )
+    q.awaitTermination(300)
+    q.stop()
 
     final = read_partitioned(spark, path).select("vec_id", "embedding")
     # rebuilds on the final corpus under the STREAMED indexes' OWN
@@ -142,3 +155,13 @@ def test_ann_maintenance_loops_serve_live_corpus(spark, tmp_path):
             top = [r for r in served if r.query_id == q and r.rk == 1]
             assert top and top[0].vec_id == 8_000_000 + i, (name, q)
             assert top[0].cosine == 1.0, (name, q)
+    # the streamed store re-ranks bit-identically to the live corpus
+    # frame: deleted phantoms tombstoned, streamed inserts' vectors
+    # really present (a missing insert would silently drop its row
+    # from the store-served result — caught here by the equality)
+    via_store = similarity.pq_topk_indexed(
+        spark, idx["pq"], queries, vector_store=store_path, k=3
+    ).collect()
+    assert sorted(map(tuple, via_store)) == sorted(
+        map(tuple, serve["pq"](idx["pq"]).collect())
+    )

@@ -770,7 +770,31 @@ def crossover_probe(spark, n: int) -> None:
         for r in emb.filter(SF.col("vec_id").isin(qids)).collect()
     ]
     books = similarity.pq_codebooks(emb)
-    for kind, write, probe in (
+    # ANN10 (round 8): the partitioned re-rank store removes the
+    # LAST corpus-shaped serve phase (the exact re-rank's raw-vector
+    # scan — the round-8 run of this probe measured it burying the
+    # ADC win). Buckets sized ∝ corpus (fixed ~1000-row buckets, the
+    # fixed-bucket-SIZE production rule — the store twin of K ∝ √N),
+    # so the serve's bytes = #shortlist-buckets × bucket size stay
+    # corpus-INDEPENDENT; a first cut as a metastore BUCKETED table
+    # lost 3-6 s/serve to one-task-per-bucket scheduling, which is
+    # why the store is hive-partitioned with explicit-directory reads.
+    store_buckets = max(64, rows_n // 1000)
+    store_tbl = os.path.join(scratch, f"xover_store_x{n}")
+    shutil.rmtree(store_tbl, ignore_errors=True)
+    t0 = _t.perf_counter()
+    similarity.write_vector_store(emb, store_tbl, n_buckets=store_buckets)
+    print(
+        f"x{n} crossover store build[{rows_n} vecs]: "
+        f"{_t.perf_counter() - t0:.2f}s ({store_buckets} buckets)"
+    )
+
+    def _rerank_bytes(df, marker):
+        files = [f for f in df.inputFiles() if marker in f]
+        return sum(
+            os.path.getsize(f.replace("file:", "")) for f in files
+        ) / 1e6, len(files)
+    for kind, write, probe, probe_store in (
         (
             "ivfpq",
             lambda e, p: similarity.write_ivfpq_index(
@@ -779,11 +803,17 @@ def crossover_probe(spark, n: int) -> None:
             lambda p: similarity.ivfpq_topk_indexed(
                 spark, p, queries, emb, 3, nprobe=nprobe
             ),
+            lambda p: similarity.ivfpq_topk_indexed(
+                spark, p, queries, k=3, nprobe=nprobe, vector_store=store_tbl
+            ),
         ),
         (
             "pq_flat",
             lambda e, p: similarity.write_pq_index(e, p, codebooks=books),
             lambda p: similarity.pq_topk_indexed(spark, p, queries, emb, 3),
+            lambda p: similarity.pq_topk_indexed(
+                spark, p, queries, k=3, vector_store=store_tbl
+            ),
         ),
     ):
         path = os.path.join(scratch, f"xover_{kind}")
@@ -791,11 +821,26 @@ def crossover_probe(spark, n: int) -> None:
         t0 = _t.perf_counter()
         write(emb, path)
         t_build = _t.perf_counter() - t0
-        serves = []
+        serves, serves_store = [], []
         for _ in range(3):
             t0 = _t.perf_counter()
-            probe(path).count()
+            df_emb = probe(path)
+            df_emb.count()
             serves.append(_t.perf_counter() - t0)
+        for _ in range(3):
+            t0 = _t.perf_counter()
+            df_store = probe_store(path)
+            df_store.count()
+            serves_store.append(_t.perf_counter() - t0)
+        # page-cache-immune structural evidence: raw-vector BYTES the
+        # re-rank touches on each path (emb = the whole corpus file
+        # set; store = only the shortlist's bucket directories)
+        eb, ef = _rerank_bytes(df_emb, "xover_corpus")
+        sb, sf_ = _rerank_bytes(df_store, "/rows/bucket=")
+        print(
+            f"x{n} crossover {kind} rerank bytes: emb {eb:.0f}MB"
+            f"/{ef}f vs store {sb:.0f}MB/{sf_}f"
+        )
         extra = ""
         if kind == "ivfpq":
             sizes = {
@@ -826,9 +871,12 @@ def crossover_probe(spark, n: int) -> None:
         print(
             f"x{n} crossover {kind}[{rows_n} vecs]: build {t_build:.2f}s, "
             f"serve min-of-3 {min(serves):.2f}s"
-            f" (all {[round(s, 2) for s in serves]}){extra}"
+            f" (all {[round(s, 2) for s in serves]}), "
+            f"serve+store min-of-3 {min(serves_store):.2f}s"
+            f" (all {[round(s, 2) for s in serves_store]}){extra}"
         )
         shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(store_tbl, ignore_errors=True)
 
 
 def index_compaction_probe(spark, n: int) -> None:
