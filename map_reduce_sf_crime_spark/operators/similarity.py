@@ -1745,8 +1745,13 @@ def write_vector_store(
 
     fs, jvm = _hfs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path
-    if fs.exists(P(f"{path.rstrip('/')}/rows")):
-        fs.delete(P(f"{path.rstrip('/')}/rows"), True)
+    # crash-ordering: meta is deleted FIRST and rewritten LAST, so a
+    # rebuild torn anywhere leaves a store with NO meta — every read
+    # raises loudly — never a stale bucket-count stamp over new rows
+    # (which would silently route probes to the wrong directories)
+    for sub in ("meta", "rows"):
+        if fs.exists(P(f"{path.rstrip('/')}/{sub}")):
+            fs.delete(P(f"{path.rstrip('/')}/{sub}"), True)
     rows = emb.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(emb_col).alias("embedding"),
