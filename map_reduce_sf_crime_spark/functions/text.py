@@ -86,15 +86,31 @@ def shingles_col(tok: Column, n: int) -> Column:
     DESCENDING sequence [1, 0] (not empty!), whose 0 index then
     crashes ``slice`` — docs with fewer than ``n`` tokens must
     short-circuit to an empty array (caught by
-    tests/test_text_functions.py)."""
-    count = F.size(tok) - (n - 1)
-    return F.when(
-        count >= 1,
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    tests/test_text_functions.py).
+
+    ``tok`` is bound ONCE through a single-element-array lambda
+    (``transform(array(tok), t -> …)[0]``) before any per-shingle
+    work touches it. Without the binding, every per-element
+    reference inside the transform lambda re-inlines the whole
+    ``tok`` EXPRESSION (typically ``filter(split(translate(text)))``)
+    — higher-order lambdas run interpreted, outside codegen's
+    common-subexpression elimination — so each document re-tokenized
+    once PER SHINGLE: O(tokens²) per doc, measured 49.2 s → 4.0 s
+    (12×) on the x10 bigram explode with bit-identical output
+    (BASELINE.md round-8 continuation). The lambda variable is a
+    bound value, so the inner size/slice references are cheap."""
+
+    def build(t: Column) -> Column:
+        count = F.size(t) - (n - 1)
+        return F.when(
+            count >= 1,
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.transform(F.array(tok), build)[0]
 
 
 def shingles_sql(tok: str, n: int) -> str:
