@@ -347,34 +347,52 @@ def _dup_mass_col(grams: Column) -> Column:
     return F.aggregate(F.array_sort(grams), init, merge, lambda a: a["dup"])
 
 
-def _gopher_exprs(tok: Column) -> tuple:
-    """Column expressions for the Gopher rule set over a token array.
-    Every ratio divides exact integer sums (IEEE-identical cross-
-    engine); zero-token docs emit 0-ratios and fail the flag without
-    tripping ANSI division."""
-    n = F.size(tok).cast("long")
-    chars = F.aggregate(
-        tok,
-        F.lit(0).cast("long"),
-        lambda acc, w: acc + F.length(w).cast("long"),
-    )
-    mwl = F.when(n == 0, F.lit(0.0)).otherwise(chars / n)
-    g3 = shingles_col(tok, 3)
-    n3 = F.size(g3).cast("long")
+def _gopher_arrays(tok: Column) -> Column:
+    """Stage 1 of the Gopher pass: bind the token array ONCE (the
+    shingles_col lambda-binding discipline) and emit every derived
+    array/count as one struct — tokenize and each n-gram build happen
+    exactly once per row. Without the bind, the measured cost at x10
+    was 16× the single-pass bound (50.9 s vs 3.1 s): ``tok`` inlined
+    ~8× and every gram array twice (size + fold)."""
+
+    def build(t: Column) -> Column:
+        return F.struct(
+            F.size(t).cast("long").alias("n"),
+            F.aggregate(
+                t,
+                F.lit(0).cast("long"),
+                lambda acc, w: acc + F.length(w).cast("long"),
+            ).alias("chars"),
+            shingles_col(t, 3).alias("g3"),
+            shingles_col(t, 5).alias("g5"),
+            shingles_col(t, 2).alias("g2"),
+        )
+
+    return F.transform(F.array(tok), build)[0]
+
+
+def _gopher_exprs(g: Column) -> tuple:
+    """Stage 2: the Gopher rule set over the stage-1 struct (an
+    ATTRIBUTE in the caller's second projection, so its ~10 field
+    references are cheap and CollapseProject keeps the boundary —
+    the struct evaluates once per row). Every ratio divides exact
+    integer sums (IEEE-identical cross-engine); zero-token docs emit
+    0-ratios and fail the flag without tripping ANSI division."""
+    n = g["n"]
+    mwl = F.when(n == 0, F.lit(0.0)).otherwise(g["chars"] / n)
+    n3 = F.size(g["g3"]).cast("long")
     top3 = F.when(n3 <= 0, F.lit(0.0)).otherwise(
-        max_run_count_col(g3) / n3
+        max_run_count_col(g["g3"]) / n3
     )
     # the published flag term stays the 5-gram mass; the EMITTED mass
     # column is the 2-gram variant, which is live on natural corpora
     # AND this fixture (the 5-gram mass is identically zero on the
     # synthetic word-soup — a dead gate column; a planted repetitive
     # doc exercises the 5-gram term in pytest instead)
-    g5 = shingles_col(tok, 5)
-    n5 = F.size(g5).cast("long")
-    dup5 = F.when(n5 <= 0, F.lit(0.0)).otherwise(_dup_mass_col(g5) / n5)
-    g2 = shingles_col(tok, 2)
-    n2 = F.size(g2).cast("long")
-    dup2 = F.when(n2 <= 0, F.lit(0.0)).otherwise(_dup_mass_col(g2) / n2)
+    n5 = F.size(g["g5"]).cast("long")
+    dup5 = F.when(n5 <= 0, F.lit(0.0)).otherwise(_dup_mass_col(g["g5"]) / n5)
+    n2 = F.size(g["g2"]).cast("long")
+    dup2 = F.when(n2 <= 0, F.lit(0.0)).otherwise(_dup_mass_col(g["g2"]) / n2)
     ok = (
         n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
         & mwl.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
@@ -400,7 +418,8 @@ def gopher_stats(docs: DataFrame) -> DataFrame:
     tok = F.coalesce(
         tokens_col(F.col("text")), F.array().cast("array<string>")
     )
-    return docs.select("doc_id", *_gopher_exprs(tok))
+    staged = docs.select("doc_id", _gopher_arrays(tok).alias("_g"))
+    return staged.select("doc_id", *_gopher_exprs(F.col("_g")))
 
 
 def gopher_stats_sql(table: str = "documents") -> str:
