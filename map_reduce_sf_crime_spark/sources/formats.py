@@ -10,6 +10,13 @@ an EXPLICIT schema (the engine's fixed-schema discipline, SURVEY
 At scale both formats split and parallelize like any FileFormat
 source; ORC additionally carries column stats for predicate pushdown
 (same pushdown surface the parquet tests assert).
+
+Avro stays a documented non-goal in THIS environment: it is an
+external module since Spark 2.4 (`spark-avro` jar), absent from the
+container and not installable offline (probed round 8: "Failed to
+find data source: avro"). On a cluster with the jar deployed,
+`spark.read.format("avro")` slots in beside these with the same
+explicit-schema discipline.
 """
 
 from __future__ import annotations
