@@ -1275,15 +1275,28 @@ def test_vector_store_rerank_equality_and_bucket_pruning(spark):
         (r["vec_id"], list(r["embedding"]))
         for r in emb.filter(F.col("vec_id").isin(qids)).collect()
     ]
+    # residual-mode hybrid too: ANN9 × ANN10 composition — the store
+    # re-rank is mode-agnostic (it only fetches raw vectors), so the
+    # equality must hold under residual ADC ordering as well
+    res = _scratch("vs_res")
+    shutil.rmtree(res, ignore_errors=True)
+    similarity.write_ivfpq_index(emb, res, n_centroids=8, residual=True)
     serves = (
-        lambda **kw: similarity.pq_topk_indexed(
+        # strict=True: shortlist must touch a strict subset of dirs
+        # (the residual hybrid's per-list tables shortlist differently
+        # and legitimately cover every existing dir on this fixture —
+        # its leg pins equality + the PartitionFilter only)
+        (True, lambda **kw: similarity.pq_topk_indexed(
             spark, flat, queries, k=3, **kw
-        ),
-        lambda **kw: similarity.ivfpq_topk_indexed(
+        )),
+        (True, lambda **kw: similarity.ivfpq_topk_indexed(
             spark, hyb, queries, k=3, **kw
-        ),
+        )),
+        (False, lambda **kw: similarity.ivfpq_topk_indexed(
+            spark, res, queries, k=3, **kw
+        )),
     )
-    for serve in serves:
+    for strict, serve in serves:
         live = sorted(map(tuple, serve(emb=emb).collect()))
         stored_df = serve(vector_store=store)
         stored = sorted(map(tuple, stored_df.collect()))
@@ -1301,7 +1314,9 @@ def test_vector_store_rerank_equality_and_bucket_pruning(spark):
             for f in stored_df.inputFiles()
             if "/bucket=" in f
         }
-        assert 0 < len(touched) < n_dirs, (len(touched), n_dirs)
+        assert 0 < len(touched) <= n_dirs, (len(touched), n_dirs)
+        if strict:
+            assert len(touched) < n_dirs, (len(touched), n_dirs)
     # exactly one re-rank source, validated before any job runs
     with pytest.raises(ValueError, match="exactly one"):
         similarity.pq_topk_indexed(
@@ -1309,7 +1324,7 @@ def test_vector_store_rerank_equality_and_bucket_pruning(spark):
         )
     with pytest.raises(ValueError, match="exactly one"):
         similarity.pq_topk_indexed(spark, flat, queries, k=3)
-    for d in (store, flat, hyb):
+    for d in (store, flat, hyb, res):
         shutil.rmtree(d, ignore_errors=True)
 
 
