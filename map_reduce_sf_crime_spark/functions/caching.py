@@ -42,6 +42,23 @@ _TRACKED_CHECKPOINTS: list[DataFrame] = []
 #: zero in tests/test_caching.py).
 _RELEASE_FAILURES = 0
 
+#: callbacks fired after tracked checkpoints are released — the
+#: round-9 dead-memo fix: the registry memoizes built frames for
+#: consecutive same-query builds, and a released localCheckpoint is
+#: NOT recomputable, so any released-checkpoint event must invalidate
+#: frame memos held elsewhere (the registry registers its
+#: invalidator at import). Without this, an explicit
+#: release_plan_caches() followed by a same-name registry build
+#: returned a frame whose blocks were gone —
+#: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on first use.
+_RELEASE_LISTENERS: list = []
+
+
+def on_release(callback) -> None:
+    """Register a zero-arg callback fired whenever tracked
+    checkpoints are released (memo invalidation hook)."""
+    _RELEASE_LISTENERS.append(callback)
+
 
 def plan_cache(df: DataFrame) -> DataFrame:
     """``df.cache()`` tracked for release at the next query build."""
@@ -99,11 +116,21 @@ def plan_checkpoint(df: DataFrame, reliable: bool = False) -> DataFrame:
     otherwise explains as one LogicalRDD scan, which is true for the
     serving layer but useless for auditing pushed filters and join
     strategy. Values are identical either way by this function's own
-    contract."""
+    contract.
+
+    ``SPARK_GRAFT_RELIABLE_CHECKPOINT=1`` forces ``reliable=True`` on
+    every call — the cluster-deployment knob: set it plus
+    ``setCheckpointDir(<durable path>)`` and every registry artifact
+    that checkpoints becomes executor-loss-durable with NO call-site
+    changes (call sites stay mode-agnostic by this function's
+    values-identical contract; tests/test_caching.py round-trips a
+    registry query through both modes and matches the hash)."""
     import os
 
     if os.environ.get("SPARK_GRAFT_NO_CHECKPOINT") == "1":
         return df
+    if os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT") == "1":
+        reliable = True
     if reliable:
         sc = df.sparkSession.sparkContext
         if sc._jsc.sc().checkpointDir().isEmpty():
@@ -152,6 +179,9 @@ def release_plan_checkpoints() -> int:
             RuntimeWarning,
             stacklevel=2,
         )
+    if released or failed:
+        for cb in _RELEASE_LISTENERS:
+            cb()
     return released
 
 

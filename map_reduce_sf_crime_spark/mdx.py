@@ -127,6 +127,19 @@ class _Member:
     enum_col: str | None = None
     caption: list[str] = field(default_factory=list)  # static caption parts
     hierarchy: str | None = None  # resolved dimension name (None = measure)
+    #: intermediate enumerated level columns strictly between the
+    #: member's static path and ``enum_col`` — non-empty only for
+    #: ``Descendants(member, level)`` spanning >1 level (round 9);
+    #: ``.Children``/``.Members`` keep it empty. Distinct members at
+    #: the target level are distinct FULL PATHS (Mondrian member
+    #: identity), so grouping, captions, and hierarchy ordinals all
+    #: include these columns.
+    enum_path: tuple[str, ...] = ()
+
+
+def _enum_cols(m: "_Member") -> tuple[str, ...]:
+    """All enumerated level columns of one member, outermost first."""
+    return (*m.enum_path, m.enum_col) if m.enum_col else ()
 
 
 _TOKEN = re.compile(
@@ -199,6 +212,7 @@ def _tuple_def_key(tp: list["_Member"]):
             m.measure,
             tuple(sorted((c, str(v)) for c, v in m.filters)),
             m.enum_col,
+            m.enum_path,
         )
         for m in tp
     )
@@ -540,18 +554,38 @@ class _Parser:
                     "set functions must wrap Except, not its inputs"
                 )
             akeys = {_tuple_def_key(tp) for tp in a.tuples}
+            # standard MDX rejects a dimensionality mismatch between
+            # Except's arguments at parse time; without this check a
+            # b-tuple over the wrong hierarchies (or wrong arity)
+            # falls through to caption matching, never matches any
+            # axis member, and silently removes nothing
+            dims = lambda tp: tuple(m.hierarchy or "Measures" for m in tp)
+            adims = {dims(tp) for tp in a.tuples}
             drop, captions = set(), []
             for tp in b.tuples:
                 key = _tuple_def_key(tp)
                 if key in akeys:
                     drop.add(key)
                     continue
+                if dims(tp) not in adims:
+                    raise MdxError(
+                        f"Except: second-argument tuple over "
+                        f"{dims(tp)} does not match the first "
+                        f"argument's dimensionality "
+                        f"{sorted(adims)} — standard MDX rejects "
+                        "the mismatch at parse time"
+                    )
                 if any(m.enum_col for m in tp):
                     raise MdxError(
                         "Except: an enumerated second argument must "
                         "match a definition in the first (explicit "
                         "members subtract by caption instead)"
                     )
+                # NOTE: a caption over the RIGHT hierarchy that names
+                # no axis member is Mondrian's Except semantics — b
+                # members absent from a subtract nothing (kept silent
+                # deliberately; only the dimensionality mismatch above
+                # is a query error)
                 captions.append(
                     ", ".join(c for m in tp for c in m.caption) or "(all)"
                 )

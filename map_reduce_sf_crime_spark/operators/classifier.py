@@ -43,7 +43,6 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64_col, hash64_sql
 from .sampling import DSIR_BUCKETS, _grams_col, _grams_sql
-from .similarity import _bounded_collect
 
 QC_SEED = "qclf"
 #: micro-unit weight quantization (the µ-nat discipline: the only
@@ -53,6 +52,14 @@ QC_MICRO = 1_000_000
 #: construction; a corpus-sized frame here is a caller bug, not a
 #: scaling need (score the corpus with the trained model instead)
 QC_MAX_TRAIN_DOCS = 200_000
+#: loud ceiling on collected (doc, bucket) FEATURE rows — the actual
+#: driver-memory bound behind QC_MAX_TRAIN_DOCS. A doc contributes at
+#: most min(#distinct grams, n_buckets) rows, so the effective cap is
+#: ``QC_MAX_TRAIN_DOCS * min(n_buckets, _)`` clamped here; ~64M Row
+#: objects is already tens of GB of py4j deserialization, and a
+#: labeled sample dense enough to exceed it is a genuine
+#: shrink-the-sample situation, not a lift-the-cap one.
+QC_MAX_TRAIN_ROWS = 64_000_000
 
 
 @dataclass(frozen=True)
@@ -103,9 +110,11 @@ def train_quality_classifier(
     — deterministic end to end (zero init, fixed ``iters``, numpy
     float64 in a fixed fold order), so retraining reproduces the exact
     same model. Docs with no grams carry no gradient and are dropped
-    from training (they score bias-only at inference). Raises loudly
-    above ``QC_MAX_TRAIN_DOCS`` — labeled sets are small by
-    construction; cap the sample, don't lift the cap."""
+    from training; at inference they score exactly 0 and are
+    unconditionally kept (``classifier_scores``' n·bias term vanishes
+    at n=0 — filter on ``n_tokens`` separately if empty docs should
+    drop). Raises loudly above ``QC_MAX_TRAIN_DOCS`` — labeled sets
+    are small by construction; cap the sample, don't lift the cap."""
     import numpy as np
 
     labeled = pos.select("doc_id", "text").withColumn(
@@ -116,9 +125,22 @@ def train_quality_classifier(
     feats = _doc_features(labeled, n_buckets, seed).join(
         labeled.select("doc_id", "_y"), "doc_id"
     )
-    rows = _bounded_collect(
-        feats, "quality-classifier training features", limit=QC_MAX_TRAIN_DOCS * 64
-    )
+    # local guard, not similarity's _bounded_collect: that helper's
+    # message points at the banded-LSH/IVF tier, which is meaningless
+    # advice in a TRAINING context. The row cap is sized from
+    # n_buckets (a doc contributes at most min(n_buckets, distinct
+    # grams) feature rows — never a fixed rows/doc guess), clamped at
+    # QC_MAX_TRAIN_ROWS, the real driver-memory bound.
+    row_cap = min(QC_MAX_TRAIN_DOCS * n_buckets, QC_MAX_TRAIN_ROWS)
+    n_rows = feats.count()
+    if n_rows > row_cap:
+        raise ValueError(
+            f"quality-classifier training: {n_rows} (doc, bucket) "
+            f"feature rows exceed the driver-collect cap {row_cap} — "
+            "shrink the labeled sample (training is driver-side by "
+            "design; only SCORING is distributed) or reduce n_buckets"
+        )
+    rows = feats.collect()
     if not rows:
         raise ValueError("no grams in the labeled sample — nothing to train on")
     lab: dict = {}

@@ -22,6 +22,8 @@ Four tiers, mirroring how a 100 TB pipeline actually deploys ANN:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -41,6 +43,16 @@ PLANE_BANDS = 8
 # candidate set ≈ nprobe/k of the corpus per query.
 IVF_K = 32
 IVF_NPROBE = 4
+
+#: Training-sample floor per coarse centroid: ``kmeans_centroids``
+#: pulls at least this many sample rows PER requested centroid
+#: (FAISS's own guidance is ~39–256 points/centroid for a usable
+#: Lloyd fit; 100 sits inside it). This ties the sample size to the
+#: K ∝ √N production rule — K=2048 trains on ≥204.8k rows, K=100k on
+#: 10M (640 MB of 64-d float64, still driver-bounded) — instead of a
+#: fixed 100k that a growing K silently outgrew (round-8 verdict #1:
+#: ``k = min(k, len(mat))`` capped the quantizer at ~10B vectors).
+TRAIN_ROWS_PER_CENTROID = 100
 
 #: Hard ceiling for any driver-side collect of embedding rows. At
 #: 64-d float64 this is ~1 GiB of vectors — far beyond the fixtures,
@@ -446,13 +458,19 @@ def kmeans_centroids(
     train_rows: int = 100_000,
     snap: bool = True,
 ):
-    """Lloyd-refined coarse quantizer (deterministic: init = first-k
-    by vec_id, fixed iteration count, ties to lowest index). Trains
-    on a driver-side SAMPLE — the lowest ``train_rows`` vec_ids, a
-    deterministic slice, never the full corpus — so the collect is
-    bounded at any input scale; quantizer quality only needs a
-    representative sample (genuinely iterative ⇒ no SQL oracle;
-    recall asserted in tests).
+    """Lloyd-refined coarse quantizer (deterministic: init = the
+    training sample's first k rows, fixed iteration count, ties to
+    lowest index). Trains on a driver-side SAMPLE — the lowest
+    ``train_rows`` rows by seeded hash of vec_id
+    (:func:`_train_matrix`), a deterministic content-decorrelated
+    draw, never the full corpus — so the collect is bounded at any
+    input scale; quantizer quality only needs a representative
+    sample (genuinely iterative ⇒ no SQL oracle; recall asserted in
+    tests). ``train_rows`` is floored at ``TRAIN_ROWS_PER_CENTROID·k``
+    so the K ∝ √N production rule can never outgrow its own sample
+    (a silent clamp of k to the sample size capped the quantizer at
+    ~10B vectors under the old fixed 100k — round-8 verdict); an
+    unavoidable clamp (corpus smaller than k) warns loudly.
 
     ``snap=True`` (round 8 default) finishes with a MEDOID SNAP:
     each Lloyd mean is replaced by ITS CLUSTER'S nearest member
@@ -474,11 +492,21 @@ def kmeans_centroids(
     quantizer's, just better placed.
 
     The init slice is the head of the (single) training-matrix pull —
-    no second corpus job; ``k`` is clamped to the sample size."""
+    no second corpus job."""
     import numpy as np
+    import warnings
 
-    mat = _train_matrix(emb, train_rows)
-    k = min(k, len(mat))
+    mat = _train_matrix(emb, max(train_rows, TRAIN_ROWS_PER_CENTROID * k))
+    if k > len(mat):
+        warnings.warn(
+            f"kmeans_centroids: k={k} exceeds the {len(mat)}-row "
+            "training sample (the corpus itself is smaller than k) — "
+            f"clamping to effective K={len(mat)}; every list will "
+            "hold ~1 vector and probing degenerates to brute force",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        k = len(mat)
     cmat = mat[:k].copy()  # init = first-k by vec_id, zero extra scans
     norm = lambda m: m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     x = norm(mat)
@@ -1157,29 +1185,71 @@ def pq_codebooks(
     """Per-block PQ codebooks (FAISS-style IVFADC building block,
     Jégou et al. 2011, public): Lloyd-refine ``ksub`` centroids per
     sub-block on the unit-normalized vectors. Deterministic (init =
-    first-ksub by vec_id, fixed iterations, argmin ties → lowest
-    code) and trained on a driver-side BOUNDED sample — the lowest
-    ``train_rows`` vec_ids — never the full corpus.
+    the sample's first ksub rows, fixed iterations, argmin ties →
+    lowest code) and trained on a driver-side BOUNDED sample — the
+    lowest ``train_rows`` rows by seeded hash of vec_id
+    (:func:`_train_matrix`, content-decorrelated) — never the full
+    corpus. No K-scaling floor here: ksub defaults to 16 per
+    sub-block, so the 100k sample already holds ~6000 points per
+    code.
 
     Returns ndarray of shape (m, ksub, dim//m)."""
     x = _train_sample(emb, train_rows)
     return _lloyd_blocks(x, m, ksub, iters)
 
 
+#: seed mixed into the training-sample hash order below — a fixed
+#: engine constant so every trainer pulls the SAME sample rows and a
+#: rebuild reproduces the same quantizer bit-for-bit
+TRAIN_SAMPLE_SEED = 40961
+
+
 def _train_matrix(emb: DataFrame, train_rows: int):
-    """RAW training matrix: the lowest ``train_rows`` vec_ids — a
-    deterministic, driver-bounded slice shared by every quantizer/
-    codebook trainer. Arrow transfer (``toPandas``) instead of
-    ``collect()``: a 100k-row Row-object collect measured ~10 s of
-    pure py4j/deserialize in the K=512 build; Arrow moves the same
-    exact float values in a fraction of it."""
+    """RAW training matrix: the lowest ``train_rows`` rows BY SEEDED
+    HASH of vec_id — a deterministic, driver-bounded, content-
+    DECORRELATED sample shared by every quantizer/codebook trainer.
+
+    Why hash order and not the head (round-8 verdict #1): vec_ids
+    follow ingestion, and ingestion follows content — the zipf-SORTED
+    fixture in tools/scale_probe.py models exactly that — so the old
+    ``orderBy(vec_id).limit(n)`` head slice trained every quantizer
+    on the corpus's FIRST content only; at 100 TB, vectors past the
+    first ``train_rows`` ids contributed nothing to centroid
+    placement, leaving late-arriving content clusters with no lists
+    and coarse codes (measured: the head-vs-hash table in BASELINE.md
+    round 9, a whole cluster planted outside the head). Ordering by
+    ``xxhash64(vec_id, seed)`` keeps the identical bounded-TakeOrdered
+    discipline (one distributed top-n, no full collect, no RNG) while
+    making the sample a uniform draw over the WHOLE corpus regardless
+    of ingestion order. vec_id breaks hash ties so the sample is total-
+    order deterministic.
+
+    The returned matrix is sorted by vec_id WITHIN the hash-drawn
+    sample: selection (which rows) is decorrelated, presentation
+    (row order, which seeds the trainers' first-k inits) stays the
+    stable vec_id order — so on any corpus that fits inside
+    ``train_rows`` the matrix is bit-identical to a full-corpus pull,
+    and the hash only matters at the scale it exists for. (The first
+    cut ordered the matrix by hash too; the re-shuffled Lloyd init
+    dropped 7 of the 13 `ann_recall_check` legs below their gate
+    floors on the 100-vector sf0.001 fixture — init fragility, not
+    sample quality.)
+
+    Arrow transfer (``toPandas``) instead of ``collect()``: a
+    100k-row Row-object collect measured ~10 s of pure
+    py4j/deserialize in the K=512 build; Arrow moves the same exact
+    float values in a fraction of it."""
     import numpy as np
 
     pdf = (
         emb.select("vec_id", "embedding")
-        .orderBy("vec_id")
+        .orderBy(
+            F.xxhash64(F.col("vec_id"), F.lit(TRAIN_SAMPLE_SEED)),
+            F.col("vec_id"),
+        )
         .limit(train_rows)
         .toPandas()
+        .sort_values("vec_id")
     )
     if not len(pdf):
         # loud + specific: the numpy failure this pre-empts is an
@@ -1659,6 +1729,35 @@ def pq_topk_indexed(
 #: count would route probe ids to directories their rows aren't in.
 VECTOR_STORE_BUCKETS = 64
 
+#: guards the raise-only discovery-threshold bump below — conf reads
+#: and sets are not atomic together, so two concurrent serves could
+#: otherwise interleave read/set and lose one side's raise
+_DISCOVERY_LOCK = threading.Lock()
+_DISCOVERY_CONF = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+
+
+def _raise_discovery_threshold(spark, needed: int) -> None:
+    """RAISE-ONLY, process-wide bump of the parallel-partition-
+    discovery threshold so an explicit-directory read of ``needed``
+    paths lists DRIVER-SIDE instead of launching a distributed
+    listing job (the round-8 measurement behind the per-list layout:
+    the job costs more than it saves at any shortlist size).
+
+    CONCURRENCY CONTRACT: the threshold is session-global, so a
+    set-then-restore bracket races — serve A's ``finally`` can
+    re-lower the conf under serve B's still-unresolved read. This
+    helper is monotone (never lowers) and compare-and-sets under a
+    module lock, so any number of concurrent serves from one session
+    compose: each read sees a threshold ≥ what it asked for. The
+    session-wide effect is that OTHER partitioned reads with up to
+    the raised bar's directory count also list driver-side — the
+    direction every measurement in this module points (driver listing
+    of even thousands of dirs is sequential metadata calls; the
+    distributed job is a full scheduler round-trip)."""
+    with _DISCOVERY_LOCK:
+        if int(spark.conf.get(_DISCOVERY_CONF)) < needed:
+            spark.conf.set(_DISCOVERY_CONF, str(needed))
+
 
 def _store_bucket_col(n_buckets: int):
     return F.pmod(F.hash(F.col("vec_id")), F.lit(n_buckets))
@@ -1712,17 +1811,20 @@ def _stored_store_buckets(spark, path: str) -> int:
     )
 
 
-def _write_store_rows(rows: DataFrame, path: str, n_buckets: int) -> None:
+def _write_store_rows(
+    rows: DataFrame, path: str, n_buckets: int, sub: str = "rows"
+) -> None:
     """One file per (bucket, write): repartition by bucket before the
     hive-partitioned write — the `_write_list_partitions` lesson (a
     32-task write into 512 dirs otherwise leaves ~16k files whose
-    listing cost dwarfs what the pruning saves)."""
+    listing cost dwarfs what the pruning saves). ``sub`` lets the
+    compaction stage into a sibling directory for its rename-swap."""
     (
         rows.withColumn("bucket", _store_bucket_col(n_buckets))
         .repartition(F.col("bucket"))
         .write.mode("append")
         .partitionBy("bucket")
-        .parquet(f"{path.rstrip('/')}/rows")
+        .parquet(f"{path.rstrip('/')}/{sub}")
     )
 
 
@@ -1802,11 +1904,32 @@ def apply_changes_to_vector_store(
 def compact_vector_store(spark, path: str) -> None:
     """Collapse the fold line back to gen 0: latest live row per id
     (dead ids physically dropped), rewritten as one file per bucket.
-    The netted view is materialized (localCheckpoint) before the
-    overwrite so the rewrite never reads directories it is
-    replacing."""
+
+    CRASH ORDERING (the write_vector_store meta-last discipline): the
+    netted rows are STAGED to a sibling ``rows.compact`` directory —
+    reading the live ``rows`` tree, writing next to it — and swapped
+    in by delete+rename only after the staged write fully succeeds. A
+    crash during the staged write leaves the live store untouched
+    (the stale stage is cleared on the next run); a crash inside the
+    swap window leaves NO ``rows`` directory but a COMPLETE stage, a
+    torn state every read fails on loudly and a re-run of this
+    function self-heals (finishes the rename) before compacting."""
+    from ..sources.lakehouse import _hfs
+
     n_buckets = _stored_store_buckets(spark, path)
     base = f"{path.rstrip('/')}/rows"
+    stage = f"{path.rstrip('/')}/rows.compact"
+    fs, jvm = _hfs(spark, base)
+    P = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(P(base)):
+        if not fs.exists(P(stage)):
+            raise ValueError(f"no vector store rows at {base}")
+        # torn swap from a prior crash: the stage is complete by the
+        # ordering above (it only ever exists whole once rows is
+        # gone) — finish the rename, then compact normally
+        fs.rename(P(stage), P(base))
+    if fs.exists(P(stage)):  # stale stage from a crash mid-write
+        fs.delete(P(stage), True)
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("gen"), F.asc(F.col("embedding").isNull().cast("int"))
     )
@@ -1818,13 +1941,10 @@ def compact_vector_store(spark, path: str) -> None:
         .filter((F.col("_r") == 1) & F.col("embedding").isNotNull())
         .select("vec_id", "embedding")
         .withColumn("gen", F.lit(0).cast("int"))
-        .localCheckpoint()
     )
-    from ..sources.lakehouse import _hfs
-
-    fs, jvm = _hfs(spark, base)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(base), True)
-    _write_store_rows(netted, path, n_buckets)
+    _write_store_rows(netted, path, n_buckets, sub="rows.compact")
+    fs.delete(P(base), True)
+    fs.rename(P(stage), P(base))
 
 
 def _store_vectors(spark, path: str, vec_ids) -> DataFrame:
@@ -1836,7 +1956,9 @@ def _store_vectors(spark, path: str, vec_ids) -> DataFrame:
     calls) because the distributed-listing job Spark launches above
     ``parallelPartitionDiscovery.threshold`` costs more than it saves
     at any shortlist size — the same measurement that shaped
-    ``_read_probed_lists``. The redundant ``bucket`` isin filter
+    ``_read_probed_lists``. The threshold bump is RAISE-ONLY under a
+    lock (:func:`_raise_discovery_threshold`) so concurrent serves
+    from one session never re-lower it under each other. The redundant ``bucket`` isin filter
     keeps an explicit PartitionFilter in the plan (plan-asserted);
     ``distinct`` collapses fold replays; the per-id resolution window
     runs over shortlist-sized rows only."""
@@ -1858,14 +1980,9 @@ def _store_vectors(spark, path: str, vec_ids) -> DataFrame:
     dirs = [
         d for b in sel if fs.exists(P(d := f"{base}/bucket={b}"))
     ]
-    conf = "spark.sql.sources.parallelPartitionDiscovery.threshold"
-    old = spark.conf.get(conf)
-    spark.conf.set(conf, str(max(len(dirs) + 1, int(old))))
-    try:
-        reader = spark.read.option("basePath", base)
-        rows = reader.parquet(*dirs) if dirs else spark.read.parquet(base)
-    finally:
-        spark.conf.set(conf, old)
+    _raise_discovery_threshold(spark, len(dirs) + 1)
+    reader = spark.read.option("basePath", base)
+    rows = reader.parquet(*dirs) if dirs else spark.read.parquet(base)
     pruned = (
         rows.filter(F.col("bucket").isin(sel) if sel else F.lit(False))
         .filter(F.col("vec_id").isin(ids))

@@ -55,6 +55,24 @@ _LAST_BUILT: list[str | None] = [None]
 _BUILT: dict[tuple["SparkSession", str], DataFrame] = {}
 
 
+def _invalidate_built_memo() -> None:
+    """Released checkpoints are NOT recomputable (no lineage left), so
+    a memoized frame whose localCheckpoint was just released is a
+    dead frame — serving it to the next same-name build raised
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (round-9 finding, surfaced by
+    the reliable-mode e2e test). Any checkpoint-release event
+    therefore invalidates the memo, so the next build is a real
+    rebuild. ``_LAST_BUILT`` deliberately stays: the rebuild keeps
+    its warm plan caches (cache-manager-deduped and recomputable —
+    bench's fresh-build estimator depends on exactly this split)."""
+    _BUILT.clear()
+
+
+from ..functions.caching import on_release  # noqa: E402
+
+on_release(_invalidate_built_memo)
+
+
 def register(
     name: str,
     oracle: str | None,

@@ -93,3 +93,57 @@ def test_plan_checkpoint_reliable_mode(spark, tmp_path):
     # releases do not touch it: the frame still serves afterwards
     caching.release_plan_caches()
     assert sorted(map(tuple, cp.collect())) == want
+
+
+def test_registry_query_through_reliable_checkpoint_matches(spark, tmp_path, monkeypatch):
+    """End-to-end reliable mode (round-8 verdict #7): a real registry
+    query whose final artifact goes through plan_checkpoint —
+    corpus_sample — built once in default (localCheckpoint) mode and
+    once with SPARK_GRAFT_RELIABLE_CHECKPOINT=1 + a real checkpoint
+    dir, with bit-identical results; the reliable build's artifact
+    physically lands in the checkpoint directory. Call sites stay
+    mode-agnostic: the env knob is the cluster-deployment switch."""
+    import os
+
+    from map_reduce_sf_crime_spark.plans import registry as reg
+
+    rows_of = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    q = REGISTRY["corpus_sample"].spark
+    want = rows_of(q(spark, SF_CHECK))
+    # flip the registry's consecutive-build memo boundary so the
+    # reliable build actually rebuilds instead of returning the frame
+    # memoized by the default-mode build above
+    reg._BUILT.clear()
+    reg._LAST_BUILT[0] = None
+    cp_dir = str(tmp_path / "reliable_e2e")
+    sc = spark.sparkContext
+    sc.setCheckpointDir(cp_dir)
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", "1")
+    got = rows_of(q(spark, SF_CHECK))
+    monkeypatch.delenv("SPARK_GRAFT_RELIABLE_CHECKPOINT")
+    assert got == want and got
+    files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(cp_dir)
+        for f in fs
+    ]
+    assert files, "reliable registry build wrote nothing durable"
+    reg._BUILT.clear()
+    reg._LAST_BUILT[0] = None
+
+
+def test_checkpoint_release_invalidates_registry_memo(spark):
+    """Round-9 lifecycle fix: an explicit release_plan_caches() kills
+    tracked localCheckpoints, which are NOT recomputable — so it must
+    also invalidate the registry's consecutive-build memo, or the
+    next same-name build returns a dead frame
+    (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on first use). After the
+    release, a same-name build must be a fresh frame that collects."""
+    caching.release_plan_caches()
+    q = REGISTRY["corpus_sample"].spark
+    df1 = q(spark, SF_CHECK)
+    n1 = df1.count()
+    caching.release_plan_caches()
+    df2 = q(spark, SF_CHECK)
+    assert df2 is not df1, "stale memo frame served after release"
+    assert df2.count() == n1 > 0

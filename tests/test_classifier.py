@@ -140,3 +140,28 @@ def test_classifier_loud_guards(spark):
     model = _train_toy(spark)
     got = classifier.classifier_scores(_df(spark, [""], start=901), model).collect()
     assert got[0].qc_score_unat == 0 and got[0].qc_kept == 1
+
+
+def test_classifier_row_cap_message_and_sizing(spark, monkeypatch):
+    """The training-feature collect guard is LOCAL to the classifier:
+    its message says to shrink the labeled sample (not similarity's
+    banded-LSH/IVF advice, meaningless in a training context), and
+    the cap is sized from n_buckets — a legitimate sample averaging
+    >64 distinct buckets per doc no longer trips a fixed rows/doc
+    guess (the round-8 ADVICE finding)."""
+    # a 6-doc toy sample has far more than 6*... rows only if the cap
+    # is tiny: force it down to prove the message and the raise path
+    monkeypatch.setattr(classifier, "QC_MAX_TRAIN_ROWS", 3)
+    with pytest.raises(ValueError, match="shrink the labeled sample"):
+        _train_toy(spark)
+    monkeypatch.undo()
+    # sizing: with n_buckets buckets a doc can never contribute more
+    # than n_buckets rows, so the effective cap admits any dense
+    # legitimate sample (>64 rows/doc) below QC_MAX_TRAIN_DOCS docs
+    dense = [" ".join(f"w{i}t{j}" for j in range(80)) for i in range(3)]
+    model = classifier.train_quality_classifier(
+        _df(spark, dense),
+        _df(spark, GIBBERISH, start=100),
+        n_buckets=4096,
+    )
+    assert model.n_buckets == 4096

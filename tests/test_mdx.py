@@ -1270,11 +1270,39 @@ def test_except_and_bottomcount_parse_errors():
 
     cases = [
         (
-            # unmatched enumerated second argument: nothing to
-            # subtract by definition, captions unknowable — loud
+            # wrong-hierarchy second argument: standard MDX rejects
+            # the dimensionality mismatch at parse time (round 9 —
+            # previously fell through to caption matching and, for
+            # explicit members, silently removed nothing)
             "select {[Measures].[crimes]} ON COLUMNS,"
             " Except({[District].[All Districts].Children},"
             " {[Category].[All Categories].Children}) ON ROWS"
+            " from [sfcrime]",
+            "dimensionality",
+        ),
+        (
+            # same mismatch with an EXPLICIT member — the silent
+            # no-op case the round-8 review flagged
+            "select {[Measures].[crimes]} ON COLUMNS,"
+            " Except({[District].[All Districts].Children},"
+            " {[Category].[ARSON]}) ON ROWS from [sfcrime]",
+            "dimensionality",
+        ),
+        (
+            # arity mismatch: a 2-tuple b against 1-tuple a rows
+            "select {[Measures].[crimes]} ON COLUMNS,"
+            " Except({[District].[All Districts].Children},"
+            " {([District].[MISSION], [Category].[ARSON])}) ON ROWS"
+            " from [sfcrime]",
+            "dimensionality",
+        ),
+        (
+            # unmatched enumerated second argument over the RIGHT
+            # hierarchy: nothing to subtract by definition, captions
+            # unknowable — loud
+            "select {[Measures].[crimes]} ON COLUMNS,"
+            " Except({[District].[MISSION]},"
+            " {[District].[All Districts].Children}) ON ROWS"
             " from [sfcrime]",
             "enumerated second argument",
         ),

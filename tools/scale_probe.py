@@ -719,7 +719,114 @@ def quantizer_probe(spark, n: int) -> None:
         emb.unpersist()
 
 
-def crossover_probe(spark, n: int) -> None:
+def headsample_probe(spark, n: int) -> None:
+    """VERDICT r8 #1's done-criterion: head-sample vs hash-sample
+    quantizer training on a fixture where WHOLE CLUSTERS live outside
+    the head. Zipf-clustered corpus SORTED by cluster (ingestion
+    follows content), ``train_rows`` set so the head slice is
+    swallowed entirely by the biggest cluster — the scaled-down twin
+    of a 100 TB corpus whose first 100k vec_ids all predate the
+    late-arriving content. ``head`` emulates the pre-round-9 trainer
+    (the sample IS the first train_rows ids — built by training on
+    the head-filtered frame, which any sample order reduces to);
+    ``hash`` is the shipped :func:`_train_matrix` order. Serves
+    through the persisted IVF index (EXACT cosine re-rank inside the
+    probed lists) so the measurement isolates the COARSE quantizer —
+    an IVFPQ serve on this fixture is ADC-shortlist-bound (cluster
+    members differ by small noise the 4-bit codes cannot rank) and
+    washes the quantizer difference out. Reports overall recall@3,
+    recall restricted to queries whose true neighbors live PAST the
+    head boundary, mean probed-rows fraction, list skew, and
+    non-empty list count."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as SF
+
+    from map_reduce_sf_crime_spark.operators import similarity
+
+    n_total = 4_000 * n  # default x10 -> 40k vectors
+    train_rows = n_total // 5  # head ⊂ cluster 0 (zipf-64 head ≈ n/4.7)
+    # 64 clusters (> IVF_K=32) and tight probes (nprobe 1-2): more
+    # content clusters than lists forces the quantizer to SHARE lists
+    # well, and a tight probe makes sloppy list placement visible as
+    # recall (at nprobe=4/32 the exact in-list re-rank forgives
+    # almost any placement — measured while designing this probe)
+    emb = _zipf_clustered(
+        spark, n=n_total, n_clusters=64, sorted_by_cluster=True
+    ).cache()
+    emb.count()
+    # 20 queries spread over the id range; those past train_rows live
+    # in clusters the head sample never saw
+    nq = 20
+    qids = [int(n_total * (0.02 + 0.96 * i / (nq - 1))) for i in range(nq)]
+    late_q = {q for q in qids if q >= train_rows}
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(SF.col("vec_id").isin(qids)).collect()
+    ]
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.knn_bruteforce(emb, qids, 3).collect()
+    }
+    for tag, train_frame in (
+        ("head", emb.filter(SF.col("vec_id") < train_rows)),
+        ("hash", emb),
+    ):
+        cq = similarity.kmeans_centroids(
+            train_frame, similarity.IVF_K, train_rows=train_rows
+        )
+        p = tempfile.mkdtemp(prefix="sgraft_headprobe_")
+        similarity.write_ivf_index(emb, p, centroids=cq)
+        sizes = {
+            r["centroid_id"]: r["count"]
+            for r in spark.read.parquet(f"{p}/lists")
+            .groupBy("centroid_id")
+            .count()
+            .collect()
+        }
+        tot = sum(sizes.values())
+        skew = max(sizes.values()) / (tot / similarity.IVF_K)
+        cids, cmat = cq
+        qmat = np.array([v for _, v in queries])
+        qcos = similarity._seq_cosines(qmat, cmat)
+        for nprobe in (1, 2):
+            got = {
+                (r.query_id, r.vec_id)
+                for r in similarity.ivf_topk_indexed(
+                    spark, p, queries, 3, nprobe=nprobe
+                ).collect()
+            }
+            rec = len(got & exact) / len(exact)
+            late_exact = {t for t in exact if t[0] in late_q}
+            late_rec = (
+                len({t for t in got if t[0] in late_q} & late_exact)
+                / len(late_exact)
+            )
+            fracs = [
+                sum(
+                    sizes.get(int(c), 0)
+                    for c in np.asarray(cids)[
+                        np.argsort(-qcos[qi], kind="stable")[:nprobe]
+                    ]
+                )
+                / tot
+                for qi in range(len(queries))
+            ]
+            print(
+                f"headsample[{n_total} vecs, train_rows={train_rows}, "
+                f"{len(late_q)}/{len(qids)} late queries] {tag} "
+                f"nprobe={nprobe}: recall@3={rec:.3f} "
+                f"late_recall@3={late_rec:.3f} "
+                f"probed_frac mean={float(np.mean(fracs)):.3f} "
+                f"skew={skew:.2f} nonempty={len(sizes)}/{similarity.IVF_K}"
+            )
+        shutil.rmtree(p, ignore_errors=True)
+    emb.unpersist()
+
+
+def crossover_probe(spark, n: int, n_cent: int = 512) -> None:
     """VERDICT r7 #2's done-criterion: the corpus size where the
     hybrid's partition-pruned serve beats flat PQ's full-table ADC on
     WALL-CLOCK, not just pruning ratio. Identical codebooks both
@@ -763,7 +870,11 @@ def crossover_probe(spark, n: int) -> None:
             ).cast("array<float>").alias("embedding"),
         ).write.mode("overwrite").parquet(corpus_path)
     emb = spark.read.parquet(corpus_path)
-    n_cent, nprobe = 512, 8  # K ∝ √N at this corpus size; see docstring
+    # K ∝ √N at this corpus size; see docstring. n_cent is a probe
+    # arg (k=2048 reruns the 8M point at the production rule's K —
+    # VERDICT r8 #3 — where probed ROWS stay ~flat vs the 2M/K=512
+    # point instead of growing with the corpus)
+    nprobe = 8
     qids = [10 + 12_345 * i for i in range(3)]
     queries = [
         (r["vec_id"], list(r["embedding"]))
@@ -968,7 +1079,7 @@ def main() -> None:
     args = [a for a in sys.argv[1:]]
     modes = (
         "hot", "stream", "churn", "compactidx", "keystone", "round7",
-        "quantizer", "crossover",
+        "quantizer", "crossover", "headsample",
     )
     if any(m in args for m in modes):
         n = next((int(a) for a in args if a.isdigit()), 10)
@@ -988,7 +1099,12 @@ def main() -> None:
         if "quantizer" in args:
             quantizer_probe(spark, n)
         if "crossover" in args:
-            crossover_probe(spark, n)
+            k = next(
+                (int(a[2:]) for a in args if a.startswith("k=")), 512
+            )
+            crossover_probe(spark, n, k)
+        if "headsample" in args:
+            headsample_probe(spark, n)
         spark.stop()
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
