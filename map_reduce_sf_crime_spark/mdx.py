@@ -304,6 +304,22 @@ class _Parser:
             return _Member(measure=segs[1].lower(), caption=[segs[1]])
         return _resolve(segs, suffix)
 
+    # level reference := [Hierarchy].[LevelName] — raw segments, no
+    # member resolution (level names are not members; on [Time] a
+    # member segment must be numeric, which is how the two namespaces
+    # stay disjoint in this cube)
+    def _level_segs(self) -> list[str]:
+        if not (self.peek() or "").startswith("["):
+            raise MdxError(f"expected a [level], got {self.peek()!r}")
+        segs = [self.next()[1:-1]]
+        while self.peek() == ".":
+            self.next()
+            t = self.next()
+            if not t.startswith("["):
+                raise MdxError(f"unexpected {t!r} in level path")
+            segs.append(t[1:-1])
+        return segs
+
     # tuple := (member, member, ...) | member
     def tuple_(self) -> list[_Member]:
         if self.peek() == "(":
@@ -489,6 +505,49 @@ class _Parser:
             return _SetExpr(
                 [ta + tb for ta in a.tuples for tb in b.tuples]
             )
+        if t is not None and t.lower() == "descendants":
+            # Descendants(member, level [, SELF]) — the set of members
+            # AT ``level`` under ``member``, compiled onto the same
+            # level-path machinery as .Children: the member's path
+            # equality filters plus enumeration over every level
+            # column from the member's depth down to the target
+            # (enum_path carries the intermediate levels so member
+            # identity stays the FULL path — Mondrian semantics; a
+            # target one level down is exactly .Children). Only the
+            # SELF flag (the default) is supported: SELF_AND_BEFORE /
+            # AFTER etc. produce MIXED-level sets a single enumerating
+            # member cannot express — loud, not silent.
+            self.next()
+            self.expect("(")
+            mem = self.member()
+            if mem.measure is not None:
+                raise MdxError("Descendants: first argument must be a "
+                               "dimension member, not a measure")
+            if mem.enum_col:
+                raise MdxError(
+                    "Descendants: first argument must be a plain "
+                    "member (no .Children/.Members)"
+                )
+            if self.peek() != ",":
+                raise MdxError(
+                    "Descendants needs an explicit level argument — "
+                    "the one-argument form is the mixed-level "
+                    "self-and-descendants set, which this engine "
+                    "does not express"
+                )
+            self.next()
+            lsegs = self._level_segs()
+            if self.peek() == ",":
+                self.next()
+                flag = self.next().lower()
+                if flag != "self":
+                    raise MdxError(
+                        f"Descendants flag {flag.upper()!r} not "
+                        "supported (SELF only — other flags are "
+                        "mixed-level sets)"
+                    )
+            self.expect(")")
+            return _SetExpr([[_descend(mem, lsegs)]])
         if t is not None and t.lower() == "union":
             # Union(a, b[, ALL]) — the combiner JPivot wraps a drill's
             # parent and children in (usually inside Hierarchize).
@@ -745,6 +804,55 @@ def _resolve(segs: list[str], suffix: str | None) -> _Member:
     return m
 
 
+def _descend(mem: _Member, level_segs: list[str]) -> _Member:
+    """Resolve ``Descendants(mem, [Hier].[Level])`` into one
+    enumerating member: the level must belong to the member's own
+    hierarchy and sit at or below the member's depth. At the member's
+    own depth the result is the member itself (SELF); below it, the
+    member enumerates every level column from its depth to the target
+    (intermediates in ``enum_path``, target in ``enum_col``)."""
+    if len(level_segs) != 2:
+        raise MdxError(
+            f"Descendants level must be [Hierarchy].[Level], got "
+            f"{level_segs!r}"
+        )
+    hier, lname = level_segs[0].lower(), level_segs[1].lower()
+    if hier not in _DIMS:
+        raise MdxError(f"unknown hierarchy [{level_segs[0]}]")
+    if hier != mem.hierarchy:
+        raise MdxError(
+            f"Descendants: level hierarchy [{level_segs[0]}] does not "
+            f"match the member's hierarchy [{mem.hierarchy}]"
+        )
+    levels = _DIMS[hier]["levels"]
+    names = [ln.lower() for ln, _ in levels]
+    if lname not in names:
+        raise MdxError(
+            f"unknown level [{level_segs[1]}] on [{level_segs[0]}] "
+            f"(levels: {', '.join(ln for ln, _ in levels)})"
+        )
+    lj = names.index(lname)
+    # a member with N path filters sits AT level index N-1; its
+    # children live at index N. The All member (no filters, hasAll
+    # hierarchy) sits at index -1 — every real level is below it, and
+    # its all-caption must not prefix the enumerated labels (Mondrian
+    # captions members by their own name — same as .Children).
+    own = len(mem.filters) - 1
+    if lj < own:
+        raise MdxError(
+            f"Descendants: level [{level_segs[1]}] is ABOVE the "
+            f"member's level — the descendant set there is empty; "
+            "use Ancestors semantics explicitly if that was meant"
+        )
+    if lj == own:
+        return mem  # SELF at the member's own level
+    if not mem.filters:
+        mem.caption = []  # enumerating from under the All member
+    mem.enum_path = tuple(levels[i][1] for i in range(own + 1, lj))
+    mem.enum_col = levels[lj][1]
+    return mem
+
+
 @dataclass
 class MdxQuery:
     columns: list[list[_Member]]
@@ -903,8 +1011,8 @@ def _axis_label(tup: list[_Member]):
     parts = []
     for mem in tup:
         parts.extend(F.lit(c) for c in mem.caption)
-        if mem.enum_col:
-            parts.append(F.col(mem.enum_col).cast("string"))
+        for c in _enum_cols(mem):
+            parts.append(F.col(c).cast("string"))
     return F.concat_ws(", ", *parts) if parts else F.lit("(all)")
 
 
@@ -949,9 +1057,9 @@ def _hier_key_frame(own: list[list[_Member]], base: DataFrame, post: bool):
                 parts.append(
                     F.lit(f"{v:012d}" if isinstance(v, int) else str(v))
                 )
-            if mem.enum_col:
-                col = F.col(mem.enum_col).cast("string")
-                if dtypes.get(mem.enum_col) in (
+            for ec in _enum_cols(mem):
+                col = F.col(ec).cast("string")
+                if dtypes.get(ec) in (
                     "int", "bigint", "smallint", "tinyint",
                 ):
                     col = F.lpad(col, 12, "0")
@@ -967,7 +1075,7 @@ def _hier_key_frame(own: list[list[_Member]], base: DataFrame, post: bool):
         if post:
             parts = parts + [F.lit("\U0010ffff")]
         key = F.array(*[p.cast("string") for p in parts])
-        enum_cols = [m.enum_col for m in tup if m.enum_col]
+        enum_cols = [c for m in tup for c in _enum_cols(m)]
         if enum_cols:
             src = base
             for c, v in ((c, v) for m in tup for c, v in m.filters):
@@ -1219,7 +1327,7 @@ def mdx_cells_many(
         filt = list(implicit) + [
             (col, val) for mem in members for col, val in mem.filters
         ]
-        group_cols = [m.enum_col for m in ctup + rtup if m.enum_col]
+        group_cols = [c for m in ctup + rtup for c in _enum_cols(m)]
         if not group_cols:
             if ast is not None:
                 builder = _calc_scalar(ast, filt)

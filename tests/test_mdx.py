@@ -1329,3 +1329,124 @@ def test_except_and_bottomcount_parse_errors():
     for q, msg in cases:
         with pytest.raises(MdxError, match=msg):
             parse_mdx(q)
+
+
+def test_descendants_at_week_level_matches_inlined_enumeration(spark):
+    """Descendants([Time].[Y], [Time].[week]) spans TWO levels below
+    the member (month, week ride enum_path + enum_col): one row per
+    distinct (month, week) path under the year, each captioned with
+    its full path and valued exactly like the inlined (month, week)
+    groupBy twin; the rows sum back to the year total."""
+    year = _fixture_year(spark)
+    q = f"""select {{[Measures].[crimes]}} ON COLUMNS,
+      Descendants([Time].[{year}], [Time].[week]) ON ROWS
+    from [sfcrime]"""
+    got = {
+        r.row_member: r.crimes for r in mdx_query(spark, SF_SMOKE, q).collect()
+    }
+    from map_reduce_sf_crime_spark.plans.olap_queries import _star_join
+
+    star = _star_join(spark, SF_SMOKE).filter(F.col("year") == year)
+    want = {
+        f"{year}, {r.month}, {r.week}": r.n
+        for r in star.groupBy("month", "week")
+        .agg(F.sum("crimes").alias("n"))
+        .collect()
+    }
+    assert got == want and got
+    assert sum(got.values()) == _year_total(spark, year)
+
+
+def test_descendants_one_level_equals_children(spark):
+    """Descendants(m, <next level>) is exactly .Children; on an All
+    member it is exactly the hierarchy's .Children enumeration with
+    identical captions (the all-caption must not leak into labels)."""
+    year = _fixture_year(spark)
+    pairs = [
+        (
+            f"""select {{[Measures].[crimes]}} ON COLUMNS,
+            Descendants([District].[All Districts], [District].[name])
+            ON ROWS from [sfcrime] where [Time].[{year}]""",
+            f"""select {{[Measures].[crimes]}} ON COLUMNS,
+            {{[District].[All Districts].Children}} ON ROWS
+            from [sfcrime] where [Time].[{year}]""",
+        ),
+        (
+            f"""select {{[Measures].[crimes]}} ON COLUMNS,
+            Descendants([Time].[{year}], [Time].[month]) ON ROWS
+            from [sfcrime]""",
+            f"""select {{[Measures].[crimes]}} ON COLUMNS,
+            {{[Time].[{year}].Children}} ON ROWS from [sfcrime]""",
+        ),
+    ]
+    for q_desc, q_children in pairs:
+        got = {
+            r.row_member: r.crimes
+            for r in mdx_query(spark, SF_SMOKE, q_desc).collect()
+        }
+        want = {
+            r.row_member: r.crimes
+            for r in mdx_query(spark, SF_SMOKE, q_children).collect()
+        }
+        assert got == want and got
+
+
+def test_descendants_self_and_hierarchize_ordering(spark):
+    """SELF at the member's own level returns the member itself;
+    Hierarchize over a union of a parent and its Descendants sorts
+    parents before their multi-level subtrees (enum_path values join
+    the typed ordinal key)."""
+    year = _fixture_year(spark)
+    q_self = f"""select {{[Measures].[crimes]}} ON COLUMNS,
+      Descendants([Time].[{year}], [Time].[year], SELF) ON ROWS
+    from [sfcrime]"""
+    rows = mdx_query(spark, SF_SMOKE, q_self).collect()
+    assert len(rows) == 1 and rows[0].row_member == str(year)
+    assert rows[0].crimes == _year_total(spark, year)
+    q_h = f"""select {{[Measures].[crimes]}} ON COLUMNS,
+      Hierarchize(Union({{[Time].[{year}]}},
+        Descendants([Time].[{year}], [Time].[week]))) ON ROWS
+    from [sfcrime]"""
+    hrows = mdx_query(spark, SF_SMOKE, q_h).collect()
+    ordered = sorted(hrows, key=lambda r: r.row_ordinal)
+    assert ordered[0].row_member == str(year), ordered[0]
+    # subtree rows follow in (month, week) path order
+    paths = [
+        tuple(int(x) for x in r.row_member.split(", ")[1:])
+        for r in ordered[1:]
+    ]
+    assert paths == sorted(paths) and paths
+
+
+def test_descendants_parse_errors(spark):
+    """Loud failures: missing level arg, level above the member,
+    unknown level, cross-hierarchy level, unsupported flags, measure
+    or enumerated first argument."""
+    cases = [
+        ("Descendants([Time].[2013])", "explicit level"),
+        (
+            "Descendants([Time].[2013].[1], [Time].[year])",
+            "ABOVE the member",
+        ),
+        ("Descendants([Time].[2013], [Time].[quarter])", "unknown level"),
+        (
+            "Descendants([Time].[2013], [District].[name])",
+            "does not match the member's hierarchy",
+        ),
+        (
+            "Descendants([Time].[2013], [Time].[week], SELF_AND_BEFORE)",
+            "not supported",
+        ),
+        ("Descendants([Measures].[crimes], [Time].[week])", "dimension member"),
+        (
+            "Descendants([Time].[2013].Children, [Time].[week])",
+            "plain member",
+        ),
+    ]
+    for frag, msg in cases:
+        q = (
+            "select {[Measures].[crimes]} ON COLUMNS, "
+            f"{frag} ON ROWS from [sfcrime]"
+        )
+        with pytest.raises(MdxError, match=msg):
+            parse_mdx(q)
