@@ -829,6 +829,11 @@ def _read_probed_lists(
         for c in probe_cids
         if fs.exists(P(d := f"{base}/centroid_id={c}"))
     ]
+    # a wide probe union (big query batch × nprobe) can exceed the
+    # default discovery threshold (32) on its own — keep even that
+    # listing driver-side (raise-only, lock-guarded; same contract as
+    # the store read)
+    _raise_discovery_threshold(spark, len(dirs) + 1)
     reader = spark.read.option("basePath", base)
     rows = reader.parquet(*dirs) if dirs else spark.read.parquet(base)
     return rows.filter(F.col("centroid_id").isin(list(probe_cids)))
