@@ -1994,14 +1994,32 @@ def _store_vectors(spark, path: str, vec_ids) -> DataFrame:
         .drop("bucket")
         .distinct()
     )
+    return _latest_live(pruned)
+
+
+def _latest_live(rows: DataFrame) -> DataFrame:
+    """Store fold resolution shared by every read shape: latest gen
+    wins, live beats dead at equal gen (an update's pre+post land
+    together), NULL-embedding tombstones dropped."""
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("gen"), F.asc(F.col("embedding").isNull().cast("int"))
     )
     return (
-        pruned.withColumn("_r", F.row_number().over(w))
+        rows.withColumn("_r", F.row_number().over(w))
         .filter((F.col("_r") == 1) & F.col("embedding").isNotNull())
         .select("vec_id", "embedding")
     )
+
+
+def _store_all_vectors(spark, path: str) -> DataFrame:
+    """FULL-store resolution read — the BULK re-rank source. A bulk
+    serve's shortlist is #queries-shaped, so there is no bounded id
+    set to route to bucket directories (that is the latency path's
+    :func:`_store_vectors`); instead the whole rows tree is read once
+    and resolved, a corpus-shaped scan AMORTIZED over the entire
+    query batch (the same economics as the bulk candidates join)."""
+    rows = spark.read.parquet(f"{path.rstrip('/')}/rows").drop("bucket").distinct()
+    return _latest_live(rows)
 
 
 def _exact_rerank(
@@ -2043,12 +2061,24 @@ def _exact_rerank(
     # cast queries to the corpus element type so scoring arithmetic
     # is bit-identical with the live path (float→double→float exact)
     elem_t = vecs.schema["embedding"].dataType
-    qv = spark.createDataFrame(
-        [(int(q), [float(x) for x in v]) for q, v in queries],
-        "query_id long, qv array<double>",
-    ).select("query_id", F.col("qv").cast(elem_t).alias("qv"))
+    qv = F.broadcast(
+        spark.createDataFrame(
+            [(int(q), [float(x) for x in v]) for q, v in queries],
+            "query_id long, qv array<double>",
+        ).select("query_id", F.col("qv").cast(elem_t).alias("qv"))
+    )
+    return _exact_rerank_tail(shortlisted, qv, vecs, k)
+
+
+def _exact_rerank_tail(
+    shortlisted: DataFrame, qv: DataFrame, vecs: DataFrame, k: int
+) -> DataFrame:
+    """The scoring half every exact re-rank shares — latency
+    (driver-list queries, broadcast qv) and bulk (frame queries) —
+    so rounding, tie-breaks, and output schema can never drift
+    between the two serve shapes."""
     reranked = (
-        shortlisted.join(F.broadcast(qv), "query_id")
+        shortlisted.join(qv, "query_id")
         .join(vecs, "vec_id")
         .select(
             "query_id",
@@ -2466,6 +2496,191 @@ def ivfpq_topk_indexed(
     return _exact_rerank(
         spark, shortlisted, queries, k, emb=emb, vector_store=vector_store
     )
+
+
+def ivfpq_topk_bulk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    emb: DataFrame | None = None,
+    k: int = 3,
+    nprobe: int = IVF_NPROBE,
+    shortlist: int = PQ_SHORTLIST,
+    exclude_query_ids: bool = True,
+    vector_store: str | None = None,
+) -> DataFrame:
+    """BULK serve of the persisted IVF-PQ hybrid: ``queries`` is a
+    DataFrame ``(query_id, embedding)`` instead of a driver-side
+    list — the THROUGHPUT shape (retrieve neighbors for a whole eval
+    set, join a query corpus against an index) next to
+    :func:`ivfpq_topk_indexed`'s latency shape, whose driver-bounded
+    probe selection and broadcast distance tables cannot hold a
+    million-query batch.
+
+    Same algorithm, distributed at every phase, BIT-IDENTICAL results
+    (pinned in tests/test_similarity.py against a looped latency
+    serve, flat and residual modes, both re-rank sources):
+
+    1. PROBE: one ``mapInPandas`` pass over the query frame against
+       the broadcast quantizer — the same :func:`_seq_cosines` kernel
+       and stable-argsort tie rule as the driver path — exploding to
+       ``(query_id, centroid_id, qemb)`` × nprobe. No collect.
+    2. CANDIDATES: the probed-list read stays PARTITION-PRUNED — the
+       distinct probed centroid set is quantizer-bounded (≤ K rows,
+       never query-count-shaped), so collecting it to drive
+       :func:`_read_probed_lists` keeps the bounded-driver
+       discipline; candidates come from an equi-join on
+       ``centroid_id`` (co-partitioned shuffle — broadcast would ship
+       the whole query batch to every task).
+    3. ADC: per-batch distance tables computed EXECUTOR-SIDE from the
+       carried ``qemb`` and the broadcast codebooks
+       (:func:`_pq_dtabs` rows are per-query independent, so
+       task-local tables equal the driver path's broadcast tables
+       bit-for-bit); residual mode shifts by the row's own probed
+       centroid exactly like the latency path's per-(query, list)
+       tables. Task-local top-S per query, then the global shortlist
+       window — deterministic under ANY partitioning because the
+       (adist, vec_id) order is total.
+    4. RE-RANK: the shared :func:`_exact_rerank_tail` against ``emb``
+       or the vector store. Bulk reads the store WHOLE
+       (:func:`_store_all_vectors`): a #queries-shaped shortlist has
+       no bounded id set to bucket-prune by, and the one resolved
+       scan amortizes over the batch.
+
+    100 TB shape: every phase is a narrow map, a key-partitioned
+    join, or a per-query window — nothing collects query-count- or
+    corpus-shaped data to the driver. The probed-lists scan is the
+    union of the BATCH's probes (approaching all K lists for a large
+    diverse batch — at which point the scan is the throughput
+    optimum: each list page serves many queries)."""
+    import numpy as np
+
+    if (emb is None) == (vector_store is None):
+        raise ValueError("pass exactly one of emb / vector_store")
+    cids, cmat = _stored_centroids(spark, path)
+    books = _stored_codebooks(spark, path)
+    residual = _stored_ivfpq_residual(spark, path)
+    lookup = _normalized_centroid_lookup((cids, cmat)) if residual else None
+    bc = spark.sparkContext.broadcast((cids, cmat, int(nprobe)))
+
+    def probe(batches):
+        import numpy as np
+        import pandas as pd
+
+        cids_, cmat_, np_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qmat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            qcos = _seq_cosines(qmat, cmat_)
+            reps = []
+            cols = []
+            for i in range(len(pdf)):
+                sel = np.argsort(-qcos[i], kind="stable")[:np_]
+                reps.append(len(sel))
+                cols.extend(int(c) for c in np.asarray(cids_)[sel])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(
+                        pdf["query_id"].to_numpy(dtype=np.int64), reps
+                    ),
+                    "centroid_id": np.array(cols, dtype=np.int64),
+                    "qemb": [
+                        e
+                        for e, r in zip(pdf["embedding"], reps)
+                        for _ in range(r)
+                    ],
+                }
+            )
+
+    probes = plan_cache(
+        queries.select("query_id", "embedding").mapInPandas(
+            probe, "query_id long, centroid_id long, qemb array<double>"
+        )
+    )
+    # quantizer-bounded (≤ K rows): keeps the probed-list read pruned
+    probe_cids = sorted(
+        int(r.centroid_id)
+        for r in probes.select("centroid_id").distinct().collect()
+    )
+    lists = _filter_tombstones(
+        spark, path, _read_probed_lists(spark, path, probe_cids), sub="lists"
+    )
+    cands = lists.join(probes, "centroid_id").select(
+        "query_id", "vec_id", "pq_codes", "qemb", "centroid_id"
+    )
+    top_s = shortlist * k
+    bc2 = spark.sparkContext.broadcast(
+        (books, top_s, bool(exclude_query_ids), lookup)
+    )
+
+    def adc_bulk(batches):
+        import numpy as np
+        import pandas as pd
+
+        books_, topn, excl, lkp = bc2.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            qcol = pdf["query_id"].to_numpy(dtype=np.int64)
+            cds = np.array(list(pdf["pq_codes"]), dtype=np.int64)
+            ccol = pdf["centroid_id"].to_numpy(dtype=np.int64)
+            _, mm = cds.shape
+            blocks = np.arange(mm)[None, :]
+            first = {}
+            for i, q in enumerate(qcol):
+                first.setdefault(int(q), i)
+            for q, qi in first.items():
+                rows_q = qcol == q
+                b_ids = ids[rows_q]
+                qvec = np.asarray(pdf["qemb"].iat[qi], dtype=np.float64)
+                qx = qvec / max(float(np.linalg.norm(qvec)), 1e-12)
+                if lkp is None:
+                    tab = _pq_dtabs(books_, qx[None, :])[0]
+                    ad = tab[blocks, cds[rows_q]].sum(axis=1)
+                else:
+                    scids, scmat = lkp
+                    sub_cds = cds[rows_q]
+                    sub_cc = ccol[rows_q]
+                    ad = np.empty(len(b_ids), dtype=np.float64)
+                    for c in np.unique(sub_cc):
+                        in_c = sub_cc == c
+                        shifted = qx - scmat[np.searchsorted(scids, c)]
+                        tab = _pq_dtabs(books_, shifted[None, :])[0]
+                        ad[in_c] = tab[blocks, sub_cds[in_c]].sum(axis=1)
+                if excl:
+                    keep = b_ids != q
+                    b_ids, ad = b_ids[keep], ad[keep]
+                sel = np.lexsort((b_ids, ad))[:topn]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(sel), q, dtype=np.int64),
+                        "vec_id": b_ids[sel],
+                        "adist": ad[sel],
+                    }
+                )
+
+    scored = cands.mapInPandas(
+        adc_bulk, "query_id long, vec_id long, adist double"
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    shortlisted = (
+        scored.withColumn("ark", F.row_number().over(wa))
+        .filter(F.col("ark") <= top_s)
+        .select("query_id", "vec_id")
+    )
+    vecs = (
+        emb.select("vec_id", "embedding")
+        if emb is not None
+        else _store_all_vectors(spark, vector_store)
+    )
+    elem_t = vecs.schema["embedding"].dataType
+    qv = queries.select(
+        "query_id",
+        F.col("embedding").cast("array<double>").cast(elem_t).alias("qv"),
+    )
+    return _exact_rerank_tail(shortlisted, qv, vecs, k)
 
 
 #: Target b-side rows per within-cluster join key: a hot cluster of

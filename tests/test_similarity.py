@@ -1613,3 +1613,66 @@ def test_train_sample_is_hash_decorrelated_and_deterministic(spark):
     # train_rows scales with k: asking for k=256 pulls >= 100*256 rows
     mat_k = similarity._train_matrix(emb, max(100, 100 * 256))
     assert len(mat_k) == 10_000  # floor exceeds the corpus -> all rows
+
+
+def test_ivfpq_bulk_serve_equals_latency_loop(spark):
+    """ANN11 (round 9): the bulk (DataFrame-in) hybrid serve is
+    BIT-IDENTICAL to the latency (driver-list) serve — flat and
+    residual modes, live-frame and vector-store re-rank sources,
+    exclude flag both ways — and validates its re-rank-source
+    contract loudly. Bit-equality is the whole claim: probe
+    selection, executor-side distance tables, task-local top-S, and
+    the shared re-rank tail must reproduce the driver path under a
+    completely different distribution of the work."""
+    import shutil
+
+    import pytest
+
+    hyb, res, store = (
+        _scratch("bulk_hyb"), _scratch("bulk_res"), _scratch("bulk_store")
+    )
+    for d in (hyb, res, store):
+        shutil.rmtree(d, ignore_errors=True)
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    similarity.write_ivfpq_index(emb, hyb, n_centroids=8)
+    similarity.write_ivfpq_index(emb, res, n_centroids=8, residual=True)
+    similarity.write_vector_store(emb, store, n_buckets=32)
+    qids = QUERY_IDS[:6]
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    ]
+    qframe = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for path in (hyb, res):
+        for kw in (
+            {"emb": emb},
+            {"vector_store": store},
+            {"emb": emb, "exclude_query_ids": False},
+        ):
+            want = sorted(
+                map(
+                    tuple,
+                    similarity.ivfpq_topk_indexed(
+                        spark, path, queries, k=3, **kw
+                    ).collect(),
+                )
+            )
+            got = sorted(
+                map(
+                    tuple,
+                    similarity.ivfpq_topk_bulk(
+                        spark, path, qframe, k=3, **kw
+                    ).collect(),
+                )
+            )
+            assert got == want and got, (path, kw.keys())
+    with pytest.raises(ValueError, match="exactly one"):
+        similarity.ivfpq_topk_bulk(spark, hyb, qframe, k=3)
+    with pytest.raises(ValueError, match="exactly one"):
+        similarity.ivfpq_topk_bulk(
+            spark, hyb, qframe, emb=emb, k=3, vector_store=store
+        )
+    for d in (hyb, res, store):
+        shutil.rmtree(d, ignore_errors=True)
