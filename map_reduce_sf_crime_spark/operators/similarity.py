@@ -48,10 +48,15 @@ IVF_NPROBE = 4
 #: pulls at least this many sample rows PER requested centroid
 #: (FAISS's own guidance is ~39–256 points/centroid for a usable
 #: Lloyd fit; 100 sits inside it). This ties the sample size to the
-#: K ∝ √N production rule — K=2048 trains on ≥204.8k rows, K=100k on
-#: 10M (640 MB of 64-d float64, still driver-bounded) — instead of a
-#: fixed 100k that a growing K silently outgrew (round-8 verdict #1:
-#: ``k = min(k, len(mat))`` capped the quantizer at ~10B vectors).
+#: K ∝ √N production rule — K=2048 trains on ≥204.8k rows — instead
+#: of a fixed 100k that a growing K silently outgrew (round-8 verdict
+#: #1: ``k = min(k, len(mat))`` capped the quantizer at ~10B
+#: vectors). The pull still respects the module's driver-collect
+#: ceiling: it is clipped at ``MAX_COLLECT_ROWS`` (2M rows ≈ 1 GB of
+#: 64-d float64 — an UNclipped K=100k floor would be a 10M-row,
+#: ~5 GB toPandas, the silent driver OOM the cap exists to pre-empt;
+#: round-9 review), with a loud warning that the fit runs below the
+#: recommended points/centroid once K exceeds ~20k.
 TRAIN_ROWS_PER_CENTROID = 100
 
 #: Hard ceiling for any driver-side collect of embedding rows. At
@@ -496,7 +501,21 @@ def kmeans_centroids(
     import numpy as np
     import warnings
 
-    mat = _train_matrix(emb, max(train_rows, TRAIN_ROWS_PER_CENTROID * k))
+    want = max(train_rows, TRAIN_ROWS_PER_CENTROID * k)
+    if want > MAX_COLLECT_ROWS:
+        warnings.warn(
+            f"kmeans_centroids: the {want}-row training pull "
+            f"(train_rows={train_rows}, {TRAIN_ROWS_PER_CENTROID}/"
+            f"centroid × k={k}) exceeds the driver-collect ceiling "
+            f"MAX_COLLECT_ROWS={MAX_COLLECT_ROWS}; clipping — the "
+            f"fit runs at ~{MAX_COLLECT_ROWS // max(k, 1)} rows/"
+            "centroid, below the recommended "
+            f"{TRAIN_ROWS_PER_CENTROID}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        want = MAX_COLLECT_ROWS
+    mat = _train_matrix(emb, want)
     if k > len(mat):
         warnings.warn(
             f"kmeans_centroids: k={k} exceeds the {len(mat)}-row "
@@ -1906,35 +1925,57 @@ def apply_changes_to_vector_store(
     _write_store_rows(delta, path, n_buckets)
 
 
+def _fs_must(ok: bool, what: str) -> None:
+    """Hadoop FileSystem.delete/rename report failure by RETURNING
+    false, not raising — an ignored false turns into silent layout
+    corruption (a rename into an existing destination nests the
+    source INSIDE it). Every swap step checks."""
+    if not ok:
+        raise IOError(f"filesystem operation failed: {what}")
+
+
 def compact_vector_store(spark, path: str) -> None:
     """Collapse the fold line back to gen 0: latest live row per id
     (dead ids physically dropped), rewritten as one file per bucket.
 
-    CRASH ORDERING (the write_vector_store meta-last discipline): the
-    netted rows are STAGED to a sibling ``rows.compact`` directory —
-    reading the live ``rows`` tree, writing next to it — and swapped
-    in by delete+rename only after the staged write fully succeeds. A
-    crash during the staged write leaves the live store untouched
-    (the stale stage is cleared on the next run); a crash inside the
-    swap window leaves NO ``rows`` directory but a COMPLETE stage, a
-    torn state every read fails on loudly and a re-run of this
-    function self-heals (finishes the rename) before compacting."""
+    CRASH ORDERING — RENAME-ASIDE, never delete-then-rename: the
+    netted rows are STAGED to ``rows.compact`` (reading the live
+    ``rows`` tree, writing next to it), then ``rows`` is renamed
+    aside to ``rows.old``, the stage renamed in, and ``rows.old``
+    deleted last. Renames are single metadata operations; a recursive
+    DELETE of a multi-bucket tree is not atomic (the round-9 review:
+    delete-then-rename left a window where a crash mid-delete plus
+    the 'stale stage' cleanup destroyed the only complete copy), so
+    no step of this ordering ever has the store's only complete copy
+    inside a non-atomic operation. Recovery by state, run this
+    function again: stage partial + rows live → stage cleared,
+    recompacted; rows renamed aside but stage not yet in → the stage
+    (complete by ordering) renames in, old cleared; new rows in but
+    old not yet deleted → old cleared. Every fs.rename/delete return
+    code is checked (:func:`_fs_must`)."""
     from ..sources.lakehouse import _hfs
 
     n_buckets = _stored_store_buckets(spark, path)
     base = f"{path.rstrip('/')}/rows"
     stage = f"{path.rstrip('/')}/rows.compact"
+    old = f"{path.rstrip('/')}/rows.old"
     fs, jvm = _hfs(spark, base)
     P = jvm.org.apache.hadoop.fs.Path
     if not fs.exists(P(base)):
-        if not fs.exists(P(stage)):
+        # torn swap from a prior crash, mid-window: rows was renamed
+        # aside and the stage (complete by the ordering above — it is
+        # only renamed in whole) hasn't landed yet
+        if fs.exists(P(stage)):
+            _fs_must(fs.rename(P(stage), P(base)), f"rename {stage} -> {base}")
+        elif fs.exists(P(old)):
+            # stage already renamed in and back out? unreachable by
+            # the ordering — but an old-only state still restores
+            _fs_must(fs.rename(P(old), P(base)), f"rename {old} -> {base}")
+        else:
             raise ValueError(f"no vector store rows at {base}")
-        # torn swap from a prior crash: the stage is complete by the
-        # ordering above (it only ever exists whole once rows is
-        # gone) — finish the rename, then compact normally
-        fs.rename(P(stage), P(base))
-    if fs.exists(P(stage)):  # stale stage from a crash mid-write
-        fs.delete(P(stage), True)
+    for leftover in (stage, old):  # stale stage / aside from a crash
+        if fs.exists(P(leftover)):
+            _fs_must(fs.delete(P(leftover), True), f"delete {leftover}")
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("gen"), F.asc(F.col("embedding").isNull().cast("int"))
     )
@@ -1948,8 +1989,9 @@ def compact_vector_store(spark, path: str) -> None:
         .withColumn("gen", F.lit(0).cast("int"))
     )
     _write_store_rows(netted, path, n_buckets, sub="rows.compact")
-    fs.delete(P(base), True)
-    fs.rename(P(stage), P(base))
+    _fs_must(fs.rename(P(base), P(old)), f"rename {base} -> {old}")
+    _fs_must(fs.rename(P(stage), P(base)), f"rename {stage} -> {base}")
+    _fs_must(fs.delete(P(old), True), f"delete {old}")
 
 
 def _store_vectors(spark, path: str, vec_ids) -> DataFrame:
@@ -2593,12 +2635,16 @@ def ivfpq_topk_bulk(
                 }
             )
 
-    probes = plan_cache(
-        queries.select("query_id", "embedding").mapInPandas(
-            probe, "query_id long, centroid_id long, qemb array<double>"
-        )
+    probes = queries.select("query_id", "embedding").mapInPandas(
+        probe, "query_id long, centroid_id long, qemb array<double>"
     )
-    # quantizer-bounded (≤ K rows): keeps the probed-list read pruned
+    # quantizer-bounded (≤ K rows): keeps the probed-list read pruned.
+    # DELIBERATELY uncached: the probe pass runs twice (this distinct
+    # and again inside the serve execution) — each is one narrow map
+    # over the query frame, while plan_cache here would leak one
+    # query-batch-sized tracked cache PER SERVE in a pure-serving
+    # session (the tracker only releases at a registry query-build
+    # boundary, which a serving loop never crosses — round-9 review).
     probe_cids = sorted(
         int(r.centroid_id)
         for r in probes.select("centroid_id").distinct().collect()
@@ -2634,8 +2680,27 @@ def ivfpq_topk_bulk(
             for q, qi in first.items():
                 rows_q = qcol == q
                 b_ids = ids[rows_q]
-                qvec = np.asarray(pdf["qemb"].iat[qi], dtype=np.float64)
-                qx = qvec / max(float(np.linalg.norm(qvec)), 1e-12)
+                # BIT-STABILITY (round-9 probe finding): normalize via
+                # the 2-D reduction form on an OWNED buffer — the
+                # exact expression the latency path applies to its
+                # query matrix. A 1-D ``np.linalg.norm(qvec)`` routes
+                # through BLAS ddot, whose kernel dispatch varies
+                # with the Arrow buffer's memory layout: the same
+                # bit-identical vector measured a 1-ULP-different
+                # norm between a fresh and a cache-materialized
+                # candidates frame, and on a PQ-degenerate corpus
+                # (thousands of exact ADC ties) that one ULP flips
+                # shortlist membership. add.reduce's pairwise order
+                # is fixed by length, layout-independent.
+                q2d = np.array(
+                    pdf["qemb"].iat[qi], dtype=np.float64, ndmin=2
+                )
+                qx = (
+                    q2d
+                    / np.maximum(
+                        np.linalg.norm(q2d, axis=1, keepdims=True), 1e-12
+                    )
+                )[0]
                 if lkp is None:
                     tab = _pq_dtabs(books_, qx[None, :])[0]
                     ad = tab[blocks, cds[rows_q]].sum(axis=1)

@@ -1541,15 +1541,35 @@ def test_compact_vector_store_crash_recovery(spark):
     similarity.compact_vector_store(spark, tbl)
     assert not os.path.exists(f"{tbl}/rows.compact")
     assert serve() == want
-    # crash inside the swap window: rows deleted, stage complete —
-    # every read fails loudly on the missing directory, and a re-run
-    # of compaction finishes the rename before compacting
+    # crash inside the swap window: rows renamed aside, stage complete
+    # but not yet renamed in — every read fails loudly on the missing
+    # directory, and a re-run restores from the STAGE (the new data)
+    # and clears the aside copy
     os.rename(f"{tbl}/rows", f"{tbl}/rows.compact")
     with pytest.raises(Exception):
         serve()
     similarity.compact_vector_store(spark, tbl)
     assert os.path.exists(f"{tbl}/rows")
     assert not os.path.exists(f"{tbl}/rows.compact")
+    assert serve() == want
+    # crash mid-window WITH the aside copy still present: stage wins
+    # (it is complete by the write-before-rename ordering), old is
+    # cleared — the rename-aside fix for the round-9 review's
+    # partial-delete data-loss window
+    os.rename(f"{tbl}/rows", f"{tbl}/rows.compact")
+    os.makedirs(f"{tbl}/rows.old/bucket=0", exist_ok=True)
+    with open(f"{tbl}/rows.old/bucket=0/stale", "w") as fh:
+        fh.write("old generation")
+    similarity.compact_vector_store(spark, tbl)
+    assert os.path.exists(f"{tbl}/rows")
+    assert not os.path.exists(f"{tbl}/rows.old")
+    assert not os.path.exists(f"{tbl}/rows.compact")
+    assert serve() == want
+    # crash after the swap, before the aside delete: the leftover
+    # rows.old (even partially deleted) is cleared on the next run
+    os.makedirs(f"{tbl}/rows.old", exist_ok=True)
+    similarity.compact_vector_store(spark, tbl)
+    assert not os.path.exists(f"{tbl}/rows.old")
     assert serve() == want
     # neither directory: loud, named failure
     shutil.rmtree(f"{tbl}/rows")
@@ -1613,6 +1633,19 @@ def test_train_sample_is_hash_decorrelated_and_deterministic(spark):
     # train_rows scales with k: asking for k=256 pulls >= 100*256 rows
     mat_k = similarity._train_matrix(emb, max(100, 100 * 256))
     assert len(mat_k) == 10_000  # floor exceeds the corpus -> all rows
+    # (f) the K-scaled floor still respects the module's driver-collect
+    # ceiling: a k whose floor exceeds MAX_COLLECT_ROWS warns and clips
+    # instead of pulling an unbounded toPandas (round-9 review)
+    orig_cap = similarity.MAX_COLLECT_ROWS
+    similarity.MAX_COLLECT_ROWS = 2_000
+    try:
+        with _w.catch_warnings(record=True) as rec2:
+            _w.simplefilter("always")
+            cids2, _ = similarity.kmeans_centroids(emb, k=64, train_rows=5_000)
+        assert any("driver-collect ceiling" in str(w.message) for w in rec2)
+        assert len(cids2) == 64
+    finally:
+        similarity.MAX_COLLECT_ROWS = orig_cap
 
 
 def test_ivfpq_bulk_serve_equals_latency_loop(spark):

@@ -719,6 +719,78 @@ def quantizer_probe(spark, n: int) -> None:
         emb.unpersist()
 
 
+def bulkserve_probe(spark, n: int) -> None:
+    """ANN11's throughput claim measured: one bulk (DataFrame-in)
+    serve vs the latency API given the same batch in one call, on the
+    persisted hybrid over the 200k·n sin corpus. The latency path is
+    CORRECT at any batch size but its probe selection, distance
+    tables, and shortlist collect are driver-side and scale with the
+    batch; the bulk path keeps them distributed. Also checks result
+    equality on the smaller batch (sorted collect compare)."""
+    import shutil
+    import time as _t
+
+    from pyspark.sql import functions as SF
+
+    from map_reduce_sf_crime_spark.operators import similarity
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
+    )
+    rows_n = 200_000 * n
+    corpus_path = os.path.join(scratch, f"xover_corpus_x{n}")
+    if not os.path.exists(corpus_path):
+        spark.range(rows_n).select(
+            SF.col("id").alias("vec_id"),
+            SF.array(
+                *[SF.sin(SF.col("id") * SF.lit(float(k + 1))) for k in range(64)]
+            ).cast("array<float>").alias("embedding"),
+        ).write.mode("overwrite").parquet(corpus_path)
+    emb = spark.read.parquet(corpus_path)
+    idx = os.path.join(scratch, f"bulk_idx_x{n}")
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = _t.perf_counter()
+    similarity.write_ivfpq_index(emb, idx, n_centroids=512)
+    print(f"x{n} bulkserve index build: {_t.perf_counter() - t0:.1f}s")
+    for nq, check_eq in ((2_048, True), (16_384, False)):
+        stride = rows_n // nq
+        qcond = (SF.col("vec_id") % stride == 7) & (
+            SF.col("vec_id") < stride * nq
+        )
+        qframe = emb.filter(qcond).select(
+            SF.col("vec_id").alias("query_id"), "embedding"
+        )
+        t0 = _t.perf_counter()
+        queries = [
+            (r["vec_id"], list(r["embedding"]))
+            for r in emb.filter(qcond).collect()
+        ]
+        df_lat = similarity.ivfpq_topk_indexed(
+            spark, idx, queries, emb, 3, nprobe=8
+        )
+        lat_rows = df_lat.collect()
+        t_lat = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        df_bulk = similarity.ivfpq_topk_bulk(
+            spark, idx, qframe, emb, 3, nprobe=8
+        )
+        bulk_rows = df_bulk.collect()
+        t_bulk = _t.perf_counter() - t0
+        eq = ""
+        if check_eq:
+            eq = (
+                ", results identical"
+                if sorted(map(tuple, lat_rows)) == sorted(map(tuple, bulk_rows))
+                else ", RESULTS DIFFER"
+            )
+        print(
+            f"x{n} bulkserve {nq} queries: latency-api {t_lat:.2f}s "
+            f"(incl. query collect) vs bulk {t_bulk:.2f}s "
+            f"({len(bulk_rows)} rows{eq})"
+        )
+    shutil.rmtree(idx, ignore_errors=True)
+
+
 def headsample_probe(spark, n: int) -> None:
     """VERDICT r8 #1's done-criterion: head-sample vs hash-sample
     quantizer training on a fixture where WHOLE CLUSTERS live outside
@@ -1079,7 +1151,7 @@ def main() -> None:
     args = [a for a in sys.argv[1:]]
     modes = (
         "hot", "stream", "churn", "compactidx", "keystone", "round7",
-        "quantizer", "crossover", "headsample",
+        "quantizer", "crossover", "headsample", "bulkserve",
     )
     if any(m in args for m in modes):
         n = next((int(a) for a in args if a.isdigit()), 10)
@@ -1105,6 +1177,8 @@ def main() -> None:
             crossover_probe(spark, n, k)
         if "headsample" in args:
             headsample_probe(spark, n)
+        if "bulkserve" in args:
+            bulkserve_probe(spark, n)
         spark.stop()
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
