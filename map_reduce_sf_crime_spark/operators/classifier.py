@@ -132,15 +132,24 @@ def train_quality_classifier(
     # grams) feature rows — never a fixed rows/doc guess), clamped at
     # QC_MAX_TRAIN_ROWS, the real driver-memory bound.
     row_cap = min(QC_MAX_TRAIN_DOCS * n_buckets, QC_MAX_TRAIN_ROWS)
-    n_rows = feats.count()
-    if n_rows > row_cap:
-        raise ValueError(
-            f"quality-classifier training: {n_rows} (doc, bucket) "
-            f"feature rows exceed the driver-collect cap {row_cap} — "
-            "shrink the labeled sample (training is driver-side by "
-            "design; only SCORING is distributed) or reduce n_buckets"
-        )
-    rows = feats.collect()
+    # persist across the guard-count + collect pair so the gram-explode
+    # + join feature pipeline executes once per training call, not
+    # twice; released in the finally — a training call is a bounded
+    # one-shot, so the registry-tracked plan_cache (released only at
+    # the next query build) would outlive its use
+    feats = feats.persist()
+    try:
+        n_rows = feats.count()
+        if n_rows > row_cap:
+            raise ValueError(
+                f"quality-classifier training: {n_rows} (doc, bucket) "
+                f"feature rows exceed the driver-collect cap {row_cap} — "
+                "shrink the labeled sample (training is driver-side by "
+                "design; only SCORING is distributed) or reduce n_buckets"
+            )
+        rows = feats.collect()
+    finally:
+        feats.unpersist()
     if not rows:
         raise ValueError("no grams in the labeled sample — nothing to train on")
     lab: dict = {}

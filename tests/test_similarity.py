@@ -1701,6 +1701,32 @@ def test_ivfpq_bulk_serve_equals_latency_loop(spark):
                 )
             )
             assert got == want and got, (path, kw.keys())
+    # round 10: the store re-rank routes by batch size — the small
+    # batch above took the bucket-PRUNED read; force the cutoff to 0
+    # so the same batch takes the whole-store resolution scan, and
+    # pin that both routes are bit-identical to the latency serve
+    want = sorted(
+        map(
+            tuple,
+            similarity.ivfpq_topk_indexed(
+                spark, hyb, queries, k=3, vector_store=store
+            ).collect(),
+        )
+    )
+    orig_cutoff = similarity.BULK_RERANK_PRUNE_MAX_IDS
+    similarity.BULK_RERANK_PRUNE_MAX_IDS = 0
+    try:
+        got = sorted(
+            map(
+                tuple,
+                similarity.ivfpq_topk_bulk(
+                    spark, hyb, qframe, k=3, vector_store=store
+                ).collect(),
+            )
+        )
+    finally:
+        similarity.BULK_RERANK_PRUNE_MAX_IDS = orig_cutoff
+    assert got == want and got
     with pytest.raises(ValueError, match="exactly one"):
         similarity.ivfpq_topk_bulk(spark, hyb, qframe, k=3)
     with pytest.raises(ValueError, match="exactly one"):
