@@ -135,6 +135,13 @@ class _Member:
     #: identity), so grouping, captions, and hierarchy ordinals all
     #: include these columns.
     enum_path: tuple[str, ...] = ()
+    #: the raw path segments as written (hierarchy first) — what
+    #: ``[Hier].CurrentMember`` splices back into the token stream so
+    #: Generate's second argument re-resolves through the one
+    #: resolver (round 10). Not part of the definition key: two
+    #: spellings of one member ([D].[All Districts].[X] vs [D].[X])
+    #: already key-equal by their filters.
+    segs: tuple[str, ...] = ()
 
 
 def _enum_cols(m: "_Member") -> tuple[str, ...]:
@@ -262,6 +269,11 @@ class _Parser:
         #: query-scoped named sets (WITH SET, round 8) — substituted
         #: at set-parse time; name → parsed _SetExpr
         self.named_sets: dict[str, "_SetExpr"] = {}
+        #: Generate() iteration context (round 10): hierarchy →
+        #: bound member while the second argument re-parses;
+        #: ``[Hier].CurrentMember`` resolves against this. Empty
+        #: outside Generate — a stray CurrentMember is loud.
+        self._current: dict[str, "_Member"] = {}
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -293,6 +305,31 @@ class _Parser:
             elif t.lower() in ("children", "members"):
                 suffix = t.lower()
                 break
+            elif t.lower() == "currentmember":
+                # [Hier].CurrentMember — only meaningful inside
+                # Generate's second argument, where the iteration
+                # binds a member per hierarchy. Splice the bound
+                # member's RAW segments in and keep parsing: suffixes
+                # (.Children, deeper unique-name segments) then
+                # resolve through the one resolver, so
+                # CurrentMember.Children or
+                # Descendants([T].CurrentMember, ...) need no
+                # special cases.
+                if len(segs) != 1:
+                    raise MdxError(
+                        ".CurrentMember applies to a hierarchy "
+                        "reference ([Hierarchy].CurrentMember), got "
+                        f"{segs!r}"
+                    )
+                ctx = self._current.get(segs[0].lower())
+                if ctx is None:
+                    raise MdxError(
+                        f"[{segs[0]}].CurrentMember has no bound "
+                        "member — it is only supported inside "
+                        "Generate's second argument, iterating a "
+                        "set over the same hierarchy"
+                    )
+                segs = list(ctx.segs)
             else:
                 raise MdxError(f"unexpected {t!r} in member path")
         if (
@@ -506,17 +543,19 @@ class _Parser:
                 [ta + tb for ta in a.tuples for tb in b.tuples]
             )
         if t is not None and t.lower() == "descendants":
-            # Descendants(member, level [, SELF]) — the set of members
-            # AT ``level`` under ``member``, compiled onto the same
-            # level-path machinery as .Children: the member's path
-            # equality filters plus enumeration over every level
-            # column from the member's depth down to the target
-            # (enum_path carries the intermediate levels so member
-            # identity stays the FULL path — Mondrian semantics; a
-            # target one level down is exactly .Children). Only the
-            # SELF flag (the default) is supported: SELF_AND_BEFORE /
-            # AFTER etc. produce MIXED-level sets a single enumerating
-            # member cannot express — loud, not silent.
+            # Descendants(member, level [, FLAG]) — compiled onto the
+            # same level-path machinery as .Children: the member's
+            # path equality filters plus enumeration over every level
+            # column from the member's depth down to each selected
+            # level (enum_path carries the intermediate levels so
+            # member identity stays the FULL path — Mondrian
+            # semantics; a target one level down is exactly
+            # .Children). Round 10: the MIXED-level flags
+            # (SELF_AND_BEFORE, AFTER, …) compile as a union of
+            # single-level descents — the set representation already
+            # holds one tuple per member, so a mixed-level set is
+            # just several enumerating members, levels ascending
+            # (see _descend).
             self.next()
             self.expect("(")
             mem = self.member()
@@ -532,22 +571,92 @@ class _Parser:
                 raise MdxError(
                     "Descendants needs an explicit level argument — "
                     "the one-argument form is the mixed-level "
-                    "self-and-descendants set, which this engine "
-                    "does not express"
+                    "self-and-descendants set; write the flag "
+                    "explicitly (SELF_AND_AFTER) with the member's "
+                    "own level"
                 )
             self.next()
             lsegs = self._level_segs()
+            flag = "self"
             if self.peek() == ",":
                 self.next()
                 flag = self.next().lower()
-                if flag != "self":
-                    raise MdxError(
-                        f"Descendants flag {flag.upper()!r} not "
-                        "supported (SELF only — other flags are "
-                        "mixed-level sets)"
-                    )
             self.expect(")")
-            return _SetExpr([[_descend(mem, lsegs)]])
+            return _SetExpr([[m] for m in _descend(mem, lsegs, flag)])
+        if t is not None and t.lower() == "generate":
+            # Generate(set1, set2[, ALL]) — evaluate set2 once per
+            # set1 tuple with each hierarchy's CurrentMember bound to
+            # that tuple's member, union the results (duplicates
+            # removed by DEFINITION unless ALL — the Union
+            # discipline). Compiled at parse time by re-parsing set2's
+            # tokens per iteration with the binding installed, so the
+            # whole existing member/set grammar (.Children,
+            # Descendants, unique-name paths) works under
+            # CurrentMember for free. The first argument must be
+            # explicit members: an ENUMERATION's members exist only in
+            # data, which a parse-time compile cannot bind — loud,
+            # not silent (the same boundary as Except's enumerated
+            # second argument).
+            self.next()
+            self.expect("(")
+            a = self.set_()
+            if a.ops:
+                raise MdxError(
+                    "set functions must wrap Generate, not its inputs"
+                )
+            for tp in a.tuples:
+                for m in tp:
+                    if m.measure is not None:
+                        raise MdxError(
+                            "Generate: first argument must be "
+                            "dimension members, not measures"
+                        )
+                    if m.enum_col:
+                        raise MdxError(
+                            "Generate: an enumerated first argument "
+                            "(.Children/.Members/Descendants) "
+                            "iterates data members, which a "
+                            "parse-time compile cannot bind to "
+                            "CurrentMember — list explicit members "
+                            "instead"
+                        )
+            self.expect(",")
+            start = self.i
+            prev = self._current
+            outs: list[list[_Member]] = []
+            for tp in a.tuples:
+                self.i = start
+                self._current = {
+                    **prev,
+                    **{m.hierarchy: m for m in tp},
+                }
+                try:
+                    b = self.set_()
+                finally:
+                    self._current = prev
+                if b.ops:
+                    raise MdxError(
+                        "set functions must wrap Generate, not its "
+                        "inputs"
+                    )
+                outs.extend(b.tuples)
+            allflag = False
+            if self.peek() == ",":
+                self.next()
+                f = self.next().lower()
+                if f != "all":
+                    raise MdxError(f"unknown Generate flag {f!r}")
+                allflag = True
+            self.expect(")")
+            if not allflag:
+                seen, dedup = set(), []
+                for tp in outs:
+                    key = _tuple_def_key(tp)
+                    if key not in seen:
+                        seen.add(key)
+                        dedup.append(tp)
+                outs = dedup
+            return _SetExpr(outs)
         if t is not None and t.lower() == "union":
             # Union(a, b[, ALL]) — the combiner JPivot wraps a drill's
             # parent and children in (usually inside Hierarchize).
@@ -765,7 +874,7 @@ def _resolve(segs: list[str], suffix: str | None) -> _Member:
     dim = _DIMS[head]
     levels = dim["levels"]
     path = segs[1:]
-    m = _Member(hierarchy=head)
+    m = _Member(hierarchy=head, segs=tuple(segs))
     li = 0
     if dim["all"] is not None:
         # an explicit leading all-member is a no-op filter; its caption
@@ -804,13 +913,54 @@ def _resolve(segs: list[str], suffix: str | None) -> _Member:
     return m
 
 
-def _descend(mem: _Member, level_segs: list[str]) -> _Member:
-    """Resolve ``Descendants(mem, [Hier].[Level])`` into one
-    enumerating member: the level must belong to the member's own
-    hierarchy and sit at or below the member's depth. At the member's
-    own depth the result is the member itself (SELF); below it, the
-    member enumerates every level column from its depth to the target
-    (intermediates in ``enum_path``, target in ``enum_col``)."""
+def _descend_to(mem: _Member, levels, li: int) -> _Member:
+    """A FRESH copy of ``mem`` enumerating level index ``li`` of its
+    hierarchy (``li`` == the member's own index → the member itself,
+    SELF): every level column from the member's depth to the target
+    (intermediates in ``enum_path``, target in ``enum_col``). Copies,
+    never mutates — the mixed-level flags build several descents of
+    ONE parsed member (round 10)."""
+    own = len(mem.filters) - 1
+    m2 = _Member(
+        filters=list(mem.filters),
+        caption=list(mem.caption),
+        hierarchy=mem.hierarchy,
+        segs=mem.segs,
+    )
+    if li == own:
+        return m2
+    if not m2.filters:
+        m2.caption = []  # enumerating from under the All member
+    m2.enum_path = tuple(levels[i][1] for i in range(own + 1, li))
+    m2.enum_col = levels[li][1]
+    return m2
+
+
+def _descend(
+    mem: _Member, level_segs: list[str], flag: str = "self"
+) -> list[_Member]:
+    """Resolve ``Descendants(mem, [Hier].[Level] [, FLAG])`` into the
+    list of enumerating members — ONE per level the flag selects,
+    each a :func:`_descend_to` descent of ``mem`` (the engine's set
+    representation holds mixed-level sets as multiple tuples, so
+    every standard flag compiles to a union of single-level
+    descents, levels ascending — the Hierarchize-ready order):
+
+    - SELF (default): the target level only; at the member's own
+      depth that is the member itself;
+    - BEFORE: the member's level down to just ABOVE the target
+      (standard MDX includes the member itself);
+    - SELF_AND_BEFORE: the member's level down to the target;
+    - AFTER: every level strictly BELOW the target;
+    - SELF_AND_AFTER: the target and every level below;
+    - SELF_BEFORE_AFTER: the member's level down to the leaf;
+    - LEAVES: the hierarchy's leaf level (this cube's hierarchies
+      are balanced, so leaves = the deepest level).
+
+    The level must belong to the member's own hierarchy and sit at or
+    below the member's depth; a flag selecting no levels (AFTER at
+    the leaf) raises loudly rather than yielding a silent empty
+    axis."""
     if len(level_segs) != 2:
         raise MdxError(
             f"Descendants level must be [Hierarchy].[Level], got "
@@ -844,13 +994,29 @@ def _descend(mem: _Member, level_segs: list[str]) -> _Member:
             f"member's level — the descendant set there is empty; "
             "use Ancestors semantics explicitly if that was meant"
         )
-    if lj == own:
-        return mem  # SELF at the member's own level
-    if not mem.filters:
-        mem.caption = []  # enumerating from under the All member
-    mem.enum_path = tuple(levels[i][1] for i in range(own + 1, lj))
-    mem.enum_col = levels[lj][1]
-    return mem
+    leaf = len(levels) - 1
+    sel = {
+        "self": range(lj, lj + 1),
+        "before": range(own, max(own, lj - 1) + 1),
+        "self_and_before": range(own, lj + 1),
+        "after": range(lj + 1, leaf + 1),
+        "self_and_after": range(lj, leaf + 1),
+        "self_before_after": range(own, leaf + 1),
+        "leaves": range(leaf, leaf + 1),
+    }.get(flag)
+    if sel is None:
+        raise MdxError(
+            f"Descendants flag {flag.upper()!r} not supported "
+            "(SELF, BEFORE, SELF_AND_BEFORE, AFTER, SELF_AND_AFTER, "
+            "SELF_BEFORE_AFTER, LEAVES)"
+        )
+    if not len(sel):
+        raise MdxError(
+            f"Descendants: flag {flag.upper()} at level "
+            f"[{level_segs[1]}] selects no levels (nothing below the "
+            "leaf) — the set is empty"
+        )
+    return [_descend_to(mem, levels, li) for li in sel]
 
 
 @dataclass

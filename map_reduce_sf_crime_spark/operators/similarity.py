@@ -1118,6 +1118,67 @@ def ivf_topk_indexed(
     )
 
 
+def ivf_topk_bulk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = IVF_NPROBE,
+    exclude_query_ids: bool = True,
+) -> DataFrame:
+    """BULK serve of the persisted IVF index: ``queries`` is a
+    DataFrame ``(query_id, embedding)`` — the THROUGHPUT shape next
+    to :func:`ivf_topk_indexed`'s driver-list latency shape, same
+    algorithm, BIT-IDENTICAL results (pinned in
+    tests/test_similarity.py).
+
+    Phases mirror :func:`ivfpq_topk_bulk` steps 1-2: probe via the
+    shared :func:`_bulk_probe_frame` (no collect), candidates via a
+    co-partitioned ``centroid_id`` join against the PARTITION-PRUNED
+    lists (the probed-centroid collect is quantizer-bounded ≤ K).
+    IVF lists carry raw vectors, so scoring is the exact cosine
+    directly on the joined rows — the carried ``qemb`` replaces the
+    latency path's broadcast query join, cast to the corpus element
+    type so the arithmetic is the same JVM expression. No shortlist,
+    no re-rank: one window takes top-k per query.
+
+    Same DETERMINISTIC-``queries`` contract as
+    :func:`ivfpq_topk_bulk` (the probe distinct-collect and the serve
+    are separate passes over the query frame)."""
+    cids, cmat = _stored_centroids(spark, path)
+    probes = _bulk_probe_frame(queries, cids, cmat, nprobe)
+    probe_cids = sorted(
+        int(r.centroid_id)
+        for r in probes.select("centroid_id").distinct().collect()
+    )
+    lists = _filter_tombstones(
+        spark, path, _read_probed_lists(spark, path, probe_cids), sub="lists"
+    )
+    self_filter = (
+        (F.col("vec_id") != F.col("query_id"))
+        if exclude_query_ids
+        else F.lit(True)
+    )
+    elem_t = lists.schema["embedding"].dataType
+    scored = (
+        lists.join(probes, "centroid_id")
+        .filter(self_filter)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_col(F.col("qemb").cast(elem_t), F.col("embedding")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -1721,6 +1782,138 @@ def pq_topk_indexed(
     )
 
 
+#: Query-chunk size inside one pq_topk_bulk block task: distance
+#: tables are built per chunk ((chunk, m, ksub) float64 ≈ 2 KB/query
+#: at the default geometry) so a block task's table memory is bounded
+#: regardless of batch size. Chunking is value-invariant — each
+#: query's table row is independent.
+PQ_BULK_QUERY_CHUNK = 4_096
+
+
+def pq_topk_bulk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    emb: DataFrame | None = None,
+    k: int = 3,
+    shortlist: int = PQ_SHORTLIST,
+    exclude_query_ids: bool = True,
+    vector_store: str | None = None,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """BULK serve of the persisted flat-PQ index: ``queries`` is a
+    DataFrame ``(query_id, embedding)`` — the THROUGHPUT shape next
+    to :func:`pq_topk_indexed`'s driver-list latency shape, same
+    algorithm, BIT-IDENTICAL results (pinned in
+    tests/test_similarity.py against a looped latency serve, both
+    re-rank sources and the exclude flag).
+
+    Flat PQ has no quantizer to prune by — every query must meet
+    every code row (the round-6 measurement: the ADC scan is
+    corpus-shaped by construction; that is what the IVF-PQ hybrid
+    exists to remove). The bulk decomposition makes that product
+    DISTRIBUTED instead of per-query: the code table is hashed into
+    ``n_blocks`` blocks (default: the session's shuffle parallelism),
+    the query batch is replicated once per block
+    (``explode(sequence)`` — #queries × n_blocks small rows, the only
+    replication anywhere), and a COGROUP pairs each code block with
+    the full batch. Each task then runs exactly the latency path's
+    ADC kernel — :func:`_pq_dtabs` tables built executor-side per
+    query CHUNK, the same gather/sum/lexsort, task-local top-S — so
+    per-code-page work amortizes over the whole batch (each code
+    block is read ONCE for all queries, vs once per query driver
+    broadcast in a latency loop). The global (adist, vec_id) window
+    and the shared :func:`_bulk_exact_tail` re-rank finish it;
+    ``n_blocks`` affects partitioning only, never values, because the
+    shortlist order is total.
+
+    Same DETERMINISTIC-``queries`` contract as
+    :func:`ivfpq_topk_bulk` (the serve and the re-rank routing count
+    are separate passes over the query frame)."""
+    import numpy as np
+
+    if (emb is None) == (vector_store is None):
+        raise ValueError("pass exactly one of emb / vector_store")
+    books = _stored_codebooks(spark, path)
+    codes = _filter_tombstones(
+        spark, path, spark.read.parquet(f"{path}/codes"), sub="codes"
+    ).select("vec_id", "pq_codes")
+    nb = int(n_blocks) if n_blocks else int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    top_s = shortlist * k
+    bc = spark.sparkContext.broadcast(
+        (books, top_s, bool(exclude_query_ids))
+    )
+    codes_b = codes.withColumn(
+        "_cb", F.pmod(F.hash(F.col("vec_id")), F.lit(nb))
+    )
+    qrep = queries.select("query_id", "embedding").withColumn(
+        "_cb", F.explode(F.sequence(F.lit(0), F.lit(nb - 1)))
+    )
+
+    def adc_block(cpdf, qpdf):
+        import numpy as np
+        import pandas as pd
+
+        books_, topn, excl = bc.value
+        empty = pd.DataFrame(
+            {
+                "query_id": np.array([], dtype=np.int64),
+                "vec_id": np.array([], dtype=np.int64),
+                "adist": np.array([], dtype=np.float64),
+            }
+        )
+        if not len(cpdf) or not len(qpdf):
+            return empty
+        ids = cpdf["vec_id"].to_numpy(dtype=np.int64)
+        cds = np.array(list(cpdf["pq_codes"]), dtype=np.int64)
+        _, mm = cds.shape
+        blocks = np.arange(mm)[None, :]
+        qids = qpdf["query_id"].to_numpy(dtype=np.int64)
+        # owned 2-D buffer + the 2-D norm reduction — the latency
+        # path's exact normalization expression (round-9 BLAS note)
+        qmat = np.array(list(qpdf["embedding"]), dtype=np.float64)
+        qx = qmat / np.maximum(
+            np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12
+        )
+        out = []
+        for s in range(0, len(qids), PQ_BULK_QUERY_CHUNK):
+            chunk = slice(s, s + PQ_BULK_QUERY_CHUNK)
+            tabs = _pq_dtabs(books_, qx[chunk])
+            for qi, q in enumerate(qids[chunk]):
+                # the latency _adc_scan inner body, verbatim values
+                ad = tabs[qi][blocks, cds].sum(axis=1)
+                keep = (ids != q) if excl else slice(None)
+                b_ids, b_ad = ids[keep], ad[keep]
+                sel = np.lexsort((b_ids, b_ad))[:topn]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(sel), q, dtype=np.int64),
+                            "vec_id": b_ids[sel],
+                            "adist": b_ad[sel],
+                        }
+                    )
+                )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    scored = (
+        codes_b.groupBy("_cb")
+        .cogroup(qrep.groupBy("_cb"))
+        .applyInPandas(adc_block, "query_id long, vec_id long, adist double")
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    shortlisted = (
+        scored.withColumn("ark", F.row_number().over(wa))
+        .filter(F.col("ark") <= top_s)
+        .select("query_id", "vec_id")
+    )
+    return _bulk_exact_tail(
+        spark, queries, shortlisted, top_s, k, emb, vector_store
+    )
+
+
 # --------------------------------------------------------------------
 # ANN10 (round 8): partitioned raw-vector store — the shortlist-sized
 # exact re-rank. The PQ-family serves keep real vectors OUT of the
@@ -2083,15 +2276,22 @@ def _store_all_vectors(spark, path: str) -> DataFrame:
 
 #: Bulk re-rank routing cutoff (round 10, verdict What's-wrong #2):
 #: a bulk serve whose shortlist id BOUND (#queries × shortlist × k)
-#: is at or below this collects the shortlist (two longs per row —
-#: at the cutoff ~4 MB on the driver, the same order as the latency
-#: path's largest supported batch) and routes the store read through
-#: :func:`_store_vectors`'s bucket-directory pruning; above it the
-#: whole-store resolution scan amortizes over the batch. Measured on
-#: the 2M/sin corpus (BASELINE.md round-10 bulk re-rank table): at
-#: 2k queries the pruned read touches only the shortlist's buckets
-#: instead of resolving all 2M rows.
-BULK_RERANK_PRUNE_MAX_IDS = 262_144
+#: is at or below this collects the shortlist and routes the store
+#: read through :func:`_store_vectors`'s bucket-directory pruning —
+#: the latency path's read; above it the whole-store resolution scan
+#: amortizes over the batch. The value is MEASURED, and the
+#: measurement (BASELINE.md round-10 routing table, 2M/2,000-bucket
+#: store) rejected the a-priori guess of ~256k: the pruned route
+#: wins only at near-latency batches (8 queries: 7.3 s / 282 MB
+#: touched vs 7.6 s / 525 MB) and LOSES 2×–14× from 64 queries up
+#: (64: 17.0 vs 8.0 s; 512: 108 vs 12.4 s; 2,048: 364 vs 26.7 s) —
+#: the per-id ``isin`` predicate grows linearly into an
+#: analyzer/codegen-dominating expression while bucket selectivity
+#: collapses (at #ids ≳ #buckets·ln(#buckets)/#buckets every bucket
+#: is hit: 12k ids already blanket 2,000 buckets). 2,048 ids ≈ a
+#: 10-query batch at default geometry — exactly the overlap zone
+#: where a caller might hand the bulk API a latency-sized batch.
+BULK_RERANK_PRUNE_MAX_IDS = 2_048
 
 
 def _bulk_rerank_source(
@@ -2598,6 +2798,85 @@ def ivfpq_topk_indexed(
     )
 
 
+def _bulk_probe_frame(
+    queries: DataFrame, cids, cmat, nprobe: int
+) -> DataFrame:
+    """PROBE phase shared by the bulk serves: one ``mapInPandas``
+    pass over the query frame against the broadcast quantizer — the
+    same :func:`_seq_cosines` kernel and stable-argsort tie rule as
+    the driver paths' probe loops — exploding to ``(query_id,
+    centroid_id, qemb)`` × nprobe. No collect; the carried ``qemb``
+    (widened to double exactly like the driver paths' ``float()``)
+    lets downstream phases score without a second join against the
+    query frame."""
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast((cids, cmat, int(nprobe)))
+
+    def probe(batches):
+        import numpy as np
+        import pandas as pd
+
+        cids_, cmat_, np_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qmat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            qcos = _seq_cosines(qmat, cmat_)
+            reps = []
+            cols = []
+            for i in range(len(pdf)):
+                sel = np.argsort(-qcos[i], kind="stable")[:np_]
+                reps.append(len(sel))
+                cols.extend(int(c) for c in np.asarray(cids_)[sel])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(
+                        pdf["query_id"].to_numpy(dtype=np.int64), reps
+                    ),
+                    "centroid_id": np.array(cols, dtype=np.int64),
+                    "qemb": [
+                        e
+                        for e, r in zip(pdf["embedding"], reps)
+                        for _ in range(r)
+                    ],
+                }
+            )
+
+    return queries.select("query_id", "embedding").mapInPandas(
+        probe, "query_id long, centroid_id long, qemb array<double>"
+    )
+
+
+def _bulk_exact_tail(
+    spark,
+    queries: DataFrame,
+    shortlisted: DataFrame,
+    top_s: int,
+    k: int,
+    emb: DataFrame | None,
+    vector_store: str | None,
+) -> DataFrame:
+    """Bulk-serve re-rank tail shared by the PQ-coded families
+    (:func:`pq_topk_bulk`, :func:`ivfpq_topk_bulk`): resolve the
+    re-rank vector source (live frame, or the store routed by batch
+    size via :func:`_bulk_rerank_source`), cast the query frame to
+    the corpus element type, and run the shared
+    :func:`_exact_rerank_tail` — one body so rounding, tie-breaks,
+    and output schema can never drift between the bulk families."""
+    if emb is not None:
+        vecs = emb.select("vec_id", "embedding")
+    else:
+        shortlisted, vecs = _bulk_rerank_source(
+            spark, queries, shortlisted, top_s, vector_store
+        )
+    elem_t = vecs.schema["embedding"].dataType
+    qv = queries.select(
+        "query_id",
+        F.col("embedding").cast("array<double>").cast(elem_t).alias("qv"),
+    )
+    return _exact_rerank_tail(shortlisted, qv, vecs, k)
+
+
 def ivfpq_topk_bulk(
     spark,
     path: str,
@@ -2676,41 +2955,7 @@ def ivfpq_topk_bulk(
     books = _stored_codebooks(spark, path)
     residual = _stored_ivfpq_residual(spark, path)
     lookup = _normalized_centroid_lookup((cids, cmat)) if residual else None
-    bc = spark.sparkContext.broadcast((cids, cmat, int(nprobe)))
-
-    def probe(batches):
-        import numpy as np
-        import pandas as pd
-
-        cids_, cmat_, np_ = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            qmat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            qcos = _seq_cosines(qmat, cmat_)
-            reps = []
-            cols = []
-            for i in range(len(pdf)):
-                sel = np.argsort(-qcos[i], kind="stable")[:np_]
-                reps.append(len(sel))
-                cols.extend(int(c) for c in np.asarray(cids_)[sel])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(
-                        pdf["query_id"].to_numpy(dtype=np.int64), reps
-                    ),
-                    "centroid_id": np.array(cols, dtype=np.int64),
-                    "qemb": [
-                        e
-                        for e, r in zip(pdf["embedding"], reps)
-                        for _ in range(r)
-                    ],
-                }
-            )
-
-    probes = queries.select("query_id", "embedding").mapInPandas(
-        probe, "query_id long, centroid_id long, qemb array<double>"
-    )
+    probes = _bulk_probe_frame(queries, cids, cmat, nprobe)
     # quantizer-bounded (≤ K rows): keeps the probed-list read pruned.
     # DELIBERATELY uncached: the probe pass runs twice (this distinct
     # and again inside the serve execution) — each is one narrow map
@@ -2836,18 +3081,9 @@ def ivfpq_topk_bulk(
         .filter(F.col("ark") <= top_s)
         .select("query_id", "vec_id")
     )
-    if emb is not None:
-        vecs = emb.select("vec_id", "embedding")
-    else:
-        shortlisted, vecs = _bulk_rerank_source(
-            spark, queries, shortlisted, top_s, vector_store
-        )
-    elem_t = vecs.schema["embedding"].dataType
-    qv = queries.select(
-        "query_id",
-        F.col("embedding").cast("array<double>").cast(elem_t).alias("qv"),
+    return _bulk_exact_tail(
+        spark, queries, shortlisted, top_s, k, emb, vector_store
     )
-    return _exact_rerank_tail(shortlisted, qv, vecs, k)
 
 
 #: Target b-side rows per within-cluster join key: a hot cluster of

@@ -1434,8 +1434,12 @@ def test_descendants_parse_errors(spark):
             "does not match the member's hierarchy",
         ),
         (
-            "Descendants([Time].[2013], [Time].[week], SELF_AND_BEFORE)",
+            "Descendants([Time].[2013], [Time].[week], SELF_AND_MAYBE)",
             "not supported",
+        ),
+        (
+            "Descendants([Time].[2013], [Time].[day], AFTER)",
+            "selects no levels",
         ),
         ("Descendants([Measures].[crimes], [Time].[week])", "dimension member"),
         (
@@ -1450,3 +1454,200 @@ def test_descendants_parse_errors(spark):
         )
         with pytest.raises(MdxError, match=msg):
             parse_mdx(q)
+
+
+def test_generate_currentmember_children_matches_inlined_union(spark):
+    """Round 10: Generate(set, {[H].CurrentMember.Children}) over
+    explicit months equals the inlined Union of each month's
+    .Children (same captions, same values); the CurrentMember body
+    re-resolves through the one member resolver, so Descendants over
+    CurrentMember works too."""
+    year = _fixture_year(spark)
+    inc = incidents(spark, SF_SMOKE).filter(F.year("d") == year)
+    months = sorted(
+        r.m
+        for r in inc.select((F.month("d") - 1).alias("m")).distinct().collect()
+    )[:2]
+    assert len(months) == 2, "fixture needs two months for this pin"
+    m1, m2 = months
+    q_gen = f"""select {{[Measures].[crimes]}} ON COLUMNS,
+      Generate({{[Time].[{year}].[{m1}], [Time].[{year}].[{m2}]}},
+               {{[Time].CurrentMember.Children}}) ON ROWS
+    from [sfcrime]"""
+    q_union = f"""select {{[Measures].[crimes]}} ON COLUMNS,
+      Union({{[Time].[{year}].[{m1}].Children}},
+            {{[Time].[{year}].[{m2}].Children}}) ON ROWS
+    from [sfcrime]"""
+    got = {
+        r.row_member: r.crimes
+        for r in mdx_query(spark, SF_SMOKE, q_gen).collect()
+    }
+    want = {
+        r.row_member: r.crimes
+        for r in mdx_query(spark, SF_SMOKE, q_union).collect()
+    }
+    assert got == want and got
+    # Descendants under CurrentMember: weeks below each month ≡ the
+    # per-month Descendants union
+    q_gd = f"""select {{[Measures].[crimes]}} ON COLUMNS,
+      Generate({{[Time].[{year}].[{m1}], [Time].[{year}].[{m2}]}},
+        Descendants([Time].CurrentMember, [Time].[week])) ON ROWS
+    from [sfcrime]"""
+    q_dd = f"""select {{[Measures].[crimes]}} ON COLUMNS,
+      Union(Descendants([Time].[{year}].[{m1}], [Time].[week]),
+            Descendants([Time].[{year}].[{m2}], [Time].[week])) ON ROWS
+    from [sfcrime]"""
+    got = {
+        r.row_member: r.crimes
+        for r in mdx_query(spark, SF_SMOKE, q_gd).collect()
+    }
+    want = {
+        r.row_member: r.crimes
+        for r in mdx_query(spark, SF_SMOKE, q_dd).collect()
+    }
+    assert got == want and got
+
+
+def test_generate_identity_dedup_and_all(spark):
+    """A CurrentMember-identity body returns the input set; duplicate
+    DEFINITIONS collapse (Union discipline) unless ALL; a
+    constant body (no CurrentMember) collapses to one copy without
+    ALL — all checked at parse level where duplicates are visible."""
+    q = """select {[Measures].[crimes]} ON COLUMNS,
+      Generate({[District].[BAYVIEW], [District].[MISSION],
+                [District].[BAYVIEW]},
+               {[District].CurrentMember}) ON ROWS
+    from [sfcrime]"""
+    rows = parse_mdx(q).rows
+    caps = [", ".join(m.caption[0] for m in tp) for tp in rows]
+    assert caps == ["BAYVIEW", "MISSION"]
+    q_all = q.replace("CurrentMember}", "CurrentMember}, ALL")
+    caps = [
+        ", ".join(m.caption[0] for m in tp)
+        for tp in parse_mdx(q_all).rows
+    ]
+    assert caps == ["BAYVIEW", "MISSION", "BAYVIEW"]
+    q_const = """select {[Measures].[crimes]} ON COLUMNS,
+      Generate({[District].[BAYVIEW], [District].[MISSION]},
+               {[Category].[All Categories]}) ON ROWS
+    from [sfcrime]"""
+    assert len(parse_mdx(q_const).rows) == 1
+
+
+def test_generate_parse_errors():
+    """Loud boundaries: CurrentMember outside Generate or for an
+    unbound hierarchy, enumerated/measure first argument, ops-wrapped
+    arguments, unknown flag."""
+    cases = [
+        (
+            "{[District].CurrentMember}",
+            "no bound member",
+        ),
+        (
+            "Generate({[District].[BAYVIEW]}, {[Time].CurrentMember})",
+            "no bound member",
+        ),
+        (
+            "Generate({[District].[All Districts].Children},"
+            " {[District].CurrentMember})",
+            "enumerated first argument",
+        ),
+        (
+            "Generate({[Measures].[crimes]}, {[District].[BAYVIEW]})",
+            "not measures",
+        ),
+        (
+            "Generate(Order({[District].[BAYVIEW]}, [Measures].[crimes]),"
+            " {[District].CurrentMember})",
+            "must wrap Generate",
+        ),
+        (
+            "Generate({[District].[BAYVIEW]},"
+            " Order({[District].CurrentMember}, [Measures].[crimes]))",
+            "must wrap Generate",
+        ),
+        (
+            "Generate({[District].[BAYVIEW]},"
+            " {[District].CurrentMember}, FOO)",
+            "unknown Generate flag",
+        ),
+        (
+            "{[District].[BAYVIEW].CurrentMember}",
+            "applies to a hierarchy reference",
+        ),
+    ]
+    for frag, msg in cases:
+        q = (
+            "select {[Measures].[crimes]} ON COLUMNS, "
+            f"{frag} ON ROWS from [sfcrime]"
+        )
+        with pytest.raises(MdxError, match=msg):
+            parse_mdx(q)
+
+
+def test_descendants_mixed_level_flags_match_per_level_unions(spark):
+    """Round 10: the mixed-level Descendants flags compile to unions
+    of single-level descents — each pinned cell-for-cell against the
+    inlined Union of per-level SELF Descendants; LEAVES is the leaf
+    level; BEFORE includes the member itself (standard MDX)."""
+    year = _fixture_year(spark)
+    pairs = [
+        (
+            f"Descendants([Time].[{year}], [Time].[week], SELF_AND_BEFORE)",
+            f"Union(Union({{[Time].[{year}]}},"
+            f" Descendants([Time].[{year}], [Time].[month])),"
+            f" Descendants([Time].[{year}], [Time].[week]))",
+        ),
+        (
+            f"Descendants([Time].[{year}], [Time].[month], BEFORE)",
+            f"{{[Time].[{year}]}}",
+        ),
+        (
+            f"Descendants([Time].[{year}], [Time].[month], AFTER)",
+            f"Union(Descendants([Time].[{year}], [Time].[week]),"
+            f" Descendants([Time].[{year}], [Time].[day]))",
+        ),
+        (
+            f"Descendants([Time].[{year}], [Time].[week], SELF_AND_AFTER)",
+            f"Union(Descendants([Time].[{year}], [Time].[week]),"
+            f" Descendants([Time].[{year}], [Time].[day]))",
+        ),
+        (
+            f"Descendants([Time].[{year}], [Time].[year],"
+            " SELF_BEFORE_AFTER)",
+            f"Union(Union(Union({{[Time].[{year}]}},"
+            f" Descendants([Time].[{year}], [Time].[month])),"
+            f" Descendants([Time].[{year}], [Time].[week])),"
+            f" Descendants([Time].[{year}], [Time].[day]))",
+        ),
+        (
+            f"Descendants([Time].[{year}], [Time].[year], LEAVES)",
+            f"Descendants([Time].[{year}], [Time].[day])",
+        ),
+        # District rides a Time slicer (a query with no Time
+        # reference resolves the default Time member, which this
+        # fixture's timeperiod dim does not populate)
+        (
+            "Descendants([District].[All Districts], [District].[name],"
+            f" SELF_AND_BEFORE) ON ROWS from [sfcrime]"
+            f" where [Time].[{year}]",
+            "Union({[District].[All Districts]},"
+            " {[District].[All Districts].Children}) ON ROWS"
+            f" from [sfcrime] where [Time].[{year}]",
+        ),
+    ]
+    for frag, twin in pairs:
+        if "from [sfcrime]" not in frag:
+            frag += " ON ROWS from [sfcrime]"
+            twin += " ON ROWS from [sfcrime]"
+        q = f"select {{[Measures].[crimes]}} ON COLUMNS, {frag}"
+        qt = f"select {{[Measures].[crimes]}} ON COLUMNS, {twin}"
+        got = {
+            r.row_member: r.crimes
+            for r in mdx_query(spark, SF_SMOKE, q).collect()
+        }
+        want = {
+            r.row_member: r.crimes
+            for r in mdx_query(spark, SF_SMOKE, qt).collect()
+        }
+        assert got == want and got, frag

@@ -1648,6 +1648,89 @@ def test_train_sample_is_hash_decorrelated_and_deterministic(spark):
         similarity.MAX_COLLECT_ROWS = orig_cap
 
 
+def test_flat_tier_bulk_serves_equal_latency_loops(spark):
+    """Round 10 (verdict Next #3): the flat tiers get the same bulk
+    (DataFrame-in) twins the hybrid has — ``pq_topk_bulk`` over a
+    block-decomposed cogroup, ``ivf_topk_bulk`` over the shared probe
+    frame — each BIT-IDENTICAL to its latency serve across re-rank
+    sources, the exclude flag, and (for PQ) a non-default block count
+    (partitioning must never move values: the shortlist order is
+    total)."""
+    import shutil
+
+    import pytest
+
+    pq, ivf, store = (
+        _scratch("bulk_pq"), _scratch("bulk_ivf"), _scratch("bulk_pq_store")
+    )
+    for d in (pq, ivf, store):
+        shutil.rmtree(d, ignore_errors=True)
+    emb = load_table(spark, SF_CHECK, "embeddings")
+    similarity.write_pq_index(emb, pq)
+    similarity.write_ivf_index(emb, ivf, n_centroids=8)
+    similarity.write_vector_store(emb, store, n_buckets=32)
+    qids = QUERY_IDS[:6]
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    ]
+    qframe = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for kw, bulk_kw in (
+        ({"emb": emb}, {"emb": emb}),
+        ({"vector_store": store}, {"vector_store": store}),
+        (
+            {"emb": emb, "exclude_query_ids": False},
+            {"emb": emb, "exclude_query_ids": False},
+        ),
+        ({"emb": emb}, {"emb": emb, "n_blocks": 3}),
+    ):
+        want = sorted(
+            map(
+                tuple,
+                similarity.pq_topk_indexed(
+                    spark, pq, queries, k=3, **kw
+                ).collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                similarity.pq_topk_bulk(
+                    spark, pq, qframe, k=3, **bulk_kw
+                ).collect(),
+            )
+        )
+        assert got == want and got, (kw.keys(), bulk_kw.keys())
+    for kw in ({}, {"exclude_query_ids": False}):
+        want = sorted(
+            map(
+                tuple,
+                similarity.ivf_topk_indexed(
+                    spark, ivf, queries, k=3, **kw
+                ).collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                similarity.ivf_topk_bulk(
+                    spark, ivf, qframe, k=3, **kw
+                ).collect(),
+            )
+        )
+        assert got == want and got, kw.keys()
+    with pytest.raises(ValueError, match="exactly one"):
+        similarity.pq_topk_bulk(spark, pq, qframe, k=3)
+    with pytest.raises(ValueError, match="exactly one"):
+        similarity.pq_topk_bulk(
+            spark, pq, qframe, emb=emb, k=3, vector_store=store
+        )
+    for d in (pq, ivf, store):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_ivfpq_bulk_serve_equals_latency_loop(spark):
     """ANN11 (round 9): the bulk (DataFrame-in) hybrid serve is
     BIT-IDENTICAL to the latency (driver-list) serve — flat and
