@@ -59,6 +59,15 @@ ANN_METHODS = {
     # codes than flat at identical layout — same exact re-rank, same
     # PQ-family floor.
     "ivfpq_residual": 80,
+    # round 10 (ANN11/ANN12): the BULK (DataFrame-in) throughput
+    # serve of each persisted tier — same artifacts, same floors as
+    # the latency twins (bulk ≡ latency is bit-pinned in pytest; the
+    # gate watches the recall bound hold through the fully
+    # distributed execution: probe mapInPandas, executor-side ADC
+    # tables / cogroup blocks, windowed shortlists).
+    "ivfpq_bulk": 80,
+    "pq_bulk": 80,
+    "ivf_bulk": 60,
 }
 
 #: The change-feed fold legs poison the base build with PHANTOMS —
@@ -98,6 +107,16 @@ _DIM_CHECKED: set[str] = set()
 #: (built once per process; bench reps and repeated gate calls reuse
 #: the build — the build-once/query-many production contract).
 _INDEX_DIRS: dict[str, str] = {}
+
+
+def _qframe(emb: DataFrame) -> DataFrame:
+    """The gate's query vectors as the bulk serves' DataFrame shape
+    ``(query_id, embedding)`` — a deterministic parquet-backed filter
+    (the bulk contract: the serve plans multiple passes over the
+    query frame)."""
+    return emb.filter(F.col("vec_id").isin(QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
 
 
 def _ann_index_dir(sf_dir: str, emb: DataFrame) -> str:
@@ -307,6 +326,7 @@ def embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     + ") t(method, n_queries, floor_pct, ok)",
     survey_ids=(
         "ANN3", "ANN4", "ANN5", "ANN6", "ANN7", "ANN8", "ANN9", "ANN10",
+        "ANN11", "ANN12",
     ),
 )
 def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,7 +383,15 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``vector_store=``) instead of the live frame — bit-identical
     results (pytest-pinned), so the gate watches the serve whose
     every phase is corpus-size-independent: partition-pruned code
-    lists AND directory-pruned raw-vector fetch."""
+    lists AND directory-pruned raw-vector fetch.
+
+    Round 10 (ANN11/ANN12): the ``ivfpq_bulk`` / ``pq_bulk`` /
+    ``ivf_bulk`` legs run the BULK (DataFrame-in) serves over the
+    same persisted artifacts — probe selection, distance tables, and
+    shortlisting all distributed; the hybrid through the vector
+    store. Each is bit-identical to its latency twin (pytest), so
+    the floors match; gating them means the driver's hard signal
+    watches BOTH serve shapes of every tier."""
     emb = _emb(spark, sf_dir)
     exact = (
         similarity.knn_bruteforce(emb, QUERY_IDS, K)
@@ -435,6 +463,21 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _fold_phantoms(spark, queries)
             ),
             K,
+        ),
+        # round 10 (ANN11/ANN12): the bulk serve shapes over the SAME
+        # persisted artifacts — query vectors arrive as a DataFrame
+        # (deterministic parquet-backed filter, per the bulk
+        # contract), the hybrid re-ranks through the vector store
+        # like its latency twin
+        "ivfpq_bulk": similarity.ivfpq_topk_bulk(
+            spark, f"{idx}/ivfpq", _qframe(emb), k=K,
+            vector_store=f"{idx}/vstore",
+        ),
+        "pq_bulk": similarity.pq_topk_bulk(
+            spark, f"{idx}/pq", _qframe(emb), emb, K
+        ),
+        "ivf_bulk": similarity.ivf_topk_bulk(
+            spark, f"{idx}/ivf", _qframe(emb), K
         ),
     }
     total = len(QUERY_IDS) * K
