@@ -186,6 +186,18 @@ from [sfcrime]
            ([Measures].[crimes], [Time].[1995])) ON ROWS
 from [sfcrime]
 """,
+    # round 10: the Generate(CurrentMember) iteration shape and the
+    # mixed-level Descendants flag shape ride the same gate leg, so
+    # the driver hash-checks the new grammar's cells, not only pytest
+    "generate": """select {([Measures].[crimes], [Time].[1995])} ON COLUMNS,
+  Generate({[District].[All Districts]},
+           {[District].CurrentMember.Children}) ON ROWS
+from [sfcrime]
+""",
+    "descflags": """select {[Measures].[crimes]} ON COLUMNS,
+  Descendants([Time].[1995], [Time].[month], SELF_AND_BEFORE) ON ROWS
+from [sfcrime]
+""",
 }
 
 _MDX_VERBATIM_SQL = """
@@ -228,6 +240,24 @@ _MDX_VERBATIM_SQL = """
       from ({sj}) s where year = 1995
       group by district
     ) where rk <= 3
+    union all
+    select 'mdx_verbatim' as hierarchy, district as l1,
+           'crimes, 1995' as l2, 'generate' as l3,
+           cast(sum(crimes) as bigint) as crimes
+    from ({sj}) s where year = 1995
+    group by district
+    union all
+    select 'mdx_verbatim' as hierarchy, '1995' as l1,
+           'crimes' as l2, 'descflags' as l3,
+           cast(sum(crimes) as bigint) as crimes
+    from ({sj}) s where year = 1995
+    union all
+    select 'mdx_verbatim' as hierarchy,
+           '1995, ' || cast(month as varchar) as l1,
+           'crimes' as l2, 'descflags' as l3,
+           cast(sum(crimes) as bigint) as crimes
+    from ({sj}) s where year = 1995
+    group by month
 """.format(sj=_STAR_JOIN_SQL)
 
 
