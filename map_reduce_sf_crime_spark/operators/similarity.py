@@ -1140,7 +1140,11 @@ def ivf_topk_bulk(
     directly on the joined rows — the carried ``qemb`` replaces the
     latency path's broadcast query join, cast to the corpus element
     type so the arithmetic is the same JVM expression. No shortlist,
-    no re-rank: one window takes top-k per query.
+    no re-rank: one window takes top-k per query. Measured
+    (BASELINE.md round-10 flat-tier table): parity with the latency
+    API at 2k queries, 1.2× at 16k and widening — both sides are the
+    same JVM join, so the bulk win is only the driver-built probe
+    list and broadcast the latency path re-pays per batch.
 
     Same DETERMINISTIC-``queries`` contract as
     :func:`ivfpq_topk_bulk` (the probe distinct-collect and the serve
@@ -1826,6 +1830,15 @@ def pq_topk_bulk(
     and the shared :func:`_bulk_exact_tail` re-rank finish it;
     ``n_blocks`` affects partitioning only, never values, because the
     shortlist order is total.
+
+    WHEN TO PICK WHICH SHAPE (measured, BASELINE.md round-10
+    flat-tier table): at latency-sized batches (≈2k queries) the
+    driver-list :func:`pq_topk_indexed` is ~1.6× FASTER — its
+    distance-table broadcast is megabytes and the cogroup's one
+    corpus shuffle doesn't amortize; the bulk shape exists for
+    batches where the broadcast and the per-batch python loop scale
+    with #queries and stop fitting. Both are bit-identical, so the
+    choice is free.
 
     Same DETERMINISTIC-``queries`` contract as
     :func:`ivfpq_topk_bulk` (the serve and the re-rank routing count
@@ -3040,26 +3053,30 @@ def ivfpq_topk_bulk(
                 inv = np.repeat(np.arange(len(starts)), ends - starts)
                 ad_all = tabs[inv[:, None], blocks, scds].sum(axis=1)
             else:
+                # residual tables are per-(query, probed list): build
+                # ONE table per DISTINCT (query, centroid) pair in
+                # the batch — ≤ #groups × nprobe pairs — then the
+                # same single gather as the flat branch. Values are
+                # bit-identical to the round-9 per-(group, centroid)
+                # loop: 2-D elementwise subtraction equals the 1-D
+                # form per row, and each _pq_dtabs row is
+                # independent.
                 scids, scmat = lkp
                 sccol = ccol[order]
-                ad_all = np.empty(len(sids), dtype=np.float64)
+                inv_g = np.repeat(np.arange(len(starts)), ends - starts)
+                cpos = np.searchsorted(scids, sccol)
+                pair = inv_g * len(scids) + cpos
+                upair, pinv = np.unique(pair, return_inverse=True)
+                shifted = (
+                    qx_all[upair // len(scids)] - scmat[upair % len(scids)]
+                )
+                tabs = _pq_dtabs(books_, shifted)
+                ad_all = tabs[pinv[:, None], blocks, scds].sum(axis=1)
             for gi in range(len(starts)):
                 lo, hi = starts[gi], ends[gi]
                 q = int(sq[lo])
                 b_ids = sids[lo:hi]
-                if lkp is None:
-                    ad = ad_all[lo:hi]
-                else:
-                    # residual tables are per-(query, probed list):
-                    # ≤ nprobe centroids per group, contiguous slices
-                    sub_cds = scds[lo:hi]
-                    sub_cc = sccol[lo:hi]
-                    ad = ad_all[lo:hi]
-                    for c in np.unique(sub_cc):
-                        in_c = sub_cc == c
-                        shifted = qx_all[gi] - scmat[np.searchsorted(scids, c)]
-                        tab = _pq_dtabs(books_, shifted[None, :])[0]
-                        ad[in_c] = tab[blocks, sub_cds[in_c]].sum(axis=1)
+                ad = ad_all[lo:hi]
                 if excl:
                     keep = b_ids != q
                     b_ids, ad = b_ids[keep], ad[keep]

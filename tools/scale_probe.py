@@ -911,6 +911,116 @@ def bulkserve10_probe(spark, n: int) -> None:
         print(f"x{n} bulk10 {nq}-query store routes: results identical")
 
 
+def flatbulk_probe(spark, n: int) -> None:
+    """ANN12's throughput claim measured on the flat tiers (round
+    10): latency API given the whole batch in one call vs the bulk
+    DataFrame serve, persisted IVF and flat-PQ indexes over the
+    200k·n sin corpus — the flat-tier twin of the bulkserve probes —
+    plus residual-hybrid bulk points (the vectorized residual ADC
+    kernel's shape). Result equality checked on the smaller batch."""
+    import shutil
+    import time as _t
+
+    from pyspark.sql import functions as SF
+
+    from map_reduce_sf_crime_spark.operators import similarity
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
+    )
+    rows_n = 200_000 * n
+    corpus_path = os.path.join(scratch, f"xover_corpus_x{n}")
+    if not os.path.exists(corpus_path):
+        spark.range(rows_n).select(
+            SF.col("id").alias("vec_id"),
+            SF.array(
+                *[SF.sin(SF.col("id") * SF.lit(float(k + 1))) for k in range(64)]
+            ).cast("array<float>").alias("embedding"),
+        ).write.mode("overwrite").parquet(corpus_path)
+    emb = spark.read.parquet(corpus_path)
+    paths = {
+        "ivf": os.path.join(scratch, f"flatbulk_ivf_x{n}"),
+        "pq": os.path.join(scratch, f"flatbulk_pq_x{n}"),
+        "res": os.path.join(scratch, f"flatbulk_res_x{n}"),
+    }
+    builders = {
+        "ivf": lambda p: similarity.write_ivf_index(emb, p, n_centroids=512),
+        "pq": lambda p: similarity.write_pq_index(emb, p),
+        "res": lambda p: similarity.write_ivfpq_index(
+            emb, p, n_centroids=512, residual=True
+        ),
+    }
+    for name, p in paths.items():
+        if not os.path.exists(p):
+            t0 = _t.perf_counter()
+            builders[name](p)
+            print(f"x{n} flatbulk {name} build: {_t.perf_counter() - t0:.1f}s")
+
+    def batch(nq):
+        stride = rows_n // nq
+        qcond = (SF.col("vec_id") % stride == 7) & (
+            SF.col("vec_id") < stride * nq
+        )
+        queries = [
+            (r["vec_id"], list(r["embedding"]))
+            for r in emb.filter(qcond).collect()
+        ]
+        qframe = emb.filter(qcond).select(
+            SF.col("vec_id").alias("query_id"), "embedding"
+        )
+        return queries, qframe
+
+    legs = [
+        # (tier, nq, latency callable, bulk callable, check equality)
+        ("ivf", 2_048, True),
+        ("ivf", 16_384, False),
+        ("pq", 2_048, True),
+        ("res", 2_048, True),
+        ("res", 16_384, False),
+    ]
+    lat_fns = {
+        "ivf": lambda qs: similarity.ivf_topk_indexed(
+            spark, paths["ivf"], qs, 3, nprobe=8
+        ),
+        "pq": lambda qs: similarity.pq_topk_indexed(
+            spark, paths["pq"], qs, emb, 3
+        ),
+        "res": lambda qs: similarity.ivfpq_topk_indexed(
+            spark, paths["res"], qs, emb, 3, nprobe=8
+        ),
+    }
+    bulk_fns = {
+        "ivf": lambda qf: similarity.ivf_topk_bulk(
+            spark, paths["ivf"], qf, 3, nprobe=8
+        ),
+        "pq": lambda qf: similarity.pq_topk_bulk(
+            spark, paths["pq"], qf, emb, 3
+        ),
+        "res": lambda qf: similarity.ivfpq_topk_bulk(
+            spark, paths["res"], qf, emb, 3, nprobe=8
+        ),
+    }
+    for tier, nq, check_eq in legs:
+        queries, qframe = batch(nq)
+        t0 = _t.perf_counter()
+        lat_rows = lat_fns[tier](queries).collect()
+        t_lat = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        bulk_rows = bulk_fns[tier](qframe).collect()
+        t_bulk = _t.perf_counter() - t0
+        eq = ""
+        if check_eq:
+            eq = (
+                ", results identical"
+                if sorted(map(tuple, lat_rows)) == sorted(map(tuple, bulk_rows))
+                else ", RESULTS DIFFER"
+            )
+        print(
+            f"x{n} flatbulk {tier} {nq} queries: latency-api {t_lat:.2f}s "
+            f"vs bulk {t_bulk:.2f}s ({len(bulk_rows)} rows{eq})"
+        )
+
+
 def headsample_probe(spark, n: int) -> None:
     """VERDICT r8 #1's done-criterion: head-sample vs hash-sample
     quantizer training on a fixture where WHOLE CLUSTERS live outside
@@ -1272,7 +1382,7 @@ def main() -> None:
     modes = (
         "hot", "stream", "churn", "compactidx", "keystone", "round7",
         "quantizer", "crossover", "headsample", "bulkserve",
-        "bulkserve10",
+        "bulkserve10", "flatbulk",
     )
     if any(m in args for m in modes):
         n = next((int(a) for a in args if a.isdigit()), 10)
@@ -1302,6 +1412,8 @@ def main() -> None:
             bulkserve_probe(spark, n)
         if "bulkserve10" in args:
             bulkserve10_probe(spark, n)
+        if "flatbulk" in args:
+            flatbulk_probe(spark, n)
         spark.stop()
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
