@@ -568,12 +568,19 @@ class _Parser:
                     "member (no .Children/.Members)"
                 )
             if self.peek() != ",":
-                raise MdxError(
-                    "Descendants needs an explicit level argument — "
-                    "the one-argument form is the mixed-level "
-                    "self-and-descendants set; write the flag "
-                    "explicitly (SELF_AND_AFTER) with the member's "
-                    "own level"
+                # one-argument form: the member and ALL its
+                # descendants (standard MDX) — the member's own level
+                # down to the leaf, the same union-of-levels compile
+                # as SELF_BEFORE_AFTER (round 10; through round 9
+                # this raised as inexpressible)
+                self.expect(")")
+                levels = _DIMS[mem.hierarchy]["levels"]
+                own = len(mem.filters) - 1
+                return _SetExpr(
+                    [
+                        [_descend_to(mem, levels, li)]
+                        for li in range(own, len(levels))
+                    ]
                 )
             self.next()
             lsegs = self._level_segs()

@@ -1423,7 +1423,6 @@ def test_descendants_parse_errors(spark):
     unknown level, cross-hierarchy level, unsupported flags, measure
     or enumerated first argument."""
     cases = [
-        ("Descendants([Time].[2013])", "explicit level"),
         (
             "Descendants([Time].[2013].[1], [Time].[year])",
             "ABOVE the member",
@@ -1611,6 +1610,12 @@ def test_descendants_mixed_level_flags_match_per_level_unions(spark):
             f"Descendants([Time].[{year}], [Time].[week], SELF_AND_AFTER)",
             f"Union(Descendants([Time].[{year}], [Time].[week]),"
             f" Descendants([Time].[{year}], [Time].[day]))",
+        ),
+        # one-argument form = the member and ALL its descendants
+        (
+            f"Descendants([Time].[{year}])",
+            f"Descendants([Time].[{year}], [Time].[year],"
+            " SELF_BEFORE_AFTER)",
         ),
         (
             f"Descendants([Time].[{year}], [Time].[year],"
