@@ -1851,9 +1851,18 @@ def pq_topk_bulk(
     codes = _filter_tombstones(
         spark, path, spark.read.parquet(f"{path}/codes"), sub="codes"
     ).select("vec_id", "pq_codes")
-    nb = int(n_blocks) if n_blocks else int(
-        spark.conf.get("spark.sql.shuffle.partitions")
-    )
+    if n_blocks is not None and int(n_blocks) < 1:
+        raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
+    if n_blocks:
+        nb = int(n_blocks)
+    else:
+        try:
+            # "auto" under some AQE configurations — fall back to the
+            # cluster's default parallelism rather than failing
+            nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except ValueError:
+            nb = int(spark.sparkContext.defaultParallelism)
+        nb = max(1, nb)
     top_s = shortlist * k
     bc = spark.sparkContext.broadcast(
         (books, top_s, bool(exclude_query_ids))
