@@ -611,6 +611,18 @@ class _Parser:
                 raise MdxError(
                     "set functions must wrap Generate, not its inputs"
                 )
+            if not a.tuples:
+                # e.g. Except(x, x) compiled the first argument to
+                # nothing — standard MDX yields the empty set, which
+                # this engine's axes do not express; without this
+                # check the iteration below never consumes set2's
+                # tokens and the query dies on a misleading
+                # "expected ')'" (round-10 review)
+                raise MdxError(
+                    "Generate: first argument is an EMPTY set — "
+                    "nothing to iterate; the result would be the "
+                    "empty set"
+                )
             for tp in a.tuples:
                 for m in tp:
                     if m.measure is not None:
@@ -956,7 +968,9 @@ def _descend(
     - SELF (default): the target level only; at the member's own
       depth that is the member itself;
     - BEFORE: the member's level down to just ABOVE the target
-      (standard MDX includes the member itself);
+      (standard MDX includes the member itself and excludes the
+      named level — so BEFORE at the member's own level selects
+      nothing and raises the empty-set error);
     - SELF_AND_BEFORE: the member's level down to the target;
     - AFTER: every level strictly BELOW the target;
     - SELF_AND_AFTER: the target and every level below;
@@ -1004,7 +1018,11 @@ def _descend(
     leaf = len(levels) - 1
     sel = {
         "self": range(lj, lj + 1),
-        "before": range(own, max(own, lj - 1) + 1),
+        # BEFORE excludes the named level (standard MDX), so at the
+        # member's own level it selects nothing and the empty-set
+        # check below fires — the round-10 review caught the earlier
+        # clamp silently returning the member there
+        "before": range(own, lj),
         "self_and_before": range(own, lj + 1),
         "after": range(lj + 1, leaf + 1),
         "self_and_after": range(lj, leaf + 1),

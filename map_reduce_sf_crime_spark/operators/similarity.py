@@ -1793,6 +1793,18 @@ def pq_topk_indexed(
 #: query's table row is independent.
 PQ_BULK_QUERY_CHUNK = 4_096
 
+#: Max queries one pq_topk_bulk task holds (round-10 review): a
+#: cogroup task materializes its whole query group as one pandas
+#: frame, so without a bound every code-block task would hold the
+#: ENTIRE batch — the exact #queries-shaped cost the bulk shape
+#: exists to remove. Batches above this split into
+#: ceil(nq / this) hash blocks of queries and the cogroup runs the
+#: (code-block × query-block) GRID: per-task memory is bounded at
+#: ~this × dim doubles (~32 MB at 64-dim), and the extra corpus
+#: replication (codes × #query-blocks) is proportional to the batch
+#: — amortized by the same O(corpus × queries) ADC compute it feeds.
+PQ_BULK_MAX_QUERIES_PER_TASK = 65_536
+
 
 def pq_topk_bulk(
     spark,
@@ -1818,10 +1830,13 @@ def pq_topk_bulk(
     exists to remove). The bulk decomposition makes that product
     DISTRIBUTED instead of per-query: the code table is hashed into
     ``n_blocks`` blocks (default: the session's shuffle parallelism),
-    the query batch is replicated once per block
-    (``explode(sequence)`` — #queries × n_blocks small rows, the only
-    replication anywhere), and a COGROUP pairs each code block with
-    the full batch. Each task then runs exactly the latency path's
+    the query batch into ``ceil(nq / PQ_BULK_MAX_QUERIES_PER_TASK)``
+    hash blocks, each side replicated across the OTHER's blocks
+    (``explode(sequence)``), and a COGROUP pairs every (code-block,
+    query-block) grid cell — per-task memory is bounded at one code
+    block plus one query block no matter the batch size (small
+    batches get one query block and replicate nothing). Each task
+    then runs exactly the latency path's
     ADC kernel — :func:`_pq_dtabs` tables built executor-side per
     query CHUNK, the same gather/sum/lexsort, task-local top-S — so
     per-code-page work amortizes over the whole batch (each code
@@ -1841,10 +1856,9 @@ def pq_topk_bulk(
     choice is free.
 
     Same DETERMINISTIC-``queries`` contract as
-    :func:`ivfpq_topk_bulk` (the serve and the re-rank routing count
-    are separate passes over the query frame)."""
-    import numpy as np
-
+    :func:`ivfpq_topk_bulk` (the serve, the query-block count, and
+    the re-rank routing count are separate passes over the query
+    frame)."""
     if (emb is None) == (vector_store is None):
         raise ValueError("pass exactly one of emb / vector_store")
     books = _stored_codebooks(spark, path)
@@ -1863,15 +1877,29 @@ def pq_topk_bulk(
         except ValueError:
             nb = int(spark.sparkContext.defaultParallelism)
         nb = max(1, nb)
+    # query-block GRID (round-10 review): one cogroup task holds its
+    # whole query group, so huge batches split into nqb hash blocks
+    # and every (code-block, query-block) cell gets its own task —
+    # per-task memory is PQ_BULK_MAX_QUERIES_PER_TASK-bounded. Codes
+    # then replicate nqb× (proportional to the batch, amortized by
+    # the ADC compute); nqb == 1 replicates nothing. Grid membership
+    # is by hash, so values are unchanged — every (code, query) pair
+    # meets in exactly one cell and the shortlist order is total.
+    nq = queries.count()
+    nqb = max(1, -(-nq // PQ_BULK_MAX_QUERIES_PER_TASK))
     top_s = shortlist * k
     bc = spark.sparkContext.broadcast(
         (books, top_s, bool(exclude_query_ids))
     )
     codes_b = codes.withColumn(
         "_cb", F.pmod(F.hash(F.col("vec_id")), F.lit(nb))
+    ).withColumn(
+        "_qb", F.explode(F.sequence(F.lit(0), F.lit(nqb - 1)))
     )
-    qrep = queries.select("query_id", "embedding").withColumn(
-        "_cb", F.explode(F.sequence(F.lit(0), F.lit(nb - 1)))
+    qrep = (
+        queries.select("query_id", "embedding")
+        .withColumn("_qb", F.pmod(F.hash(F.col("query_id")), F.lit(nqb)))
+        .withColumn("_cb", F.explode(F.sequence(F.lit(0), F.lit(nb - 1))))
     )
 
     def adc_block(cpdf, qpdf):
@@ -1921,8 +1949,8 @@ def pq_topk_bulk(
         return pd.concat(out, ignore_index=True) if out else empty
 
     scored = (
-        codes_b.groupBy("_cb")
-        .cogroup(qrep.groupBy("_cb"))
+        codes_b.groupBy("_cb", "_qb")
+        .cogroup(qrep.groupBy("_cb", "_qb"))
         .applyInPandas(adc_block, "query_id long, vec_id long, adist double")
     )
     wa = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))

@@ -1656,3 +1656,24 @@ def test_descendants_mixed_level_flags_match_per_level_unions(spark):
             for r in mdx_query(spark, SF_SMOKE, qt).collect()
         }
         assert got == want and got, frag
+
+
+def test_generate_empty_first_set_and_before_own_level_loud():
+    """Round-10 review fixes: Generate over a first argument that
+    compiled to the empty set names the real condition (not a
+    misleading token error), and BEFORE at the member's own level —
+    standard MDX's empty set — raises the empty-set error instead of
+    silently returning the member."""
+    with pytest.raises(MdxError, match="EMPTY set"):
+        parse_mdx(
+            "select {[Measures].[crimes]} ON COLUMNS, "
+            "Generate(Except({[District].[BAYVIEW]},"
+            " {[District].[BAYVIEW]}), {[District].CurrentMember})"
+            " ON ROWS from [sfcrime]"
+        )
+    with pytest.raises(MdxError, match="selects no levels"):
+        parse_mdx(
+            "select {[Measures].[crimes]} ON COLUMNS, "
+            "Descendants([Time].[2013], [Time].[year], BEFORE)"
+            " ON ROWS from [sfcrime]"
+        )

@@ -1685,23 +1685,35 @@ def test_flat_tier_bulk_serves_equal_latency_loops(spark):
             {"emb": emb, "exclude_query_ids": False},
         ),
         ({"emb": emb}, {"emb": emb, "n_blocks": 3}),
+        # forces the (code-block × query-block) GRID: 6 queries with
+        # a 2-query task bound → 3 query blocks — values must not
+        # move (grid membership is by hash; the shortlist order is
+        # total)
+        ({"emb": emb}, {"emb": emb, "_grid": 2}),
     ):
-        want = sorted(
-            map(
-                tuple,
-                similarity.pq_topk_indexed(
-                    spark, pq, queries, k=3, **kw
-                ).collect(),
+        grid = bulk_kw.pop("_grid", None)
+        orig_qpt = similarity.PQ_BULK_MAX_QUERIES_PER_TASK
+        if grid:
+            similarity.PQ_BULK_MAX_QUERIES_PER_TASK = grid
+        try:
+            want = sorted(
+                map(
+                    tuple,
+                    similarity.pq_topk_indexed(
+                        spark, pq, queries, k=3, **kw
+                    ).collect(),
+                )
             )
-        )
-        got = sorted(
-            map(
-                tuple,
-                similarity.pq_topk_bulk(
-                    spark, pq, qframe, k=3, **bulk_kw
-                ).collect(),
+            got = sorted(
+                map(
+                    tuple,
+                    similarity.pq_topk_bulk(
+                        spark, pq, qframe, k=3, **bulk_kw
+                    ).collect(),
+                )
             )
-        )
+        finally:
+            similarity.PQ_BULK_MAX_QUERIES_PER_TASK = orig_qpt
         assert got == want and got, (kw.keys(), bulk_kw.keys())
     for kw in ({}, {"exclude_query_ids": False}):
         want = sorted(

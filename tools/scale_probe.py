@@ -809,7 +809,6 @@ def bulkserve10_probe(spark, n: int) -> None:
         (verdict What's-wrong #2): files + MB touched under the
         store's rows tree, default pruned route vs forced whole-store
         route (cutoff 0), result equality asserted."""
-    import shutil
     import time as _t
 
     from pyspark.sql import functions as SF
@@ -918,7 +917,6 @@ def flatbulk_probe(spark, n: int) -> None:
     200k·n sin corpus — the flat-tier twin of the bulkserve probes —
     plus residual-hybrid bulk points (the vectorized residual ADC
     kernel's shape). Result equality checked on the smaller batch."""
-    import shutil
     import time as _t
 
     from pyspark.sql import functions as SF
