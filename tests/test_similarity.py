@@ -1692,28 +1692,24 @@ def test_flat_tier_bulk_serves_equal_latency_loops(spark):
         ({"emb": emb}, {"emb": emb, "_grid": 2}),
     ):
         grid = bulk_kw.pop("_grid", None)
-        orig_qpt = similarity.PQ_BULK_MAX_QUERIES_PER_TASK
         if grid:
-            similarity.PQ_BULK_MAX_QUERIES_PER_TASK = grid
-        try:
-            want = sorted(
-                map(
-                    tuple,
-                    similarity.pq_topk_indexed(
-                        spark, pq, queries, k=3, **kw
-                    ).collect(),
-                )
+            bulk_kw["max_queries_per_task"] = grid
+        want = sorted(
+            map(
+                tuple,
+                similarity.pq_topk_indexed(
+                    spark, pq, queries, k=3, **kw
+                ).collect(),
             )
-            got = sorted(
-                map(
-                    tuple,
-                    similarity.pq_topk_bulk(
-                        spark, pq, qframe, k=3, **bulk_kw
-                    ).collect(),
-                )
+        )
+        got = sorted(
+            map(
+                tuple,
+                similarity.pq_topk_bulk(
+                    spark, pq, qframe, k=3, **bulk_kw
+                ).collect(),
             )
-        finally:
-            similarity.PQ_BULK_MAX_QUERIES_PER_TASK = orig_qpt
+        )
         assert got == want and got, (kw.keys(), bulk_kw.keys())
     for kw in ({}, {"exclude_query_ids": False}):
         want = sorted(
@@ -1808,19 +1804,14 @@ def test_ivfpq_bulk_serve_equals_latency_loop(spark):
             ).collect(),
         )
     )
-    orig_cutoff = similarity.BULK_RERANK_PRUNE_MAX_IDS
-    similarity.BULK_RERANK_PRUNE_MAX_IDS = 0
-    try:
-        got = sorted(
-            map(
-                tuple,
-                similarity.ivfpq_topk_bulk(
-                    spark, hyb, qframe, k=3, vector_store=store
-                ).collect(),
-            )
+    got = sorted(
+        map(
+            tuple,
+            similarity.ivfpq_topk_bulk(
+                spark, hyb, qframe, k=3, vector_store=store, prune_max_ids=0
+            ).collect(),
         )
-    finally:
-        similarity.BULK_RERANK_PRUNE_MAX_IDS = orig_cutoff
+    )
     assert got == want and got
     with pytest.raises(ValueError, match="exactly one"):
         similarity.ivfpq_topk_bulk(spark, hyb, qframe, k=3)

@@ -887,17 +887,18 @@ def bulkserve10_probe(spark, n: int) -> None:
             ("pruned", max(similarity.BULK_RERANK_PRUNE_MAX_IDS, nq * 192)),
             ("whole-store", 0),
         ):
-            orig = similarity.BULK_RERANK_PRUNE_MAX_IDS
-            similarity.BULK_RERANK_PRUNE_MAX_IDS = cutoff
-            try:
-                t0 = _t.perf_counter()
-                df = similarity.ivfpq_topk_bulk(
-                    spark, idx, qf, k=3, nprobe=8, vector_store=store_tbl
-                )
-                rows = df.collect()
-                dt = _t.perf_counter() - t0
-            finally:
-                similarity.BULK_RERANK_PRUNE_MAX_IDS = orig
+            t0 = _t.perf_counter()
+            df = similarity.ivfpq_topk_bulk(
+                spark,
+                idx,
+                qf,
+                k=3,
+                nprobe=8,
+                vector_store=store_tbl,
+                prune_max_ids=cutoff,
+            )
+            rows = df.collect()
+            dt = _t.perf_counter() - t0
             nf, mb = rows_tree_bytes(df)
             results[label] = sorted(map(tuple, rows))
             print(
