@@ -30,6 +30,16 @@ members) — and (round 8) ``WITH SET [x] AS '<set>'`` named sets,
 parsed once and substituted wherever an axis references ``[x]``
 (each reference gets its own copy, so Order/TopCount/Filter wrapped
 around one reference never leak into another).
+Round 11 adds calculated-member TIME NAVIGATION — inside WITH MEMBER
+bodies, ``[Hier].CurrentMember`` binds the evaluation cell's member
+and ``.PrevMember``/``.NextMember``/``.Lag(n)``/``.Lead(n)`` (also
+on static members), ``ParallelPeriod([Time].[level], n[, member])``,
+and ``Sum(PeriodsToDate([Time].[level][, member]), tuple)`` /
+``Sum(Ytd(), tuple)`` compile to data-level joins on the typed level
+paths (the period-over-period and running-total idioms; see
+_calc_grouped). Navigation is confined to WITH MEMBER value tuples —
+axes, slicers, set-function expressions, named sets, and Generate's
+first argument all reject it loudly.
 This module parses exactly that grammar and compiles it onto the
 engine's star join — no Mondrian, no cell cache, just Catalyst: every
 axis-tuple pair becomes one filtered
@@ -142,6 +152,21 @@ class _Member:
     #: spellings of one member ([D].[All Districts].[X] vs [D].[X])
     #: already key-equal by their filters.
     segs: tuple[str, ...] = ()
+    #: round 11 — cell-context marker: the member is the evaluation
+    #: CELL's member for ``hierarchy`` (``[Hier].CurrentMember``
+    #: inside a WITH MEMBER expression). Only meaningful in
+    #: calculated-member value tuples; parse_mdx rejects it on axes,
+    #: slicers, and set-function expressions.
+    current: bool = False
+    #: round 11 — time-navigation applied to the member (static base
+    #: or ``current``): ``("lag", n)`` for PrevMember/NextMember/
+    #: Lag/Lead chains (n may be negative = lead), ``("parallel",
+    #: anc_li, n)`` for ParallelPeriod (ancestor level index,
+    #: periods back), ``("ptd", anc_li)`` for PeriodsToDate/Ytd
+    #: inside ``Sum`` (period-to-date accumulation). Evaluated as a
+    #: data-level join in mdx_cells_many — navigation is a DATA
+    #: question (which sibling exists before this one), not grammar.
+    nav: tuple | None = None
 
 
 def _enum_cols(m: "_Member") -> tuple[str, ...]:
@@ -246,6 +271,18 @@ class _CalcExpr:
     right: "_CalcExpr | None" = None
 
 
+def _ast_has_nav(ast: "_CalcExpr") -> bool:
+    """True when any value reference in the expression carries a
+    navigated member (PrevMember/ParallelPeriod/PeriodsToDate) —
+    such cells are data-dependent and route through the join
+    machinery even without axis enumeration."""
+    if ast.kind == "ref":
+        return any(m.nav is not None for m in ast.ref or [])
+    if ast.kind == "bin":
+        return _ast_has_nav(ast.left) or _ast_has_nav(ast.right)
+    return False
+
+
 def _tokenize(text: str) -> list[str]:
     toks, i = [], 0
     while i < len(text):
@@ -274,6 +311,14 @@ class _Parser:
         #: ``[Hier].CurrentMember`` resolves against this. Empty
         #: outside Generate — a stray CurrentMember is loud.
         self._current: dict[str, "_Member"] = {}
+        #: round 11 — True only for the WITH MEMBER body sub-parser:
+        #: an unbound ``[Hier].CurrentMember`` there compiles to the
+        #: cell-context marker (``_Member.current``) instead of
+        #: raising, enabling PrevMember/ParallelPeriod/PeriodsToDate
+        #: time navigation. False everywhere else (axes, named sets,
+        #: slicers) so navigation cannot silently leak out of
+        #: calculated members.
+        self.allow_cell_current = False
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -291,30 +336,58 @@ class _Parser:
             raise MdxError(f"expected {want!r}, got {t!r}")
         return t
 
-    # member := [seg](.[seg])*(.Children|.Members)?
+    # member := ParallelPeriod(...)
+    #         | [seg](.[seg])*(.Children|.Members
+    #                          |(.PrevMember|.NextMember|.Lag(n)|.Lead(n))+)?
     def member(self) -> _Member:
+        if (self.peek() or "").lower() == "parallelperiod":
+            return self._parallelperiod()
         segs, suffix = [], None
+        current = False  # cell-context CurrentMember marker
+        nav: tuple | None = None  # accumulated lag-family navigation
         if not (self.peek() or "").startswith("["):
             raise MdxError(f"expected a [member], got {self.peek()!r}")
         segs.append(self.next()[1:-1])
         while self.peek() == ".":
             self.next()
             t = self.next()
+            tl = t.lower()
+            if nav is not None and not (
+                tl in ("prevmember", "nextmember", "lag", "lead")
+            ):
+                raise MdxError(
+                    f"only PrevMember/NextMember/Lag/Lead may follow a "
+                    f"navigated member, got {t!r}"
+                )
             if t.startswith("["):
+                if current:
+                    raise MdxError(
+                        "cannot descend below CurrentMember in a "
+                        "calculated-member expression — the cell's "
+                        "member has no statically known children"
+                    )
                 segs.append(t[1:-1])
-            elif t.lower() in ("children", "members"):
-                suffix = t.lower()
+            elif tl in ("children", "members"):
+                if current:
+                    raise MdxError(
+                        f".{t} cannot enumerate below the cell's "
+                        "CurrentMember in a calculated-member "
+                        "expression"
+                    )
+                suffix = tl
                 break
-            elif t.lower() == "currentmember":
-                # [Hier].CurrentMember — only meaningful inside
-                # Generate's second argument, where the iteration
-                # binds a member per hierarchy. Splice the bound
-                # member's RAW segments in and keep parsing: suffixes
-                # (.Children, deeper unique-name segments) then
-                # resolve through the one resolver, so
-                # CurrentMember.Children or
-                # Descendants([T].CurrentMember, ...) need no
-                # special cases.
+            elif tl == "currentmember":
+                # [Hier].CurrentMember — two meanings, resolved in
+                # priority order: (1) inside Generate's second
+                # argument the iteration binds a member per
+                # hierarchy; splice the bound member's RAW segments
+                # in and keep parsing, so suffixes (.Children,
+                # deeper unique-name segments, .PrevMember) resolve
+                # through the one resolver. (2) inside a WITH MEMBER
+                # body (allow_cell_current) it is the evaluation
+                # CELL's member — a parse-time marker the compiler
+                # binds per cell (round 11: the period-over-period
+                # idiom). Anywhere else: loud.
                 if len(segs) != 1:
                     raise MdxError(
                         ".CurrentMember applies to a hierarchy "
@@ -322,16 +395,49 @@ class _Parser:
                         f"{segs!r}"
                     )
                 ctx = self._current.get(segs[0].lower())
-                if ctx is None:
+                if ctx is not None:
+                    segs = list(ctx.segs)
+                elif self.allow_cell_current:
+                    if segs[0].lower() not in _DIMS:
+                        raise MdxError(f"unknown hierarchy [{segs[0]}]")
+                    current = True
+                else:
                     raise MdxError(
                         f"[{segs[0]}].CurrentMember has no bound "
                         "member — it is only supported inside "
-                        "Generate's second argument, iterating a "
-                        "set over the same hierarchy"
+                        "Generate's second argument (iterating a "
+                        "set over the same hierarchy) or a WITH "
+                        "MEMBER expression (the cell's member)"
                     )
-                segs = list(ctx.segs)
+            elif tl in ("prevmember", "nextmember"):
+                if not current and len(segs) < 2:
+                    raise MdxError(
+                        f".{t} applies to a member, not a bare "
+                        "hierarchy"
+                    )
+                step = 1 if tl == "prevmember" else -1
+                nav = ("lag", (nav[1] if nav else 0) + step)
+            elif tl in ("lag", "lead"):
+                if not current and len(segs) < 2:
+                    raise MdxError(
+                        f".{t} applies to a member, not a bare "
+                        "hierarchy"
+                    )
+                self.expect("(")
+                n = self.number()
+                if n != int(n):
+                    raise MdxError(f"{t}() offset must be an integer")
+                self.expect(")")
+                step = int(n) if tl == "lag" else -int(n)
+                nav = ("lag", (nav[1] if nav else 0) + step)
             else:
                 raise MdxError(f"unexpected {t!r} in member path")
+        if current:
+            m = _Member(
+                hierarchy=segs[0].lower(), segs=tuple(segs), current=True
+            )
+            m.nav = nav
+            return m
         if (
             segs[0].lower() == "measures"
             and len(segs) == 2
@@ -339,7 +445,111 @@ class _Parser:
             and suffix is None
         ):
             return _Member(measure=segs[1].lower(), caption=[segs[1]])
-        return _resolve(segs, suffix)
+        m = _resolve(segs, suffix)
+        if nav is not None:
+            if m.measure is not None:
+                raise MdxError("measures have no PrevMember navigation")
+            if not m.filters:
+                raise MdxError(
+                    "PrevMember/Lag navigation needs a member below "
+                    "the All level"
+                )
+            m.nav = nav
+        return m
+
+    def _nav_level(self) -> tuple[str, int]:
+        """Parse a ``[Hierarchy].[Level]`` argument of ParallelPeriod /
+        PeriodsToDate; returns (hierarchy, level index)."""
+        lsegs = self._level_segs()
+        if len(lsegs) != 2:
+            raise MdxError(
+                f"expected [Hierarchy].[Level], got {lsegs!r}"
+            )
+        hier, lname = lsegs[0].lower(), lsegs[1].lower()
+        if hier not in _DIMS:
+            raise MdxError(f"unknown hierarchy [{lsegs[0]}]")
+        names = [ln.lower() for ln, _ in _DIMS[hier]["levels"]]
+        if lname not in names:
+            raise MdxError(
+                f"unknown level [{lsegs[1]}] on [{lsegs[0]}] "
+                f"(levels: {', '.join(ln for ln, _ in _DIMS[hier]['levels'])})"
+            )
+        return hier, names.index(lname)
+
+    def _nav_base(self, hier: str, fn: str) -> _Member:
+        """Default member argument of ParallelPeriod / PeriodsToDate /
+        Ytd: the hierarchy's CurrentMember — the Generate binding if
+        one is live, else the cell-context marker inside WITH MEMBER,
+        else loud."""
+        ctx = self._current.get(hier)
+        if ctx is not None:
+            return _Member(
+                hierarchy=ctx.hierarchy,
+                filters=list(ctx.filters),
+                caption=list(ctx.caption),
+                segs=ctx.segs,
+            )
+        if self.allow_cell_current:
+            return _Member(hierarchy=hier, segs=(hier,), current=True)
+        raise MdxError(
+            f"{fn} without a member argument defaults to "
+            f"[{hier}].CurrentMember, which is only bound inside a "
+            "WITH MEMBER expression or Generate — pass the member "
+            "explicitly"
+        )
+
+    def _nav_member_arg(self, hier: str, fn: str) -> _Member:
+        """Validate an explicit member argument of a navigation
+        function: same hierarchy, no enumeration, not itself
+        navigated."""
+        m = self.member()
+        if m.measure is not None:
+            raise MdxError(f"{fn}: member argument cannot be a measure")
+        if m.hierarchy != hier:
+            raise MdxError(
+                f"{fn}: member hierarchy [{m.hierarchy}] does not "
+                f"match the level's hierarchy [{hier}]"
+            )
+        if m.enum_col:
+            raise MdxError(f"{fn}: member argument cannot enumerate")
+        if m.nav is not None:
+            raise MdxError(
+                f"{fn}: member argument cannot itself be navigated"
+            )
+        return m
+
+    # ParallelPeriod([Hier].[Level] [, n [, member]]) — the member at
+    # the same relative position under the ancestor period n steps
+    # back (Mondrian: Cousin(member, Ancestor(member, level).Lag(n))).
+    # Compiled as nav=("parallel", anc_li, n): the ancestor at the
+    # named level is lagged n steps in the level's full cross-parent
+    # data order and the member's OWN lower-level path values descend
+    # under it. Descent is by level VALUE, not sibling position —
+    # identical on this cube's dense numeric [Time] levels (0-based
+    # months, WEEK_OF_MONTH weeks repeat every year) and the honest
+    # choice on sparse data, where "the same month last year" is what
+    # the analyst means (Mondrian's positional Cousin can silently
+    # drift onto a different month when siblings are missing).
+    def _parallelperiod(self) -> _Member:
+        self.next()
+        self.expect("(")
+        hier, anc_li = self._nav_level()
+        n = 1
+        base: _Member | None = None
+        if self.peek() == ",":
+            self.next()
+            nn = self.number()
+            if nn != int(nn):
+                raise MdxError("ParallelPeriod offset must be an integer")
+            n = int(nn)
+            if self.peek() == ",":
+                self.next()
+                base = self._nav_member_arg(hier, "ParallelPeriod")
+        self.expect(")")
+        if base is None:
+            base = self._nav_base(hier, "ParallelPeriod")
+        base.nav = ("parallel", anc_li, n)
+        return base
 
     # level reference := [Hierarchy].[LevelName] — raw segments, no
     # member resolution (level names are not members; on [Time] a
@@ -381,6 +591,11 @@ class _Parser:
         if any(m.enum_col for m in members):
             raise MdxError(
                 "set-function expression members cannot enumerate"
+            )
+        if any(m.nav is not None or m.current for m in members):
+            raise MdxError(
+                "CurrentMember/PrevMember navigation is only "
+                "supported inside WITH MEMBER value expressions"
             )
         return members
 
@@ -433,6 +648,12 @@ class _Parser:
         if t == "+":  # unary plus — a no-op Mondrian tolerates
             self.next()
             return self.calc_factor()
+        if t.lower() == "sum":
+            return self._calc_sum()
+        if t.lower() == "parallelperiod":
+            # a bare ParallelPeriod(...) as a value factor is the
+            # 1-tuple (member) — same as a bare [member] reference
+            return self._calc_ref([self.member()])
         if t == "(":
             # '(' is ambiguous: a value TUPLE or a parenthesized
             # sub-expression — try the tuple read first, backtrack to
@@ -483,7 +704,66 @@ class _Parser:
                 "calculated-member context members cannot enumerate "
                 "(.Children/.Members)"
             )
+        hiers = [m.hierarchy for m in members if not m.measure]
+        if len(hiers) != len(set(hiers)):
+            raise MdxError(
+                "a value tuple names one hierarchy twice — a cell has "
+                "exactly one member per hierarchy"
+            )
+        if sum(1 for m in members if m.nav is not None) > 1:
+            raise MdxError(
+                "at most one navigated member (PrevMember/"
+                "ParallelPeriod/PeriodsToDate) per value tuple"
+            )
         return _CalcExpr(kind="ref", ref=members)
+
+    # Sum(PeriodsToDate([Hier].[Level] [, member]), <value tuple>) —
+    # the period-to-date accumulation idiom (YTD running totals), the
+    # one Sum-over-set shape a WITH MEMBER needs; Ytd([member]) is
+    # sugar for PeriodsToDate at [Time]'s top (year) level. Compiled
+    # as a value reference whose navigated member carries
+    # nav=("ptd", anc_li): the compiler sums the measure over every
+    # member at the base member's level from the START of its
+    # ancestor period through the member itself (a bounded range
+    # join on the typed level paths, mdx_cells_many round 11). A
+    # general Sum over arbitrary sets stays loud — this engine's
+    # calculated members are cell arithmetic, not set algebra.
+    def _calc_sum(self) -> _CalcExpr:
+        self.next()
+        self.expect("(")
+        t = (self.peek() or "").lower()
+        if t == "periodstodate":
+            self.next()
+            self.expect("(")
+            hier, anc_li = self._nav_level()
+            base: _Member | None = None
+            if self.peek() == ",":
+                self.next()
+                base = self._nav_member_arg(hier, "PeriodsToDate")
+            self.expect(")")
+            if base is None:
+                base = self._nav_base(hier, "PeriodsToDate")
+        elif t == "ytd":
+            self.next()
+            self.expect("(")
+            hier, anc_li = "time", 0
+            base = None
+            if self.peek() != ")":
+                base = self._nav_member_arg(hier, "Ytd")
+            self.expect(")")
+            if base is None:
+                base = self._nav_base(hier, "Ytd")
+        else:
+            raise MdxError(
+                "Sum supports PeriodsToDate(...)/Ytd(...) set "
+                "arguments only (period-to-date accumulation); "
+                f"got {self.peek()!r}"
+            )
+        base.nav = ("ptd", anc_li)
+        self.expect(",")
+        members = self.tuple_()
+        self.expect(")")
+        return self._calc_ref(members + [base])
 
     def _named_set_ref(self) -> "_SetExpr | None":
         """Consume a bare ``[name]`` named-set reference if the next
@@ -629,6 +909,13 @@ class _Parser:
                         raise MdxError(
                             "Generate: first argument must be "
                             "dimension members, not measures"
+                        )
+                    if m.nav is not None or m.current:
+                        raise MdxError(
+                            "Generate: first-argument members cannot "
+                            "use CurrentMember/PrevMember navigation "
+                            "— the iteration binding would silently "
+                            "drop it"
                         )
                     if m.enum_col:
                         raise MdxError(
@@ -1136,6 +1423,10 @@ def parse_mdx(text: str) -> MdxQuery:
             quote = body[0]
             sub = _Parser(_tokenize(body[1:-1].replace(quote * 2, quote)))
             sub.calc_names = set(calc)  # refs to earlier defs raise loudly
+            # WITH MEMBER bodies may bind the cell's CurrentMember
+            # (PrevMember/ParallelPeriod/PeriodsToDate — round 11);
+            # named sets and axes deliberately may not
+            sub.allow_cell_current = True
             expr = sub.calc_expr()
             if sub.peek() is not None:
                 raise MdxError(
@@ -1185,6 +1476,17 @@ def parse_mdx(text: str) -> MdxQuery:
                 raise MdxError("slicer members cannot enumerate (.Children)")
     if p.peek() is not None:
         raise MdxError(f"trailing tokens at {p.peek()!r}")
+    # navigation (PrevMember/ParallelPeriod/CurrentMember markers) is
+    # a calculated-member construct: an axis or slicer member built
+    # from it has no static definition for set algebra / captions
+    for tp in axes["columns"].tuples + axes["rows"].tuples + [slicer]:
+        for m in tp:
+            if m.nav is not None or m.current:
+                raise MdxError(
+                    "CurrentMember/PrevMember/ParallelPeriod "
+                    "navigation is only supported inside WITH MEMBER "
+                    "value expressions, not on axes or slicers"
+                )
     return MdxQuery(
         axes["columns"].tuples,
         axes["rows"].tuples,
@@ -1429,8 +1731,16 @@ def mdx_cells_many(
     def _leaf_ctx(cell_filt, ref):
         """Mondrian tuple-override: a context member in a value
         reference replaces the CELL's filters for its hierarchy (all
-        levels — the implicit [Time] default included) with its own."""
-        ctx = [m for m in ref if not m.measure]
+        levels — the implicit [Time] default included) with its own.
+        Pure ``[Hier].CurrentMember`` members (no navigation) are the
+        cell's own member — no override; navigated members are
+        excluded here and handled by the nav join machinery
+        (_calc_grouped round 11)."""
+        ctx = [
+            m
+            for m in ref
+            if not m.measure and m.nav is None and not m.current
+        ]
         overridden = {m.hierarchy for m in ctx}
         kept = [
             (c, v) for (c, v) in cell_filt if _COL2HIER[c] not in overridden
@@ -1461,6 +1771,26 @@ def mdx_cells_many(
         op = _ARITH[ast.op]
         return lambda: op(lf(), rf())
 
+    def _hier_binding(H, cell_filt, group_cols):
+        """The evaluation cell's member of hierarchy ``H`` as
+        (static level pairs in level order, enumerated level columns
+        in level order, depth). The bound columns must be a clean
+        level PREFIX — guaranteed by construction (a member's filters
+        fill levels from the top; enumeration continues below)."""
+        hcols = [c for _, c in _DIMS[H]["levels"]]
+        sdict = dict((c, v) for (c, v) in cell_filt if c in hcols)
+        enum_in = set(g for g in group_cols if g in hcols)
+        static_ord = [(c, sdict[c]) for c in hcols if c in sdict]
+        enum_ord = [c for c in hcols if c in enum_in]
+        d = len(static_ord) + len(enum_ord)
+        bound = [c for c, _ in static_ord] + enum_ord
+        if bound != hcols[:d]:  # pragma: no cover - structural guard
+            raise MdxError(
+                f"cell context binds [{H}] levels out of prefix "
+                f"order: {bound!r}"
+            )
+        return static_ord, enum_ord, d
+
     def _calc_grouped(ast, cell_filt, enum_filt, group_cols) -> DataFrame:
         """Evaluate a calculated cell per enumerated axis member.
         The member spine is the DIMENSION universe under the
@@ -1475,7 +1805,38 @@ def mdx_cells_many(
         joins back as its own (memoized) aggregate, grouped only by
         the enum columns its context does NOT override (an overridden
         enumeration is a constant across that axis — a 1-row
-        broadcast). All frames are axis-member-sized."""
+        broadcast). All frames are axis-member-sized.
+
+        NAVIGATED references (round 11 — PrevMember / ParallelPeriod
+        / PeriodsToDate) resolve per cell as DATA-level joins on the
+        typed level paths:
+
+        - ``("lag", n)``: the level universe (``base`` distinct over
+          the member's level columns — dimension-sized) ordered by
+          the full cross-parent path, each path column lagged n in
+          ONE global window ([2013].[0].PrevMember finds
+          [2012].[11]); the cell's member looks its navigated path
+          up and the value aggregate joins on that path. A lag off
+          the data's edge yields NULL → an empty cell, Mondrian's
+          NULL-member semantics.
+        - ``("parallel", anc_li, n)``: the ancestor level's universe
+          lagged n the same way; the member's own lower-level values
+          descend under the lagged ancestor (value-based descent —
+          see _parallelperiod). A composed member absent from the
+          data finds no aggregate row → empty cell.
+        - ``("ptd", anc_li)``: no lag — the value is the measure
+          summed over every member at the cell member's level whose
+          ancestor path equals the cell's and whose sub-path is ≤
+          the cell's (struct comparison on the typed levels): the
+          period-to-date running total, computed as a broadcast
+          range join + re-aggregation, all frames axis- or
+          dimension-sized.
+
+        The spine carries a constant ``_j`` key only when navigation
+        is present, so non-navigated queries keep their round-7
+        plans byte-identical."""
+        from pyspark.sql import Window
+
         spine = _grouped(enum_filt, group_cols).select(*group_cols)
         leaves: list[_CalcExpr] = []
 
@@ -1487,18 +1848,148 @@ def mdx_cells_many(
                 walk(n.right)
 
         walk(ast)
-        cur = spine
+        nav_present = any(
+            m.nav is not None for lf in leaves for m in (lf.ref or [])
+        )
+        cur = spine.withColumn("_j", F.lit(1)) if nav_present else spine
         names: dict[int, str] = {}
         for j, leaf in enumerate(leaves):
             filt, overridden = _leaf_ctx(cell_filt, leaf.ref)
+            nav_ms = [m for m in leaf.ref if m.nav is not None]
+            if not nav_ms:
+                lg = [
+                    g for g in group_cols if _COL2HIER[g] not in overridden
+                ]
+                fr = _grouped(filt, lg).select(
+                    *lg, F.col("crimes").alias(f"_v{j}")
+                )
+                cur = (
+                    cur.join(F.broadcast(fr), lg, "left")
+                    if lg
+                    else cur.crossJoin(F.broadcast(fr))
+                )
+                names[id(leaf)] = f"_v{j}"
+                continue
+            (nm,) = nav_ms  # _calc_ref pins at most one per tuple
+            H = nm.hierarchy
+            hcols = [c for _, c in _DIMS[H]["levels"]]
+            # the navigated member REPLACES the cell's H member
+            filt = [(c, v) for (c, v) in filt if _COL2HIER[c] != H]
+            overridden = overridden | {H}
             lg = [g for g in group_cols if _COL2HIER[g] not in overridden]
-            fr = _grouped(filt, lg).select(
-                *lg, F.col("crimes").alias(f"_v{j}")
+            if nm.current:
+                static_ord, enum_ord, d = _hier_binding(
+                    H, cell_filt, group_cols
+                )
+                if d == 0:
+                    raise MdxError(
+                        f"[{H}].CurrentMember is the All member in "
+                        "this cell — PrevMember/ParallelPeriod/"
+                        f"PeriodsToDate need a member below All "
+                        f"(name [{H}] on an axis or in the slicer)"
+                    )
+            else:
+                static_ord, enum_ord, d = list(nm.filters), [], len(
+                    nm.filters
+                )
+            depth_cols = hcols[:d]
+            kind = nm.nav[0]
+            # the cell's own H path, column-expression form (static
+            # levels as literals, enumerated levels as spine columns)
+            cur_path = {c: F.lit(v) for c, v in static_ord}
+            cur_path.update({c: F.col(c) for c in enum_ord})
+            if kind == "ptd":
+                anc_li = nm.nav[1]
+                if anc_li >= d:
+                    raise MdxError(
+                        "PeriodsToDate level must be at or above the "
+                        "member's level"
+                    )
+                vf = _grouped(filt, lg + depth_cols)
+                wcols = lg + depth_cols
+                vfa = vf.select(
+                    *[F.col(c).alias(f"_w{j}_{c}") for c in wcols],
+                    F.col("crimes").alias(f"_w{j}_v"),
+                )
+                cond = F.lit(True)
+                for g in lg:
+                    cond = cond & (F.col(f"_w{j}_{g}") == F.col(g))
+                for c in depth_cols[: anc_li + 1]:
+                    cond = cond & (F.col(f"_w{j}_{c}") == cur_path[c])
+                sub = depth_cols[anc_li + 1 :]
+                if sub:
+                    cond = cond & (
+                        F.struct(*[F.col(f"_w{j}_{c}") for c in sub])
+                        <= F.struct(*[cur_path[c] for c in sub])
+                    )
+                ytd = (
+                    spine.withColumn("_j", F.lit(1))
+                    .join(F.broadcast(vfa), cond, "left")
+                    .groupBy("_j", *group_cols)
+                    .agg(F.sum(f"_w{j}_v").alias(f"_v{j}"))
+                )
+                cur = cur.join(
+                    F.broadcast(ytd), ["_j"] + group_cols, "left"
+                )
+                names[id(leaf)] = f"_v{j}"
+                continue
+            # lag / parallel: navigated-path map over the level
+            # universe, then the value aggregate keyed on that path
+            def _shift(col_name, n, win):
+                return (
+                    F.lag(F.col(col_name), n).over(win)
+                    if n >= 0
+                    else F.lead(F.col(col_name), -n).over(win)
+                )
+
+            navname = {c: f"_nav{j}_{c}" for c in depth_cols}
+            uni = base.select(*depth_cols).distinct()
+            if kind == "lag":
+                n = nm.nav[1]
+                w = Window.orderBy(*[F.asc(c) for c in depth_cols])
+                nmap = uni.select(
+                    *depth_cols,
+                    *[
+                        _shift(c, n, w).alias(navname[c])
+                        for c in depth_cols
+                    ],
+                )
+            else:  # parallel
+                anc_li, n = nm.nav[1], nm.nav[2]
+                if anc_li >= d:
+                    raise MdxError(
+                        "ParallelPeriod level must be at or above "
+                        "the member's level"
+                    )
+                anc_cols = depth_cols[: anc_li + 1]
+                auni = base.select(*anc_cols).distinct()
+                wa = Window.orderBy(*[F.asc(c) for c in anc_cols])
+                amap = auni.select(
+                    *anc_cols,
+                    *[
+                        _shift(c, n, wa).alias(navname[c])
+                        for c in anc_cols
+                    ],
+                )
+                nmap = uni.join(amap, anc_cols)
+                for c in depth_cols[anc_li + 1 :]:
+                    nmap = nmap.withColumn(navname[c], F.col(c))
+            for c, v in static_ord:
+                nmap = nmap.filter(F.col(c) == v)
+            nsel = nmap.select(
+                *enum_ord, *[navname[c] for c in depth_cols]
+            ).withColumn("_j", F.lit(1))
+            cur = cur.join(F.broadcast(nsel), ["_j"] + enum_ord, "left")
+            vf = _grouped(filt, lg + depth_cols)
+            fr = vf.select(
+                *lg,
+                *[F.col(c).alias(navname[c]) for c in depth_cols],
+                F.col("crimes").alias(f"_v{j}"),
             )
-            cur = (
-                cur.join(F.broadcast(fr), lg, "left")
-                if lg
-                else cur.crossJoin(F.broadcast(fr))
+            cur = cur.join(
+                F.broadcast(fr),
+                lg + [navname[c] for c in depth_cols],
+                "left",
             )
             names[id(leaf)] = f"_v{j}"
 
@@ -1519,7 +2010,13 @@ def mdx_cells_many(
             (col, val) for mem in members for col, val in mem.filters
         ]
         group_cols = [c for m in ctup + rtup for c in _enum_cols(m)]
-        if not group_cols:
+        # a navigated calc cell is data-dependent even without
+        # enumeration (the previous sibling is a data question), so
+        # it routes through the join machinery with an empty spine
+        # instead of the static conditional-agg slots (round 11)
+        if not group_cols and not (
+            ast is not None and _ast_has_nav(ast)
+        ):
             if ast is not None:
                 builder = _calc_scalar(ast, filt)
             else:

@@ -200,6 +200,30 @@ from [sfcrime]
 """,
 }
 
+#: Round 11 — the calculated-member TIME-NAVIGATION shapes (the
+#: period-over-period delta and the YTD running total, the two most
+#: common WITH MEMBER idioms beyond ratios): PrevMember resolves
+#: cross-parent on the typed level paths, PeriodsToDate accumulates
+#: from the year start. Kept in a SEPARATE mdx_cells_many batch: a
+#: calc member flips its batch's crimes to double (cell arithmetic),
+#: and folding it into the base batch would silently widen every
+#: existing hash-checked cell; the nav values are integer-valued sum
+#: arithmetic, so the gate cell casts them back to bigint exactly.
+_MDX_NAV_VERBATIM = {
+    "prevmember": """WITH MEMBER [Measures].[delta] AS
+  '[Measures].[crimes] - ([Measures].[crimes], [Time].CurrentMember.PrevMember)'
+select {[Measures].[crimes], [Measures].[delta]} ON COLUMNS,
+  Descendants([Time].[1995], [Time].[month]) ON ROWS
+from [sfcrime]
+""",
+    "ytd": """WITH MEMBER [Measures].[ytd] AS
+  'Sum(PeriodsToDate([Time].[year]), [Measures].[crimes])'
+select {[Measures].[ytd]} ON COLUMNS,
+  Descendants([Time].[1995], [Time].[month]) ON ROWS
+from [sfcrime]
+""",
+}
+
 _MDX_VERBATIM_SQL = """
     select 'mdx_verbatim' as hierarchy, 'All Categories' as l1,
            'crimes, 1995' as l2, 'bycategory' as l3,
@@ -258,6 +282,33 @@ _MDX_VERBATIM_SQL = """
            cast(sum(crimes) as bigint) as crimes
     from ({sj}) s where year = 1995
     group by month
+    union all
+    select 'mdx_verbatim' as hierarchy,
+           '1995, ' || cast(month as varchar) as l1,
+           'crimes' as l2, 'prevmember' as l3,
+           cast(sum(crimes) as bigint) as crimes
+    from ({sj}) s where year = 1995
+    group by month
+    union all
+    select 'mdx_verbatim' as hierarchy,
+           '1995, ' || cast(month as varchar) as l1,
+           'delta' as l2, 'prevmember' as l3,
+           cast(crimes - p as bigint) as crimes
+    from (
+      select year, month, sum(crimes) as crimes,
+             lag(sum(crimes)) over (order by year, month) as p
+      from ({sj}) s group by year, month
+    ) where year = 1995 and p is not null
+    union all
+    select 'mdx_verbatim' as hierarchy,
+           '1995, ' || cast(month as varchar) as l1,
+           'ytd' as l2, 'ytd' as l3,
+           cast(sum(sum(crimes)) over (
+             partition by year order by month
+             rows between unbounded preceding and current row
+           ) as bigint) as crimes
+    from ({sj}) s where year = 1995
+    group by year, month
 """.format(sj=_STAR_JOIN_SQL)
 
 
@@ -382,6 +433,19 @@ def olap_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("l3"),
         "crimes",
     )
+    # round 11: the time-navigation calc shapes, own batch (see
+    # _MDX_NAV_VERBATIM for why), integer-valued cell arithmetic cast
+    # back to the gate's exact bigint
+    nav_cells = mdx_cells_many(
+        sj,
+        [(tag, parse_mdx(text)) for tag, text in _MDX_NAV_VERBATIM.items()],
+    ).select(
+        F.lit("mdx_verbatim").alias("hierarchy"),
+        F.col("row_member").alias("l1"),
+        F.col("col_member").alias("l2"),
+        F.col("tag").alias("l3"),
+        F.col("crimes").cast("bigint").alias("crimes"),
+    )
     # CHECKPOINT at the final artifact boundary (round 7, same
     # diagnosis as corpus_sample — BASELINE.md round-7 attribution):
     # the MDX-leg union's logical tree re-paid ~2.2-2.7 s of
@@ -391,4 +455,6 @@ def olap_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for a LogicalRDD scan; values bit-identical, gate unchanged.
     from ..functions.caching import plan_checkpoint
 
-    return plan_checkpoint(tagged.unionByName(geo).unionByName(cells))
+    return plan_checkpoint(
+        tagged.unionByName(geo).unionByName(cells).unionByName(nav_cells)
+    )

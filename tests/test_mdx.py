@@ -1677,3 +1677,397 @@ def test_generate_empty_first_set_and_before_own_level_loud():
             "Descendants([Time].[2013], [Time].[year], BEFORE)"
             " ON ROWS from [sfcrime]"
         )
+
+
+# ------------------------------------------------------------------
+# round 11: calculated-member time navigation — PrevMember /
+# NextMember / Lag / Lead / ParallelPeriod / PeriodsToDate / Ytd
+# inside WITH MEMBER value tuples (the period-over-period and
+# running-total idioms, VERDICT round-10 next-#1). Every value pin
+# runs against an inlined window-function twin or hand-computed
+# expectation on a synthetic multi-year star (the SF fixture is
+# single-year, so cross-parent navigation needs its own corpus).
+# ------------------------------------------------------------------
+
+#: (year, month) -> per-district base count; 1995-month-3 exists for
+#: CENTRAL only (the YTD carry-forward hole)
+_NAV_DATA = {
+    (1994, 0): 3,
+    (1994, 1): 4,
+    (1994, 10): 5,
+    (1994, 11): 7,
+    (1995, 0): 11,
+    (1995, 1): 13,
+    (1995, 2): 17,
+}
+
+
+def _nav_star(spark):
+    rows = []
+    for (y, m), n in _NAV_DATA.items():
+        for d_i, dist in enumerate(["MISSION", "CENTRAL"]):
+            rows.append((n + d_i, "THEFT", dist, y, m, 1, 1))
+    rows.append((100, "THEFT", "CENTRAL", 1995, 3, 1, 1))
+    return spark.createDataFrame(
+        rows,
+        "crimes long, category string, district string, "
+        "year int, month int, week int, day int",
+    )
+
+
+def _nav_cells(spark, q):
+    from map_reduce_sf_crime_spark.mdx import mdx_cells
+
+    return sorted(
+        (r.row_member, r.col_member, r.crimes)
+        for r in mdx_cells(_nav_star(spark), parse_mdx(q)).collect()
+    )
+
+
+def _month_totals():
+    # both districts: n + (n+1) = 2n+1; the CENTRAL-only month adds 100
+    t = {(y, m): 2 * n + 1 for (y, m), n in _NAV_DATA.items()}
+    t[(1995, 3)] = 100
+    return t
+
+
+def test_prevmember_month_over_month_crosses_year(spark):
+    """The period-over-period idiom: delta = crimes - crimes(prev
+    month), where PrevMember crosses the year boundary ([1995].[0]'s
+    previous member is [1994].[11], not a missing sibling)."""
+    q = """WITH MEMBER [Measures].[delta] AS
+  '[Measures].[crimes] - ([Measures].[crimes], [Time].CurrentMember.PrevMember)'
+select {[Measures].[crimes], [Measures].[delta]} ON COLUMNS,
+  Descendants([Time].[1995], [Time].[month]) ON ROWS
+from [sfcrime]
+"""
+    tot = _month_totals()
+    order = sorted(tot)
+    prev = {b: tot[a] for a, b in zip(order, order[1:])}
+    want = []
+    for (y, m) in order:
+        if y != 1995:
+            continue
+        want.append((f"1995, {m}", "crimes", float(tot[(y, m)])))
+        if (y, m) in prev:
+            want.append(
+                (f"1995, {m}", "delta", float(tot[(y, m)] - prev[(y, m)]))
+            )
+    assert _nav_cells(spark, q) == sorted(want)
+
+
+def test_prevmember_fixture_matches_window_twin(spark):
+    """On the real SF fixture: the MDX delta cells equal an inlined
+    lag-window twin over the star join's month totals (the fixture
+    is single-year, so the first month's delta cell is empty — the
+    NULL-member edge)."""
+    from pyspark.sql import Window
+    from map_reduce_sf_crime_spark.plans.olap_queries import _star_join
+
+    year = _fixture_year(spark)
+    star = _star_join(spark, SF_SMOKE)
+    mt = star.groupBy("year", "month").agg(F.sum("crimes").alias("c"))
+    w = Window.orderBy("year", "month")
+    twin = {
+        f"{year}, {r.month}": float(r.c - r.p)
+        for r in mt.withColumn("p", F.lag("c").over(w))
+        .filter(F.col("year") == year)
+        .collect()
+        if r.p is not None
+    }
+    q = f"""WITH MEMBER [Measures].[delta] AS
+  '[Measures].[crimes] - ([Measures].[crimes], [Time].CurrentMember.PrevMember)'
+select {{[Measures].[delta]}} ON COLUMNS,
+  Descendants([Time].[{year}], [Time].[month]) ON ROWS
+from [sfcrime]
+"""
+    got = {
+        r.row_member: r.crimes
+        for r in mdx_query(spark, SF_SMOKE, q).collect()
+    }
+    assert got == twin and got
+
+
+def test_nextmember_lag_lead_chains_and_identity(spark):
+    """NextMember is lag(-1); Lag(2) == PrevMember.PrevMember ==
+    ParallelPeriod at the member's own level with offset 2; a bare
+    CurrentMember context member is the identity (the cell's own
+    value); Lead(1) == NextMember."""
+    q = """WITH MEMBER [Measures].[nxt] AS
+  '([Measures].[crimes], [Time].CurrentMember.NextMember)'
+MEMBER [Measures].[led] AS
+  '([Measures].[crimes], [Time].CurrentMember.Lead(1))'
+MEMBER [Measures].[lag2] AS
+  '([Measures].[crimes], [Time].CurrentMember.Lag(2))'
+MEMBER [Measures].[chain] AS
+  '([Measures].[crimes], [Time].CurrentMember.PrevMember.PrevMember)'
+MEMBER [Measures].[pp0] AS
+  '([Measures].[crimes], ParallelPeriod([Time].[month], 2))'
+MEMBER [Measures].[self] AS
+  '([Measures].[crimes], [Time].CurrentMember)'
+select {[Measures].[nxt], [Measures].[led], [Measures].[lag2],
+        [Measures].[chain], [Measures].[pp0], [Measures].[self]} ON COLUMNS,
+  Descendants([Time].[1995], [Time].[month]) ON ROWS
+from [sfcrime]
+"""
+    cells = _nav_cells(spark, q)
+    by_col = {}
+    for row, col, v in cells:
+        by_col.setdefault(col, {})[row] = v
+    tot = _month_totals()
+    assert by_col["self"] == {
+        f"1995, {m}": float(v) for (y, m), v in tot.items() if y == 1995
+    }
+    assert by_col["nxt"] == by_col["led"]
+    assert by_col["lag2"] == by_col["chain"] == by_col["pp0"]
+    # spot values: nxt of (1995,2) is the CENTRAL-only month's 100;
+    # lag2 of (1995,0) crosses into 1994 twice ((1994,10) = 11)
+    assert by_col["nxt"]["1995, 2"] == 100.0
+    assert "1995, 3" not in by_col["nxt"]  # lead off the data edge
+    assert by_col["lag2"]["1995, 0"] == 11.0
+
+
+def test_parallelperiod_year_over_year(spark):
+    """ParallelPeriod([Time].[year], 1): the same month one year
+    back; a month with no parallel sibling ((1995,2) — 1994 has no
+    month 2) yields an EMPTY cell, not a wrong neighbor."""
+    q = """WITH MEMBER [Measures].[yoy] AS
+  '([Measures].[crimes], ParallelPeriod([Time].[year], 1))'
+select {[Measures].[yoy]} ON COLUMNS,
+  Descendants([Time].[1995], [Time].[month]) ON ROWS
+from [sfcrime]
+"""
+    tot = _month_totals()
+    assert _nav_cells(spark, q) == [
+        ("1995, 0", "yoy", float(tot[(1994, 0)])),
+        ("1995, 1", "yoy", float(tot[(1994, 1)])),
+    ]
+
+
+def test_periodstodate_ytd_running_total_with_hole(spark):
+    """Sum(PeriodsToDate([Time].[year]), crimes): the YTD running
+    total. Under a district slicer whose corpus skips a month, the
+    empty month still carries the prior cumulative value (the set
+    sums existing members — Mondrian's Sum-over-empty-cells), while
+    the BASE measure cell for that month stays empty."""
+    q = """WITH MEMBER [Measures].[ytd] AS
+  'Sum(PeriodsToDate([Time].[year]), [Measures].[crimes])'
+select {[Measures].[crimes], [Measures].[ytd]} ON COLUMNS,
+  Descendants([Time].[1995], [Time].[month]) ON ROWS
+from [sfcrime]
+where [District].[MISSION]
+"""
+    # MISSION-only month totals for 1995: months 0..2 (month 3 is
+    # CENTRAL-only)
+    m = {k[1]: v for k, v in _NAV_DATA.items() if k[0] == 1995}
+    cells = _nav_cells(spark, q)
+    assert cells == sorted(
+        [(f"1995, {k}", "crimes", float(v)) for k, v in m.items()]
+        + [
+            ("1995, 0", "ytd", float(m[0])),
+            ("1995, 1", "ytd", float(m[0] + m[1])),
+            ("1995, 2", "ytd", float(m[0] + m[1] + m[2])),
+            ("1995, 3", "ytd", float(m[0] + m[1] + m[2])),
+        ]
+    )
+
+
+def test_ytd_sugar_and_own_level_ptd(spark):
+    """Ytd() == PeriodsToDate([Time].[year]); PeriodsToDate at the
+    member's OWN level is the 1-member set {member} — the value is
+    the cell's own measure."""
+    q = """WITH MEMBER [Measures].[a] AS
+  'Sum(Ytd(), [Measures].[crimes])'
+MEMBER [Measures].[b] AS
+  'Sum(PeriodsToDate([Time].[year]), [Measures].[crimes])'
+MEMBER [Measures].[own] AS
+  'Sum(PeriodsToDate([Time].[month]), [Measures].[crimes])'
+select {[Measures].[a], [Measures].[b], [Measures].[own],
+        [Measures].[crimes]} ON COLUMNS,
+  Descendants([Time].[1995], [Time].[month]) ON ROWS
+from [sfcrime]
+"""
+    by_col = {}
+    for row, col, v in _nav_cells(spark, q):
+        by_col.setdefault(col, {})[row] = v
+    assert by_col["a"] == by_col["b"]
+    assert by_col["own"] == by_col["crimes"]
+
+
+def test_static_base_navigation_and_slicer_current(spark):
+    """A navigated STATIC member ([Time].[1995].[0].PrevMember) works
+    as a scalar cell context; CurrentMember resolves from the SLICER
+    when the axis does not carry [Time]; explicit-member
+    ParallelPeriod works without CurrentMember."""
+    q1 = """WITH MEMBER [Measures].[prev] AS
+  '([Measures].[crimes], [Time].[1995].[0].PrevMember)'
+select {[Measures].[prev]} ON COLUMNS,
+  {[District].[All Districts]} ON ROWS
+from [sfcrime]
+"""
+    tot = _month_totals()
+    assert _nav_cells(spark, q1) == [
+        ("All Districts", "prev", float(tot[(1994, 11)]))
+    ]
+    q2 = """WITH MEMBER [Measures].[prev] AS
+  '([Measures].[crimes], [Time].CurrentMember.PrevMember)'
+select {[Measures].[prev]} ON COLUMNS,
+  {[District].[All Districts]} ON ROWS
+from [sfcrime]
+where [Time].[1995].[1]
+"""
+    assert _nav_cells(spark, q2) == [
+        ("All Districts", "prev", float(tot[(1995, 0)]))
+    ]
+    q3 = """WITH MEMBER [Measures].[pp] AS
+  '([Measures].[crimes], ParallelPeriod([Time].[year], 1, [Time].[1995].[1]))'
+select {[Measures].[pp]} ON COLUMNS,
+  {[District].[All Districts]} ON ROWS
+from [sfcrime]
+"""
+    assert _nav_cells(spark, q3) == [
+        ("All Districts", "pp", float(tot[(1994, 1)]))
+    ]
+
+
+def test_district_prevmember_alphabetical(spark):
+    """PrevMember on a NAME level orders by the level column's value
+    (alphabetical) — the first member's cell is empty."""
+    q = """WITH MEMBER [Measures].[prevd] AS
+  '([Measures].[crimes], [District].CurrentMember.PrevMember)'
+select {[Measures].[prevd]} ON COLUMNS,
+  {[District].[All Districts].Children} ON ROWS
+from [sfcrime]
+where [Time].[1995].[1]
+"""
+    tot_by_d = {"MISSION": 13.0, "CENTRAL": 14.0}
+    # CENTRAL < MISSION alphabetically: CENTRAL has no predecessor
+    assert _nav_cells(spark, q) == [("MISSION", "prevd", tot_by_d["CENTRAL"])]
+
+
+def test_navigation_error_boundaries(spark):
+    """Navigation stays INSIDE calculated members, loudly: axes,
+    slicers, set-function expressions, Generate's first argument and
+    named sets all reject it; All-member CurrentMember, below-member
+    ParallelPeriod levels, general Sum sets, doubled hierarchies,
+    descending below CurrentMember, and fractional Lag offsets are
+    parse/compile errors."""
+    from map_reduce_sf_crime_spark.mdx import mdx_cells
+
+    head = "select {[Measures].[crimes]} ON COLUMNS, "
+    tail = " ON ROWS from [sfcrime]"
+    for frag, pat in [
+        ("{[Time].[1995].[0].PrevMember}", "only supported inside"),
+        ("{[Time].CurrentMember}", "has no bound member"),
+        (
+            "Order({[District].[All Districts].Children}, "
+            "([Measures].[crimes], [Time].[1995].PrevMember))",
+            "only supported inside",
+        ),
+        (
+            "Generate({[Time].[1995].[0].PrevMember}, "
+            "{[Time].CurrentMember})",
+            "cannot use CurrentMember/PrevMember",
+        ),
+    ]:
+        with pytest.raises(MdxError, match=pat):
+            parse_mdx(head + frag + tail)
+    with pytest.raises(MdxError, match="only supported inside"):
+        parse_mdx(
+            head
+            + "{[District].[MISSION]}"
+            + tail.replace(
+                "from [sfcrime]",
+                "from [sfcrime] where [Time].[1995].[0].PrevMember",
+            )
+        )
+    for body, pat in [
+        ("'([Time].[1995].[0].PrevMember)'", "exactly one measure"),
+        (
+            "'([Measures].[crimes], [Time].[1995], "
+            "[Time].CurrentMember.PrevMember)'",
+            "one hierarchy twice",
+        ),
+        (
+            "'([Measures].[crimes], [Time].CurrentMember.PrevMember.[3])'",
+            "may follow a navigated member",
+        ),
+        (
+            "'([Measures].[crimes], [Time].CurrentMember.[3])'",
+            "cannot descend below CurrentMember",
+        ),
+        (
+            "'([Measures].[crimes], [Time].CurrentMember.Children)'",
+            "cannot enumerate below",
+        ),
+        (
+            "'([Measures].[crimes], [Time].CurrentMember.Lag(1.5))'",
+            "must be an integer",
+        ),
+        (
+            "'Sum({[Time].[1995].[0], [Time].[1995].[1]}, "
+            "[Measures].[crimes])'",
+            "PeriodsToDate",
+        ),
+        (
+            "'([Measures].[crimes], "
+            "ParallelPeriod([District].[name], 1, [Time].[1995]))'",
+            "does not match the level's hierarchy",
+        ),
+    ]:
+        with pytest.raises(MdxError, match=pat):
+            parse_mdx(
+                f"WITH MEMBER [Measures].[x] AS {body} "
+                + head
+                + "{[Measures].[x]}"
+                + tail.replace(" ON ROWS", ", {[Category].[All Categories]} ON ROWS")
+            )
+    # WITH SET bodies may NOT bind the cell's CurrentMember
+    with pytest.raises(MdxError, match="has no bound member"):
+        parse_mdx(
+            "WITH SET [s] AS '{[Time].CurrentMember.PrevMember}' "
+            + head
+            + "[s]"
+            + tail
+        )
+    # compile-time: CurrentMember at the All member; ParallelPeriod
+    # level below the member's level
+    star = _nav_star(spark)
+    for body, pat in [
+        (
+            "'([Measures].[crimes], [District].CurrentMember.PrevMember)'",
+            "is the All member",
+        ),
+        (
+            "'([Measures].[crimes], "
+            "ParallelPeriod([Time].[month], 1, [Time].[1995]))'",
+            "at or above the member's level",
+        ),
+        (
+            "'Sum(PeriodsToDate([Time].[month], [Time].[1995]), "
+            "[Measures].[crimes])'",
+            "at or above the member's level",
+        ),
+    ]:
+        q = (
+            f"WITH MEMBER [Measures].[x] AS {body} "
+            "select {[Measures].[x]} ON COLUMNS, "
+            "{[Category].[All Categories]} ON ROWS from [sfcrime] "
+            "where [Time].[1995].[1]"
+        )
+        with pytest.raises(MdxError, match=pat):
+            mdx_cells(star, parse_mdx(q)).collect()
+
+
+def test_prevmember_rides_generate_binding(spark):
+    """Inside Generate's second argument, CurrentMember still splices
+    the ITERATION binding (round-10 semantics win over the round-11
+    cell marker): PrevMember over spliced members is static
+    navigation, valid only inside WITH MEMBER — so the axis sweep
+    rejects it, proving the binding resolved (not the cell marker)."""
+    q = """select {[Measures].[crimes]} ON COLUMNS,
+  Generate({[Time].[1995].[1]}, {[Time].CurrentMember.PrevMember}) ON ROWS
+from [sfcrime]
+"""
+    with pytest.raises(MdxError, match="only supported inside"):
+        parse_mdx(q)

@@ -1020,6 +1020,176 @@ def flatbulk_probe(spark, n: int) -> None:
         )
 
 
+def bulkserve11_probe(spark, n: int) -> None:
+    """Round-11 done-criteria (VERDICT What's-wrong #2, Next #2/#4,
+    plus the count-threading attribution of Next #3):
+
+    (a) the pq-bulk QUERY-BLOCK GRID measured LIVE across the nqb
+        boundary — 65,536 (nqb=1) and 131,072 (nqb=2) queries through
+        ``pq_topk_bulk`` on the x1 (200k-code) flat-PQ index,
+        live-frame re-rank. The grid split is a function of the QUERY
+        batch only; the corpus size scales every point's ADC product
+        equally, so the boundary crossing is measured at the corpus
+        the wall-clock affords (the 2M corpus multiplies every cell's
+        compute 10× without moving the split) and ms/query is the
+        comparable column. The 131,072
+        point re-runs with the grid FORCED OFF
+        (``max_queries_per_task=nq`` → one query block, the
+        pre-round-10 task shape): a spot subset is asserted
+        identical, the timing shows what the 65,536 bound costs or
+        buys, and the per-task memory evidence prints (max queries
+        hashed into one block × dim × 8 B, plus the codes
+        replication factor nqb).
+    (b) the 131,072-query HYBRID bulk serve through the VECTOR STORE
+        on the 2M corpus (round 10 measured this batch live-frame at
+        10.30 ms/query): ms/query plus files/MB touched under the
+        store rows tree — ``_store_all_vectors``'s whole-store
+        amortized read at a batch ~500× above the 2,048-id pruned
+        routing cutoff.
+    (c) Spark-JOB attribution of a store-routed pq bulk serve (job
+        group): with the round-11 count threading the query-frame
+        count job runs ONCE per serve; a recount would add one more
+        job to the group.
+    """
+    import time as _t
+
+    from pyspark.sql import functions as SF
+
+    from map_reduce_sf_crime_spark.operators import similarity
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
+    )
+
+    def corpus_of(nx):
+        rows_nx = 200_000 * nx
+        corpus_path = os.path.join(scratch, f"xover_corpus_x{nx}")
+        if not os.path.exists(corpus_path):
+            spark.range(rows_nx).select(
+                SF.col("id").alias("vec_id"),
+                SF.array(
+                    *[
+                        SF.sin(SF.col("id") * SF.lit(float(k + 1)))
+                        for k in range(64)
+                    ]
+                ).cast("array<float>").alias("embedding"),
+            ).write.mode("overwrite").parquet(corpus_path)
+        return rows_nx, spark.read.parquet(corpus_path)
+
+    def qframe_of(embx, rows_nx, nq):
+        stride = rows_nx // nq
+        # offset 7 matches the round-9/10 recipes where stride > 7
+        # (the x10 comparisons); dense batches on the small corpus
+        # clamp it so the predicate still selects one id per stride
+        off = min(7, stride - 1)
+        qcond = (SF.col("vec_id") % stride == off) & (
+            SF.col("vec_id") < stride * nq
+        )
+        return embx.filter(qcond).select(
+            SF.col("vec_id").alias("query_id"), "embedding"
+        )
+
+    # part (a) is pinned to the x1 corpus: the ADC product is
+    # corpus × queries, and the grid split depends only on the query
+    # batch — the x10 corpus would 10× every cell's compute without
+    # moving the boundary (x10's 2k-query point already measured
+    # 86.4 s in the round-10 flat-tier table)
+    rows_n, emb = corpus_of(1)
+    pq_idx = os.path.join(scratch, "flatbulk_pq_x1")
+    if not os.path.exists(pq_idx):
+        t0 = _t.perf_counter()
+        similarity.write_pq_index(emb, pq_idx)
+        print(f"x1 bulk11 pq build: {_t.perf_counter() - t0:.1f}s")
+
+    qpt = similarity.PQ_BULK_MAX_QUERIES_PER_TASK
+    # (a) the grid boundary: nqb = ceil(nq / 65,536)
+    results = {}
+    for nq, forced in ((qpt, None), (2 * qpt, None), (2 * qpt, 2 * qpt)):
+        if rows_n // nq < 2:
+            print(f"x1 bulk11 pq {nq} queries: skipped (corpus too small)")
+            continue
+        qf = qframe_of(emb, rows_n, nq)
+        nqb = max(1, -(-nq // (forced or qpt)))
+        blk = (
+            qf.select(
+                SF.pmod(SF.hash(SF.col("query_id")), SF.lit(nqb)).alias("_qb")
+            )
+            .groupBy("_qb")
+            .count()
+            .agg(SF.max("count"))
+            .first()[0]
+        )
+        t0 = _t.perf_counter()
+        df = similarity.pq_topk_bulk(
+            spark, pq_idx, qf, emb, 3, max_queries_per_task=forced or qpt
+        )
+        rows = df.collect()
+        dt = _t.perf_counter() - t0
+        tag = f"{nq}q nqb={nqb}" + (" (grid OFF)" if forced else "")
+        results[(nq, bool(forced))] = rows
+        print(
+            f"x1 bulk11 pq {tag}: {dt:.1f}s "
+            f"({1000.0 * dt / nq:.2f} ms/query, {len(rows)} rows; "
+            f"max {blk} queries/block ≈ "
+            f"{blk * 64 * 8 / 1e6:.0f} MB/task qmat, codes ×{nqb})"
+        )
+    both = (2 * qpt, False) in results and (2 * qpt, True) in results
+    if both:
+        a = sorted(map(tuple, results[(2 * qpt, False)]))
+        b = sorted(map(tuple, results[(2 * qpt, True)]))
+        assert a == b, "grid on/off results differ"
+        print("x1 bulk11 pq grid on/off: results identical")
+
+    # (b) the 131,072-query hybrid bulk point through the vector
+    # store — pinned to the x{n} (default 2M) corpus, the round-10
+    # live-frame point's exact configuration (10.30 ms/query)
+    hyb_idx = os.path.join(scratch, f"bulk10_idx_x{n}")
+    store = os.path.join(scratch, f"bulk10_store_x{n}")
+    if os.path.exists(hyb_idx) and os.path.exists(store):
+        rows_nb, embb = corpus_of(n)
+        nq = 131_072
+        qf = qframe_of(embb, rows_nb, nq)
+        t0 = _t.perf_counter()
+        df = similarity.ivfpq_topk_bulk(
+            spark, hyb_idx, qf, k=3, nprobe=8, vector_store=store
+        )
+        t_plan = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        got = df.collect()
+        t_serve = _t.perf_counter() - t0
+        total = t_plan + t_serve
+        files = [f for f in df.inputFiles() if "bulk10_store" in f]
+        mb = sum(os.path.getsize(f.replace("file:", "")) for f in files) / 1e6
+        print(
+            f"x{n} bulk11 hybrid {nq}q via STORE: eager {t_plan:.1f}s + "
+            f"serve {t_serve:.1f}s = {total:.1f}s "
+            f"({1000.0 * total / nq:.2f} ms/query, {len(got)} rows; "
+            f"rows-tree {len(files)} files / {mb:.0f} MB)"
+        )
+    else:
+        print(f"x{n} bulk11 hybrid store point skipped (no bulk10 artifacts)")
+
+    # (c) job attribution: the count job runs once per store serve
+    store1 = os.path.join(scratch, "bulk10_store_x1")
+    pq1 = os.path.join(scratch, "flatbulk_pq_x1")
+    if os.path.exists(store1) and os.path.exists(pq1):
+        emb1 = spark.read.parquet(os.path.join(scratch, "xover_corpus_x1"))
+        qf8 = emb1.filter(SF.col("vec_id") % 25_000 == 7).select(
+            SF.col("vec_id").alias("query_id"), "embedding"
+        )
+        sc = spark.sparkContext
+        sc.setJobGroup("bulk11jobs", "pq bulk store serve")
+        similarity.pq_topk_bulk(
+            spark, pq1, qf8, k=3, vector_store=store1
+        ).collect()
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        jobs = sc.statusTracker().getJobIdsForGroup("bulk11jobs")
+        print(
+            f"x{n} bulk11 job attribution: store-routed pq bulk serve = "
+            f"{len(jobs)} Spark jobs (query-frame count threaded, runs once)"
+        )
+
+
 def headsample_probe(spark, n: int) -> None:
     """VERDICT r8 #1's done-criterion: head-sample vs hash-sample
     quantizer training on a fixture where WHOLE CLUSTERS live outside
@@ -1381,7 +1551,7 @@ def main() -> None:
     modes = (
         "hot", "stream", "churn", "compactidx", "keystone", "round7",
         "quantizer", "crossover", "headsample", "bulkserve",
-        "bulkserve10", "flatbulk",
+        "bulkserve10", "flatbulk", "bulkserve11",
     )
     if any(m in args for m in modes):
         n = next((int(a) for a in args if a.isdigit()), 10)
@@ -1413,6 +1583,8 @@ def main() -> None:
             bulkserve10_probe(spark, n)
         if "flatbulk" in args:
             flatbulk_probe(spark, n)
+        if "bulkserve11" in args:
+            bulkserve11_probe(spark, n)
         spark.stop()
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
