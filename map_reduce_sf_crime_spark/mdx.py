@@ -424,11 +424,9 @@ class _Parser:
                         "hierarchy"
                     )
                 self.expect("(")
-                n = self.number()
-                if n != int(n):
-                    raise MdxError(f"{t}() offset must be an integer")
+                n = self._signed_int(f"{t}() offset")
                 self.expect(")")
-                step = int(n) if tl == "lag" else -int(n)
+                step = n if tl == "lag" else -n
                 nav = ("lag", (nav[1] if nav else 0) + step)
             else:
                 raise MdxError(f"unexpected {t!r} in member path")
@@ -456,6 +454,20 @@ class _Parser:
                 )
             m.nav = nav
         return m
+
+    def _signed_int(self, what: str) -> int:
+        """An optionally negative integer offset (``Lag(-1)`` ==
+        ``Lead(1)``, ``ParallelPeriod(level, -1)`` = the NEXT period
+        — standard MDX allows both directions; the tokenizer has no
+        signed numbers, so the sign is its own token)."""
+        neg = False
+        if self.peek() == "-":
+            self.next()
+            neg = True
+        n = self.number()
+        if n != int(n):
+            raise MdxError(f"{what} must be an integer")
+        return -int(n) if neg else int(n)
 
     def _nav_level(self) -> tuple[str, int]:
         """Parse a ``[Hierarchy].[Level]`` argument of ParallelPeriod /
@@ -538,10 +550,7 @@ class _Parser:
         base: _Member | None = None
         if self.peek() == ",":
             self.next()
-            nn = self.number()
-            if nn != int(nn):
-                raise MdxError("ParallelPeriod offset must be an integer")
-            n = int(nn)
+            n = self._signed_int("ParallelPeriod offset")
             if self.peek() == ",":
                 self.next()
                 base = self._nav_member_arg(hier, "ParallelPeriod")

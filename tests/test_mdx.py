@@ -2071,3 +2071,38 @@ from [sfcrime]
 """
     with pytest.raises(MdxError, match="only supported inside"):
         parse_mdx(q)
+
+
+def test_negative_offsets_and_static_base_ptd(spark):
+    """Signed offsets: Lag(-1) == Lead(1) == NextMember;
+    ParallelPeriod(level, -1) is the NEXT period. A STATIC member
+    base for PeriodsToDate (no CurrentMember) gives one fixed
+    cumulative value as a scalar cell."""
+    q = """WITH MEMBER [Measures].[a] AS
+  '([Measures].[crimes], [Time].CurrentMember.Lag(-1))'
+MEMBER [Measures].[b] AS
+  '([Measures].[crimes], [Time].CurrentMember.NextMember)'
+MEMBER [Measures].[c] AS
+  '([Measures].[crimes], ParallelPeriod([Time].[year], -1))'
+select {[Measures].[a], [Measures].[b], [Measures].[c]} ON COLUMNS,
+  Descendants([Time].[1994], [Time].[month]) ON ROWS
+from [sfcrime]
+"""
+    by_col = {}
+    for row, col, v in _nav_cells(spark, q):
+        by_col.setdefault(col, {})[row] = v
+    assert by_col["a"] == by_col["b"]
+    tot = _month_totals()
+    # next-year parallel of (1994, m): exists for m in {0, 1}
+    assert by_col["c"] == {
+        "1994, 0": float(tot[(1995, 0)]),
+        "1994, 1": float(tot[(1995, 1)]),
+    }
+    q2 = """WITH MEMBER [Measures].[fixed] AS
+  'Sum(PeriodsToDate([Time].[year], [Time].[1995].[2]), [Measures].[crimes])'
+select {[Measures].[fixed]} ON COLUMNS,
+  {[District].[All Districts]} ON ROWS
+from [sfcrime]
+"""
+    want = float(sum(tot[(1995, m)] for m in (0, 1, 2)))
+    assert _nav_cells(spark, q2) == [("All Districts", "fixed", want)]
