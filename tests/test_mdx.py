@@ -2106,3 +2106,24 @@ from [sfcrime]
 """
     want = float(sum(tot[(1995, m)] for m in (0, 1, 2)))
     assert _nav_cells(spark, q2) == [("All Districts", "fixed", want)]
+
+
+def test_order_by_navigated_calc_member(spark):
+    """The axis-function recursion composes with navigation: Order by
+    a WITH MEMBER whose expression navigates (delta = crimes −
+    crimes(PrevMember)) sorts the axis by the period-over-period
+    value, ties breaking caption-ascending (the pinned policy)."""
+    from map_reduce_sf_crime_spark.mdx import mdx_cells
+
+    q = """WITH MEMBER [Measures].[delta] AS
+  '[Measures].[crimes] - ([Measures].[crimes], [Time].CurrentMember.PrevMember)'
+select {[Measures].[crimes]} ON COLUMNS,
+  Order(Descendants([Time].[1995], [Time].[month]),
+        [Measures].[delta], BDESC) ON ROWS
+from [sfcrime]
+"""
+    rows = mdx_cells(_nav_star(spark), parse_mdx(q)).collect()
+    ordered = [r.row_member for r in sorted(rows, key=lambda r: r.row_ordinal)]
+    # deltas: m0=8, m1=4, m2=8, m3=65 → desc: m3, then the 8-tie
+    # (m0 before m2 by caption), then m1
+    assert ordered == ["1995, 3", "1995, 0", "1995, 2", "1995, 1"]

@@ -1020,7 +1020,7 @@ def flatbulk_probe(spark, n: int) -> None:
         )
 
 
-def bulkserve11_probe(spark, n: int) -> None:
+def bulkserve11_probe(spark, n: int, parts: str = "abc") -> None:
     """Round-11 done-criteria (VERDICT What's-wrong #2, Next #2/#4,
     plus the count-threading attribution of Next #3):
 
@@ -1104,8 +1104,15 @@ def bulkserve11_probe(spark, n: int) -> None:
     qpt = similarity.PQ_BULK_MAX_QUERIES_PER_TASK
     # (a) the grid boundary: nqb = ceil(nq / 65,536)
     results = {}
-    for nq, forced in ((qpt, None), (2 * qpt, None), (2 * qpt, 2 * qpt)):
-        if rows_n // nq < 2:
+    pts = (
+        ((qpt, None), (2 * qpt, None), (2 * qpt, 2 * qpt))
+        if "a" in parts
+        else ()
+    )
+    for nq, forced in pts:
+        if rows_n // nq < 1:
+            # stride 1 (nq == corpus) still selects a valid dense
+            # batch (the first nq ids); only nq > corpus is unservable
             print(f"x1 bulk11 pq {nq} queries: skipped (corpus too small)")
             continue
         qf = qframe_of(emb, rows_n, nq)
@@ -1145,7 +1152,7 @@ def bulkserve11_probe(spark, n: int) -> None:
     # live-frame point's exact configuration (10.30 ms/query)
     hyb_idx = os.path.join(scratch, f"bulk10_idx_x{n}")
     store = os.path.join(scratch, f"bulk10_store_x{n}")
-    if os.path.exists(hyb_idx) and os.path.exists(store):
+    if "b" in parts and os.path.exists(hyb_idx) and os.path.exists(store):
         rows_nb, embb = corpus_of(n)
         nq = 131_072
         qf = qframe_of(embb, rows_nb, nq)
@@ -1166,13 +1173,13 @@ def bulkserve11_probe(spark, n: int) -> None:
             f"({1000.0 * total / nq:.2f} ms/query, {len(got)} rows; "
             f"rows-tree {len(files)} files / {mb:.0f} MB)"
         )
-    else:
+    elif "b" in parts:
         print(f"x{n} bulk11 hybrid store point skipped (no bulk10 artifacts)")
 
     # (c) job attribution: the count job runs once per store serve
     store1 = os.path.join(scratch, "bulk10_store_x1")
     pq1 = os.path.join(scratch, "flatbulk_pq_x1")
-    if os.path.exists(store1) and os.path.exists(pq1):
+    if "c" in parts and os.path.exists(store1) and os.path.exists(pq1):
         emb1 = spark.read.parquet(os.path.join(scratch, "xover_corpus_x1"))
         qf8 = emb1.filter(SF.col("vec_id") % 25_000 == 7).select(
             SF.col("vec_id").alias("query_id"), "embedding"
@@ -1584,7 +1591,10 @@ def main() -> None:
         if "flatbulk" in args:
             flatbulk_probe(spark, n)
         if "bulkserve11" in args:
-            bulkserve11_probe(spark, n)
+            parts = next(
+                (a[6:] for a in args if a.startswith("parts=")), "abc"
+            )
+            bulkserve11_probe(spark, n, parts)
         spark.stop()
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
