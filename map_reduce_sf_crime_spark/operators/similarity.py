@@ -1794,16 +1794,31 @@ def pq_topk_indexed(
 PQ_BULK_QUERY_CHUNK = 4_096
 
 #: Max queries one pq_topk_bulk task holds (round-10 review): a
-#: cogroup task materializes its whole query group as one pandas
-#: frame, so without a bound every code-block task would hold the
-#: ENTIRE batch — the exact #queries-shaped cost the bulk shape
-#: exists to remove. Batches above this split into
+#: cogroup task materializes its whole query group THROUGH ARROW as
+#: one pandas frame, so without a bound every code-block task would
+#: hold the ENTIRE batch — the exact #queries-shaped cost the bulk
+#: shape exists to remove. Batches above this split into
 #: ceil(nq / this) hash blocks of queries and the cogroup runs the
 #: (code-block × query-block) GRID: per-task memory is bounded at
-#: ~this × dim doubles (~32 MB at 64-dim), and the extra corpus
+#: ~this × dim doubles (~8 MB at 64-dim), and the extra corpus
 #: replication (codes × #query-blocks) is proportional to the batch
 #: — amortized by the same O(corpus × queries) ADC compute it feeds.
-PQ_BULK_MAX_QUERIES_PER_TASK = 65_536
+#:
+#: The VALUE is measured, round 11 (BASELINE.md pq-grid table,
+#: 200k-code index, 32-thread local JVM with an 8 GB direct-memory
+#: cap): the round-10 bound of 65,536 (~34 MB query groups) was
+#: BORDERLINE — a 131,072-query serve CRASHED with an Arrow netty
+#: OutOfMemory when it followed another serve in the same JVM (warm
+#: allocator arenas; fresh-JVM it passed), and an UNBOUNDED single
+#: block crashed even fresh — and it was also SLOWER: 16,384-query
+#: blocks serve 65k at 3.91 ms/query vs 6.32–7.07 and 131k at
+#: 3.80 ms/query vs 5.66 (1.5–1.8×; finer grid cells load-balance
+#: 32 cores better and allocator pressure drops), with the ×4–×8
+#: codes replication invisible under the ADC compute. Back-to-back
+#: serves at 16,384 ran clean (0 allocation failures). Grid
+#: membership never changes values (pinned bit-equal under forced
+#: splits in tests); override per call via ``max_queries_per_task``.
+PQ_BULK_MAX_QUERIES_PER_TASK = 16_384
 
 
 def pq_topk_bulk(

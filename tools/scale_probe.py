@@ -1101,51 +1101,30 @@ def bulkserve11_probe(spark, n: int, parts: str = "abc") -> None:
         similarity.write_pq_index(emb, pq_idx)
         print(f"x1 bulk11 pq build: {_t.perf_counter() - t0:.1f}s")
 
-    qpt = similarity.PQ_BULK_MAX_QUERIES_PER_TASK
-    # (a) the grid boundary: nqb = ceil(nq / 65,536)
-    results = {}
-    pts = (
-        ((qpt, None), (2 * qpt, None), (2 * qpt, 2 * qpt))
-        if "a" in parts
-        else ()
-    )
-    for nq, forced in pts:
-        if rows_n // nq < 1:
-            # stride 1 (nq == corpus) still selects a valid dense
-            # batch (the first nq ids); only nq > corpus is unservable
-            print(f"x1 bulk11 pq {nq} queries: skipped (corpus too small)")
-            continue
-        qf = qframe_of(emb, rows_n, nq)
-        nqb = max(1, -(-nq // (forced or qpt)))
-        blk = (
-            qf.select(
-                SF.pmod(SF.hash(SF.col("query_id")), SF.lit(nqb)).alias("_qb")
+    # (a) the SERVING-SESSION shape that found the round-11 bound:
+    # two bulk serves back-to-back in ONE JVM at the default task
+    # bound (65k then 131k queries). At the round-10 bound of 65,536
+    # the second serve CRASHED with an Arrow netty OutOfMemory (warm
+    # allocator arenas against the 8 GB direct-memory cap; unbounded
+    # crashed even fresh) — the 16,384 default serves both clean AND
+    # 1.5–1.8× faster (BASELINE.md pq-grid table). Values are
+    # grid-invariant (bit-equal pins under forced splits in pytest).
+    if "a" in parts:
+        qpt = similarity.PQ_BULK_MAX_QUERIES_PER_TASK
+        for nq in (65_536, 131_072):
+            if rows_n < nq:
+                print(f"x1 bulk11 pq {nq} queries: skipped (corpus too small)")
+                continue
+            qf = qframe_of(emb, rows_n, nq)
+            nqb = max(1, -(-nq // qpt))
+            t0 = _t.perf_counter()
+            rows = similarity.pq_topk_bulk(spark, pq_idx, qf, emb, 3).collect()
+            dt = _t.perf_counter() - t0
+            print(
+                f"x1 bulk11 pq {nq}q nqb={nqb} (bound {qpt}): {dt:.1f}s "
+                f"({1000.0 * dt / nq:.2f} ms/query, {len(rows)} rows; "
+                f"≤{qpt * 64 * 8 / 1e6:.0f} MB/task qmat, codes ×{nqb})"
             )
-            .groupBy("_qb")
-            .count()
-            .agg(SF.max("count"))
-            .first()[0]
-        )
-        t0 = _t.perf_counter()
-        df = similarity.pq_topk_bulk(
-            spark, pq_idx, qf, emb, 3, max_queries_per_task=forced or qpt
-        )
-        rows = df.collect()
-        dt = _t.perf_counter() - t0
-        tag = f"{nq}q nqb={nqb}" + (" (grid OFF)" if forced else "")
-        results[(nq, bool(forced))] = rows
-        print(
-            f"x1 bulk11 pq {tag}: {dt:.1f}s "
-            f"({1000.0 * dt / nq:.2f} ms/query, {len(rows)} rows; "
-            f"max {blk} queries/block ≈ "
-            f"{blk * 64 * 8 / 1e6:.0f} MB/task qmat, codes ×{nqb})"
-        )
-    both = (2 * qpt, False) in results and (2 * qpt, True) in results
-    if both:
-        a = sorted(map(tuple, results[(2 * qpt, False)]))
-        b = sorted(map(tuple, results[(2 * qpt, True)]))
-        assert a == b, "grid on/off results differ"
-        print("x1 bulk11 pq grid on/off: results identical")
 
     # (b) the 131,072-query hybrid bulk point through the vector
     # store — pinned to the x{n} (default 2M) corpus, the round-10
