@@ -34,10 +34,14 @@ Round 11 adds calculated-member TIME NAVIGATION — inside WITH MEMBER
 bodies, ``[Hier].CurrentMember`` binds the evaluation cell's member
 and ``.PrevMember``/``.NextMember``/``.Lag(n)``/``.Lead(n)`` (also
 on static members), ``ParallelPeriod([Time].[level], n[, member])``,
-and ``Sum(PeriodsToDate([Time].[level][, member]), tuple)`` /
-``Sum(Ytd(), tuple)`` compile to data-level joins on the typed level
-paths (the period-over-period and running-total idioms; see
-_calc_grouped). Navigation is confined to WITH MEMBER value tuples —
+``Sum(PeriodsToDate([Time].[level][, member]), tuple)`` /
+``Sum(Ytd(), tuple)``, and the EDGE family —
+``.FirstChild``/``.LastChild``/``.FirstSibling``/``.LastSibling``
+and ``OpeningPeriod``/``ClosingPeriod([Hier].[level][, member])``
+(order statistics: the lexicographic min/max sub-path at the target
+level) — compile to data-level joins on the typed level
+paths (the period-over-period, running-total, and period-edge
+idioms; see _calc_grouped). Navigation is confined to WITH MEMBER value tuples —
 axes, slicers, set-function expressions, named sets, and Generate's
 first argument all reject it loudly.
 This module parses exactly that grammar and compiles it onto the
@@ -342,6 +346,8 @@ class _Parser:
     def member(self) -> _Member:
         if (self.peek() or "").lower() == "parallelperiod":
             return self._parallelperiod()
+        if (self.peek() or "").lower() in ("openingperiod", "closingperiod"):
+            return self._edgeperiod()
         segs, suffix = [], None
         current = False  # cell-context CurrentMember marker
         nav: tuple | None = None  # accumulated lag-family navigation
@@ -415,6 +421,11 @@ class _Parser:
                         f".{t} applies to a member, not a bare "
                         "hierarchy"
                     )
+                if nav is not None and nav[0] != "lag":
+                    raise MdxError(
+                        f".{t} cannot chain onto "
+                        f"{nav[0]!r} navigation"
+                    )
                 step = 1 if tl == "prevmember" else -1
                 nav = ("lag", (nav[1] if nav else 0) + step)
             elif tl in ("lag", "lead"):
@@ -423,11 +434,36 @@ class _Parser:
                         f".{t} applies to a member, not a bare "
                         "hierarchy"
                     )
+                if nav is not None and nav[0] != "lag":
+                    raise MdxError(
+                        f".{t} cannot chain onto "
+                        f"{nav[0]!r} navigation"
+                    )
                 self.expect("(")
                 n = self._signed_int(f"{t}() offset")
                 self.expect(")")
                 step = n if tl == "lag" else -n
                 nav = ("lag", (nav[1] if nav else 0) + step)
+            elif tl in (
+                "firstchild", "lastchild", "firstsibling", "lastsibling"
+            ):
+                # EDGE navigation (round 11): order statistics over
+                # the level universe — FirstChild/LastChild pick the
+                # min/max child path under the member, siblings the
+                # min/max member under the member's own parent. Data
+                # questions, compiled like lag as eval-time joins.
+                if not current and len(segs) < 2:
+                    raise MdxError(
+                        f".{t} applies to a member, not a bare "
+                        "hierarchy"
+                    )
+                if nav is not None:
+                    raise MdxError(
+                        f".{t} cannot chain onto another navigation"
+                    )
+                mode = "child" if tl.endswith("child") else "sibling"
+                which = "min" if tl.startswith("first") else "max"
+                nav = ("edge", mode, which)
             else:
                 raise MdxError(f"unexpected {t!r} in member path")
         if current:
@@ -558,6 +594,34 @@ class _Parser:
         if base is None:
             base = self._nav_base(hier, "ParallelPeriod")
         base.nav = ("parallel", anc_li, n)
+        return base
+
+    # OpeningPeriod([Hier].[Level] [, member]) / ClosingPeriod(...) —
+    # the FIRST/LAST descendant of the member at the named level
+    # (Mondrian: the period's opening/closing member; default member
+    # = CurrentMember, zero-argument form = the [Time] hierarchy's
+    # child level, i.e. FirstChild/LastChild of [Time].CurrentMember).
+    # Compiled as nav=("edgelvl", li, min|max): the lexicographic
+    # min/max sub-path under the member at the target level — an
+    # order statistic over the level universe, like FirstChild.
+    def _edgeperiod(self) -> _Member:
+        which = "min" if self.next().lower() == "openingperiod" else "max"
+        fn = "OpeningPeriod" if which == "min" else "ClosingPeriod"
+        self.expect("(")
+        if self.peek() == ")":
+            self.next()
+            base = self._nav_base("time", fn)
+            base.nav = ("edge", "child", which)
+            return base
+        hier, li = self._nav_level()
+        base = None
+        if self.peek() == ",":
+            self.next()
+            base = self._nav_member_arg(hier, fn)
+        self.expect(")")
+        if base is None:
+            base = self._nav_base(hier, fn)
+        base.nav = ("edgelvl", li, which)
         return base
 
     # level reference := [Hierarchy].[LevelName] — raw segments, no
@@ -1939,6 +2003,72 @@ def mdx_cells_many(
                 )
                 cur = cur.join(
                     F.broadcast(ytd), ["_j"] + group_cols, "left"
+                )
+                names[id(leaf)] = f"_v{j}"
+                continue
+            if kind in ("edge", "edgelvl"):
+                # FirstChild/LastChild/FirstSibling/LastSibling and
+                # OpeningPeriod/ClosingPeriod: the navigated member is
+                # an ORDER STATISTIC — the lexicographic min/max
+                # sub-path at the target level under a fixed prefix of
+                # the cell member's path (child: the whole path;
+                # sibling: the parent; edgelvl: the whole path,
+                # descending several levels). One groupBy-min(struct)
+                # over the dimension universe per leaf — the struct
+                # ordering IS the hierarchy's sibling order.
+                if kind == "edge":
+                    mode, which = nm.nav[1], nm.nav[2]
+                    prefix_depth = d if mode == "child" else d - 1
+                    target_depth = d + 1 if mode == "child" else d
+                else:
+                    li, which = nm.nav[1], nm.nav[2]
+                    if li < d:
+                        raise MdxError(
+                            "OpeningPeriod/ClosingPeriod level must "
+                            "be BELOW the member's level (at the "
+                            "member's own level the period edge is "
+                            "the member itself)"
+                        )
+                    prefix_depth, target_depth = d, li + 1
+                if target_depth > len(hcols):
+                    raise MdxError(
+                        "FirstChild/LastChild/OpeningPeriod below "
+                        f"the leaf level of [{H}]"
+                    )
+                tcols = hcols[:target_depth]
+                navname = {c: f"_nav{j}_{c}" for c in tcols}
+                prefix_cols = tcols[:prefix_depth]
+                sub_cols = tcols[prefix_depth:]
+                uni = base.select(*tcols).distinct()
+                agg_fn = F.min if which == "min" else F.max
+                nmap = uni.groupBy(*prefix_cols).agg(
+                    agg_fn(F.struct(*sub_cols)).alias("_s")
+                )
+                for c, v in static_ord:
+                    if c in prefix_cols:
+                        nmap = nmap.filter(F.col(c) == v)
+                enum_pref = [c for c in enum_ord if c in prefix_cols]
+                nsel = nmap.select(
+                    *enum_pref,
+                    *[F.col(c).alias(navname[c]) for c in prefix_cols],
+                    *[
+                        F.col("_s").getField(c).alias(navname[c])
+                        for c in sub_cols
+                    ],
+                ).withColumn("_j", F.lit(1))
+                cur = cur.join(
+                    F.broadcast(nsel), ["_j"] + enum_pref, "left"
+                )
+                vf = _grouped(filt, lg + tcols)
+                fr = vf.select(
+                    *lg,
+                    *[F.col(c).alias(navname[c]) for c in tcols],
+                    F.col("crimes").alias(f"_v{j}"),
+                )
+                cur = cur.join(
+                    F.broadcast(fr),
+                    lg + [navname[c] for c in tcols],
+                    "left",
                 )
                 names[id(leaf)] = f"_v{j}"
                 continue

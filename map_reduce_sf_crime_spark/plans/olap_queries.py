@@ -222,6 +222,16 @@ select {[Measures].[ytd]} ON COLUMNS,
   Descendants([Time].[1995], [Time].[month]) ON ROWS
 from [sfcrime]
 """,
+    # round 11 (second leg): EDGE navigation — ClosingPeriod picks
+    # each month's LAST week (a groupBy-max(struct) order statistic
+    # over the level universe); the DuckDB twin is a
+    # row_number-over-week-desc window
+    "closingperiod": """WITH MEMBER [Measures].[eow] AS
+  '([Measures].[crimes], ClosingPeriod([Time].[week]))'
+select {[Measures].[eow]} ON COLUMNS,
+  Descendants([Time].[1995], [Time].[month]) ON ROWS
+from [sfcrime]
+""",
 }
 
 _MDX_VERBATIM_SQL = """
@@ -309,6 +319,19 @@ _MDX_VERBATIM_SQL = """
            ) as bigint) as crimes
     from ({sj}) s where year = 1995
     group by year, month
+    union all
+    select 'mdx_verbatim' as hierarchy,
+           '1995, ' || cast(month as varchar) as l1,
+           'eow' as l2, 'closingperiod' as l3,
+           cast(crimes as bigint) as crimes
+    from (
+      select month, sum(crimes) as crimes,
+             row_number() over (
+               partition by year, month order by week desc
+             ) as rk
+      from ({sj}) s where year = 1995
+      group by year, month, week
+    ) where rk = 1
 """.format(sj=_STAR_JOIN_SQL)
 
 

@@ -2127,3 +2127,135 @@ from [sfcrime]
     # deltas: m0=8, m1=4, m2=8, m3=65 → desc: m3, then the 8-tie
     # (m0 before m2 by caption), then m1
     assert ordered == ["1995, 3", "1995, 0", "1995, 2", "1995, 1"]
+
+
+def _edge_star(spark):
+    """Synthetic star with WEEK variation (the shared _NAV_DATA keeps
+    week constant): months with different first/last weeks."""
+    data = {
+        (1994, 0, 1): 3,
+        (1994, 11, 2): 7,
+        (1995, 0, 1): 11,
+        (1995, 0, 3): 2,
+        (1995, 1, 1): 13,
+        (1995, 1, 4): 5,
+        (1995, 2, 2): 17,
+    }
+    rows = [
+        (n, "THEFT", "MISSION", y, m, w, 1) for (y, m, w), n in data.items()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "crimes long, category string, district string, "
+        "year int, month int, week int, day int",
+    )
+
+
+def test_edge_navigation_children_siblings_periods(spark):
+    """FirstChild/LastChild pick each member's min/max child path;
+    First/LastSibling the min/max member under the same parent;
+    OpeningPeriod/ClosingPeriod([Time].[week]) the first/last week
+    under each month — all order statistics over the level universe
+    (groupBy-min/max(struct))."""
+    from map_reduce_sf_crime_spark.mdx import mdx_cells
+
+    q = """WITH MEMBER [Measures].[fc] AS '([Measures].[crimes], [Time].CurrentMember.FirstChild)'
+MEMBER [Measures].[lc] AS '([Measures].[crimes], [Time].CurrentMember.LastChild)'
+MEMBER [Measures].[fs] AS '([Measures].[crimes], [Time].CurrentMember.FirstSibling)'
+MEMBER [Measures].[ls] AS '([Measures].[crimes], [Time].CurrentMember.LastSibling)'
+MEMBER [Measures].[op] AS '([Measures].[crimes], OpeningPeriod([Time].[week]))'
+MEMBER [Measures].[cp] AS '([Measures].[crimes], ClosingPeriod([Time].[week]))'
+select {[Measures].[fc], [Measures].[lc], [Measures].[fs], [Measures].[ls],
+        [Measures].[op], [Measures].[cp]} ON COLUMNS,
+  Descendants([Time].[1995], [Time].[month]) ON ROWS
+from [sfcrime]
+"""
+    got = sorted(
+        (r.row_member, r.col_member, r.crimes)
+        for r in mdx_cells(_edge_star(spark), parse_mdx(q)).collect()
+    )
+    want = sorted(
+        [
+            # per-month first/last week values
+            ("1995, 0", "fc", 11.0), ("1995, 0", "op", 11.0),
+            ("1995, 0", "lc", 2.0), ("1995, 0", "cp", 2.0),
+            ("1995, 1", "fc", 13.0), ("1995, 1", "op", 13.0),
+            ("1995, 1", "lc", 5.0), ("1995, 1", "cp", 5.0),
+            ("1995, 2", "fc", 17.0), ("1995, 2", "op", 17.0),
+            ("1995, 2", "lc", 17.0), ("1995, 2", "cp", 17.0),
+            # sibling edges under 1995: m0 total 13, m2 total 17
+            ("1995, 0", "fs", 13.0), ("1995, 0", "ls", 17.0),
+            ("1995, 1", "fs", 13.0), ("1995, 1", "ls", 17.0),
+            ("1995, 2", "fs", 13.0), ("1995, 2", "ls", 17.0),
+        ]
+    )
+    assert got == want
+
+
+def test_edge_navigation_static_base_and_year_children(spark):
+    """Edge navigation on STATIC members (explicit year tuples):
+    FirstChild/LastChild of each year land on its first/last month;
+    zero-argument OpeningPeriod() == [Time].CurrentMember.FirstChild."""
+    from map_reduce_sf_crime_spark.mdx import mdx_cells
+
+    q = """WITH MEMBER [Measures].[fc94] AS '([Measures].[crimes], [Time].[1994].FirstChild)'
+MEMBER [Measures].[lc94] AS '([Measures].[crimes], [Time].[1994].LastChild)'
+MEMBER [Measures].[op0] AS '([Measures].[crimes], OpeningPeriod())'
+select {[Measures].[fc94], [Measures].[lc94], [Measures].[op0]} ON COLUMNS,
+  {[Time].[1995].[0]} ON ROWS
+from [sfcrime]
+"""
+    got = {
+        r.col_member: r.crimes
+        for r in mdx_cells(_edge_star(spark), parse_mdx(q)).collect()
+    }
+    # 1994 first month (0) = 3, last month (11) = 7; OpeningPeriod()
+    # = first child of the CELL's member (1995, 0) = its first week = 11
+    assert got == {"fc94": 3.0, "lc94": 7.0, "op0": 11.0}
+
+
+def test_edge_navigation_errors(spark):
+    """Loud boundaries: edge navigation below the leaf, OpeningPeriod
+    at/above the member's level, chains onto edge navigation, and
+    edge suffixes on a bare hierarchy."""
+    from map_reduce_sf_crime_spark.mdx import mdx_cells
+
+    star = _edge_star(spark)
+    for body, pat in [
+        (
+            "'([Measures].[crimes], [Time].[1995].[0].[1].[1].FirstChild)'",
+            "below the leaf",
+        ),
+        (
+            "'([Measures].[crimes], OpeningPeriod([Time].[month], "
+            "[Time].[1995].[0]))'",
+            "BELOW the member's level",
+        ),
+    ]:
+        q = (
+            f"WITH MEMBER [Measures].[x] AS {body} "
+            "select {[Measures].[x]} ON COLUMNS, "
+            "{[Category].[All Categories]} ON ROWS from [sfcrime]"
+        )
+        with pytest.raises(MdxError, match=pat):
+            mdx_cells(star, parse_mdx(q)).collect()
+    for body, pat in [
+        (
+            "'([Measures].[crimes], [Time].[1995].FirstChild.PrevMember)'",
+            "cannot chain",
+        ),
+        (
+            "'([Measures].[crimes], [Time].[1995].FirstChild.FirstChild)'",
+            "may follow a navigated member",
+        ),
+        (
+            "'([Measures].[crimes], [Time].FirstChild)'",
+            "applies to a member",
+        ),
+    ]:
+        with pytest.raises(MdxError, match=pat):
+            parse_mdx(
+                f"WITH MEMBER [Measures].[x] AS {body} "
+                "select {[Measures].[x]} ON COLUMNS, "
+                "{[Category].[All Categories]} ON ROWS from [sfcrime]"
+            )
