@@ -348,6 +348,8 @@ class _Parser:
             return self._parallelperiod()
         if (self.peek() or "").lower() in ("openingperiod", "closingperiod"):
             return self._edgeperiod()
+        if (self.peek() or "").lower() == "ancestor":
+            return self._ancestor()
         segs, suffix = [], None
         current = False  # cell-context CurrentMember marker
         nav: tuple | None = None  # accumulated lag-family navigation
@@ -444,6 +446,23 @@ class _Parser:
                 self.expect(")")
                 step = n if tl == "lag" else -n
                 nav = ("lag", (nav[1] if nav else 0) + step)
+            elif tl == "parent":
+                # the share-of-parent denominator idiom: the
+                # member's path truncated one level — a pure
+                # projection, no data lookup (round 11). Parent of a
+                # top-level member is the All member (hasAll
+                # hierarchies: the no-filter context; [Time] has
+                # none — loud at eval).
+                if not current and len(segs) < 2:
+                    raise MdxError(
+                        f".{t} applies to a member, not a bare "
+                        "hierarchy"
+                    )
+                if nav is not None:
+                    raise MdxError(
+                        f".{t} cannot chain onto another navigation"
+                    )
+                nav = ("anc", None)  # relative: depth d-1
             elif tl in (
                 "firstchild", "lastchild", "firstsibling", "lastsibling"
             ):
@@ -622,6 +641,33 @@ class _Parser:
         if base is None:
             base = self._nav_base(hier, fn)
         base.nav = ("edgelvl", li, which)
+        return base
+
+    # Ancestor(member, [Hier].[Level]) — the member's path truncated
+    # to the named level (the share-of-subtotal denominator for any
+    # fixed level: month-of-year, week-of-month, …). A pure
+    # projection like .Parent, but to an absolute level.
+    def _ancestor(self) -> _Member:
+        self.next()
+        self.expect("(")
+        base = self.member()
+        if base.measure is not None:
+            raise MdxError("Ancestor: first argument must be a member")
+        if base.enum_col:
+            raise MdxError("Ancestor: member argument cannot enumerate")
+        if base.nav is not None:
+            raise MdxError(
+                "Ancestor: member argument cannot itself be navigated"
+            )
+        self.expect(",")
+        hier, li = self._nav_level()
+        if hier != base.hierarchy:
+            raise MdxError(
+                f"Ancestor: level hierarchy [{hier}] does not match "
+                f"the member's hierarchy [{base.hierarchy}]"
+            )
+        self.expect(")")
+        base.nav = ("anc", li)
         return base
 
     # level reference := [Hierarchy].[LevelName] — raw segments, no
@@ -2003,6 +2049,45 @@ def mdx_cells_many(
                 )
                 cur = cur.join(
                     F.broadcast(ytd), ["_j"] + group_cols, "left"
+                )
+                names[id(leaf)] = f"_v{j}"
+                continue
+            if kind == "anc":
+                # .Parent / Ancestor(member, level): the cell
+                # member's path TRUNCATED — a pure projection (no
+                # universe scan, no map frame): the nav columns are
+                # the cell's own path expressions, and the value
+                # aggregate at the ancestor depth joins on them.
+                # Depth 0 is the All member — a no-H-columns global
+                # context (share-of-grand-total), valid only on
+                # hasAll hierarchies.
+                li = nm.nav[1]
+                anc_depth = (d - 1) if li is None else li + 1
+                if anc_depth > d:
+                    raise MdxError(
+                        "Ancestor level must be at or above the "
+                        "member's level"
+                    )
+                if anc_depth == 0 and _DIMS[H]["all"] is None:
+                    raise MdxError(
+                        f"[{H}] has no All member — the ancestor "
+                        "above its top level does not exist"
+                    )
+                tcols = hcols[:anc_depth]
+                navname = {c: f"_nav{j}_{c}" for c in tcols}
+                for c in tcols:
+                    cur = cur.withColumn(navname[c], cur_path[c])
+                vf = _grouped(filt, lg + tcols)
+                fr = vf.select(
+                    *lg,
+                    *[F.col(c).alias(navname[c]) for c in tcols],
+                    F.col("crimes").alias(f"_v{j}"),
+                )
+                keys = lg + [navname[c] for c in tcols]
+                cur = (
+                    cur.join(F.broadcast(fr), keys, "left")
+                    if keys
+                    else cur.crossJoin(F.broadcast(fr))
                 )
                 names[id(leaf)] = f"_v{j}"
                 continue

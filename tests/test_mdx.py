@@ -2259,3 +2259,91 @@ def test_edge_navigation_errors(spark):
                 "select {[Measures].[x]} ON COLUMNS, "
                 "{[Category].[All Categories]} ON ROWS from [sfcrime]"
             )
+
+
+def test_parent_and_ancestor_share_idiom(spark):
+    """.Parent / Ancestor(member, level): share-of-parent ratios —
+    the month's share of its year (both spellings equal), and a
+    district's share of the All member (Parent at depth 0 = the
+    no-filter context)."""
+    from map_reduce_sf_crime_spark.mdx import mdx_cells
+
+    q = """WITH MEMBER [Measures].[shr] AS
+  '[Measures].[crimes] / ([Measures].[crimes], [Time].CurrentMember.Parent)'
+MEMBER [Measures].[shra] AS
+  '[Measures].[crimes] / ([Measures].[crimes], Ancestor([Time].CurrentMember, [Time].[year]))'
+select {[Measures].[shr], [Measures].[shra]} ON COLUMNS,
+  Descendants([Time].[1995], [Time].[month]) ON ROWS
+from [sfcrime]
+"""
+    by_col = {}
+    for r in mdx_cells(_edge_star(spark), parse_mdx(q)).collect():
+        by_col.setdefault(r.col_member, {})[r.row_member] = r.crimes
+    # _edge_star 1995 month totals 13/18/17, year total 48
+    want = {"1995, 0": 13 / 48, "1995, 1": 18 / 48, "1995, 2": 17 / 48}
+    assert by_col["shr"] == want
+    assert by_col["shra"] == want
+    q2 = """WITH MEMBER [Measures].[dshr] AS
+  '[Measures].[crimes] / ([Measures].[crimes], [District].CurrentMember.Parent)'
+select {[Measures].[dshr]} ON COLUMNS,
+  {[District].[All Districts].Children} ON ROWS
+from [sfcrime]
+where [Time].[1995]
+"""
+    got = {
+        r.row_member: r.crimes
+        for r in mdx_cells(_nav_star(spark), parse_mdx(q2)).collect()
+    }
+    # _nav_star 1995: MISSION 11+13+17=41, CENTRAL 12+14+18+100=144
+    assert got == {"MISSION": 41 / 185, "CENTRAL": 144 / 185}
+
+
+def test_parent_ancestor_errors(spark):
+    """Loud: Ancestor at a level below the member, .Parent above a
+    hasAll=false hierarchy's top level, chains onto .Parent,
+    hierarchy mismatch."""
+    from map_reduce_sf_crime_spark.mdx import mdx_cells
+
+    star = _edge_star(spark)
+    for body, pat in [
+        (
+            "'([Measures].[crimes], Ancestor([Time].CurrentMember, "
+            "[Time].[week]))'",
+            "at or above the member's level",
+        ),
+        (
+            "'([Measures].[crimes], [Time].CurrentMember.Parent)'",
+            "has no All member",
+        ),
+    ]:
+        # the second case binds CurrentMember at YEAR depth (d=1) so
+        # Parent lands at depth 0 on the All-less [Time] hierarchy
+        rows = (
+            "Descendants([Time].[1995], [Time].[month])"
+            if "week" in body
+            else "{[Time].[1995]}"
+        )
+        q = (
+            f"WITH MEMBER [Measures].[x] AS {body} "
+            f"select {{[Measures].[x]}} ON COLUMNS, {rows} ON ROWS "
+            "from [sfcrime]"
+        )
+        with pytest.raises(MdxError, match=pat):
+            mdx_cells(star, parse_mdx(q)).collect()
+    for body, pat in [
+        (
+            "'([Measures].[crimes], [Time].CurrentMember.Parent.Parent)'",
+            "may follow a navigated member",
+        ),
+        (
+            "'([Measures].[crimes], Ancestor([District].CurrentMember, "
+            "[Time].[year]))'",
+            "does not match",
+        ),
+    ]:
+        with pytest.raises(MdxError, match=pat):
+            parse_mdx(
+                f"WITH MEMBER [Measures].[x] AS {body} "
+                "select {[Measures].[x]} ON COLUMNS, "
+                "{[Category].[All Categories]} ON ROWS from [sfcrime]"
+            )
