@@ -267,12 +267,19 @@ class _CalcExpr:
       ANSI — a zero denominator raises loudly, a NULL one yields an
       empty cell)."""
 
-    kind: str  # "lit" | "ref" | "bin"
+    kind: str  # "lit" | "ref" | "bin" | "nary"
     value: float = 0.0
     ref: list["_Member"] | None = None
     op: str = ""
     left: "_CalcExpr | None" = None
     right: "_CalcExpr | None" = None
+    #: round 11 — n-ary nodes: SET AGGREGATIONS over explicit member
+    #: sets (``Sum/Avg/Min/Max({tuples}, expr)`` — each arg is one
+    #: per-member value ref; Mondrian empty-cell algebra: Sum/Avg
+    #: skip empties and are empty only when ALL cells are,
+    #: Count EXCLUDEEMPTY is 0 then) and ``CoalesceEmpty(e1, e2, …)``
+    #: (args are arbitrary sub-expressions).
+    args: "list[_CalcExpr] | None" = None
 
 
 def _ast_has_nav(ast: "_CalcExpr") -> bool:
@@ -284,7 +291,45 @@ def _ast_has_nav(ast: "_CalcExpr") -> bool:
         return any(m.nav is not None for m in ast.ref or [])
     if ast.kind == "bin":
         return _ast_has_nav(ast.left) or _ast_has_nav(ast.right)
+    if ast.kind == "nary":
+        return any(_ast_has_nav(a) for a in ast.args or [])
     return False
+
+
+def _nary_col(op: str, cols: list):
+    """Combine per-member value columns under Mondrian's empty-cell
+    algebra: Sum/Avg skip empty cells and are empty only when EVERY
+    cell is; Min/Max ignore empties (Spark's least/greatest skip
+    NULLs); Count EXCLUDEEMPTY counts non-empty cells (0, not NULL,
+    when all are empty); CoalesceEmpty is first-non-empty."""
+    import functools
+
+    if op == "coalesce":
+        return F.coalesce(*cols) if len(cols) > 1 else cols[0]
+    if op == "min":
+        return F.least(*cols) if len(cols) > 1 else cols[0]
+    if op == "max":
+        return F.greatest(*cols) if len(cols) > 1 else cols[0]
+    if op == "cnt_ex":
+        return functools.reduce(
+            lambda a, b: a + b,
+            [c.isNotNull().cast("double") for c in cols],
+        )
+    any_nonnull = functools.reduce(
+        lambda a, b: a | b, [c.isNotNull() for c in cols]
+    )
+    total = functools.reduce(
+        lambda a, b: a + b, [F.coalesce(c, F.lit(0.0)) for c in cols]
+    )
+    if op == "sum":
+        return F.when(any_nonnull, total)
+    if op == "avg":
+        cnt = functools.reduce(
+            lambda a, b: a + b,
+            [c.isNotNull().cast("double") for c in cols],
+        )
+        return F.when(any_nonnull, total / cnt)
+    raise MdxError(f"unknown set aggregation {op!r}")  # pragma: no cover
 
 
 def _tokenize(text: str) -> list[str]:
@@ -767,10 +812,29 @@ class _Parser:
         if t == "+":  # unary plus — a no-op Mondrian tolerates
             self.next()
             return self.calc_factor()
-        if t.lower() == "sum":
-            return self._calc_sum()
-        if t.lower() == "parallelperiod":
-            # a bare ParallelPeriod(...) as a value factor is the
+        if t.lower() in ("sum", "aggregate", "avg", "min", "max"):
+            # Aggregate == Sum on this cube: its one measure
+            # aggregates by sum (sfcrime.xml:27), so Mondrian's
+            # measure-aggregator dispatch collapses to Sum
+            return self._calc_setagg(
+                {"aggregate": "sum"}.get(t.lower(), t.lower())
+            )
+        if t.lower() == "count":
+            return self._calc_count()
+        if t.lower() == "coalesceempty":
+            self.next()
+            self.expect("(")
+            args = [self.calc_expr()]
+            while self.peek() == ",":
+                self.next()
+                args.append(self.calc_expr())
+            self.expect(")")
+            if len(args) < 2:
+                raise MdxError("CoalesceEmpty needs at least two arguments")
+            return _CalcExpr(kind="nary", op="coalesce", args=args)
+        if t.lower() in ("parallelperiod", "openingperiod",
+                         "closingperiod", "ancestor"):
+            # a bare navigation function as a value factor is the
             # 1-tuple (member) — same as a bare [member] reference
             return self._calc_ref([self.member()])
         if t == "(":
@@ -836,53 +900,119 @@ class _Parser:
             )
         return _CalcExpr(kind="ref", ref=members)
 
-    # Sum(PeriodsToDate([Hier].[Level] [, member]), <value tuple>) —
-    # the period-to-date accumulation idiom (YTD running totals), the
-    # one Sum-over-set shape a WITH MEMBER needs; Ytd([member]) is
-    # sugar for PeriodsToDate at [Time]'s top (year) level. Compiled
-    # as a value reference whose navigated member carries
-    # nav=("ptd", anc_li): the compiler sums the measure over every
-    # member at the base member's level from the START of its
-    # ancestor period through the member itself (a bounded range
-    # join on the typed level paths, mdx_cells_many round 11). A
-    # general Sum over arbitrary sets stays loud — this engine's
-    # calculated members are cell arithmetic, not set algebra.
-    def _calc_sum(self) -> _CalcExpr:
-        self.next()
+    def _explicit_set(self, fn: str) -> list[list[_Member]]:
+        """An EXPLICIT member-tuple set argument of a set
+        aggregation: ``{tuple, ...}`` or a single tuple. Members may
+        navigate (``{[T].CurrentMember.Lag(1), [T].CurrentMember}``
+        — the moving-window idiom) but cannot enumerate: a
+        ``.Children`` set's size exists only in data, which a
+        parse-time expansion into per-member value refs cannot
+        know — the same boundary as Generate's first argument."""
+        if self.peek() == "{":
+            self.next()
+            tuples = [self.tuple_()]
+            while self.peek() == ",":
+                self.next()
+                tuples.append(self.tuple_())
+            self.expect("}")
+        else:
+            tuples = [self.tuple_()]
+        for tp in tuples:
+            for m in tp:
+                if m.measure is not None:
+                    raise MdxError(
+                        f"{fn}: set members must be dimension "
+                        "members, not measures"
+                    )
+                if m.enum_col:
+                    raise MdxError(
+                        f"{fn}: set members must be explicit — an "
+                        "enumeration's members exist only in data; "
+                        "list them, or use PeriodsToDate for "
+                        "period accumulation"
+                    )
+        return tuples
+
+    # Sum/Avg/Min/Max(<set>, <value tuple>) — set aggregations:
+    #
+    # - ``Sum(PeriodsToDate([Hier].[Level] [, member]), tuple)`` (and
+    #   ``Ytd([member])`` sugar for the year level): the
+    #   period-to-date accumulation idiom, compiled as a value
+    #   reference whose navigated member carries nav=("ptd", li) — a
+    #   bounded range join on the typed level paths (Sum only: the
+    #   range join bakes the sum in).
+    # - an EXPLICIT set (``{tuples}``): expands at parse time into
+    #   one value ref per member tuple, combined under Mondrian's
+    #   empty-cell algebra (:func:`_nary_col`). Members may navigate
+    #   — ``Avg({[T].CurrentMember.Lag(1), [T].CurrentMember},
+    #   [Measures].[crimes])`` is the 2-period moving average.
+    #
+    # Arbitrary DATA-DRIVEN sets (enumerations) stay loud — the same
+    # parse-time boundary as Generate's first argument.
+    def _calc_setagg(self, op: str) -> _CalcExpr:
+        fn = self.next()
         self.expect("(")
         t = (self.peek() or "").lower()
-        if t == "periodstodate":
-            self.next()
-            self.expect("(")
-            hier, anc_li = self._nav_level()
-            base: _Member | None = None
-            if self.peek() == ",":
+        if t in ("periodstodate", "ytd"):
+            if op != "sum":
+                raise MdxError(
+                    f"{fn} over PeriodsToDate/Ytd is not supported — "
+                    "the period-to-date compile bakes SUM into its "
+                    "range join; list explicit members instead"
+                )
+            if t == "periodstodate":
                 self.next()
-                base = self._nav_member_arg(hier, "PeriodsToDate")
+                self.expect("(")
+                hier, anc_li = self._nav_level()
+                base: _Member | None = None
+                if self.peek() == ",":
+                    self.next()
+                    base = self._nav_member_arg(hier, "PeriodsToDate")
+                self.expect(")")
+                if base is None:
+                    base = self._nav_base(hier, "PeriodsToDate")
+            else:
+                self.next()
+                self.expect("(")
+                hier, anc_li = "time", 0
+                base = None
+                if self.peek() != ")":
+                    base = self._nav_member_arg(hier, "Ytd")
+                self.expect(")")
+                if base is None:
+                    base = self._nav_base(hier, "Ytd")
+            base.nav = ("ptd", anc_li)
+            self.expect(",")
+            members = self.tuple_()
             self.expect(")")
-            if base is None:
-                base = self._nav_base(hier, "PeriodsToDate")
-        elif t == "ytd":
-            self.next()
-            self.expect("(")
-            hier, anc_li = "time", 0
-            base = None
-            if self.peek() != ")":
-                base = self._nav_member_arg(hier, "Ytd")
-            self.expect(")")
-            if base is None:
-                base = self._nav_base(hier, "Ytd")
-        else:
-            raise MdxError(
-                "Sum supports PeriodsToDate(...)/Ytd(...) set "
-                "arguments only (period-to-date accumulation); "
-                f"got {self.peek()!r}"
-            )
-        base.nav = ("ptd", anc_li)
+            return self._calc_ref(members + [base])
+        tuples = self._explicit_set(fn)
         self.expect(",")
         members = self.tuple_()
         self.expect(")")
-        return self._calc_ref(members + [base])
+        refs = [self._calc_ref(members + tp) for tp in tuples]
+        return _CalcExpr(kind="nary", op=op, args=refs)
+
+    # Count(<set> [, INCLUDEEMPTY|EXCLUDEEMPTY]) — INCLUDEEMPTY
+    # (Mondrian's default) is the set's SIZE, a parse-time literal
+    # for explicit sets; EXCLUDEEMPTY counts non-empty cells of the
+    # base measure (0 when all are empty — a count, never NULL).
+    def _calc_count(self) -> _CalcExpr:
+        self.next()
+        self.expect("(")
+        tuples = self._explicit_set("Count")
+        flag = "includeempty"
+        if self.peek() == ",":
+            self.next()
+            flag = self.next().lower()
+            if flag not in ("includeempty", "excludeempty"):
+                raise MdxError(f"unknown Count flag {flag!r}")
+        self.expect(")")
+        if flag == "includeempty":
+            return _CalcExpr(kind="lit", value=float(len(tuples)))
+        meas = _Member(measure="crimes", caption=["crimes"])
+        refs = [self._calc_ref([meas] + tp) for tp in tuples]
+        return _CalcExpr(kind="nary", op="cnt_ex", args=refs)
 
     def _named_set_ref(self) -> "_SetExpr | None":
         """Consume a bare ``[name]`` named-set reference if the next
@@ -1885,6 +2015,10 @@ def mdx_cells_many(
             filt, _ = _leaf_ctx(cell_filt, ast.ref)
             i = _scalar_slot(filt)
             return lambda: F.col(f"_c{i}")
+        if ast.kind == "nary":
+            subs = [_calc_scalar(a, cell_filt) for a in ast.args]
+            nop = ast.op
+            return lambda: _nary_col(nop, [b() for b in subs])
         lf = _calc_scalar(ast.left, cell_filt)
         rf = _calc_scalar(ast.right, cell_filt)
         op = _ARITH[ast.op]
@@ -1965,6 +2099,9 @@ def mdx_cells_many(
             elif n.kind == "bin":
                 walk(n.left)
                 walk(n.right)
+            elif n.kind == "nary":
+                for a in n.args:
+                    walk(a)
 
         walk(ast)
         nav_present = any(
@@ -2222,6 +2359,8 @@ def mdx_cells_many(
                 return F.lit(n.value)
             if n.kind == "ref":
                 return F.col(names[id(n)])
+            if n.kind == "nary":
+                return _nary_col(n.op, [val(a) for a in n.args])
             return _ARITH[n.op](val(n.left), val(n.right))
 
         return cur.withColumn("crimes", val(ast))

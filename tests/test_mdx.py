@@ -2004,10 +2004,12 @@ def test_navigation_error_boundaries(spark):
             "'([Measures].[crimes], [Time].CurrentMember.Lag(1.5))'",
             "must be an integer",
         ),
+        # NOTE: Sum over an EXPLICIT set became a supported set
+        # aggregation later in round 11 (test_set_aggregations_*);
+        # only data-driven sets stay loud:
         (
-            "'Sum({[Time].[1995].[0], [Time].[1995].[1]}, "
-            "[Measures].[crimes])'",
-            "PeriodsToDate",
+            "'Sum([Time].[1995].Children, [Measures].[crimes])'",
+            "must be explicit",
         ),
         (
             "'([Measures].[crimes], "
@@ -2347,3 +2349,91 @@ def test_parent_ancestor_errors(spark):
                 "select {[Measures].[x]} ON COLUMNS, "
                 "{[Category].[All Categories]} ON ROWS from [sfcrime]"
             )
+
+
+def test_set_aggregations_moving_window_and_count(spark):
+    """Sum/Avg/Min/Max over EXPLICIT sets with navigated members —
+    the moving-window idiom — plus Count (INCLUDEEMPTY = set size,
+    EXCLUDEEMPTY = non-empty cells, 0 never NULL) and CoalesceEmpty.
+    Mondrian empty-cell algebra: Sum/Avg skip empties; a window
+    hanging off the data's edge averages over what exists."""
+    from map_reduce_sf_crime_spark.mdx import mdx_cells
+
+    rows = [
+        (7, "THEFT", "MISSION", 1994, 11, 1, 1),
+        (11, "THEFT", "MISSION", 1995, 0, 1, 1),
+        (13, "THEFT", "MISSION", 1995, 1, 1, 1),
+        (17, "THEFT", "MISSION", 1995, 2, 1, 1),
+        (100, "THEFT", "CENTRAL", 1995, 3, 1, 1),
+    ]
+    star = spark.createDataFrame(
+        rows,
+        "crimes long, category string, district string, "
+        "year int, month int, week int, day int",
+    )
+    q = """WITH MEMBER [Measures].[mov2] AS
+  'Avg({[Time].CurrentMember.Lag(1), [Time].CurrentMember}, [Measures].[crimes])'
+MEMBER [Measures].[agg2] AS
+  'Aggregate({[Time].CurrentMember.Lag(1), [Time].CurrentMember}, [Measures].[crimes])'
+MEMBER [Measures].[mx] AS
+  'Max({[Time].CurrentMember.Lag(1), [Time].CurrentMember}, [Measures].[crimes])'
+MEMBER [Measures].[nempty] AS
+  'Count({([District].[MISSION]), ([District].[CENTRAL])}, EXCLUDEEMPTY)'
+MEMBER [Measures].[setsz] AS
+  'Count({([District].[MISSION]), ([District].[CENTRAL])})'
+MEMBER [Measures].[coal] AS
+  'CoalesceEmpty(([Measures].[crimes], [District].[CENTRAL]), -1)'
+select {[Measures].[mov2], [Measures].[agg2], [Measures].[mx],
+        [Measures].[nempty], [Measures].[setsz], [Measures].[coal]} ON COLUMNS,
+  Descendants([Time].[1995], [Time].[month]) ON ROWS
+from [sfcrime]
+"""
+    by_col = {}
+    for r in mdx_cells(star, parse_mdx(q)).collect():
+        by_col.setdefault(r.col_member, {})[r.row_member] = r.crimes
+    m = {"1995, 0": 11, "1995, 1": 13, "1995, 2": 17, "1995, 3": 100}
+    prev = {"1995, 0": 7, "1995, 1": 11, "1995, 2": 13, "1995, 3": 17}
+    assert by_col["mov2"] == {
+        k: (m[k] + prev[k]) / 2 for k in m
+    }
+    assert by_col["agg2"] == {k: float(m[k] + prev[k]) for k in m}
+    assert by_col["mx"] == {k: float(max(m[k], prev[k])) for k in m}
+    # exactly one district has data in any one month
+    assert by_col["nempty"] == {k: 1.0 for k in m}
+    assert by_col["setsz"] == {k: 2.0 for k in m}
+    assert by_col["coal"] == {
+        "1995, 0": -1.0, "1995, 1": -1.0, "1995, 2": -1.0,
+        "1995, 3": 100.0,
+    }
+
+
+def test_set_aggregation_parse_errors():
+    """Loud boundaries: enumerations inside explicit sets, measures
+    as set members, Avg over PeriodsToDate, one-armed CoalesceEmpty,
+    unknown Count flags."""
+    head = (
+        "select {[Measures].[x]} ON COLUMNS, "
+        "{[Category].[All Categories]} ON ROWS from [sfcrime]"
+    )
+    for body, pat in [
+        (
+            "'Sum({[District].[All Districts].Children}, "
+            "[Measures].[crimes])'",
+            "must be explicit",
+        ),
+        (
+            "'Sum({[Measures].[crimes]}, [Measures].[crimes])'",
+            "must be dimension members",
+        ),
+        (
+            "'Avg(Ytd(), [Measures].[crimes])'",
+            "bakes SUM into its range join",
+        ),
+        ("'CoalesceEmpty([Measures].[crimes])'", "at least two"),
+        (
+            "'Count({([District].[MISSION])}, SOMETIMES)'",
+            "unknown Count flag",
+        ),
+    ]:
+        with pytest.raises(MdxError, match=pat):
+            parse_mdx(f"WITH MEMBER [Measures].[x] AS {body} {head}")
