@@ -278,7 +278,11 @@ class _CalcExpr:
     #: per-member value ref; Mondrian empty-cell algebra: Sum/Avg
     #: skip empties and are empty only when ALL cells are,
     #: Count EXCLUDEEMPTY is 0 then) and ``CoalesceEmpty(e1, e2, …)``
-    #: (args are arbitrary sub-expressions).
+    #: (args are arbitrary sub-expressions). For ``kind="iif"``:
+    #: ``left``/``right``/``op`` hold the comparison (``op="isempty"``
+    #: tests ``left`` alone) and ``args=[then, else]`` — a NULL
+    #: comparison operand is not-true (Mondrian: unknown → the else
+    #: branch), matching Spark's ``when``.
     args: "list[_CalcExpr] | None" = None
 
 
@@ -293,7 +297,35 @@ def _ast_has_nav(ast: "_CalcExpr") -> bool:
         return _ast_has_nav(ast.left) or _ast_has_nav(ast.right)
     if ast.kind == "nary":
         return any(_ast_has_nav(a) for a in ast.args or [])
+    if ast.kind == "iif":
+        return any(
+            _ast_has_nav(a)
+            for a in [ast.left, ast.right, *(ast.args or [])]
+            if a is not None
+        )
     return False
+
+
+_CMP_COLS = {
+    "=": lambda a, b: a == b,
+    "<>": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+def _iif_col(node: "_CalcExpr", sub):
+    """Build IIF's column from a recursive sub-expression builder:
+    ``when(cond, then).otherwise(else)`` — a NULL comparison operand
+    makes the condition unknown and Spark's ``when`` falls through
+    to otherwise, which is Mondrian's three-valued IIF."""
+    if node.op == "isempty":
+        cond = sub(node.left).isNull()
+    else:
+        cond = _CMP_COLS[node.op](sub(node.left), sub(node.right))
+    return F.when(cond, sub(node.args[0])).otherwise(sub(node.args[1]))
 
 
 def _nary_col(op: str, cols: list):
@@ -832,6 +864,50 @@ class _Parser:
             if len(args) < 2:
                 raise MdxError("CoalesceEmpty needs at least two arguments")
             return _CalcExpr(kind="nary", op="coalesce", args=args)
+        if t.lower() == "iif":
+            # IIF(<cond>, <then>, <else>) — the null-guard idiom
+            # JPivot wraps around divisions. <cond> is either
+            # [Not] IsEmpty(<expr>) or <expr> cmp <expr>.
+            self.next()
+            self.expect("(")
+            neg = False
+            if (self.peek() or "").lower() == "not":
+                self.next()
+                neg = True
+            if (self.peek() or "").lower() == "isempty":
+                self.next()
+                self.expect("(")
+                left = self.calc_expr()
+                self.expect(")")
+                op, right = "isempty", None
+            else:
+                if neg:
+                    raise MdxError(
+                        "IIF: Not applies to IsEmpty(...) only — "
+                        "negate a comparison by flipping its "
+                        "operator"
+                    )
+                left = self.calc_expr()
+                op = self.next()
+                if op not in _CMPS:
+                    raise MdxError(
+                        f"IIF condition needs IsEmpty(...) or a "
+                        f"comparison, got {op!r}"
+                    )
+                right = self.calc_expr()
+            self.expect(",")
+            then = self.calc_expr()
+            self.expect(",")
+            els = self.calc_expr()
+            self.expect(")")
+            if neg:
+                # Not IsEmpty: isNull is two-valued, so swapping the
+                # branches is exact
+                then, els = els, then
+            return _CalcExpr(
+                kind="iif", op=op, left=left, right=right,
+                args=[then, els],
+            )
         if t.lower() in ("parallelperiod", "openingperiod",
                          "closingperiod", "ancestor"):
             # a bare navigation function as a value factor is the
@@ -2019,6 +2095,13 @@ def mdx_cells_many(
             subs = [_calc_scalar(a, cell_filt) for a in ast.args]
             nop = ast.op
             return lambda: _nary_col(nop, [b() for b in subs])
+        if ast.kind == "iif":
+            built = {
+                id(a): _calc_scalar(a, cell_filt)
+                for a in [ast.left, ast.right, *ast.args]
+                if a is not None
+            }
+            return lambda: _iif_col(ast, lambda n: built[id(n)]())
         lf = _calc_scalar(ast.left, cell_filt)
         rf = _calc_scalar(ast.right, cell_filt)
         op = _ARITH[ast.op]
@@ -2102,6 +2185,10 @@ def mdx_cells_many(
             elif n.kind == "nary":
                 for a in n.args:
                     walk(a)
+            elif n.kind == "iif":
+                for a in [n.left, n.right, *n.args]:
+                    if a is not None:
+                        walk(a)
 
         walk(ast)
         nav_present = any(
@@ -2361,6 +2448,8 @@ def mdx_cells_many(
                 return F.col(names[id(n)])
             if n.kind == "nary":
                 return _nary_col(n.op, [val(a) for a in n.args])
+            if n.kind == "iif":
+                return _iif_col(n, val)
             return _ARITH[n.op](val(n.left), val(n.right))
 
         return cur.withColumn("crimes", val(ast))

@@ -2437,3 +2437,58 @@ def test_set_aggregation_parse_errors():
     ]:
         with pytest.raises(MdxError, match=pat):
             parse_mdx(f"WITH MEMBER [Measures].[x] AS {body} {head}")
+
+
+def test_iif_isempty_null_guard_and_comparison(spark):
+    """IIF + IsEmpty: the null-guard idiom — replace empty cells,
+    guard divisions; Not IsEmpty swaps branches; a NULL comparison
+    operand takes the else branch (three-valued IIF)."""
+    from map_reduce_sf_crime_spark.mdx import mdx_cells
+
+    rows = [
+        (11, "THEFT", "MISSION", 1995, 0, 1, 1),
+        (13, "THEFT", "MISSION", 1995, 1, 1, 1),
+        (100, "THEFT", "CENTRAL", 1995, 2, 1, 1),
+    ]
+    star = spark.createDataFrame(
+        rows,
+        "crimes long, category string, district string, "
+        "year int, month int, week int, day int",
+    )
+    q = """WITH MEMBER [Measures].[guarded] AS
+  'IIF(IsEmpty(([Measures].[crimes], [District].[CENTRAL])), 0,
+       ([Measures].[crimes], [District].[CENTRAL]))'
+MEMBER [Measures].[ng] AS
+  'IIF(Not IsEmpty(([Measures].[crimes], [District].[CENTRAL])), 1, 0)'
+MEMBER [Measures].[big] AS
+  'IIF([Measures].[crimes] > 50, 1, 0)'
+MEMBER [Measures].[nullcmp] AS
+  'IIF(([Measures].[crimes], [District].[CENTRAL]) > 0, 1, 0)'
+select {[Measures].[guarded], [Measures].[ng], [Measures].[big],
+        [Measures].[nullcmp]} ON COLUMNS,
+  Descendants([Time].[1995], [Time].[month]) ON ROWS
+from [sfcrime]
+"""
+    by_col = {}
+    for r in mdx_cells(star, parse_mdx(q)).collect():
+        by_col.setdefault(r.col_member, {})[r.row_member] = r.crimes
+    ms = ["1995, 0", "1995, 1", "1995, 2"]
+    assert by_col["guarded"] == {ms[0]: 0.0, ms[1]: 0.0, ms[2]: 100.0}
+    assert by_col["ng"] == {ms[0]: 0.0, ms[1]: 0.0, ms[2]: 1.0}
+    assert by_col["big"] == {ms[0]: 0.0, ms[1]: 0.0, ms[2]: 1.0}
+    # CENTRAL cell NULL for months 0-1: unknown comparison → else
+    assert by_col["nullcmp"] == {ms[0]: 0.0, ms[1]: 0.0, ms[2]: 1.0}
+    # parse errors
+    for body, pat in [
+        ("'IIF([Measures].[crimes], 1, 0)'", "needs IsEmpty"),
+        (
+            "'IIF(Not [Measures].[crimes] > 1, 1, 0)'",
+            "Not applies to IsEmpty",
+        ),
+    ]:
+        with pytest.raises(MdxError, match=pat):
+            parse_mdx(
+                f"WITH MEMBER [Measures].[x] AS {body} "
+                "select {[Measures].[x]} ON COLUMNS, "
+                "{[Category].[All Categories]} ON ROWS from [sfcrime]"
+            )
