@@ -41,7 +41,12 @@ and ``OpeningPeriod``/``ClosingPeriod([Hier].[level][, member])``
 (order statistics: the lexicographic min/max sub-path at the target
 level) — compile to data-level joins on the typed level
 paths (the period-over-period, running-total, and period-edge
-idioms; see _calc_grouped). Navigation is confined to WITH MEMBER value tuples —
+idioms; see _calc_grouped). Set aggregations over EXPLICIT sets
+(``Sum/Avg/Min/Max/Aggregate({tuples}, expr)``,
+``Count(set[, EXCLUDEEMPTY])``, ``CoalesceEmpty``) expand at parse
+time into per-member refs under Mondrian's empty-cell algebra, and
+``IIF([Not] IsEmpty(e) | e cmp e, then, else)`` is the three-valued
+null guard. Navigation is confined to WITH MEMBER value tuples —
 axes, slicers, set-function expressions, named sets, and Generate's
 first argument all reject it loudly.
 This module parses exactly that grammar and compiles it onto the
