@@ -989,15 +989,30 @@ class _Parser:
         ``.Children`` set's size exists only in data, which a
         parse-time expansion into per-member value refs cannot
         know — the same boundary as Generate's first argument."""
+        def item() -> list[list[_Member]]:
+            # a WITH SET reference splices its member tuples in —
+            # the axis-brace discipline (ops-carrying sets are
+            # definitional, not enumerable member lists)
+            ref = self._named_set_ref()
+            if ref is not None:
+                if ref.ops:
+                    raise MdxError(
+                        f"{fn}: a named set carrying set functions "
+                        "cannot be aggregated — reference the bare "
+                        "member list"
+                    )
+                return [list(tp) for tp in ref.tuples]
+            return [self.tuple_()]
+
         if self.peek() == "{":
             self.next()
-            tuples = [self.tuple_()]
+            tuples = list(item())
             while self.peek() == ",":
                 self.next()
-                tuples.append(self.tuple_())
+                tuples.extend(item())
             self.expect("}")
         else:
-            tuples = [self.tuple_()]
+            tuples = list(item())
         for tp in tuples:
             for m in tp:
                 if m.measure is not None:
@@ -1753,6 +1768,9 @@ def parse_mdx(text: str) -> MdxQuery:
             quote = body[0]
             sub = _Parser(_tokenize(body[1:-1].replace(quote * 2, quote)))
             sub.calc_names = set(calc)  # refs to earlier defs raise loudly
+            # earlier WITH SET member lists splice into this body's
+            # set aggregations (Sum([myset], ...) — round 11)
+            sub.named_sets = dict(named_sets)
             # WITH MEMBER bodies may bind the cell's CurrentMember
             # (PrevMember/ParallelPeriod/PeriodsToDate — round 11);
             # named sets and axes deliberately may not

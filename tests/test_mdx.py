@@ -2492,3 +2492,24 @@ from [sfcrime]
                 "select {[Measures].[x]} ON COLUMNS, "
                 "{[Category].[All Categories]} ON ROWS from [sfcrime]"
             )
+
+
+def test_set_aggregation_over_named_set(spark):
+    """A WITH SET member list splices into a set aggregation —
+    Sum([both], crimes) == the two districts' total."""
+    from map_reduce_sf_crime_spark.mdx import mdx_cells
+
+    q = """WITH SET [both] AS '{([District].[MISSION]), ([District].[CENTRAL])}'
+MEMBER [Measures].[tot] AS 'Sum([both], [Measures].[crimes])'
+select {[Measures].[tot]} ON COLUMNS,
+  Descendants([Time].[1995], [Time].[month]) ON ROWS
+from [sfcrime]
+"""
+    got = {
+        r.row_member: r.crimes
+        for r in mdx_cells(_nav_star(spark), parse_mdx(q)).collect()
+    }
+    tot = _month_totals()
+    assert got == {
+        f"1995, {m}": float(v) for (y, m), v in tot.items() if y == 1995
+    }
