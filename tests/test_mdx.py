@@ -2513,3 +2513,49 @@ from [sfcrime]
     assert got == {
         f"1995, {m}": float(v) for (y, m), v in tot.items() if y == 1995
     }
+
+
+def test_crossjoin_enumeration_with_navigation(spark):
+    """Navigation composes with a TWO-hierarchy enumerated axis:
+    Crossjoin(district.Children, months) × delta(PrevMember) — the
+    lag join keys on the time path while the district enumeration
+    rides along (lg), pinned against a per-district window twin."""
+    from pyspark.sql import Window
+    from map_reduce_sf_crime_spark.mdx import mdx_cells
+
+    star = _nav_star(spark)
+    q = """WITH MEMBER [Measures].[delta] AS
+  '[Measures].[crimes] - ([Measures].[crimes], [Time].CurrentMember.PrevMember)'
+select {[Measures].[delta]} ON COLUMNS,
+  Crossjoin({[District].[All Districts].Children},
+            Descendants([Time].[1995], [Time].[month])) ON ROWS
+from [sfcrime]
+"""
+    got = {
+        r.row_member: r.crimes
+        for r in mdx_cells(star, parse_mdx(q)).collect()
+    }
+    # twin: PrevMember is a TIME navigation — the GLOBAL previous
+    # month (all districts' months), and the cell's district then
+    # looks its own value up there (possibly empty). A per-district
+    # lag would be a different (wrong) semantics: it skips months
+    # the district has no data for.
+    months = sorted(
+        (r.year, r.month)
+        for r in star.select("year", "month").distinct().collect()
+    )
+    prev = {b: a for a, b in zip(months, months[1:])}
+    vals = {
+        (r.district, r.year, r.month): r.c
+        for r in star.groupBy("district", "year", "month")
+        .agg(F.sum("crimes").alias("c"))
+        .collect()
+    }
+    want = {}
+    for (d, y, m), c in vals.items():
+        if y != 1995 or (y, m) not in prev:
+            continue
+        py, pm = prev[(y, m)]
+        if (d, py, pm) in vals:
+            want[f"{d}, 1995, {m}"] = float(c - vals[(d, py, pm)])
+    assert got == want and got
