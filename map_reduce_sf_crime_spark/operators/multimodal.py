@@ -587,3 +587,97 @@ select doc_id, n_bytes::int as n_bytes, checksum,
             else list_sum(bytes_list) * 1.0 / n_bytes end as mean_byte
 from b
 """
+
+
+#: Output schema of the fused feature+dhash stage: FEATURE_SCHEMA's
+#: columns followed by the 64-bit perceptual hash.
+FEATURE_DHASH_SCHEMA = T.StructType(
+    list(FEATURE_SCHEMA) + [T.StructField("dhash", T.LongType())]
+)
+
+
+def features_with_dhash(
+    media: DataFrame,
+    decoder: Callable[[bytes], dict] = fake_decode,
+    pixel_decoder: Callable[[bytes], list[list[int]]] = fake_pixels,
+) -> DataFrame:
+    """:func:`extract_features` and :func:`image_dhash` fused into ONE
+    ``mapInPandas`` pass — the payload crosses the JVM↔Arrow boundary
+    once and the doc_id join between the two feature frames disappears
+    (it was a full second decode pass + a broadcast join per serve).
+    Output ≡ ``extract_features(media, decoder).join(image_dhash(media,
+    pixel_decoder), "doc_id")`` bit for bit (pytest-pinned).
+
+    With the default FAKE decoders the batch loop is vectorized with
+    numpy over one concatenated byte buffer (prefix sums; integer
+    floor arithmetic identical to the scalar forms — ``sum//len`` per
+    box cell, ``lens//100 + 1`` frames, float64 ``sum/len`` mean), so
+    no per-row Python executes. Custom decoders (the injectable codec
+    seam) take the generic per-row path with identical semantics."""
+    import numpy as np
+
+    vectorized = decoder is fake_decode and pixel_decoder is fake_pixels
+    cells = DHASH_ROWS * DHASH_COLS
+
+    def _fake_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        payloads = list(pdf["payload"])
+        n = len(payloads)
+        lens = np.fromiter((len(p) for p in payloads), np.int64, count=n)
+        buf = np.frombuffer(b"".join(payloads), np.uint8).astype(np.int64)
+        cum = np.concatenate(([0], np.cumsum(buf)))
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        sums = cum[offs[1:]] - cum[offs[:-1]]
+        mean_byte = np.where(lens > 0, sums / np.maximum(lens, 1), 0.0)
+        # fake_pixels grid: cell k spans bytes [k*n//cells, (k+1)*n//cells)
+        k = np.arange(cells + 1, dtype=np.int64)[None, :]
+        edge = k * lens[:, None] // cells + offs[:-1, None]
+        csum = cum[edge[:, 1:]] - cum[edge[:, :-1]]
+        cnt = edge[:, 1:] - edge[:, :-1]
+        cell = np.where(cnt > 0, csum // np.maximum(cnt, 1), 0).reshape(
+            n, DHASH_ROWS, DHASH_COLS
+        )
+        # dhash64 over an already-8×9 grid is the adjacent-column
+        # comparison directly (its box-average is the identity there)
+        bits = (cell[:, :, :-1] < cell[:, :, 1:]).reshape(n, 64)
+        low = (
+            bits[:, 1:].astype(np.int64)
+            * (np.int64(1) << (62 - np.arange(63, dtype=np.int64)))[None, :]
+        ).sum(axis=1)
+        dhash = low + np.where(bits[:, 0], np.int64(-(2**63)), np.int64(0))
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["n_bytes"].astype("int32"),
+                "checksum": pdf["checksum"],
+                "n_frames": (lens // FRAME_BYTES + 1).astype("int32"),
+                "mean_byte": mean_byte,
+                "dhash": dhash,
+            }
+        )
+
+    def _generic_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        feats = pdf["payload"].map(decoder)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["n_bytes"].astype("int32"),
+                "checksum": pdf["checksum"],
+                "n_frames": feats.map(lambda f: f["n_frames"]).astype("int32"),
+                "mean_byte": feats.map(lambda f: f["mean_byte"]),
+                "dhash": pd.Series(
+                    [dhash64(pixel_decoder(p)) for p in pdf["payload"]],
+                    index=pdf.index,
+                    dtype="int64",
+                ),
+            }
+        )
+
+    per_batch = _fake_batch if vectorized else _generic_batch
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield per_batch(pdf)
+
+    return media.select("doc_id", "payload", "n_bytes", "checksum").mapInPandas(
+        _batches, FEATURE_DHASH_SCHEMA
+    )

@@ -41,9 +41,12 @@ def multimodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("checksum").alias("meta_checksum"),
     )
     media = multimodal.with_payload(fan_out(docs))
-    feats = multimodal.extract_features(media)
-    dh = multimodal.image_dhash(media)
-    return feats.join(meta, "doc_id").join(dh, "doc_id").select(
+    # r11: features + dhash in ONE Arrow pass (was extract_features ⋈
+    # image_dhash — a second payload decode pass and a doc_id join;
+    # guide §4.1/§4.2), numpy-vectorized batch math, bit-identical
+    # (pinned in tests/test_multimodal.py::test_features_with_dhash_*)
+    feats = multimodal.features_with_dhash(media)
+    return feats.join(meta, "doc_id").select(
         "doc_id",
         "n_bytes",
         "checksum",

@@ -377,3 +377,63 @@ def test_pil_seams_raise_clear_importerror_when_absent():
         pil_pixels(b"\x89PNG\r\n\x1a\n")
     with _pytest.raises(ImportError, match="Pillow"):
         pil_decode(b"\x89PNG\r\n\x1a\n")
+
+
+def test_features_with_dhash_fused_equals_composition(spark):
+    """r11 fusion: the single-pass features_with_dhash must equal
+    extract_features ⋈ image_dhash BIT FOR BIT — on the vectorized
+    fake-decoder path AND the generic injectable-decoder path (forced
+    by passing non-default callables), including empty payloads."""
+    docs = _docs(spark).limit(120).union(
+        spark.createDataFrame(
+            [(10_000_001, "", "x", "en", 0)],
+            "doc_id long, text string, source string, lang string, n_chars int",
+        ).select(*_docs(spark).columns)
+    )
+    media = multimodal.with_payload(docs)
+    fused = multimodal.features_with_dhash(media)
+    assert fused.schema == multimodal.FEATURE_DHASH_SCHEMA
+    comp = multimodal.extract_features(media).join(
+        multimodal.image_dhash(media), "doc_id"
+    )
+    a = sorted(map(tuple, fused.collect()))
+    b = sorted(map(tuple, comp.select(*fused.columns).collect()))
+    assert a == b
+    generic = multimodal.features_with_dhash(
+        media,
+        decoder=lambda p: multimodal.fake_decode(p),
+        pixel_decoder=lambda p: multimodal.fake_pixels(p),
+    )
+    assert sorted(map(tuple, generic.collect())) == a
+
+
+def test_features_with_dhash_real_decoders(spark):
+    """Fused pass with the REAL stdlib decoders (PGM payloads through
+    Spark) equals the composition — the injectable seam's contract."""
+    import pandas as pd
+
+    pgms = [
+        (1, _make_pgm(4, 3, bytes(range(12)))),
+        (2, _make_pgm(2, 2, bytes([10, 20, 30, 40]))),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [i for i, _ in pgms],
+                "payload": [p for _, p in pgms],
+                "n_bytes": [len(p) for _, p in pgms],
+                "checksum": ["c1", "c2"],
+            }
+        )
+    )
+    fused = multimodal.features_with_dhash(
+        media,
+        decoder=multimodal.decode_image,
+        pixel_decoder=multimodal.decode_pixels,
+    )
+    comp = multimodal.extract_features(media, decoder=multimodal.decode_image).join(
+        multimodal.image_dhash(media, decoder=multimodal.decode_pixels), "doc_id"
+    )
+    assert sorted(map(tuple, fused.collect())) == sorted(
+        map(tuple, comp.select(*fused.columns).collect())
+    )
