@@ -120,6 +120,20 @@ def shingles_sql(tok: str, n: int) -> str:
     )
 
 
+def bind_col(col: Column, fn) -> Column:
+    """Let-binding for column expressions:
+    ``transform(array(col), x -> fn(x))[0]`` evaluates ``col`` ONCE and
+    hands the value to ``fn`` as a bound lambda variable. Needed
+    because higher-order-function expressions are excluded from
+    codegen subexpression elimination, so every textual reuse of a
+    HOF-bearing column (``tokens_col`` is ``filter(split(...))``)
+    re-evaluates the whole subtree — the exact blow-up measured 12× on
+    shingles in round 8 (see :func:`shingles_col`). Value semantics
+    are identical: the lambda sees exactly ``col``'s value, including
+    null."""
+    return F.transform(F.array(col), fn)[0]
+
+
 def stopword_hits_col(tok: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(tok, lambda t: t.isin(list(words))))
 
@@ -148,10 +162,29 @@ def lang_argmax_col(scores: dict) -> Column:
 def lang_id_col(tok: Column) -> Column:
     """Argmax language by stopword hits; ties and zero-hit docs →
     'und'. Deterministic: strictly-greater comparison in fixed lang
-    order mirrors the SQL twin."""
-    return lang_argmax_col(
-        {lang: stopword_hits_col(tok, ws) for lang, ws in LANG_STOPWORDS.items()}
-    )
+    order mirrors the SQL twin.
+
+    Doubly let-bound (r11): the token array is evaluated once, then
+    the five per-language hit counts are packed into one bound struct
+    before the argmax references them — the unbound argmax chain
+    re-inlined the hit-count HOFs ~50× (each ``greatest`` reference
+    duplicates all five), which re-tokenized the document that many
+    times when ``tok`` is a raw ``tokens_col`` expression. Bit-equal
+    output; measured ~2× on the corpus_clean_stats filter."""
+
+    def over_scores(t: Column) -> Column:
+        fields = [
+            stopword_hits_col(t, ws).alias(f"s_{lang}")
+            for lang, ws in LANG_STOPWORDS.items()
+        ]
+        return bind_col(
+            F.struct(*fields),
+            lambda s: lang_argmax_col(
+                {lang: s[f"s_{lang}"] for lang in LANG_STOPWORDS}
+            ),
+        )
+
+    return bind_col(tok, over_scores)
 
 
 def lang_id_sql(tok: str) -> str:

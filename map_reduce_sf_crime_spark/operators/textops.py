@@ -46,16 +46,13 @@ from documents
 """
 
 
-def _quality_ratio_exprs(text):
-    """(stop_ratio, punct_ratio, uniq_ratio, score) raw expressions
-    over a text column — shared by quality_scores, text_profile, and
-    the pipeline's inline quality filter."""
-    tok = tokens_col(text)
-    n_tok = F.size(tok)
+def _quality_exprs_from(text, n_tok, stop, uniq):
+    """(stop_ratio, punct_ratio, uniq_ratio, score) from the three
+    token-derived counts — THE single score formula, whether the
+    counts arrive as raw expressions (:func:`_quality_ratio_exprs`) or
+    as let-bound struct fields (:func:`quality_col`)."""
     n_chars = F.length(text)
     punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
-    stop = stopword_hits_col(tok, QUALITY_STOPWORDS)
-    uniq = F.size(F.array_distinct(tok))
     safe_tok = F.greatest(n_tok, F.lit(1))
     stop_ratio = stop / safe_tok
     punct_ratio = punct / F.greatest(n_chars, F.lit(1))
@@ -70,11 +67,47 @@ def _quality_ratio_exprs(text):
     return stop_ratio, punct_ratio, uniq_ratio, score
 
 
+def _quality_ratio_exprs(text):
+    """(stop_ratio, punct_ratio, uniq_ratio, score) raw expressions
+    over a text column — shared by quality_scores, text_profile, and
+    the pipeline's inline quality filter."""
+    tok = tokens_col(text)
+    return _quality_exprs_from(
+        text,
+        F.size(tok),
+        stopword_hits_col(tok, QUALITY_STOPWORDS),
+        F.size(F.array_distinct(tok)),
+    )
+
+
 def quality_col(text) -> Column:
     """The heuristic quality score (rounded 6dp) as a row-local
-    column expression, for inline filtering without a join."""
-    _, _, _, score = _quality_ratio_exprs(text)
-    return F.round(score.cast("double"), 6)
+    column expression, for inline filtering without a join.
+
+    Doubly let-bound (r11, functions/text.bind_col): the score formula
+    references the token array ~6× (length gate, stop ratio, unique
+    ratio) and HOF subtrees are outside codegen subexpression
+    elimination, so the unbound form re-tokenized the document per
+    reference. Tokens are bound once, the three token-derived counts
+    once more via a struct; identical arithmetic → bit-equal score."""
+    from ..functions.text import bind_col
+
+    def over_counts(t: Column) -> Column:
+        fields = [
+            F.size(t).alias("n_tok"),
+            stopword_hits_col(t, QUALITY_STOPWORDS).alias("stop"),
+            F.size(F.array_distinct(t)).alias("uniq"),
+        ]
+
+        def score(s: Column) -> Column:
+            _, _, _, raw = _quality_exprs_from(
+                text, s["n_tok"], s["stop"], s["uniq"]
+            )
+            return F.round(raw.cast("double"), 6)
+
+        return bind_col(F.struct(*fields), score)
+
+    return bind_col(tokens_col(text), over_counts)
 
 
 def quality_scores(docs: DataFrame) -> DataFrame:

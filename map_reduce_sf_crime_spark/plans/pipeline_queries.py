@@ -342,10 +342,11 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (lang_id_col(tokens_col(F.col("text"))) == "en")
     ).select("doc_id", "text", "source")
     kept = dedup.dedup_keep_first(filtered).transform(plan_cache)
-    near_dupes = (
-        dedup.near_dup_pairs_exact(kept, n=3, threshold=NEAR_DUP_T)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
+    # no distinct on doc_b: LeftAnti is duplicate-insensitive, so the
+    # distinct only added an exchange + two aggregates (r11, guide §2.4
+    # "a distinct on data that is already unique [for the consumer]")
+    near_dupes = dedup.near_dup_pairs_exact(kept, n=3, threshold=NEAR_DUP_T).select(
+        F.col("doc_b").alias("doc_id")
     )
     clean = kept.join(near_dupes, "doc_id", "left_anti")
     return clean.groupBy("source").agg(
