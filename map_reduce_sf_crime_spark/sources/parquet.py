@@ -131,6 +131,24 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(raw, check_key=sf_dir)
 
 
+#: (path, mtime_ns, size) → parquet schema. Every ``readStream`` needs
+#: the schema up front, and inferring it is a driver-side footer read
+#: (~0.1 s) paid per stream build — a query that starts two concurrent
+#: streams paid it twice per build (r11 measurement). Keyed on the
+#: file's identity AND its mtime/size so a rewritten file re-infers.
+_STREAM_SCHEMAS: dict[tuple[str, int, int], "object"] = {}
+
+
+def _events_schema(spark: SparkSession, sf_dir: str):
+    path = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    schema = _STREAM_SCHEMAS.get(key)
+    if schema is None:
+        schema = _STREAM_SCHEMAS[key] = spark.read.parquet(path).schema
+    return schema
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the static events parquet (file-source
     streaming wants a directory: stream the sf dir glob-filtered to
@@ -138,9 +156,8 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     so batch-replay oracles agree."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(_events_schema(spark, sf_dir))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
