@@ -67,16 +67,21 @@ MAX_COLLECT_ROWS = 2_000_000
 
 
 def _bounded_collect(df: DataFrame, what: str, limit: int = MAX_COLLECT_ROWS):
-    """Size-guarded ``collect()`` for exact/broadcast kernels: count
-    first, refuse above ``limit`` with a pointer at the scale path."""
-    n = df.count()
-    if n > limit:
+    """Size-guarded ``collect()`` for exact/broadcast kernels: refuse
+    above ``limit`` with a pointer at the scale path. One job, not a
+    count + collect pair (r11): collecting ``limit + 1`` rows both
+    bounds the driver transfer AND detects overflow — the extra row
+    past the limit is at most one, and the guard fires before any
+    caller sees the rows. Row multiset identical to ``collect()``
+    below the limit (callers are row-order-insensitive)."""
+    rows = df.limit(limit + 1).collect()
+    if len(rows) > limit:
         raise ValueError(
-            f"{what}: refusing to collect {n} rows to the driver "
-            f"(limit {limit}). Use the banded-LSH/IVF tier at this "
-            f"scale instead of the exact broadcast kernel."
+            f"{what}: refusing to collect more than {limit} rows to "
+            f"the driver. Use the banded-LSH/IVF tier at this scale "
+            f"instead of the exact broadcast kernel."
         )
-    return df.collect()
+    return rows
 
 
 def knn_bruteforce(
