@@ -278,7 +278,17 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cannot remove it — the lineage stays in the frame; the tracked
     # localCheckpoint swaps it for a LogicalRDD scan, so warm reps
     # re-plan in microseconds. Values bit-identical, gate unchanged.
-    pos = sampling.with_global_shuffle_pos(capped).transform(plan_cache)
+    # r11: checkpoint on top of the pos cache. Every downstream branch
+    # (prefix sum, budget flag, shard count + output) embedded pos's
+    # full logical subtree — which itself embeds capped ×2 and weights
+    # ×2 — so the per-build Catalyst walk planned a multiplicative
+    # fan-out of the scan subtree (the same disease as olap_rollups'
+    # star legs). The LogicalRDD cut drops the fresh-build rep from
+    # ~4.8-5.6 s to ~2.1-2.4 s measured at ≤1.7 % steal; values
+    # identical, and rebuild reps re-checkpoint from the warm pos
+    # cache underneath instead of re-executing the pipeline.
+    pos_cache = sampling.with_global_shuffle_pos(capped).transform(plan_cache)
+    pos = plan_checkpoint(pos_cache)
     budgeted = plan_checkpoint(
         sampling.with_prefix_sum(
             pos,
@@ -291,13 +301,17 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum_lang_chars") <= F.col("lang_token_quota")).cast("int"),
         )
     )
-    # the checkpoint materialized EAGERLY just above, so the
-    # intermediate caches (which exist to dedupe the fan points WITHIN
-    # that one materialization) are dead weight from here — release
-    # them now rather than holding corpus-sized blocks until the next
-    # query build (round-7 review; a serving session may never switch
-    # queries). A fresh rebuild re-caches them on demand.
-    for interim in (weights, capped, pos):
+    # the checkpoints materialized EAGERLY just above, so the caches
+    # upstream of the POS checkpoint (which exist to dedupe the fan
+    # points WITHIN that one materialization) are dead weight from
+    # here — release them now rather than holding corpus-sized blocks
+    # until the next query build (round-7 review; a serving session
+    # may never switch queries). A fresh rebuild re-caches them on
+    # demand. The pos cache itself deliberately stays: it is what a
+    # same-process rebuild's pos checkpoint re-materializes from (the
+    # standard tracked-cache lifecycle releases it at the next query
+    # build).
+    for interim in (weights, capped):
         interim.unpersist()
     # checkpointed at the fan point: shard_assignments' one-row count
     # agg would otherwise re-execute the whole budgeted pipeline
