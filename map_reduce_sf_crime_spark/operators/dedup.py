@@ -25,6 +25,8 @@ functions/hashing.py, so DuckDB reproduces signatures bit-for-bit.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -81,6 +83,16 @@ def dedup_keep_first(docs: DataFrame, key: str = "text") -> DataFrame:
 
 # ------------------------------------------- n-gram Jaccard (exact)
 
+@functools.lru_cache(maxsize=8)
+def _shingle_set_expr(n: int):
+    """Memoized distinct-shingle Column over the ``text`` column:
+    building the let-bound shingle lambda costs ~0.05 s of py4j
+    construction per call (r11 measurement) and every dedup-family
+    build calls it; a Column is an immutable expression tree resolved
+    per-DataFrame, so one instance per ``n`` serves the process."""
+    return F.array_distinct(shingles_col(tokens_col(F.col("text")), n))
+
+
 def shingle_sets(
     docs: DataFrame, n: int, carry: tuple[str, ...] = ()
 ) -> DataFrame:
@@ -91,7 +103,7 @@ def shingle_sets(
     return docs.select(
         "doc_id",
         *carry,
-        F.array_distinct(shingles_col(tokens_col(F.col("text")), n)).alias("sh"),
+        _shingle_set_expr(n).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
 
 

@@ -14,6 +14,8 @@ builders over a CTE of the filtered corpus.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -345,16 +347,26 @@ def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@functools.lru_cache(maxsize=1)
+def _clean_pred():
+    """The quality+lang keep predicate as a memoized unresolved
+    Column. Building the let-bound expression costs ~0.35 s of py4j
+    lambda construction (r11 measurement) and corpus_clean_stats is a
+    rebuild-per-rep entry, so it paid that per rep; a Column is an
+    immutable expression tree resolved per-DataFrame at analysis, so
+    one instance serves every build in the process."""
+    return (textops.quality_col(F.col("text")) >= QUALITY_MIN) & (
+        lang_id_col(tokens_col(F.col("text"))) == "en"
+    )
+
+
 @register("corpus_clean_stats", _CLEAN_SQL, survey_ids=("PL1",), rebuild=True)
 def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     # quality + lang are row-local expressions — computed as columns
     # of the scan projection and filtered in place (no doc_id joins;
     # the filters sit on the scan side of every downstream shuffle)
-    filtered = docs.filter(
-        (textops.quality_col(F.col("text")) >= QUALITY_MIN)
-        & (lang_id_col(tokens_col(F.col("text"))) == "en")
-    ).select("doc_id", "text", "source")
+    filtered = docs.filter(_clean_pred()).select("doc_id", "text", "source")
     kept = dedup.dedup_keep_first(filtered).transform(plan_cache)
     # no distinct on doc_b: LeftAnti is duplicate-insensitive, so the
     # distinct only added an exchange + two aggregates (r11, guide §2.4
