@@ -83,13 +83,21 @@ def dedup_keep_first(docs: DataFrame, key: str = "text") -> DataFrame:
 
 # ------------------------------------------- n-gram Jaccard (exact)
 
-@functools.lru_cache(maxsize=8)
 def _shingle_set_expr(n: int):
     """Memoized distinct-shingle Column over the ``text`` column:
     building the let-bound shingle lambda costs ~0.05 s of py4j
     construction per call (r11 measurement) and every dedup-family
     build calls it; a Column is an immutable expression tree resolved
-    per-DataFrame, so one instance per ``n`` serves the process."""
+    per-DataFrame, so one instance per ``n`` serves the process.
+    Keyed on the live gateway (r12 ADVICE hardening) so a restarted
+    JVM re-builds instead of serving dead JavaObjects."""
+    from ..functions.caching import gateway_key
+
+    return _shingle_set_expr_impl(n, gateway_key())
+
+
+@functools.lru_cache(maxsize=8)
+def _shingle_set_expr_impl(n: int, _gw):
     return F.array_distinct(shingles_col(tokens_col(F.col("text")), n))
 
 
@@ -133,6 +141,17 @@ def near_dup_pairs_exact(docs: DataFrame, n: int = 3, threshold: float = 0.5) ->
     inverted-index join (the DuckDB oracle computes that form); the
     equivalence is also asserted in tests/test_dedup.py."""
     t = shingle_sets(docs, n).transform(plan_cache)
+    return near_dup_pairs_from_shingles(t, threshold)
+
+
+def near_dup_pairs_from_shingles(t: DataFrame, threshold: float) -> DataFrame:
+    """:func:`near_dup_pairs_exact` over an ALREADY-SHINGLED frame —
+    ``t`` must carry ``(doc_id, sh, n_sh)`` (extra columns are fine)
+    and should be cached by the caller: the prefix pass and both
+    verify legs re-read it. Lets a pipeline that already pays a
+    shingle pass (corpus_clean_stats' staged projection, r12) feed
+    the join directly instead of re-tokenizing + re-shingling the
+    corpus inside this operator (guide §2 reuse-before-recompute)."""
     e = t.select("doc_id", "n_sh", F.explode("sh").alias("s"))
     freq = e.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     rank_w = Window.partitionBy("doc_id").orderBy("df", "s")
@@ -145,9 +164,22 @@ def near_dup_pairs_exact(docs: DataFrame, n: int = 3, threshold: float = 0.5) ->
         e.join(freq, "s")
         .withColumn("rk", F.row_number().over(rank_w))
         .filter(F.col("rk") <= prefix_len)
-        .select("doc_id", "n_sh", "s")
+        .select("doc_id", "n_sh", "s", "rk")
         .transform(plan_cache)
     )
+    # PPJoin POSITIONAL filter (r12, same Xiao et al. paper): rk is
+    # each shingle's position in the doc's full (df, s)-sorted list —
+    # a GLOBAL total order, so every shared shingle of a pair sits on
+    # the same side of any other shared shingle in both docs. At a
+    # collision on s, the overlap reachable from s onward is bounded
+    # by ubound = 1 + min(na − rk_a, nb − rk_b); J ≥ t needs overlap
+    # α = ceil(t/(1+t)·(na+nb)), and a qualifying pair ALWAYS passes
+    # at its first shared prefix shingle (all shared shingles are ≥ it
+    # in the global order, so ubound there bounds the FULL overlap) —
+    # lossless, with the PRUNE_EPS slack against float tightening.
+    # Prunes candidate rows BEFORE the distinct and the two verify
+    # set-fetch joins.
+    alpha_frac = threshold / (1.0 + threshold)
     a, b = prefix.alias("a"), prefix.alias("b")
     cands = (
         a.join(
@@ -156,7 +188,16 @@ def near_dup_pairs_exact(docs: DataFrame, n: int = 3, threshold: float = 0.5) ->
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # length filter: J ≥ t ⇒ t·na ≤ nb ≤ na/t (symmetric form)
             & (F.col("b.n_sh") * threshold <= F.col("a.n_sh") + PRUNE_EPS)
-            & (F.col("a.n_sh") * threshold <= F.col("b.n_sh") + PRUNE_EPS),
+            & (F.col("a.n_sh") * threshold <= F.col("b.n_sh") + PRUNE_EPS)
+            & (
+                1
+                + F.least(
+                    F.col("a.n_sh") - F.col("a.rk"),
+                    F.col("b.n_sh") - F.col("b.rk"),
+                )
+                + PRUNE_EPS
+                >= (F.col("a.n_sh") + F.col("b.n_sh")) * alpha_frac
+            ),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()

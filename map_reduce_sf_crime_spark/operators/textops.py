@@ -80,6 +80,31 @@ def _quality_ratio_exprs(text):
     )
 
 
+def quality_from_tokens(text, tok: Column) -> Column:
+    """The heuristic quality score (rounded 6dp) over an ALREADY
+    AVAILABLE token array — ``tok`` may be a raw expression (then
+    bind it first, as :func:`quality_col` does) or a materialized
+    attribute column (then references are cheap and no outer bind is
+    needed: the r12 corpus_clean_stats staged projection). The three
+    token-derived counts are still packed into one bound struct so
+    each HOF evaluates once; identical arithmetic → bit-equal score."""
+    from ..functions.text import bind_col
+
+    fields = [
+        F.size(tok).alias("n_tok"),
+        stopword_hits_col(tok, QUALITY_STOPWORDS).alias("stop"),
+        F.size(F.array_distinct(tok)).alias("uniq"),
+    ]
+
+    def score(s: Column) -> Column:
+        _, _, _, raw = _quality_exprs_from(
+            text, s["n_tok"], s["stop"], s["uniq"]
+        )
+        return F.round(raw.cast("double"), 6)
+
+    return bind_col(F.struct(*fields), score)
+
+
 def quality_col(text) -> Column:
     """The heuristic quality score (rounded 6dp) as a row-local
     column expression, for inline filtering without a join.
@@ -89,25 +114,13 @@ def quality_col(text) -> Column:
     ratio) and HOF subtrees are outside codegen subexpression
     elimination, so the unbound form re-tokenized the document per
     reference. Tokens are bound once, the three token-derived counts
-    once more via a struct; identical arithmetic → bit-equal score."""
+    once more via a struct (the shared :func:`quality_from_tokens`);
+    identical arithmetic → bit-equal score."""
     from ..functions.text import bind_col
 
-    def over_counts(t: Column) -> Column:
-        fields = [
-            F.size(t).alias("n_tok"),
-            stopword_hits_col(t, QUALITY_STOPWORDS).alias("stop"),
-            F.size(F.array_distinct(t)).alias("uniq"),
-        ]
-
-        def score(s: Column) -> Column:
-            _, _, _, raw = _quality_exprs_from(
-                text, s["n_tok"], s["stop"], s["uniq"]
-            )
-            return F.round(raw.cast("double"), 6)
-
-        return bind_col(F.struct(*fields), score)
-
-    return bind_col(tokens_col(text), over_counts)
+    return bind_col(
+        tokens_col(text), lambda t: quality_from_tokens(text, t)
+    )
 
 
 def quality_scores(docs: DataFrame) -> DataFrame:

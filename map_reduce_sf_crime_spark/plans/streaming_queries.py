@@ -29,11 +29,16 @@ from .registry import register
 )
 def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling (ST1) and hopping/sliding (ST2) watermarked window
-    aggregates in one tagged row-set — two real streaming queries run
-    CONCURRENTLY in the session (started before either is awaited),
-    each verified against its batch twin (stream/batch parity over
-    complete input)."""
-    return windows.window_counts_concurrent(spark, sf_dir)
+    aggregates in one tagged row-set, verified against the batch twin
+    (stream/batch parity over complete input). r12: served by the
+    FUSED single-stream form — window-instance assignment is row-local,
+    so one keyed streaming aggregation computes both window families
+    in one micro-batch pipeline instead of two concurrent queries each
+    paying the addBatch + queryPlanning floor (see
+    streaming/windows.window_counts_fused; the concurrent two-query
+    form stays as window_counts_concurrent, equality pinned in
+    tests/test_streaming.py)."""
+    return windows.window_counts_fused(spark, sf_dir)
 
 
 @register(

@@ -131,20 +131,31 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(raw, check_key=sf_dir)
 
 
-#: (path, mtime_ns, size) → parquet schema. Every ``readStream`` needs
-#: the schema up front, and inferring it is a driver-side footer read
-#: (~0.1 s) paid per stream build — a query that starts two concurrent
-#: streams paid it twice per build (r11 measurement). Keyed on the
-#: file's identity AND its mtime/size so a rewritten file re-infers.
-_STREAM_SCHEMAS: dict[tuple[str, int, int], "object"] = {}
+#: (path, mtime_ns, size, nanosAsLong) → parquet schema. Every
+#: ``readStream`` needs the schema up front, and inferring it is a
+#: driver-side footer read (~0.1 s) paid per stream build — a query
+#: that starts two concurrent streams paid it twice per build (r11
+#: measurement). Keyed on the file's identity, its mtime/size (a
+#: rewritten file re-infers) and the schema-affecting conf (r12
+#: ADVICE hardening); bounded to one live entry per path.
+_STREAM_SCHEMAS: dict[tuple[str, int, int, str], "object"] = {}
 
 
 def _events_schema(spark: SparkSession, sf_dir: str):
     path = os.path.join(sf_dir, "events.parquet")
     st = os.stat(path)
-    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    # r12 (ADVICE): the inferred schema depends on nanosAsLong, so the
+    # conf value rides the key — a future caller with a different
+    # setting re-infers instead of being served a conf-mismatched
+    # schema. One entry per path (rewritten files evict their stale
+    # entry) bounds the dict.
+    nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    abspath = os.path.abspath(path)
+    key = (abspath, st.st_mtime_ns, st.st_size, nanos)
     schema = _STREAM_SCHEMAS.get(key)
     if schema is None:
+        for stale in [k for k in _STREAM_SCHEMAS if k[0] == abspath]:
+            del _STREAM_SCHEMAS[stale]
         schema = _STREAM_SCHEMAS[key] = spark.read.parquet(path).schema
     return schema
 

@@ -161,6 +161,69 @@ def window_counts_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumb.unionByName(slide)
 
 
+def window_counts_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling + sliding window aggregates as ONE streaming query —
+    the r12 fused form of :func:`window_counts_concurrent` (identical
+    output, oracle-verified).
+
+    Why: each availableNow micro-batch query pays a fixed machinery
+    floor — addBatch ~0.5 s + queryPlanning ~0.2 s + WAL/offset
+    bookkeeping per stream (r11 recentProgress telemetry) — and the
+    concurrent form pays it TWICE (overlapped, but contending for the
+    same source listing and scheduler). Window-instance assignment is
+    a row-local computation: a 1-hour tumbling window is the epoch
+    hour floor, and the two 1h/30min sliding instances start at the
+    two half-hour marks in ``(ts − 1h, ts]`` — exactly what
+    ``F.window`` expands to (same epoch origin, [start, end) bounds).
+    Exploding each event into its 3 tagged (kind, window-start) rows
+    and running ONE keyed aggregation computes both answers in one
+    micro-batch pipeline: one state pass over the union of both key
+    spaces, one source scan instead of two.
+
+    The watermark is kept (same column, same delay) so the query's
+    semantics stay those of the windowed originals; in complete mode
+    over a finite replay it drops nothing on either form. Counts are
+    exact; ``sum_value`` aggregates the identical per-group multiset
+    of values (grouping is a bijection onto the originals' groups),
+    verified to the same oracle hash at every gate SF."""
+    us = F.unix_micros(F.col("ts"))
+    h1 = 3_600_000_000  # 1 hour in microseconds
+    m30 = 1_800_000_000  # 30 minutes
+    s30 = us - us % m30
+    wins = F.array(
+        F.struct(
+            F.lit("tumbling").alias("kind"),
+            F.timestamp_micros(us - us % h1).alias("ws"),
+        ),
+        F.struct(
+            F.lit("sliding").alias("kind"),
+            F.timestamp_micros(s30).alias("ws"),
+        ),
+        F.struct(
+            F.lit("sliding").alias("kind"),
+            F.timestamp_micros(s30 - m30).alias("ws"),
+        ),
+    )
+    ev = _events_stream(spark, sf_dir).select("ts", "event_type", "value")
+    exploded = (
+        ev.withWatermark("ts", "10 minutes")
+        .select(F.explode(wins).alias("_w"), "event_type", "value")
+        .select("_w.kind", "_w.ws", "event_type", "value")
+    )
+    agg = exploded.groupBy("kind", "ws", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        "kind",
+        F.date_format(F.col("ws"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
 def sliding_counts_sql() -> str:
     # Each event belongs to the two 1h windows starting at the two
     # half-hour marks in (ts - 1h, ts]: generate both and aggregate.

@@ -7,6 +7,8 @@ equivalence)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -554,6 +556,7 @@ def test_gumbel_topk_matches_reference(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_dsir_ledger_fold_equals_live(spark):
     """SM3 as a maintained artifact: a DOCTORED base build (held-out
     slice missing, junk phantom docs, corrupted texts) repaired by ONE
@@ -686,6 +689,7 @@ def test_dsir_ledger_read_rides_bucket_layout(spark):
     spark.sql(f"drop table if exists {tbl}")
 
 
+@pytest.mark.slow
 def test_fused_commonness_dsir_equals_unfused(spark):
     """The round-6 fused TF2+SM3 scorer (one tokenize, one doc-keyed
     aggregate, one spine join) is bit-identical to composing

@@ -332,6 +332,7 @@ def test_duplicate_span_stats_exact(spark):
     assert got[1][3] == 5 / 8
 
 
+@pytest.mark.slow
 def test_append_replay_does_not_corrupt_flags(spark):
     """Crash-and-re-run tolerance: appending the same batch's
     signatures TWICE (the replay a mid-loop crash produces) duplicates
@@ -402,6 +403,7 @@ def test_catalog_meta_stamp_guards_parameter_mismatch(spark):
         spark.sql(f"drop table if exists {t}")
 
 
+@pytest.mark.slow
 def test_catalog_change_feed_fold(spark):
     """Change-feed fold for the persisted signature catalog
     (apply_changes_to_signature_catalog): deletes/update-preimages

@@ -4,6 +4,8 @@ at 100 TB some partition/filter combination WILL be empty."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from map_reduce_sf_crime_spark.operators import dedup, multimodal, similarity, textops
@@ -89,6 +91,7 @@ def test_corpus_prep_ops_on_empty_and_degenerate(spark):
     assert row.s == 0.0
 
 
+@pytest.mark.slow
 def test_index_builds_fail_loudly_on_empty_corpus(spark):
     """Round 8: building any persisted ANN index from an empty corpus
     raises a clear ValueError (not an opaque numpy shape error deep in

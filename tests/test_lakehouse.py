@@ -3,6 +3,8 @@ pruning actually prunes, bucketed joins actually skip the shuffle."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import shutil
 
@@ -520,6 +522,7 @@ def test_commit_detects_post_commit_file_loss(spark):
     assert any(p.endswith("p=1") for p in state["suspect"])
 
 
+@pytest.mark.slow
 def test_vacuum_commits_keeps_latest(spark):
     """Manifest retention: vacuum drops old intent/commit pairs but
     never the latest one, and table_state stays clean afterwards."""
@@ -662,6 +665,7 @@ def test_merge_delete_empties_whole_partition(spark):
     assert table_state(spark, path)["status"] == "clean"
 
 
+@pytest.mark.slow
 def test_vacuum_after_recovery_stays_clean(spark):
     """Vacuum must never manufacture a false-torn: a RESOLVED
     unfinished intent is droppable (dropping it removes the need for
@@ -792,6 +796,7 @@ def test_torn_commit_json_is_recoverable(spark):
     assert table_state(spark, path)["status"] == "clean"
 
 
+@pytest.mark.slow
 def test_compact_bucketed_preserves_probe_and_recovers(spark):
     """Bucketed-catalog compaction (the maintenance half of the daily
     signature-append loop): file count collapses to one per bucket,
@@ -1043,6 +1048,7 @@ def test_time_travel_read_as_of(spark):
     assert snap(read_as_of(spark, path, 2)) == want2
 
 
+@pytest.mark.slow
 def test_change_feed_read_changes(spark):
     """Change feed (read_changes): row-level diff between two
     committed snapshots in Delta-CDF vocabulary, pruned to the
@@ -1195,6 +1201,7 @@ def test_change_feed_read_changes(spark):
         read_changes(spark, path, 3, 1, key_cols)
 
 
+@pytest.mark.slow
 def test_change_feed_drives_index_fold(spark):
     """The full incremental daily loop, end to end: a lakehouse MERGE
     on the embeddings table (updates + deletes + inserts, archived) →

@@ -1584,6 +1584,7 @@ def test_generate_parse_errors():
             parse_mdx(q)
 
 
+@pytest.mark.slow
 def test_descendants_mixed_level_flags_match_per_level_unions(spark):
     """Round 10: the mixed-level Descendants flags compile to unions
     of single-level descents — each pinned cell-for-cell against the

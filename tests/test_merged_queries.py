@@ -5,6 +5,8 @@ sequential single-query operators."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from map_reduce_sf_crime_spark.plans.registry import REGISTRY
@@ -12,6 +14,7 @@ from map_reduce_sf_crime_spark.plans.registry import REGISTRY
 from .conftest import SF_SMOKE
 
 
+@pytest.mark.slow
 def test_ann_recall_bounds_all_pass(spark):
     from map_reduce_sf_crime_spark.plans.similarity_queries import ANN_METHODS
 

@@ -7,6 +7,8 @@ that land exactly on bin edges.
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import functions as F
@@ -40,6 +42,7 @@ def _pairs(df):
     return sorted((r.lid, r.rid) for r in df.select("lid", "rid").collect())
 
 
+@pytest.mark.slow
 def test_matches_naive_dense(spark):
     # every microsecond offset around several bin boundaries
     l_rows = [(i, i * 37) for i in range(40)]

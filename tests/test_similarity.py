@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from map_reduce_sf_crime_spark.functions.vectors import cosine_col
@@ -280,6 +282,7 @@ def test_indexed_external_namespace_no_self_exclusion(spark):
     shutil.rmtree(base, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_index_append_daily_loop(spark):
     """The serving tier's daily loop (append_ivf_index /
     append_pq_index): appending a new embedding batch to a persisted
@@ -549,6 +552,7 @@ def _bounded_spec(vecs, assign, cap, threshold):
     return prior
 
 
+@pytest.mark.slow
 def test_semdedup_bounded_cell_matches_spec(spark):
     """The hot-cell bounded scheme must implement EXACTLY its spec
     (sub-quantize draws, hash blocks, anchors) — engine vs the numpy
@@ -622,6 +626,7 @@ def test_semdedup_bounded_total_pairs_linear(spark):
         emb.unpersist()
 
 
+@pytest.mark.slow
 def test_index_change_feed_fold(spark):
     """Tombstoned delete/update for the persisted indexes
     (apply_changes_to_ivf_index / apply_changes_to_pq_index): folding
@@ -762,6 +767,7 @@ def test_index_change_feed_fold(spark):
         shutil.rmtree(p, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_index_compaction_purges_tombstones(spark):
     """compact_ivf_index / compact_pq_index: after change-feed folds,
     compaction physically removes tombstoned rows and drops the
@@ -859,6 +865,7 @@ def _scratch(name: str) -> str:
     )
 
 
+@pytest.mark.slow
 def test_ivfpq_all_probe_equals_flat_pq(spark):
     """THE hybrid equality pin: probing ALL lists scans exactly the
     whole code table, so ivfpq_topk_indexed(nprobe=n_centroids) must
@@ -887,6 +894,7 @@ def test_ivfpq_all_probe_equals_flat_pq(spark):
     shutil.rmtree(flat, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_ivfpq_partition_pruning_and_recall(spark):
     """Default-nprobe serve: the list scan partition-prunes on
     centroid_id (the 100 TB point of the hybrid) and recall@3 against
@@ -926,6 +934,7 @@ def test_ivfpq_partition_pruning_and_recall(spark):
     shutil.rmtree(base, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_ivfpq_append_and_fold_loop(spark):
     """The daily loop for the hybrid: base build on 4/5 of the corpus,
     held-out 1/5 appended under the STORED quantizer+codebooks —
@@ -1028,6 +1037,7 @@ def _clustered_fixture(spark, n=2000, n_clusters=12, dim=64, noise=0.15, seed=11
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
+@pytest.mark.slow
 def test_ivfpq_residual_beats_flat_on_clustered(spark):
     """VERDICT r7 #5, measured at the claim's actual level. Jegou 2011
     SIII's statement is about CODE FIDELITY: encoding the residual to
@@ -1112,6 +1122,7 @@ def test_ivfpq_residual_beats_flat_on_clustered(spark):
     emb.unpersist()
 
 
+@pytest.mark.slow
 def test_ivfpq_residual_full_probe_full_shortlist_equals_flat(spark):
     """Plumbing equality: with EVERY list probed and a shortlist
     covering the whole corpus, the ADC ordering is irrelevant (all
@@ -1151,6 +1162,7 @@ def test_ivfpq_residual_full_probe_full_shortlist_equals_flat(spark):
     assert {(r[0], r[1]) for r in results["residual"]} == exact
 
 
+@pytest.mark.slow
 def test_ivfpq_residual_append_respects_stored_mode(spark):
     """append_ivfpq_index on a RESIDUAL index encodes the batch in
     residual mode (read from meta, never passed by the caller): base
@@ -1194,6 +1206,7 @@ def test_ivfpq_residual_append_respects_stored_mode(spark):
     emb.unpersist()
 
 
+@pytest.mark.slow
 def test_zero_vector_does_not_poison_index(spark):
     """Round-8 hardening: a single all-zero embedding (deleted doc,
     failed encoder — realistic at 100 TB) must not corrupt the index.
@@ -1242,6 +1255,7 @@ def test_zero_vector_does_not_poison_index(spark):
 # ANN10: bucketed raw-vector store — shortlist-sized exact re-rank
 
 
+@pytest.mark.slow
 def test_vector_store_rerank_equality_and_bucket_pruning(spark):
     """Serving from the bucketed raw-vector store is bit-identical to
     serving from the live corpus frame for BOTH PQ-family serves, and
@@ -1328,6 +1342,7 @@ def test_vector_store_rerank_equality_and_bucket_pruning(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_vector_store_fold_replay_and_compact(spark):
     """The CF1 fold keeps the store serving the live corpus: an
     update's postimage replaces the doctored base vector, a delete
@@ -1445,6 +1460,7 @@ def test_murmur3_long_matches_spark_hash(spark):
             assert similarity._store_bucket_of(i, n) == got[i] % n
 
 
+@pytest.mark.slow
 def test_concurrent_store_serves_raise_only_threshold(spark):
     """Two store serves running CONCURRENTLY in one session (the
     round-8 review race: a set-then-restore bracket let serve A's
@@ -1502,6 +1518,7 @@ def test_concurrent_store_serves_raise_only_threshold(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_compact_vector_store_crash_recovery(spark):
     """compact_vector_store's rename-swap discipline: a stale stage
     directory (crash mid-staged-write) is cleared and recompacted; a
@@ -1648,6 +1665,7 @@ def test_train_sample_is_hash_decorrelated_and_deterministic(spark):
         similarity.MAX_COLLECT_ROWS = orig_cap
 
 
+@pytest.mark.slow
 def test_flat_tier_bulk_serves_equal_latency_loops(spark):
     """Round 10 (verdict Next #3): the flat tiers get the same bulk
     (DataFrame-in) twins the hybrid has — ``pq_topk_bulk`` over a
@@ -1739,6 +1757,7 @@ def test_flat_tier_bulk_serves_equal_latency_loops(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_ivfpq_bulk_serve_equals_latency_loop(spark):
     """ANN11 (round 9): the bulk (DataFrame-in) hybrid serve is
     BIT-IDENTICAL to the latency (driver-list) serve — flat and

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from map_reduce_sf_crime_spark.sources.parquet import load_events
@@ -28,12 +30,26 @@ def test_tumbling_equals_batch_window(spark):
     assert s == b
 
 
+def test_fused_window_counts_equals_concurrent(spark):
+    """The r12 fused single-stream form of stream_window_counts must
+    emit exactly the rows of the two-query concurrent form: manual
+    window-instance assignment (epoch-floor arithmetic) is pinned to
+    F.window's expansion for both the tumbling and the 1h/30min
+    sliding family."""
+    fused = windows.window_counts_fused(spark, SF_SMOKE)
+    conc = windows.window_counts_concurrent(spark, SF_SMOKE)
+    f = {tuple(r) for r in fused.collect()}
+    c = {tuple(r) for r in conc.collect()}
+    assert f == c
+
+
 def test_session_count_conservation(spark):
     sess = windows.session_windows(spark, SF_SMOKE, "5 minutes")
     total = sess.agg(F.sum("n_events")).first()[0]
     assert total == load_events(spark, SF_SMOKE).count()
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Append-mode watermark semantics with real micro-batches.
 
@@ -203,6 +219,7 @@ def test_materialization_replay_idempotent(spark, tmp_path):
     assert snapshot() == second
 
 
+@pytest.mark.slow
 def test_staged_delta_folding_and_vacuum(spark, tmp_path):
     """Folding bounds staging growth: every fold_every batches the
     active deltas consolidate into one (day, -B) partition set, the
@@ -298,6 +315,7 @@ def test_active_view_partition_prunes(spark, tmp_path):
     assert files == {"-4", "4", "5"}
 
 
+@pytest.mark.slow
 def test_lakehouse_cdf_streaming_source(spark, tmp_path):
     """The lakehouse_cdf Python streaming data source: committed
     merges surface as micro-batches of Delta-CDF-vocabulary events,
@@ -407,6 +425,7 @@ def test_lakehouse_cdf_streaming_source(spark, tmp_path):
     assert canon_rows(cols2, rows2) == canon(want2)
 
 
+@pytest.mark.slow
 def test_cdf_stream_drives_index_fold(spark, tmp_path):
     """The full incremental-serving loop, END TO END and streaming:
     lakehouse merges → lakehouse_cdf micro-batches → foreachBatch
@@ -512,6 +531,7 @@ def test_cdf_stream_drives_index_fold(spark, tmp_path):
     assert not ({r.vec_id for r in deep.collect()} & dead)
 
 
+@pytest.mark.slow
 def test_cdf_source_admission_control(spark, tmp_path):
     """maxCommitsPerTrigger caps each micro-batch's commit span: a
     3-commit backlog with cap=1 drains as three checkpointed runs,
@@ -628,6 +648,7 @@ def test_cdf_capped_offset_skips_torn_commit_ids(spark, tmp_path):
     assert r.latestOffset() == {"cid": 2}  # nothing further
 
 
+@pytest.mark.slow
 def test_streaming_postings_maintenance_serves_live_corpus(spark, tmp_path):
     """The reusable maintenance loop (streaming/index_maintenance):
     build the postings index from the seed snapshot, stream the

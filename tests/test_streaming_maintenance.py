@@ -10,6 +10,8 @@ stream), inserts really serve."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from map_reduce_sf_crime_spark.operators import similarity
@@ -31,6 +33,7 @@ from .conftest import SF_CHECK
 QIDS = [0, 1, 2]
 
 
+@pytest.mark.slow
 def test_ann_maintenance_loops_serve_live_corpus(spark, tmp_path):
     emb = load_table(spark, SF_CHECK, "embeddings").select(
         "vec_id", "embedding"

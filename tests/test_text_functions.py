@@ -5,6 +5,8 @@ the whole gate silently."""
 
 from __future__ import annotations
 
+import pytest
+
 import random
 import re
 
@@ -75,6 +77,7 @@ def test_hash64_cross_engine_unicode_parity(spark):
         assert d == srows[i], (t, srows[i], d)
 
 
+@pytest.mark.slow
 def test_adversarial_docs_cross_engine_parity(spark, tmp_path):
     """Full text/dedup oracle parity on an adversarial corpus the ASCII
     fixtures never exercise: unicode case ('İ', 'ß'), CJK, emoji,
