@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.calendar import N_WEEK_BUCKETS, week_bucket_col, week_bucket_sql
-from ..operators.weekly import weekly_summary, weekly_summary_sql
+from ..operators.weekly import weekly_summary_sql
 from .crimes_view import (
     CATEGORY_INCIDENTS_SQL,
     INCIDENTS_SQL,
@@ -40,19 +40,46 @@ def weekly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: SanFranciscoCrime.java:228-229 ``bycategory`` +
     ``bydistrict`` weekly reports, one row-set tagged by ``dim``
     (single registry entry so both reports sit under the driver's
-    correctness gate)."""
-    cat = weekly_summary(category_incidents(spark, sf_dir), "category", F.col("d"))
-    dist = weekly_summary(incidents(spark, sf_dir), "district", F.col("d"))
-    return cat.select(
-        F.lit("category").alias("dim"),
-        F.col("category").alias("member"),
-        *_W_COLS,
-    ).unionByName(
-        dist.select(
-            F.lit("district").alias("dim"),
-            F.col("district").alias("member"),
-            *_W_COLS,
-        )
+    correctness gate).
+
+    r12 single-pass form (guide §2.3 "aggregate before you shuffle" +
+    §2.4 shared exchange): the union of the two branches previously
+    scanned orders TWICE (bare for the category report, joined for the
+    district report) and paid two partial-agg exchange pairs. Both
+    reports are counts over the SAME incident rows — the orders ⋈
+    customer join is FK-1:1 (every order has exactly one customer),
+    so category counts off the joined frame equal the bare-scan counts
+    row for row; the driver's oracle (unchanged: category branch from
+    bare orders) re-proves that equality on every gate run. One scan,
+    each incident exploded into its two (dim, member) rows, ONE
+    pivot-count pass."""
+    buckets = list(range(N_WEEK_BUCKETS))
+    inc = incidents(spark, sf_dir)
+    exploded = inc.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("category").alias("dim"),
+                    F.col("category").alias("member"),
+                ),
+                F.struct(
+                    F.lit("district").alias("dim"),
+                    F.col("district").alias("member"),
+                ),
+            )
+        ).alias("_dm"),
+        week_bucket_col(F.col("d")).alias("bucket"),
+    ).select("_dm.dim", "_dm.member", "bucket")
+    out = (
+        exploded.groupBy("dim", "member")
+        .pivot("bucket", buckets)
+        .count()
+        .na.fill(0)
+    )
+    return out.select(
+        "dim",
+        "member",
+        *[F.col(str(b)).alias(f"w{b}") for b in buckets],
     )
 
 

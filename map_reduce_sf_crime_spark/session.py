@@ -33,6 +33,10 @@ def get_spark(app_name: str = "map_reduce_sf_crime_spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # NB: runtime bloom-filter join reduction and dynamic partition
@@ -47,4 +51,13 @@ def get_spark(app_name: str = "map_reduce_sf_crime_spark") -> SparkSession:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
+    # Cluster-deployment checkpoint plumbing (r12, VERDICT item 9):
+    # SPARK_GRAFT_CHECKPOINT_DIR points reliable checkpoints
+    # (functions/caching.plan_checkpoint(reliable=True), or the
+    # global SPARK_GRAFT_RELIABLE_CHECKPOINT=1 switch) at durable
+    # storage. Unset locally — localCheckpoint stays the default, and
+    # plan_checkpoint refuses reliable mode loudly without a dir.
+    cp_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if cp_dir:
+        spark.sparkContext.setCheckpointDir(cp_dir)
     return spark
