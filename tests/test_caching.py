@@ -61,6 +61,52 @@ def test_plan_checkpoint_release_is_loud_and_counted(spark):
         cp.count()
 
 
+def test_plan_checkpoint_release_after_single_copy(spark):
+    """r12 single-copy policy: frames passed via release_after are
+    freed the moment the checkpoint materializes — a feeder CACHE is
+    unpersisted, and a feeder CHECKPOINT is freed and de-tracked (the
+    olap star / corpus_sample pos pattern), with the failure counter
+    untouched on the current plan shapes. In the no-checkpoint audit
+    mode nothing is released."""
+    import pytest
+
+    caching.release_plan_caches()
+    before_failures = caching._RELEASE_FAILURES
+    base = spark.range(1000).selectExpr("id", "id * 3 as v").cache()
+    base.count()
+    assert base.storageLevel.useMemory
+    mid = caching.plan_checkpoint(base, release_after=(base,))
+    # the cache was released as soon as the checkpoint materialized
+    assert not base.storageLevel.useMemory
+    assert mid.count() == 1000
+    # chain: releasing a TRACKED CHECKPOINT de-tracks and frees it
+    assert mid in caching._TRACKED_CHECKPOINTS
+    final = caching.plan_checkpoint(
+        mid.selectExpr("id", "v + 1 as v1"), release_after=(mid,)
+    )
+    assert mid not in caching._TRACKED_CHECKPOINTS
+    assert final.count() == 1000
+    assert caching._RELEASE_FAILURES == before_failures
+    # mid's blocks are gone and it has no lineage — loud on reuse
+    with pytest.raises(Exception):
+        mid.count()
+    caching.release_plan_caches()
+
+
+def test_plan_checkpoint_release_after_noop_in_audit_mode(spark, monkeypatch):
+    """SPARK_GRAFT_NO_CHECKPOINT=1 takes no checkpoint, so
+    release_after must release NOTHING — the caches keep deduplicating
+    the fan-out for the plan-audit tooling."""
+    caching.release_plan_caches()
+    monkeypatch.setenv("SPARK_GRAFT_NO_CHECKPOINT", "1")
+    base = spark.range(100).selectExpr("id").cache()
+    base.count()
+    out = caching.plan_checkpoint(base, release_after=(base,))
+    assert out is base
+    assert base.storageLevel.useMemory, "audit mode must not release"
+    base.unpersist()
+
+
 def test_plan_checkpoint_reliable_mode(spark, tmp_path):
     """reliable=True routes through Dataset.checkpoint() into the
     session's checkpoint directory (durable storage on a real
