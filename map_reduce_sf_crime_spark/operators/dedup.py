@@ -261,6 +261,24 @@ def near_dup_pairs_exact_sql(
 
 # ------------------------------------------------- MinHash + LSH
 
+def _minhash_mins(t: DataFrame, n_hashes: int) -> DataFrame:
+    """Per-doc minhash columns ``(doc_id, _m0.._mN)`` from a shingle
+    frame — exploded form, ``n_hashes`` codegen'd md5 min-aggregates.
+    Contains exactly the docs with ≥1 shingle (the explode drops the
+    rest)."""
+    ex = t.select("doc_id", F.explode("sh").alias("s"))
+    return ex.groupBy("doc_id").agg(
+        *[
+            F.min(hash64_col(F.col("s"), seed=str(k))).alias(f"_m{k}")
+            for k in range(n_hashes)
+        ]
+    )
+
+
+def _sig_col(n_hashes: int):
+    return F.array(*[F.col(f"_m{k}") for k in range(n_hashes)])
+
+
 def minhash_signatures(docs: DataFrame, n: int = 3, n_hashes: int = 16) -> DataFrame:
     """MinHash signatures in exploded form: one row per (doc, shingle),
     then ``n_hashes`` codegen'd md5 min-aggregates. Semantically equal
@@ -272,18 +290,10 @@ def minhash_signatures(docs: DataFrame, n: int = 3, n_hashes: int = 16) -> DataF
     come back with all-null signatures via the left join — the same
     ``array_min([]) = NULL`` shape the array form produces."""
     t = shingle_sets(docs, n)
-    ex = t.select("doc_id", F.explode("sh").alias("s"))
-    mins = ex.groupBy("doc_id").agg(
-        *[
-            F.min(hash64_col(F.col("s"), seed=str(k))).alias(f"_m{k}")
-            for k in range(n_hashes)
-        ]
-    )
-    sig = F.array(*[F.col(f"_m{k}") for k in range(n_hashes)])
     return (
         t.select("doc_id")
-        .join(mins, "doc_id", "left")
-        .select("doc_id", sig.alias("sig"))
+        .join(_minhash_mins(t, n_hashes), "doc_id", "left")
+        .select("doc_id", _sig_col(n_hashes).alias("sig"))
     )
 
 
@@ -312,15 +322,21 @@ def lsh_near_dup_pairs(
     # both the banded self-join and the verification join re-read these
     # small per-doc tables — cache so shingling/hashing runs once
     t = shingle_sets(docs, n).transform(plan_cache)
+    # r12: build signatures from the min-agg frame directly. The
+    # minhash_signatures form left-joins the mins back to ALL doc_ids
+    # to give zero-shingle docs their all-NULL signature — which this
+    # caller immediately dropped again (NULL band keys degenerate to
+    # md5('') and E such docs would collide into ~E²/2 candidate
+    # pairs, all discarded later: their jaccard is NULL, never ≥ a
+    # threshold > 0). The min-agg output IS exactly the ≥1-shingle
+    # doc set (explode drops the rest), so joining it with t's n_sh
+    # inner produces the identical frame minus one t scan and one
+    # left join per build — same inner-join behavior as the catalog
+    # path.
     sigs = (
-        minhash_signatures(docs, n, n_hashes)
+        _minhash_mins(t, n_hashes)
         .join(t.select("doc_id", "n_sh"), "doc_id")
-        # zero-shingle docs carry all-NULL signatures → every band key
-        # degenerates to md5('') and E such docs would collide into
-        # ~E²/2 candidate pairs (all discarded later: their jaccard is
-        # NULL). They can never clear a threshold > 0 — drop them here,
-        # matching the catalog path's inner-join behavior
-        .filter(F.col("n_sh") > 0)
+        .select("doc_id", "n_sh", _sig_col(n_hashes).alias("sig"))
         .transform(plan_cache)
     )
     band_cols = F.array(
