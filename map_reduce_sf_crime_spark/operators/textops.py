@@ -554,11 +554,34 @@ def text_profile(docs: DataFrame) -> DataFrame:
     expressions; materializing it (and the n-gram array, and the five
     language scores) as intermediate alias columns makes each
     evaluate once per row. CollapseProject keeps the stages separate
-    because the aliases are non-cheap and multiply referenced."""
+    because the aliases are non-cheap and multiply referenced.
+
+    r12: the three fixed projection lists are memoized per gateway
+    (the _clean_pred pattern) — constructing them is ~1 s of py4j
+    Column building re-paid on every fresh build of a profile query."""
+    s1, s2, fin = _text_profile_exprs(_tp_gateway_key())
+    return docs.select(*s1).select(*s2).select(*fin)
+
+
+def _tp_gateway_key():
+    from ..functions.caching import gateway_key
+
+    return gateway_key()
+
+
+import functools as _functools  # noqa: E402  (module-level memo below)
+
+
+@_functools.lru_cache(maxsize=2)
+def _text_profile_exprs(_gw):
+    """The three staged projection lists of :func:`text_profile` as
+    memoized unresolved Columns (immutable expression trees, resolved
+    per-DataFrame at analysis — one instance serves every build in
+    the process; keyed on the live gateway like _clean_pred)."""
     from ..functions.text import LANG_STOPWORDS, shingles_col
 
     tok = F.col("tok")
-    stage1 = docs.select(
+    stage1 = (
         "doc_id",
         F.col("lang").alias("lang_label"),
         "text",
@@ -568,7 +591,7 @@ def text_profile(docs: DataFrame) -> DataFrame:
         stopword_hits_col(tok, ws).alias(f"_s_{lang}")
         for lang, ws in LANG_STOPWORDS.items()
     ]
-    stage2 = stage1.select(
+    stage2 = (
         "doc_id",
         "lang_label",
         "text",
@@ -610,7 +633,7 @@ def text_profile(docs: DataFrame) -> DataFrame:
     grams = F.col("_grams")
     max_c = max_run_count_col(grams)
     total = F.size(grams).cast("long")
-    return stage2.select(
+    final = (
         "doc_id",
         n_chars.alias("n_chars"),
         "n_tokens",
@@ -632,6 +655,7 @@ def text_profile(docs: DataFrame) -> DataFrame:
         .otherwise(max_c / total)
         .alias("top_bigram_ratio"),
     )
+    return stage1, stage2, final
 
 
 #: Word n-gram order for the cross-document duplicated-span signal
